@@ -1,0 +1,163 @@
+"""CosineModel — query surface over a fitted cosine analysis.
+
+Parity target: ``MatrixModel``
+(/root/reference/src/main/scala/com/saltfish/matrix/MatrixModel.scala, "MM"
+below), plus extensions the reference only promised (README.md:23 missing-
+value prediction) or lacked (top-k).
+
+Spark-first deltas vs. the reference:
+
+* ``similarity(vector_list)`` is a DataFrame ``isin`` filter. The reference
+  wraps the list in a broadcast variable whose ``.value`` is taken on the
+  driver (a no-op, MM:37) and drops to the RDD API (MM:39-44), severing
+  Catalyst across the boundary; ours stays one optimized plan, so the
+  membership predicate pushes down past the aggregation.
+* The zero-similarity fill for dense-mode pairs with no shared coordinates
+  (right join + coalesce, MM:63-69) is preserved bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from casf_spark import schemas
+
+
+class CosineModel:
+    def __init__(self, normalized: DataFrame, factor_pairs: DataFrame,
+                 factor_mod: DataFrame, is_sparse: bool) -> None:
+        #: NORMALIZED_ELEMENT — cells rescaled by vector max
+        self.normalized = normalized
+        #: FACTOR_NORMALIZED_VALUE — aligned element pairs per shared coord
+        self.factor_pairs = factor_pairs
+        #: FACTOR_MOD — per-pair denominator factors
+        self.factor_mod = factor_mod
+        self.is_sparse = is_sparse
+
+    # ------------------------------------------------------------------ #
+
+    def _numerators(self, factor_pairs: DataFrame) -> DataFrame:
+        """Dot product per pair. Parity: MM:58-62 (A4)."""
+        return factor_pairs.groupBy("vector0", "vector1").agg(
+            F.sum(F.col("value0") * F.col("value1")).alias("numerator"))
+
+    def _compute_similarity(self, factor_mod: DataFrame,
+                            factor_pairs: DataFrame) -> DataFrame:
+        """numerator / (mod0 * mod1), keeping every factor_mod pair.
+
+        Parity: computeSimilarity (MM:56-73) — right join so dense-mode
+        pairs with no shared coordinates survive with similarity 0.0
+        (coalesce, MM:68-69, J2 + P3).
+        """
+        num = self._numerators(factor_pairs)
+        out = (
+            num.join(factor_mod, ["vector0", "vector1"], "right")
+            .select(
+                "vector0",
+                "vector1",
+                F.coalesce(
+                    F.col("numerator") / (F.col("mod0") * F.col("mod1")),
+                    F.lit(0.0),
+                ).alias("similarity_value"),
+            )
+        )
+        return schemas.conform(out, schemas.SIMILARITY_VALUE)
+
+    # ------------------------------------------------------------------ #
+    # reference API
+    # ------------------------------------------------------------------ #
+
+    def all_similarity(self) -> DataFrame:
+        """Cosine similarity for every canonical pair.
+
+        Parity: MatrixModel.allSimilarityValue (MM:26-28).
+        """
+        return self._compute_similarity(self.factor_mod, self.factor_pairs)
+
+    def similarity(self, vector_list: Sequence[str]) -> DataFrame:
+        """Similarity restricted to pairs whose BOTH endpoints are in
+        ``vector_list``.
+
+        Parity: MatrixModel.similarity (MM:36-47) — the RDD membership
+        filter (MM:39-44) becomes an ``isin`` predicate on both inputs, so
+        Catalyst prunes the pair stream *before* the aggregation instead of
+        after it.
+        """
+        ids = [str(v) for v in vector_list]
+        fm = self.factor_mod.where(
+            F.col("vector0").isin(ids) & F.col("vector1").isin(ids))
+        fp = self.factor_pairs.where(
+            F.col("vector0").isin(ids) & F.col("vector1").isin(ids))
+        return self._compute_similarity(fm, fp)
+
+    # ------------------------------------------------------------------ #
+    # extensions (absent from the reference — SURVEY.md §7 phase D)
+    # ------------------------------------------------------------------ #
+
+    def top_k(self, k: int) -> DataFrame:
+        """Top-k most-similar neighbors per vector.
+
+        The canonical pair table stores each unordered pair once; symmetrize
+        (union both directions — a narrow transformation, no shuffle) then a
+        window ``row_number`` per vector. Output: (vector, neighbor,
+        similarity_value, rank).
+        """
+        sims = self.all_similarity()
+        sym = sims.select(
+            F.col("vector0").alias("vector"),
+            F.col("vector1").alias("neighbor"),
+            "similarity_value",
+        ).unionByName(sims.select(
+            F.col("vector1").alias("vector"),
+            F.col("vector0").alias("neighbor"),
+            "similarity_value",
+        ))
+        w = Window.partitionBy("vector").orderBy(
+            F.desc("similarity_value"), F.asc("neighbor"))
+        return (sym.withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= k))
+
+    def predict_missing(self, k: int = 10) -> DataFrame:
+        """Similarity-weighted imputation of absent cells — the reference
+        README's unimplemented roadmap item (/root/reference/README.md:23).
+
+        For each (vector v, coord c) where v has no element but at least one
+        of v's top-k neighbors does::
+
+            pred(v, c) = sum_u sim(v,u) * nv(u,c) / sum_u sim(v,u)
+
+        over the neighbors u of v that have coordinate c. Returns
+        (vector, coord, predicted_value). Anti-join guarantees only truly
+        missing cells are emitted.
+        """
+        neighbors = self.top_k(k).where(F.col("similarity_value") > 0.0)
+        # neighbor contributions: join neighbor's elements
+        contrib = (
+            neighbors.join(
+                self.normalized.select(
+                    F.col("vector").alias("neighbor"),
+                    "coord",
+                    "normalized_value",
+                ),
+                "neighbor",
+            )
+            .groupBy("vector", "coord")
+            .agg(
+                (F.sum(F.col("similarity_value") * F.col("normalized_value"))
+                 / F.sum("similarity_value")).alias("predicted_value"))
+        )
+        existing = self.normalized.select("vector", "coord")
+        return contrib.join(existing, ["vector", "coord"], "left_anti")
+
+    def unpersist(self) -> None:
+        """Release the cached intermediates (fixes the reference's premature
+        unpersist at MatrixCosineAnalyse.scala:223, which fired before any
+        action materialized the cache)."""
+        for df in (self.normalized, self.factor_pairs):
+            try:
+                df.unpersist()
+            except Exception:
+                pass

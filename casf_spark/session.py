@@ -1,0 +1,47 @@
+"""SparkSession construction.
+
+Parity: reference `SparkSessionUtils.getSparkSession`
+(/root/reference/src/main/scala/com/saltfish/utils/SparkSessionUtils.scala:6-15)
+builds a session with an HDFS warehouse and a `local` master when isLocal.
+Ours leaves cluster config to the caller and defaults to a tuned local mode
+for tests/bench: AQE on, Arrow on, shuffle partitions sized to cores (not
+the 200 default, which over-partitions small local runs and under-partitions
+nothing — on a real cluster callers should size it to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "casf_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults target the test environment (single-JVM local mode). On a real
+    cluster, pass ``master=None`` with a pre-configured environment, or set
+    config externally via spark-submit — every knob here is a default, not
+    an override.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,42 @@
+"""Source connectors for the test corpus and matrix derivations.
+
+The reference's only sources are text files (KeyWordsDemo.scala:19-27) and
+caller-constructed Datasets (MatrixCosineAnalyse.scala:218). Ours reads the
+driver's parquet star schema; the engine itself accepts any DataFrame
+conforming to the (y, x, value) COO contract (schemas.MATRIX_ELEMENT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def matrix_from_lineitem(spark: SparkSession, sf_dir: str,
+                         y: str = "l_suppkey", x: str = "l_partkey",
+                         value: str = "l_quantity") -> DataFrame:
+    """Derive a COO sparse matrix from lineitem: one cell per (y, x) with
+    value = sum(value_col). E.g. supplier purchase-profiles over parts.
+
+    Only the three needed columns are selected, so the parquet scan prunes
+    to exactly that ReadSchema.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col(y).cast("string").alias("y"),
+            F.col(x).cast("string").alias("x"),
+            F.col(value).cast("double").alias("value"),
+        )
+        .groupBy("y", "x")
+        .agg(F.sum("value").alias("value"))
+    )
