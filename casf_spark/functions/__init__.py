@@ -1,0 +1,3 @@
+from casf_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

@@ -1,0 +1,63 @@
+"""Cross-engine deterministic hashing primitives.
+
+Spark's builtin ``hash``/``xxhash64`` are murmur3/xxhash — not reproducible
+in DuckDB — so the oracle-checkable operators (MinHash, SimHash, LSH) derive
+integer hashes from **md5**, which both engines implement identically:
+``H(s) = int(md5(s)[:15], 16)`` — a uniform 60-bit non-negative integer.
+
+All downstream mixing uses moduli small enough that ``a * (H % P) + b``
+stays below 2^63 (no overflow in either engine's BIGINT arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: prime modulus > 2^32 for universal-hash mixing; with a < 2^30 the product
+#: a*(H%P) < 2^62 — safe in int64.
+MIX_PRIME = 4294967311
+#: bit width of md5-derived hashes (15 hex digits = 60 bits)
+HASH_BITS = 60
+
+
+def md5_long(col: Column | str) -> Column:
+    """60-bit non-negative integer hash of a string column via md5 prefix.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _lcg_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """n fixed (a, b) universal-hash parameter pairs from a tiny LCG —
+    deterministic constants, no runtime randomness."""
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 30) - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MIX_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_exprs(hash_col: Column, num_hashes: int, seed: int = 42) -> list[Column]:
+    """``num_hashes`` universal-hash remixes of a 60-bit hash column:
+    ``(a_i * (H % P) + b_i) % P``. Same formula is emitted verbatim into the
+    DuckDB oracle SQL."""
+    h = hash_col % F.lit(MIX_PRIME)
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MIX_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_lcg_params(num_hashes, seed))
+    ]
+
+
+def minhash_sql_exprs(hash_sql: str, num_hashes: int, seed: int = 42) -> list[str]:
+    """DuckDB-side twins of :func:`minhash_exprs` (same constants)."""
+    return [
+        f"(({a} * (({hash_sql}) % {MIX_PRIME}) + {b}) % {MIX_PRIME})"
+        for a, b in _lcg_params(num_hashes, seed)
+    ]

@@ -1,0 +1,155 @@
+"""Text-analysis functions: tokenization, term counts, quality scoring,
+language ID, token counting, document fingerprinting.
+
+Parity: the reference's demo front end (KeyWordsDemo.scala, "KWD") tokenizes
+with the ansj Chinese segmenter inside a typed flatMap (KWD:47-58) and
+filters stop words collected to the driver (KWD:31-43). Ours is a pluggable
+``Column -> Column`` tokenizer (regex default; a CJK pandas_udf could slot
+in), with stop-word removal as a JVM-side predicate / broadcast anti-join —
+no driver collect, no Python in the hot path.
+
+Everything here is built-in Column expressions → whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default token pattern: split on any non-alphanumeric run (lowercased).
+TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
+
+#: small default English stop-word list (the demo's 746-entry Chinese list,
+#: KWD src/test/data/中文停用词表.txt, is corpus-specific; ours matches the
+#: synthetic English-ish test corpus).
+DEFAULT_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+
+#: marker words per language for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of", "a"),
+    "es": ("el", "la", "los", "de", "y"),
+    "fr": ("le", "les", "et", "une", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de")  # deterministic argmax tie-break
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_SPLIT_PATTERN) -> Column:
+    """Lowercase + regex-split tokenizer returning array<string> with empty
+    tokens removed. The pluggable seam replacing the demo's ansj flatMap
+    (KWD:47-58)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), pattern), lambda t: t != F.lit(""))
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str,
+             pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Explode documents to (id, pos, word) — one row per token occurrence."""
+    return df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.posexplode(tokens(text_col, pattern)).alias("pos", "word"),
+    )
+
+
+def term_counts(df: DataFrame, id_col: str, text_col: str,
+                stopwords: Sequence[str] | DataFrame | None = DEFAULT_STOPWORDS,
+                pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Term-frequency COO matrix (y=doc, x=word, value=count) feeding
+    CosineAnalyser — the KWD pipeline (tokenize -> stop-filter -> A5 count).
+
+    ``stopwords`` may be a literal list (compiled to an IN predicate) or a
+    one-column DataFrame (broadcast anti-join — replaces the reference's
+    driver-side collectAsList, KWD:43).
+    """
+    toks = tokenize(df, id_col, text_col, pattern)
+    if isinstance(stopwords, DataFrame):
+        sw = stopwords.select(F.col(stopwords.columns[0]).alias("word"))
+        toks = toks.join(F.broadcast(sw), "word", "left_anti")
+    elif stopwords:
+        toks = toks.where(~F.col("word").isin(list(stopwords)))
+    return (
+        toks.groupBy(F.col("doc").alias("y"), F.col("word").alias("x"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+
+
+def token_count(col: Column | str, pattern: str = TOKEN_SPLIT_PATTERN) -> Column:
+    """Number of tokens in a text column."""
+    return F.size(tokens(col, pattern))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-document quality metrics for pipeline filtering:
+
+    n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
+    punct_ratio — all as JVM-side expressions over one pass.
+    """
+    tok = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_tokens = F.size(tok)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+    total_tok_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0),
+        lambda acc, x: acc + x)
+    n_digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, total_tok_len.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0)), 6).alias("avg_token_len"),
+        F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
+        F.round(n_digits.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("digit_ratio"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+        .alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keyword-marker language-ID heuristic.
+
+    Counts marker-word hits per language over the token stream; predicts the
+    highest-scoring language in fixed priority order (ties and zero scores
+    fall through to 'und'). Deterministic, SQL-expressible, cheap: one
+    pass, no shuffle beyond the final projection (scores are computed per
+    row from the token array, not via explode).
+    """
+    tok = tokens(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+    )
+    return out
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting/dedup: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Stable across engines (DuckDB md5 produces identical digests), unlike
+    Spark's murmur3 ``hash``."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,3 @@
+from casf_spark.operators import dedup, similarity
+
+__all__ = ["dedup", "similarity"]

@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Absent from the reference (SURVEY.md §2.9 — no approximate algorithms); these
+are the Phase-D extensions, each designed shuffle-first:
+
+* exact      — one hash-groupBy on a stable fingerprint. Scales linearly;
+               the canonical first pass at 100 TB.
+* n-gram Jaccard — shingle self-join; only docs sharing >=1 shingle meet,
+               so cost tracks true overlap, not n^2.
+* MinHash/LSH — signature + banding; candidate pairs only for docs sharing
+               a band bucket. The standard sub-quadratic near-dup path.
+* SimHash    — 60-bit signature, Hamming-distance pairs.
+* embedding cosine — exact all-pairs baseline (quadratic; LSH-bucketed
+               variant lives in operators.similarity).
+
+All hash math is md5-derived (functions.hashing) so every operator has an
+exactly-matching DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from casf_spark.functions import text as TX
+from casf_spark.functions import vectors as V
+from casf_spark.functions.hashing import md5_long, minhash_exprs
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content fingerprint; one row per duplicate group
+    (>=2 members): (fingerprint, keep_id = min id, n_dups).
+
+    At 100 TB this is a single hash-shuffle on a 32-char key; partial
+    aggregation makes the map-side combine absorb most duplicates.
+    """
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  TX.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-exact dedup: keep the min-id representative per fingerprint."""
+    ranked = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        TX.fingerprint(text_col).alias("fingerprint"))
+    keep = ranked.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "fingerprint")
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc, shingle).
+
+    Built with a window-free array slide (transform over index range) —
+    stays in codegen; distinct is per (doc, shingle).
+    """
+    toks = TX.tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc"),
+                  F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Document pairs with word-n-gram Jaccard similarity >= threshold.
+
+    Shingle self-join on the shingle key: pairs form only where sets
+    intersect, so the shuffle is proportional to shared content. Hot
+    shingles (boilerplate) skew the join — AQE skew split handles moderate
+    cases; production pipelines drop top-frequency shingles first.
+    Output: (doc0, doc1, jaccard) with doc0 > doc1 canonical ordering.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc0"), "shingle")
+    b = sh.select(F.col("doc").alias("doc1"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc0") > F.col("doc1"))
+        .groupBy("doc0", "doc1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz0 = sizes.select(F.col("doc").alias("doc0"), F.col("n_sh").alias("n0"))
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    return (
+        inter.join(sz0, "doc0").join(sz1, "doc1")
+        .select(
+            "doc0", "doc1",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n0") + F.col("n1") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 2, num_hashes: int = 12,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature rows: (doc, i, minhash) — min over the doc's
+    shingle hashes for each of ``num_hashes`` universal-hash remixes.
+
+    Long-form (one row per doc x hash) rather than an array column so the
+    banding groupBy stays a plain hash aggregation.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    hashed = sh.select("doc", md5_long("shingle").alias("h"))
+    remixed = hashed.select("doc", *minhash_exprs(F.col("h"), num_hashes, seed))
+    stacked = remixed.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("v"))
+            for i in range(num_hashes)
+        ])).alias("s"),
+    ).select("doc", F.col("s.i").alias("i"), F.col("s.v").alias("mh"))
+    return stacked.groupBy("doc", "i").agg(F.min("mh").alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 2, num_hashes: int = 12, bands: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Signatures split into ``bands`` bands of ``num_hashes // bands`` rows;
+    docs sharing any (band, bucket-key) become a candidate pair. The bucket
+    join replaces the O(n^2) comparison with per-bucket mini cross products
+    — the textbook LSH trade (prob of candidacy = 1-(1-s^r)^b).
+    Output: (doc0, doc1) canonical, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                lambda s: s["minhash"].cast("string")),
+            "_").alias("bucket"))
+    )
+    a = banded.select(F.col("doc").alias("doc0"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc0") > F.col("doc1"))
+        .select("doc0", "doc1")
+        .distinct()
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 32) -> DataFrame:
+    """Per-document SimHash: sign-aggregate each bit of the token hashes,
+    weighted by term frequency. Output (doc, simhash).
+
+    Implemented as explode(bits) x token rows -> conditional sum — a single
+    shuffle on doc; ``bits`` <= 60 (md5_long width).
+    """
+    toks = TX.tokenize(df, id_col, text_col)
+    tf = toks.groupBy("doc", "word").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.select(F.col("doc").cast("long").alias("doc"), "tf",
+                       md5_long("word").alias("h"))
+    bit = hashed.select(
+        "doc", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+    # shiftright/shiftleft with a *column* shift amount need the SQL form
+    # (the PySpark builtins only accept a literal int shift).
+    signed = bit.select(
+        "doc", "b",
+        F.when(F.expr("(shiftright(h, cast(b as int)) & 1L) = 1L"),
+               F.col("tf")).otherwise(-F.col("tf")).alias("w"))
+    perbit = signed.groupBy("doc", "b").agg(F.sum("w").alias("s"))
+    return perbit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(b as int))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Baseline implementation compares all pairs (fine at test scale); the
+    scale path blocks on signature prefixes (split the 32 bits into
+    max_hamming+1 segments — pigeonhole guarantees a matching segment) which
+    this function applies automatically: join on exploded segment equality,
+    then exact Hamming verify. Output (doc0, doc1, hamming).
+    """
+    seg_count = max_hamming + 1
+    seg_bits = bits // seg_count
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    segs = sig.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftright(F.col("simhash"), s * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1)).alias("segval"))
+            for s in range(seg_count)
+        ])).alias("sg"),
+    ).select("doc", "simhash", F.col("sg.seg").alias("seg"),
+             F.col("sg.segval").alias("segval"))
+    a = segs.select(F.col("doc").alias("doc0"), F.col("simhash").alias("h0"),
+                    "seg", "segval")
+    b = segs.select(F.col("doc").alias("doc1"), F.col("simhash").alias("h1"),
+                    "seg", "segval")
+    cand = (a.join(b, ["seg", "segval"])
+             .where(F.col("doc0") > F.col("doc1"))
+             .select("doc0", "doc1", "h0", "h1").distinct())
+    ham = cand.select(
+        "doc0", "doc1",
+        F.bit_count(F.col("h0").bitwiseXOR(F.col("h1"))).alias("hamming"))
+    return ham.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Exact embedding near-duplicates: pairs with cosine >= threshold.
+
+    All-pairs baseline — O(n^2) dot products via a self cross-join on
+    L2-normalized vectors (cosine reduces to dot). Correctness anchor for
+    the LSH-bucketed variant (operators.similarity.lsh_candidates), which is
+    the 100 TB path. Output (id0, id1, cos_sim) canonical ordering.
+    """
+    normed = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        V.l2_normalize(vec_col).alias("v"))
+    a = normed.select(F.col("id").alias("id0"), F.col("v").alias("v0"))
+    b = normed.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id0") > F.col("id1"))
+        .select("id0", "id1",
+                F.round(V.dot(F.col("v0"), F.col("v1")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

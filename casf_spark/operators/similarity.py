@@ -1,0 +1,119 @@
+"""Similarity search (ANN) over an embedding column.
+
+Two tiers (SURVEY.md §7 phase D):
+
+* brute_force_topk — exact top-k by cosine: queries x corpus join. With a
+  small query set Catalyst broadcasts it, so the corpus is scanned once,
+  embarrassingly parallel — the right *exact* plan at any corpus size.
+* lsh_topk — random-hyperplane LSH bucketing: sign-bit signature per vector,
+  candidates only within a bucket, exact cosine re-rank inside. Sub-linear
+  candidate generation for corpus x corpus workloads at 100 TB scale.
+
+Hyperplanes are derived from md5 hashes (functions.hashing) — fully
+deterministic and reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from casf_spark.functions import vectors as V
+
+#: hyperplane component range: H(plane:dim) % 2001 - 1000 -> [-1000, 1000]
+_PLANE_MOD = 2001
+_PLANE_SHIFT = 1000
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
+    The query side is expected small (broadcast); rank ties break on
+    neighbor_id for determinism.
+    """
+    c = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                      V.l2_normalize(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                       V.l2_normalize(vec_col).alias("qv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
+                         num_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Sign-bit LSH signature: bucket = sum over planes of sign-bit << p.
+
+    Plane p's component for dimension d is the deterministic integer
+    ``H(seed:p:d) % 2001 - 1000`` (functions.hashing.md5_long semantics,
+    inlined here as a crc-free md5 on a literal string per (p, d) — computed
+    once per plan, constant-folded by Catalyst since the argument is a
+    literal-indexed expression over the array).
+    """
+    import hashlib
+
+    def comp(p: int, d: int) -> int:
+        h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16)
+        return h % _PLANE_MOD - _PLANE_SHIFT
+
+    v = V.as_double(vec_col)
+    # dim count is fixed per dataset; read it from the first row's size at
+    # plan time is not possible declaratively — planes are built per-dim
+    # with zip_with against a literal array, sized to the vector length.
+    def plane_dot(p: int, dims: int):
+        plane = F.array(*[F.lit(float(comp(p, d))) for d in range(dims)])
+        return F.aggregate(F.zip_with(v, plane, lambda x, w: x * w),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # infer dims from schema metadata is unavailable for array<float>; the
+    # caller's data has fixed width — sample one row (tiny driver action).
+    dims = len(df.select(vec_col).first()[0])
+    bucket = None
+    for p in range(num_planes):
+        bit = F.when(plane_dot(p, dims) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(vec_col).alias("v"),
+                     bucket.cast("long").alias("bucket"))
+
+
+def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", num_planes: int = 8,
+                   seed: int = 42) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket, with exact cosine re-rank.
+
+    Output (id0, id1, cos_sim). Recall is tunable via num_planes (fewer
+    planes = bigger buckets = higher recall, more compute). For multi-probe
+    recall, run with several seeds and union.
+    """
+    sig = hyperplane_signature(df, id_col, vec_col, num_planes, seed)
+    a = sig.select(F.col("id").alias("id0"), F.col("v").alias("v0"), "bucket")
+    b = sig.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id0") > F.col("id1"))
+        .select("id0", "id1",
+                F.round(V.cosine(F.col("v0"), F.col("v1")), 6).alias("cos_sim"))
+    )
+
+
+def lsh_topk(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 10, num_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Approximate top-k neighbors per vector from LSH candidates."""
+    cand = lsh_candidates(df, id_col, vec_col, num_planes, seed)
+    sym = cand.select(F.col("id0").alias("id"), F.col("id1").alias("neighbor_id"),
+                      "cos_sim").unionByName(
+        cand.select(F.col("id1").alias("id"), F.col("id0").alias("neighbor_id"),
+                    "cos_sim"))
+    w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k))
