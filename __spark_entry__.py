@@ -1,38 +1,784 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (document-pair cosine similarity —
+the reference's demo workload, KeyWordsDemo.scala, re-expressed Spark-first)
+at sf0.001. ``queries()``/``oracle_sql()`` cover every operator family from
+SURVEY.md §2 plus the Phase-D/E extensions (dedup, ANN, text analysis,
+multimodal plumbing, streaming-equivalent windows).
+
+Float parity discipline: every float output column is ROUND()ed identically
+on both sides (6dp for ratios/cosines/averages, 2dp for money sums), because
+Spark and DuckDB sum partitions in different orders.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from casf_spark.functions import text as TX
+from casf_spark.functions.hashing import MIX_PRIME, minhash_sql_exprs
+from casf_spark.matrix.analyse import CosineAnalyser
+from casf_spark.multimodal import binary as MM
+from casf_spark.operators import dedup as DD
+from casf_spark.operators import similarity as SIM
+from casf_spark.sources.tables import load_table, matrix_from_lineitem
+from casf_spark.streaming import events as EV
+
+STOPWORDS = list(TX.DEFAULT_STOPWORDS)
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle side)
+# ---------------------------------------------------------------------------
+
+# tokens list per document (DuckDB twin of functions.text.tokens)
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_ELEM_SUPPLIER = """
+elem AS (
+  SELECT CAST(l_suppkey AS VARCHAR) vector, CAST(l_partkey AS VARCHAR) coord,
+         CAST(SUM(l_quantity) AS DOUBLE) val
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+_ELEM_PRIORITY = """
+elem AS (
+  SELECT o_orderpriority AS vector, CAST(o_custkey AS VARCHAR) coord,
+         CAST(SUM(o_totalprice) AS DOUBLE) val
+  FROM orders GROUP BY 1, 2)
+"""
+
+_ELEM_DOCS = f"""
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) doc,
+         unnest({_TOKS}) AS word
+  FROM documents WHERE doc_id < 100),
+elem AS (
+  SELECT doc AS vector, word AS coord, CAST(COUNT(*) AS DOUBLE) val
+  FROM tok WHERE word NOT IN ({_SW_SQL}) GROUP BY 1, 2)
+"""
+
+
+def _norm_sql(normalization: str = "max", omit: float | None = None) -> str:
+    if normalization == "none" and omit is None:
+        return "norm AS (SELECT vector, coord, val AS nv FROM elem)"
+    where = f"WHERE e.val / m.mv > {omit}" if omit is not None else ""
+    nv = "e.val / m.mv" if normalization == "max" else "e.val"
+    return f"""
+mx AS (SELECT vector, MAX(val) mv FROM elem GROUP BY vector),
+norm AS (SELECT e.vector, e.coord, {nv} AS nv
+         FROM elem e JOIN mx m USING (vector) {where})"""
+
+
+_PAIRS_SQL = """
+pairs AS (
+  SELECT a.vector v0, b.vector v1, a.coord, a.nv nv0, b.nv nv1
+  FROM norm a JOIN norm b ON a.coord = b.coord AND a.vector > b.vector)"""
+
+
+def _cosine_sql(elem: str, sparse: bool, normalization: str = "max",
+                omit: float | None = None, subset: list[str] | None = None) -> str:
+    """Full cosine-pipeline oracle: elem CTE -> normalize -> pair self-join
+    -> mods + dot -> similarity. Mirrors CosineAnalyser/CosineModel."""
+    sub = ""
+    if subset:
+        ids = ", ".join(f"'{s}'" for s in subset)
+        sub = f"WHERE v0 IN ({ids}) AND v1 IN ({ids})"
+    if sparse:
+        return f"""
+WITH {elem}, {_norm_sql(normalization, omit)}, {_PAIRS_SQL},
+agg AS (
+  SELECT v0, v1, SQRT(SUM(nv0*nv0)) m0, SQRT(SUM(nv1*nv1)) m1,
+         SUM(nv0*nv1) num
+  FROM pairs {sub} GROUP BY v0, v1)
+SELECT v0 AS vector0, v1 AS vector1,
+       ROUND(num / (m0 * m1), 6) AS similarity_value
+FROM agg"""
+    return f"""
+WITH {elem}, {_norm_sql(normalization, omit)}, {_PAIRS_SQL},
+vm AS (SELECT vector, SQRT(SUM(nv*nv)) md FROM norm GROUP BY vector),
+allp AS (
+  SELECT a.vector v0, a.md m0, b.vector v1, b.md m1
+  FROM vm a JOIN vm b ON a.vector > b.vector),
+num AS (SELECT v0, v1, SUM(nv0*nv1) numer FROM pairs GROUP BY v0, v1),
+sims AS (
+  SELECT v0, v1, ROUND(COALESCE(numer / (m0 * m1), 0.0), 6) s
+  FROM allp LEFT JOIN num USING (v0, v1))
+SELECT v0 AS vector0, v1 AS vector1, s AS similarity_value FROM sims {sub}"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders
+# ---------------------------------------------------------------------------
+
+def _round_sim(df: DataFrame) -> DataFrame:
+    return df.withColumn("similarity_value", F.round("similarity_value", 6))
+
+
+def _supplier_model(spark: SparkSession, sf_dir: str, sparse: bool = True,
+                    **kw):
+    m = matrix_from_lineitem(spark, sf_dir)
+    return CosineAnalyser(axis="y", **kw).fit(m, is_sparse=sparse, persist=False)
+
+
+def _doc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
+
+
+def q_cosine_sparse(spark, sf):
+    return _round_sim(_supplier_model(spark, sf, sparse=True).all_similarity())
+
+
+def q_cosine_dense(spark, sf):
+    return _round_sim(_supplier_model(spark, sf, sparse=False).all_similarity())
+
+
+def q_cosine_subset(spark, sf):
+    model = _supplier_model(spark, sf, sparse=True)
+    return _round_sim(model.similarity(["1", "3", "5", "7"]))
+
+
+def q_cosine_omit(spark, sf):
+    return _round_sim(
+        _supplier_model(spark, sf, sparse=True, omit_ratio=0.25).all_similarity())
+
+
+def q_cosine_norm_none(spark, sf):
+    return _round_sim(
+        _supplier_model(spark, sf, sparse=True, normalization="none")
+        .all_similarity())
+
+
+def q_cosine_axis_x(spark, sf):
+    m = (load_table(spark, sf, "orders")
+         .select(F.col("o_custkey").cast("string").alias("y"),
+                 F.col("o_orderpriority").alias("x"),
+                 F.col("o_totalprice").alias("value")))
+    model = CosineAnalyser(axis="x").fit(m, is_sparse=True, persist=False)
+    return _round_sim(model.all_similarity())
+
+
+def q_cosine_topk(spark, sf):
+    model = _supplier_model(spark, sf, sparse=False)
+    return model.top_k(5, round_to=6)
+
+
+def q_cosine_predict(spark, sf):
+    model = _supplier_model(spark, sf, sparse=False)
+    return (model.predict_missing(k=3, round_to=6)
+            .withColumn("predicted_value", F.round("predicted_value", 6)))
+
+
+def q_doc_cosine(spark, sf):
+    model = CosineAnalyser(axis="y").fit(_doc_matrix(spark, sf),
+                                         is_sparse=True, persist=False)
+    return _round_sim(model.all_similarity())
+
+
+def q_q1(spark, sf):
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                           * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_q3(spark, sf):
+    cust = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5(spark, sf):
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (supp.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q_window_top_orders(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("total_price"), "rn"))
+
+
+def q_events_hourly(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (EV.tumbling_counts(ev, "1 hour")
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def q_events_sliding(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (EV.sliding_counts(ev, "1 hour", "30 minutes")
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events"))
+
+
+def q_events_sessions(spark, sf):
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_events_json(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_text_term_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
+
+
+def q_text_quality(spark, sf):
+    return TX.quality_features(load_table(spark, sf, "documents"),
+                               "doc_id", "text")
+
+
+def q_text_lang_id(spark, sf):
+    return TX.lang_id(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_text_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TX.fingerprint("text").alias("fingerprint"),
+        TX.token_count("text").cast("long").alias("n_tokens"))
+
+
+def q_dedup_exact(spark, sf):
+    return DD.dedup_exact(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return DD.ngram_jaccard_pairs(load_table(spark, sf, "documents"),
+                                  "doc_id", "text", n=3, threshold=0.2)
+
+
+def q_dedup_minhash(spark, sf):
+    return DD.minhash_lsh_pairs(load_table(spark, sf, "documents"),
+                                "doc_id", "text", n=2, num_hashes=12, bands=4)
+
+
+def q_dedup_simhash(spark, sf):
+    return (DD.simhash_pairs(load_table(spark, sf, "documents"),
+                             "doc_id", "text", bits=32, max_hamming=3)
+            .withColumn("hamming", F.col("hamming").cast("long")))
+
+
+def q_dedup_embedding(spark, sf):
+    return DD.embedding_near_dups(load_table(spark, sf, "embeddings"),
+                                  threshold=0.3)
+
+
+def q_ann_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries_df, k=10)
+
+
+def q_ann_lsh(spark, sf):
+    return SIM.lsh_candidates(load_table(spark, sf, "embeddings"),
+                              num_planes=8, seed=42)
+
+
+def q_multimodal_meta(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.payload_metadata(MM.with_payload(docs, "doc_id", "text"))
+
+
+def q_multimodal_features(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return MM.extract_features(MM.with_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the non-cosine queries
+# ---------------------------------------------------------------------------
+
+def _toks_cte(extra_where: str = "") -> str:
+    return f"""
+toklist AS (SELECT doc_id, {_TOKS} a FROM documents {extra_where}),
+toks AS (SELECT CAST(doc_id AS BIGINT) doc, generate_subscripts(a, 1) pos,
+                unnest(a) w
+         FROM toklist)"""
+
+
+def _minhash_oracle() -> str:
+    hash_sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    exprs = minhash_sql_exprs(hash_sql, 12)
+    mins = ",\n         ".join(
+        f"MIN({e}) AS mh_{i}" for i, e in enumerate(exprs))
+    bands = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * 3 + r} AS VARCHAR)" for r in range(3))
+        bands.append(f"SELECT doc, {b} AS band, {cols} AS bucket FROM sig")
+    bands_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH {_toks_cte()},
+sh AS (
+  SELECT DISTINCT t1.doc, t1.w || ' ' || t2.w AS shingle
+  FROM toks t1 JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1),
+sig AS (
+  SELECT doc,
+         {mins}
+  FROM sh GROUP BY doc),
+bands AS ({bands_sql})
+SELECT DISTINCT a.doc AS doc0, b.doc AS doc1
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc > b.doc"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH {_toks_cte()},
+tf AS (SELECT doc, w, COUNT(*) tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc, tf, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) hv FROM tf),
+bits AS (
+  SELECT doc, r.b,
+         SUM(CASE WHEN (hv >> CAST(r.b AS INT)) & 1 = 1 THEN tf ELSE -tf END) s
+  FROM h, range(32) r(b) GROUP BY 1, 2),
+sig AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) simhash
+  FROM bits GROUP BY doc)
+SELECT a.doc AS doc0, b.doc AS doc1,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc > b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+def _lsh_oracle(num_planes: int = 8, seed: int = 42, dims: int = 64) -> str:
+    import hashlib
+
+    rows = []
+    for p in range(num_planes):
+        for d in range(dims):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16)
+            rows.append(f"({p},{d},{h % 2001 - 1000})")
+    planes = ", ".join(rows)
+    return f"""
+WITH planes(p, d, w) AS (VALUES {planes}),
+ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) dp
+  FROM ee e JOIN planes pl ON e.d = pl.d GROUP BY 1, 2),
+buck AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << p)
+                               ELSE 0 END) AS BIGINT) bucket
+  FROM dots GROUP BY 1),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+cand AS (
+  SELECT a.vec_id id0, b.vec_id id1
+  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id > b.vec_id),
+dp AS (
+  SELECT c.id0, c.id1, SUM(ea.x * eb.x) d
+  FROM cand c
+  JOIN ee ea ON ea.vec_id = c.id0
+  JOIN ee eb ON eb.vec_id = c.id1 AND eb.d = ea.d
+  GROUP BY 1, 2)
+SELECT CAST(dp.id0 AS BIGINT) id0, CAST(dp.id1 AS BIGINT) id1,
+       ROUND(dp.d / (n0.nrm * n1.nrm), 6) cos_sim
+FROM dp JOIN nn n0 ON n0.vec_id = dp.id0 JOIN nn n1 ON n1.vec_id = dp.id1"""
+
+
+_QUALITY_TOKS = _TOKS
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _marker_score(markers: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"CAST(len(list_filter(a, t -> list_contains({lst}, t))) AS BIGINT)"
+
+
+def _lang_id_oracle() -> str:
+    s = {lang: _marker_score(m) for lang, m in TX.LANG_MARKERS.items()}
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
+sc AS (
+  SELECT doc_id, {s['en']} score_en, {s['es']} score_es,
+         {s['fr']} score_fr, {s['de']} score_de
+  FROM t)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+            WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
+            WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
+            WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM sc"""
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document-pair cosine similarity (reference demo workload:
+    tokenize -> stop-word filter -> term counts -> sparse cosine) on
+    sf0.001. Driver checks rows > 0."""
+    return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # cosine engine (reference parity, SURVEY §2.2-2.4 + §7 A/B)
+        "cosine_sparse": q_cosine_sparse,
+        "cosine_dense": q_cosine_dense,
+        "cosine_subset": q_cosine_subset,
+        "cosine_omit": q_cosine_omit,
+        "cosine_norm_none": q_cosine_norm_none,
+        "cosine_axis_x": q_cosine_axis_x,
+        "cosine_topk": q_cosine_topk,
+        "cosine_predict": q_cosine_predict,
+        "doc_cosine": q_doc_cosine,
+        # relational operator coverage (scans/filters/joins/aggs/sort/limit/
+        # window/json)
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
+        "q5_region_revenue": q_q5,
+        "window_top_orders": q_window_top_orders,
+        "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
+        # text analysis (§7 phase C/D)
+        "text_term_counts": q_text_term_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        # dedup suite (phase D)
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search (phase D)
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        # multimodal plumbing (phase D)
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    topk_sql = f"""
+WITH {_ELEM_SUPPLIER}, {_norm_sql()}, {_PAIRS_SQL},
+vm AS (SELECT vector, SQRT(SUM(nv*nv)) md FROM norm GROUP BY vector),
+allp AS (
+  SELECT a.vector v0, a.md m0, b.vector v1, b.md m1
+  FROM vm a JOIN vm b ON a.vector > b.vector),
+num AS (SELECT v0, v1, SUM(nv0*nv1) numer FROM pairs GROUP BY v0, v1),
+sims AS (
+  SELECT v0, v1, ROUND(COALESCE(numer / (m0 * m1), 0.0), 6) s
+  FROM allp LEFT JOIN num USING (v0, v1)),
+sym AS (
+  SELECT v0 AS vector, v1 AS neighbor, s FROM sims
+  UNION ALL
+  SELECT v1, v0, s FROM sims),
+rk AS (
+  SELECT vector, neighbor, s,
+         row_number() OVER (PARTITION BY vector ORDER BY s DESC, neighbor ASC) rn
+  FROM sym)
+SELECT vector, neighbor, s AS similarity_value, CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 5"""
+
+    predict_sql = f"""
+WITH {_ELEM_SUPPLIER}, {_norm_sql()}, {_PAIRS_SQL},
+vm AS (SELECT vector, SQRT(SUM(nv*nv)) md FROM norm GROUP BY vector),
+allp AS (
+  SELECT a.vector v0, a.md m0, b.vector v1, b.md m1
+  FROM vm a JOIN vm b ON a.vector > b.vector),
+num AS (SELECT v0, v1, SUM(nv0*nv1) numer FROM pairs GROUP BY v0, v1),
+sims AS (
+  SELECT v0, v1, ROUND(COALESCE(numer / (m0 * m1), 0.0), 6) s
+  FROM allp LEFT JOIN num USING (v0, v1)),
+sym AS (
+  SELECT v0 AS vector, v1 AS neighbor, s FROM sims
+  UNION ALL SELECT v1, v0, s FROM sims),
+nbr AS (
+  SELECT vector, neighbor, s FROM (
+    SELECT vector, neighbor, s,
+           row_number() OVER (PARTITION BY vector ORDER BY s DESC, neighbor ASC) rn
+    FROM sym) WHERE rn <= 3 AND s > 0),
+contrib AS (
+  SELECT n.vector, e.coord, SUM(n.s * e.nv) / SUM(n.s) pv
+  FROM nbr n JOIN norm e ON e.vector = n.neighbor GROUP BY 1, 2)
+SELECT c.vector, c.coord, ROUND(c.pv, 6) AS predicted_value
+FROM contrib c LEFT JOIN norm x ON x.vector = c.vector AND x.coord = c.coord
+WHERE x.vector IS NULL"""
+
+    jaccard_sql = f"""
+WITH {_toks_cte()},
+sh AS (
+  SELECT DISTINCT t1.doc, t1.w || ' ' || t2.w || ' ' || t3.w AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t1.doc = t3.doc AND t3.pos = t1.pos + 2),
+sizes AS (SELECT doc, COUNT(*) n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc doc0, b.doc doc1, COUNT(*) n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc > b.doc
+  GROUP BY 1, 2)
+SELECT i.doc0, i.doc1,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (s0.n_sh + s1.n_sh - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes s0 ON s0.doc = i.doc0
+JOIN sizes s1 ON s1.doc = i.doc1
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (s0.n_sh + s1.n_sh - i.n_inter), 6)
+      >= 0.2"""
+
+    quality_sql = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, text, {_TOKS} a FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) n_chars,
+  CAST(len(a) AS BIGINT) n_tokens,
+  ROUND(CASE WHEN len(a) > 0
+        THEN CAST(list_sum(list_transform(a, t -> length(t))) AS DOUBLE) / len(a)
+        ELSE 0.0 END, 6) avg_token_len,
+  ROUND(CASE WHEN len(a) > 0
+        THEN CAST(len(list_filter(a, t -> list_contains({_STOP_LIST}, t)))
+             AS DOUBLE) / len(a)
+        ELSE 0.0 END, 6) stopword_ratio,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        AS DOUBLE) / GREATEST(length(text), 1), 6) digit_ratio,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+        AS DOUBLE) / GREATEST(length(text), 1), 6) punct_ratio
+FROM t"""
+
+    emb_pairs_sql = """
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT a.vec_id id0, b.vec_id id1, SUM(a.x * b.x) dp
+  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id > b.vec_id
+  GROUP BY 1, 2)
+SELECT CAST(d.id0 AS BIGINT) id0, CAST(d.id1 AS BIGINT) id1,
+       ROUND(d.dp / (n0.nrm * n1.nrm), 6) cos_sim
+FROM dots d JOIN nn n0 ON n0.vec_id = d.id0 JOIN nn n1 ON n1.vec_id = d.id1
+WHERE ROUND(d.dp / (n0.nrm * n1.nrm), 6) >= 0.3"""
+
+    ann_topk_sql = """
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT q.vec_id query_id, c.vec_id neighbor_id, SUM(q.x * c.x) dp
+  FROM ee q JOIN ee c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2),
+scored AS (
+  SELECT CAST(d.query_id AS BIGINT) query_id,
+         CAST(d.neighbor_id AS BIGINT) neighbor_id,
+         ROUND(d.dp / (nq.nrm * nc.nrm), 6) cos_sim
+  FROM dots d
+  JOIN nn nq ON nq.vec_id = d.query_id
+  JOIN nn nc ON nc.vec_id = d.neighbor_id),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) rn
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 10"""
+
+    sessions_sql = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) n_sessions,
+       CAST(COUNT(*) AS BIGINT) n_events
+FROM g GROUP BY user_id"""
+
+    sliding_sql = """
+WITH pts AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000) s1
+  FROM events),
+wins AS (
+  SELECT event_type, s1 AS ws FROM pts
+  UNION ALL
+  SELECT event_type, s1 - INTERVAL 30 MINUTE FROM pts)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) n_events
+FROM wins GROUP BY 1, 2"""
+
+    return {
+        "cosine_sparse": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
+        "cosine_dense": _cosine_sql(_ELEM_SUPPLIER, sparse=False),
+        "cosine_subset": _cosine_sql(_ELEM_SUPPLIER, sparse=True,
+                                     subset=["1", "3", "5", "7"]),
+        "cosine_omit": _cosine_sql(_ELEM_SUPPLIER, sparse=True, omit=0.25),
+        "cosine_norm_none": _cosine_sql(_ELEM_SUPPLIER, sparse=True,
+                                        normalization="none"),
+        "cosine_axis_x": _cosine_sql(_ELEM_PRIORITY, sparse=True),
+        "cosine_topk": topk_sql,
+        "cosine_predict": predict_sql,
+        "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) sum_qty,
+       ROUND(SUM(l_extendedprice), 2) sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) sum_charge,
+       ROUND(AVG(l_quantity), 6) avg_qty,
+       ROUND(AVG(l_extendedprice), 6) avg_price,
+       ROUND(AVG(l_discount), 6) avg_disc,
+       CAST(COUNT(*) AS BIGINT) count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "q5_region_revenue": """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+        "window_top_orders": """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) total_price,
+       CAST(rn AS INT) rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+  FROM orders)
+WHERE rn <= 3""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) n_events,
+       ROUND(SUM(value), 6) sum_value
+FROM events GROUP BY 1, 2""",
+        "events_sliding": sliding_sql,
+        "events_sessions": sessions_sql,
+        "events_json": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
+       CAST(COUNT(*) AS BIGINT) n
+FROM events GROUP BY event_type""",
+        "text_term_counts": f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) doc, unnest({_TOKS}) AS word
+  FROM documents)
+SELECT doc AS y, word AS x, CAST(COUNT(*) AS DOUBLE) AS "value"
+FROM tok WHERE word NOT IN ({_SW_SQL}) GROUP BY 1, 2""",
+        "text_quality": quality_sql,
+        "text_lang_id": _lang_id_oracle(),
+        "text_fingerprint": f"""
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint,
+       CAST(len({_TOKS}) AS BIGINT) n_tokens
+FROM documents""",
+        "dedup_exact": """
+SELECT CAST(MIN(doc_id) AS BIGINT) doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint
+FROM documents
+GROUP BY 2""",
+        "dedup_ngram_jaccard": jaccard_sql,
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_embedding": emb_pairs_sql,
+        "ann_topk": ann_topk_sql,
+        "ann_lsh": _lsh_oracle(),
+        "multimodal_meta": """
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) n_bytes,
+       lower(hex(encode(substr(text, 1, 4)))) header_hex,
+       'application/octet-stream' mime
+FROM documents""",
+        # multimodal_features: no oracle — mapInPandas stub, rows-only check
+    }

@@ -97,15 +97,22 @@ class CosineModel:
     # extensions (absent from the reference — SURVEY.md §7 phase D)
     # ------------------------------------------------------------------ #
 
-    def top_k(self, k: int) -> DataFrame:
+    def top_k(self, k: int, round_to: int | None = None) -> DataFrame:
         """Top-k most-similar neighbors per vector.
 
         The canonical pair table stores each unordered pair once; symmetrize
         (union both directions — a narrow transformation, no shuffle) then a
         window ``row_number`` per vector. Output: (vector, neighbor,
         similarity_value, rank).
+
+        ``round_to`` rounds similarities before ranking — makes rank order
+        reproducible across engines whose float-sum orders differ (used by
+        the oracle-checked queries).
         """
         sims = self.all_similarity()
+        if round_to is not None:
+            sims = sims.withColumn(
+                "similarity_value", F.round("similarity_value", round_to))
         sym = sims.select(
             F.col("vector0").alias("vector"),
             F.col("vector1").alias("neighbor"),
@@ -120,7 +127,8 @@ class CosineModel:
         return (sym.withColumn("rank", F.row_number().over(w))
                    .where(F.col("rank") <= k))
 
-    def predict_missing(self, k: int = 10) -> DataFrame:
+    def predict_missing(self, k: int = 10,
+                        round_to: int | None = None) -> DataFrame:
         """Similarity-weighted imputation of absent cells — the reference
         README's unimplemented roadmap item (/root/reference/README.md:23).
 
@@ -133,7 +141,7 @@ class CosineModel:
         (vector, coord, predicted_value). Anti-join guarantees only truly
         missing cells are emitted.
         """
-        neighbors = self.top_k(k).where(F.col("similarity_value") > 0.0)
+        neighbors = self.top_k(k, round_to).where(F.col("similarity_value") > 0.0)
         # neighbor contributions: join neighbor's elements
         contrib = (
             neighbors.join(

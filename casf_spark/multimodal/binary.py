@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: the payload travels as a
+``binary`` column (parquet BYTE_ARRAY — column-pruned away unless selected);
+metadata (mime, width, duration, ...) as ordinary typed columns; decode /
+feature-extraction runs as **Arrow-batched Pandas iterators** via
+``mapInPandas`` so bytes cross the JVM<->Python boundary once per batch,
+never per row.
+
+The actual media decode is STUBBED (image/audio libs are not in this
+container): ``decode_image_stub`` raises ``NotImplementedError`` when a real
+decoder is requested, and otherwise computes deterministic fake features
+(payload length, first-byte, byte-sum mod) so the Spark-side plumbing —
+schema, batching, partition shape — is real and testable end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("first_byte", T.IntegerType(), True),
+    T.StructField("byte_sum_mod", T.LongType(), False),
+])
+
+
+def with_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize a binary payload column from text (the test corpus has no
+    real media); real pipelines read payloads via
+    ``spark.read.format('binaryFile')`` or parquet binary columns."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def extract_features(df: DataFrame, real_decoder: bool = False) -> DataFrame:
+    """Deterministic per-payload features via mapInPandas (Arrow batches).
+
+    ``real_decoder=True`` is the seam where PIL/librosa/ffmpeg would plug
+    in; unavailable in this environment -> NotImplementedError (checked at
+    plan construction, not inside executors, so it fails fast).
+    """
+    if real_decoder:
+        raise NotImplementedError(
+            "media decoders (PIL/librosa/ffmpeg) are not installed in this "
+            "environment; stub features only")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(
+                    lambda b: int(b[0]) if len(b) else None),
+                "byte_sum_mod": payloads.map(
+                    lambda b: sum(b) % 997).astype("int64"),
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Pure-JVM metadata projection over binary payloads (no Python):
+    byte length + hex header. This is the path that must stay cheap at
+    100 TB — it never deserializes the payload into Python."""
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 4))).alias("header_hex"),
+        "mime",
+    )

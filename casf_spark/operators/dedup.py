@@ -60,10 +60,14 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     stays in codegen; distinct is per (doc, shingle).
     """
     toks = TX.tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # guard size < n: F.sequence(0, negative) would emit a descending range
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).cast("long").alias("doc"),
                   F.explode(sh).alias("shingle"))

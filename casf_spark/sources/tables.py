@@ -18,6 +18,14 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros (same
+        # truncation DuckDB applies to nano timestamps).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

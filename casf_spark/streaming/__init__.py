@@ -1,0 +1,3 @@
+from casf_spark.streaming import events
+
+__all__ = ["events"]

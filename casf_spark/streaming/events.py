@@ -1,0 +1,63 @@
+"""Structured Streaming over the events table (SURVEY.md §7 phase E).
+
+The reference is batch-only (SURVEY.md §2.9); these are additive, built
+entirely on Structured Streaming built-ins: watermarked tumbling/sliding
+window aggregations, plus batch twins with identical semantics so the
+driver's DuckDB oracle can check the logic (the streaming path itself is
+exercised in tests with an availableNow trigger over the same parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events parquet as a stream. Schema is pinned from the
+    batch read (readStream requires a user-supplied schema for files)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(f"{sf_dir}/events.parquet"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-event-type tumbling-window counts + value sum with a watermark
+    for late data. Works on both batch and streaming DataFrames."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide rows)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         timeout_sec: int = 120) -> None:
+    """Drive a streaming aggregation to completion with availableNow (test
+    helper): processes all currently-available input then stops."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
