@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized with a noop-format write (evaluates every
+output column — unlike count(), which lets Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from casf_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# every oracle-checked query + the rows-only mapInPandas one
+BENCH_QUERIES = list(entrymod.queries().keys())
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+    spark = get_spark("casf_bench")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            materialize(fn(spark, SF_DIR))
+            dt = round(time.time() - t0, 3)
+        except Exception as e:  # record failures without killing the run
+            dt = -1.0
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+        timings[name] = dt
+        if dt > 0:
+            total += dt
+
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

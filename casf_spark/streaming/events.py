@@ -16,11 +16,25 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """Replay the events parquet as a stream. Schema is pinned from the
-    batch read (readStream requires a user-supplied schema for files)."""
+    batch read (readStream requires a user-supplied schema for files); the
+    nanos `ts` is truncated to a micros timestamp, mirroring
+    sources.tables.load_table."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(f"{sf_dir}/events.parquet"))
+    # FileStreamSource requires a *directory* source; stage the single file
+    # as a symlink in a temp dir (no data copy). Real deployments stream
+    # from a landing directory or Kafka, so this shim is test-only plumbing.
+    stage = tempfile.mkdtemp(prefix="casf_events_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               f"{stage}/events.parquet")
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(stage))
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

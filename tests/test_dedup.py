@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from casf_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    data = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("dog", "cat")),            # near dup
+        (4, "completely different words about spark query engines here"),
+        (5, "THE  Quick Brown   Fox jumps over the lazy dog again and again"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(spark, dup_docs):
+    groups = DD.exact_duplicates(dup_docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.keep_id == 1 and g.n_dups == 3  # 1, 2 and 5 (case/ws-normalized)
+
+
+def test_dedup_exact_keeps_one_per_group(spark, dup_docs):
+    kept = {r.doc_id for r in DD.dedup_exact(dup_docs, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_ngram_jaccard_identical_is_one(spark, dup_docs):
+    pairs = {(r.doc0, r.doc1): r.jaccard
+             for r in DD.ngram_jaccard_pairs(dup_docs, "doc_id", "text",
+                                             n=3, threshold=0.1).collect()}
+    assert pairs[(2, 1)] == 1.0
+    assert pairs[(5, 1)] == 1.0
+    assert 0.1 <= pairs[(3, 1)] < 1.0
+    assert (4, 1) not in pairs
+
+
+def test_minhash_lsh_catches_exact_and_near(spark, dup_docs):
+    cand = {(r.doc0, r.doc1)
+            for r in DD.minhash_lsh_pairs(dup_docs, "doc_id", "text").collect()}
+    assert (2, 1) in cand and (5, 1) in cand
+    assert (4, 1) not in cand
+
+
+def test_simhash_identical_zero_distance(spark, dup_docs):
+    pairs = {(r.doc0, r.doc1): r.hamming
+             for r in DD.simhash_pairs(dup_docs, "doc_id", "text",
+                                       max_hamming=5).collect()}
+    assert pairs[(2, 1)] == 0
+    assert pairs[(5, 1)] == 0
+    assert (4, 1) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    data = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # identical
+        (3, [0.9, 0.1, 0.0]),     # close
+        (4, [0.0, 1.0, 0.0]),     # orthogonal to 1
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    pairs = {(r.id0, r.id1): r.cos_sim
+             for r in DD.embedding_near_dups(df, threshold=0.9).collect()}
+    assert pairs[(2, 1)] == 1.0
+    assert (3, 1) in pairs and (3, 2) in pairs
+    assert (4, 1) not in pairs
+
+
+def test_shingles_short_doc_no_crash(spark):
+    df = spark.createDataFrame([(1, "one"), (2, "two words")],
+                               "doc_id long, text string")
+    out = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1)
+    assert out.count() == 0

@@ -1,0 +1,75 @@
+"""Physical-plan property tests — the 100 TB design assertions.
+
+These pin the *plan shape*, not just the results: pushdown reaches the scan,
+projection prunes columns, the sparse pipeline has no cartesian joins, small
+dimensions broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from casf_spark import CosineAnalyser
+from casf_spark.plans.inspect import (assert_no_cartesian,
+                                      broadcast_join_count, explain_str,
+                                      pushed_filters, scan_read_schema)
+from casf_spark.sources import load_table, matrix_from_lineitem
+
+
+def test_matrix_scan_prunes_columns(spark, sf_dir):
+    m = matrix_from_lineitem(spark, sf_dir)
+    schemas = scan_read_schema(m)
+    assert schemas, "no parquet scan found"
+    # only the 3 needed columns are read out of lineitem's 11
+    assert all("l_suppkey" in s and "l_extendedprice" not in s for s in schemas)
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    df = E.q_q1(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_sparse_cosine_no_cartesian(spark, sf_dir):
+    model = CosineAnalyser().fit(matrix_from_lineitem(spark, sf_dir),
+                                 is_sparse=True, persist=False)
+    assert_no_cartesian(model.all_similarity(), allow=0)
+
+
+def test_dense_cosine_single_cartesian(spark, sf_dir):
+    model = CosineAnalyser().fit(matrix_from_lineitem(spark, sf_dir),
+                                 is_sparse=False, persist=False)
+    # exactly the one deliberate all-pairs product, nothing accidental
+    assert_no_cartesian(model.all_similarity(), allow=1)
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = E.q_q3(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_whole_stage_codegen_in_core(spark, sf_dir):
+    model = CosineAnalyser().fit(matrix_from_lineitem(spark, sf_dir),
+                                 is_sparse=True, persist=False)
+    # AQE hides codegen markers until execution; inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(model.all_similarity(), "codegen")
+        assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    simple = explain_str(model.all_similarity(), "simple")
+    # no Python evaluation nodes in the core pipeline
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+
+
+def test_subset_filter_pushed_before_agg(spark, sf_dir):
+    model = CosineAnalyser().fit(matrix_from_lineitem(spark, sf_dir),
+                                 is_sparse=True, persist=False)
+    df = model.similarity(["1", "2"])
+    plan = explain_str(df, "simple")
+    # the isin filter must appear below the final aggregate (optimized plan
+    # contains a Filter with the IN list over the pair columns)
+    assert plan.count("vector0") > 0
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+from casf_spark.sources import load_table
+from casf_spark.streaming import events as EV
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    """Replay events.parquet as a stream with availableNow; the watermarked
+    streaming aggregation must produce exactly the batch result."""
+    batch = EV.tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    stream_src = EV.read_events_stream(spark, sf_dir)
+    assert stream_src.isStreaming
+    agg = EV.tumbling_counts(stream_src, "1 hour")
+    EV.run_stream_to_memory(agg, "t_tumbling")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_tumbling").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    sliding = EV.sliding_counts(ev, "1 hour", "30 minutes")
+    total = sum(r.n_events for r in sliding.collect())
+    assert total == 2 * n_events

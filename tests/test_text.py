@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from casf_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "The quick brown fox, the lazy dog!"),
+        (2, "el perro y el gato de la casa"),
+        (3, "  Multiple   spaces\tand MIXED case  "),
+        (4, ""),
+        (5, "123 abc 456"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_tokens_lowercase_split(spark, docs):
+    row = docs.where("doc_id = 1").select(TX.tokens("text").alias("t")).first()
+    assert row.t == ["the", "quick", "brown", "fox", "the", "lazy", "dog"]
+
+
+def test_tokens_empty_doc(spark, docs):
+    row = docs.where("doc_id = 4").select(TX.tokens("text").alias("t")).first()
+    assert row.t == []
+
+
+def test_term_counts_stopwords_literal(spark, docs):
+    tc = TX.term_counts(docs, "doc_id", "text", stopwords=["the", "el"])
+    got = {(r.y, r.x): r.value for r in tc.collect()}
+    assert ("1", "the") not in got
+    assert got[("1", "quick")] == 1.0
+    assert ("2", "el") not in got
+    assert got[("2", "y")] == 1.0
+
+
+def test_term_counts_stopwords_dataframe_antijoin(spark, docs):
+    sw = spark.createDataFrame([("the",), ("el",)], "word string")
+    tc = TX.term_counts(docs, "doc_id", "text", stopwords=sw)
+    words = {r.x for r in tc.collect()}
+    assert "the" not in words and "el" not in words
+
+
+def test_quality_features(spark, docs):
+    q = {r.doc_id: r for r in
+         TX.quality_features(docs, "doc_id", "text").collect()}
+    assert q[1].n_tokens == 7
+    assert q[1].punct_ratio > 0
+    assert q[4].n_tokens == 0 and q[4].avg_token_len == 0.0
+    assert q[5].digit_ratio == pytest.approx(6 / 11, abs=1e-6)
+
+
+def test_lang_id_markers(spark, docs):
+    lid = {r.doc_id: r.pred_lang for r in
+           TX.lang_id(docs, "doc_id", "text").collect()}
+    assert lid[1] == "en"
+    assert lid[2] == "es"
+    assert lid[4] == "und"
+
+
+def test_fingerprint_whitespace_and_case_invariant(spark):
+    data = [(1, "Hello   World"), (2, "hello world"), (3, "hello  world "),
+            (4, "different text")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in
+           df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_token_count(spark, docs):
+    n = docs.where("doc_id = 1").select(
+        TX.token_count("text").alias("n")).first().n
+    assert n == 7
