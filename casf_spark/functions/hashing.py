@@ -46,12 +46,12 @@ def _lcg_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_exprs(hash_col: Column, num_hashes: int, seed: int = 42) -> list[Column]:
     """``num_hashes`` universal-hash remixes of a 60-bit hash column:
-    ``(a_i * (H % P) + b_i) % P``. Same formula is emitted verbatim into the
-    DuckDB oracle SQL."""
+    ``(a_i * (H % P) + b_i) % P`` (unaliased — callers alias/aggregate).
+    Same formula is emitted verbatim into the DuckDB oracle SQL."""
     h = hash_col % F.lit(MIX_PRIME)
     return [
-        ((F.lit(a) * h + F.lit(b)) % F.lit(MIX_PRIME)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_lcg_params(num_hashes, seed))
+        (F.lit(a) * h + F.lit(b)) % F.lit(MIX_PRIME)
+        for a, b in _lcg_params(num_hashes, seed)
     ]
 
 

@@ -113,23 +113,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 2, num_hashes: int = 12,
                        seed: int = 42) -> DataFrame:
-    """MinHash signature rows: (doc, i, minhash) — min over the doc's
-    shingle hashes for each of ``num_hashes`` universal-hash remixes.
+    """Wide MinHash signatures: (doc, mh_0 .. mh_{num_hashes-1}).
 
-    Long-form (one row per doc x hash) rather than an array column so the
-    banding groupBy stays a plain hash aggregation.
+    One hash-aggregation computes all ``num_hashes`` MINs per document in a
+    single shuffle of the shingle rows — no per-hash explode (an early
+    long-form version multiplied the shuffle volume by num_hashes).
     """
     sh = _shingles(df, id_col, text_col, n)
     hashed = sh.select("doc", md5_long("shingle").alias("h"))
-    remixed = hashed.select("doc", *minhash_exprs(F.col("h"), num_hashes, seed))
-    stacked = remixed.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("i"), F.col(f"mh_{i}").alias("v"))
-            for i in range(num_hashes)
-        ])).alias("s"),
-    ).select("doc", F.col("s.i").alias("i"), F.col("s.v").alias("mh"))
-    return stacked.groupBy("doc", "i").agg(F.min("mh").alias("minhash"))
+    remixes = minhash_exprs(F.col("h"), num_hashes, seed)
+    return hashed.groupBy("doc").agg(
+        *[F.min(e).alias(f"mh_{i}") for i, e in enumerate(remixes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -137,7 +131,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       seed: int = 42) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
-    Signatures split into ``bands`` bands of ``num_hashes // bands`` rows;
+    Signatures split into ``bands`` bands of ``num_hashes // bands`` values;
     docs sharing any (band, bucket-key) become a candidate pair. The bucket
     join replaces the O(n^2) comparison with per-bucket mini cross products
     — the textbook LSH trade (prob of candidacy = 1-(1-s^r)^b).
@@ -145,15 +139,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    banded = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                lambda s: s["minhash"].cast("string")),
-            "_").alias("bucket"))
-    )
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col("doc").alias("doc0"), "band", "bucket")
     b = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
     return (
@@ -169,27 +167,27 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """Per-document SimHash: sign-aggregate each bit of the token hashes,
     weighted by term frequency. Output (doc, simhash).
 
-    Implemented as explode(bits) x token rows -> conditional sum — a single
-    shuffle on doc; ``bits`` <= 60 (md5_long width).
+    All ``bits`` per-bit weighted sums are computed as parallel aggregate
+    expressions in ONE groupBy(doc) — no bit explode (which would multiply
+    the shuffle volume by ``bits``). ``bits`` <= 60 (md5_long width).
     """
     toks = TX.tokenize(df, id_col, text_col)
     tf = toks.groupBy("doc", "word").agg(F.count(F.lit(1)).alias("tf"))
     hashed = tf.select(F.col("doc").cast("long").alias("doc"), "tf",
                        md5_long("word").alias("h"))
-    bit = hashed.select(
-        "doc", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-    # shiftright/shiftleft with a *column* shift amount need the SQL form
-    # (the PySpark builtins only accept a literal int shift).
-    signed = bit.select(
-        "doc", "b",
-        F.when(F.expr("(shiftright(h, cast(b as int)) & 1L) = 1L"),
-               F.col("tf")).otherwise(-F.col("tf")).alias("w"))
-    perbit = signed.groupBy("doc", "b").agg(F.sum("w").alias("s"))
-    return perbit.groupBy("doc").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(b as int))"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash"))
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    wide = hashed.groupBy("doc").agg(*bit_sums)
+    simhash = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return wide.select("doc", simhash.cast("long").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -231,14 +229,21 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.95) -> DataFrame:
+                        threshold: float = 0.95,
+                        method: str = "gemm") -> DataFrame:
     """Exact embedding near-duplicates: pairs with cosine >= threshold.
 
-    All-pairs baseline — O(n^2) dot products via a self cross-join on
-    L2-normalized vectors (cosine reduces to dot). Correctness anchor for
-    the LSH-bucketed variant (operators.similarity.lsh_candidates), which is
-    the 100 TB path. Output (id0, id1, cos_sim) canonical ordering.
+    ``method="gemm"`` (default): blocked numpy matmul via mapInPandas
+    (operators.similarity.gemm_near_dup_pairs) — ~100x the arithmetic
+    throughput of per-pair expression evaluation. ``method="expr"``: pure
+    Column-expression all-pairs cross-join baseline (correctness anchor,
+    no Python). Either way this is O(n^2) compute: the 100 TB path is
+    LSH-bucket first (operators.similarity.lsh_candidates), then exact
+    pairs within buckets. Output (id0, id1, cos_sim) canonical ordering.
     """
+    if method == "gemm":
+        from casf_spark.operators.similarity import gemm_near_dup_pairs
+        return gemm_near_dup_pairs(emb, id_col, vec_col, threshold)
     normed = emb.select(
         F.col(id_col).cast("long").alias("id"),
         V.l2_normalize(vec_col).alias("v"))

@@ -25,28 +25,133 @@ _PLANE_MOD = 2001
 _PLANE_SHIFT = 1000
 
 
+def _normalized_matrix(pdf, vec_col: str):
+    """numpy float64 row-normalized matrix from a pandas batch; zero-norm
+    rows stay zero (cosine-with-zero-vector = 0 semantics)."""
+    import numpy as np
+
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if m.size == 0:
+        return m.reshape(0, 0)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     method: str = "gemm") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded.
-    The query side is expected small (broadcast); rank ties break on
-    neighbor_id for determinism.
+    Output: (query_id, neighbor_id, cos_sim, rank), self-matches excluded;
+    rank ties break on neighbor_id for determinism.
+
+    ``method="gemm"`` (default): the query set is collected + broadcast
+    (same smallness contract as a broadcast join); the corpus streams
+    through an Arrow-batched ``mapInPandas`` that computes a blocked
+    Q x batch^T matmul and emits only each batch's per-query top-k partial —
+    shuffle volume is O(n_queries * k * n_batches), independent of corpus
+    size. A final window reduces partials. This is the scale shape: corpus
+    never concentrates, numpy does the flops.
+
+    ``method="expr"``: pure Column-expression fallback (zip_with/aggregate
+    dot products) — keeps everything JVM-side, O(corpus) rows through the
+    window.
     """
-    c = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
-                      V.l2_normalize(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).cast("long").alias("query_id"),
-                       V.l2_normalize(vec_col).alias("qv"))
-    scored = (
-        F.broadcast(q).crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
-    )
+    if method == "expr":
+        c = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                          V.l2_normalize(vec_col).alias("cv"))
+        q = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                           V.l2_normalize(vec_col).alias("qv"))
+        scored = (
+            F.broadcast(q).crossJoin(c)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(V.dot(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                      .where(F.col("rank") <= k))
+
+    import numpy as np
+
+    qpdf = queries.select(F.col(id_col).cast("long").alias("id"),
+                          vec_col).toPandas()
+    q_ids = qpdf["id"].to_numpy()
+    q_mat = _normalized_matrix(qpdf, vec_col)
+    sc = corpus.sparkSession.sparkContext
+    b_qids, b_qmat = sc.broadcast(q_ids), sc.broadcast(q_mat)
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        qids, qm = b_qids.value, b_qmat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["id"].to_numpy()
+            cm = _normalized_matrix(pdf, vec_col)
+            s = np.round(qm @ cm.T, 6)                    # nq x nb
+            s[qids[:, None] == cids[None, :]] = -np.inf   # exclude self
+            kk = min(k, s.shape[1])
+            # per query: order by (-cos, neighbor_id), take first kk
+            for qi in range(s.shape[0]):
+                order = np.lexsort((cids, -s[qi]))[:kk]
+                keep = order[np.isfinite(s[qi][order])]
+                if keep.size:
+                    yield pd.DataFrame({
+                        "query_id": np.full(keep.size, qids[qi]),
+                        "neighbor_id": cids[keep],
+                        "cos_sim": s[qi][keep],
+                    })
+
+    partial = (corpus.select(F.col(id_col).cast("long").alias("id"), vec_col)
+               .mapInPandas(partial_topk,
+                            "query_id long, neighbor_id long, cos_sim double"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .where(F.col("rank") <= k))
+
+
+def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked GEMM.
+
+    The full (id, vector) set is collected and broadcast once (fits-in-
+    executor-memory contract — at 100 TB you LSH-bucket *first* and run this
+    within buckets); the same DataFrame then streams through mapInPandas,
+    each Arrow batch computing batch x corpus^T with numpy and emitting only
+    the pairs above threshold with canonical id0 > id1 ordering.
+    """
+    import numpy as np
+
+    pdf = df.select(F.col(id_col).cast("long").alias("id"), vec_col).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = _normalized_matrix(pdf, vec_col)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def pairs(batches):
+        import pandas as pd
+
+        all_ids, m = b_ids.value, b_mat.value
+        for bpdf in batches:
+            if len(bpdf) == 0:
+                continue
+            bid = bpdf["id"].to_numpy()
+            bm = _normalized_matrix(bpdf, vec_col)
+            s = np.round(bm @ m.T, 6)
+            mask = (s >= threshold) & (bid[:, None] > all_ids[None, :])
+            i, j = np.nonzero(mask)
+            if i.size:
+                yield pd.DataFrame({"id0": bid[i], "id1": all_ids[j],
+                                    "cos_sim": s[i, j]})
+
+    return (df.select(F.col(id_col).cast("long").alias("id"), vec_col)
+            .mapInPandas(pairs, "id0 long, id1 long, cos_sim double"))
 
 
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
