@@ -121,7 +121,8 @@ def _round_sim(df: DataFrame) -> DataFrame:
 def _supplier_model(spark: SparkSession, sf_dir: str, sparse: bool = True,
                     **kw):
     m = matrix_from_lineitem(spark, sf_dir)
-    return CosineAnalyser(axis="y", **kw).fit(m, is_sparse=sparse, persist=False)
+    return CosineAnalyser(axis="y", **kw).fit(
+        m, is_sparse=sparse, persist=False, pre_aggregated=True)
 
 
 def _doc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +159,8 @@ def q_cosine_axis_x(spark, sf):
          .select(F.col("o_custkey").cast("string").alias("y"),
                  F.col("o_orderpriority").alias("x"),
                  F.col("o_totalprice").alias("value")))
+    # input here is raw orders (duplicates per (custkey, priority)), so the
+    # defensive duplicate-summing aggregation must stay on
     model = CosineAnalyser(axis="x").fit(m, is_sparse=True, persist=False)
     return _round_sim(model.all_similarity())
 
@@ -174,8 +177,9 @@ def q_cosine_predict(spark, sf):
 
 
 def q_doc_cosine(spark, sf):
-    model = CosineAnalyser(axis="y").fit(_doc_matrix(spark, sf),
-                                         is_sparse=True, persist=False)
+    model = CosineAnalyser(axis="y").fit(
+        _doc_matrix(spark, sf), is_sparse=True, persist=False,
+        pre_aggregated=True)  # term_counts output is unique per (doc, word)
     return _round_sim(model.all_similarity())
 
 

@@ -38,6 +38,11 @@ def main() -> None:
         sf = sf_label
     spark = get_spark("casf_bench")
 
+    # warm up JVM/codegen/parquet-footer caches so per-query numbers reflect
+    # steady state rather than first-query startup cost
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -69,23 +69,25 @@ class CosineAnalyser:
     # stages (each returns a DataFrame conforming to a schemas.* contract)
     # ------------------------------------------------------------------ #
 
-    def _canonical_elements(self, matrix_element: DataFrame) -> DataFrame:
+    def _canonical_elements(self, matrix_element: DataFrame,
+                            pre_aggregated: bool = False) -> DataFrame:
         """Map (y, x, value) onto (vector, coord, value) per ``self.axis``.
 
         Duplicate coordinates are summed (the reference assumes pre-aggregated
-        input; summing makes the contract explicit and idempotent).
+        input; summing makes the contract explicit and idempotent). Callers
+        that already aggregated per (y, x) — e.g. a term-count or groupBy
+        source — pass ``pre_aggregated=True`` to skip the redundant shuffle.
         """
         vec, coord = ("y", "x") if self.axis == "y" else ("x", "y")
-        return (
-            matrix_element
-            .select(
-                F.col(vec).cast("string").alias("vector"),
-                F.col(coord).cast("string").alias("coord"),
-                F.col("value").cast("double").alias("value"),
-            )
-            .groupBy("vector", "coord")
-            .agg(F.sum("value").alias("value"))
+        projected = matrix_element.select(
+            F.col(vec).cast("string").alias("vector"),
+            F.col(coord).cast("string").alias("coord"),
+            F.col("value").cast("double").alias("value"),
         )
+        if pre_aggregated:
+            return projected
+        return (projected.groupBy("vector", "coord")
+                .agg(F.sum("value").alias("value")))
 
     def _max_values(self, elements: DataFrame) -> DataFrame:
         """Per-vector max element. Parity: genMaxValue (MCA:210-216, A1)."""
@@ -208,22 +210,28 @@ class CosineAnalyser:
     # ------------------------------------------------------------------ #
 
     def fit(self, matrix_element: DataFrame, is_sparse: bool = True,
-            persist: bool = True) -> CosineModel:
+            persist: bool = True, pre_aggregated: bool = False) -> CosineModel:
         """Build a CosineModel. Lazy — no Spark job runs here.
 
         Parity: simpleFit (MCA:218-242). ``is_sparse`` selects the norm
         semantics (MCA:218-231): sparse = norms over shared coordinates only;
         dense = textbook cosine with missing elements as zero, all pairs
         emitted (zero-similarity pairs included, MM:63-69).
+        ``pre_aggregated``: input is already unique per (y, x) — skips the
+        defensive duplicate-summing shuffle.
         """
-        elements = self._canonical_elements(matrix_element)
+        elements = self._canonical_elements(matrix_element, pre_aggregated)
         normalized = self._normalized(elements)
         if persist:
+            # Cache only the narrow multi-consumer dataset (normalized feeds
+            # both sides of the pair self-join, dense vector mods, and
+            # predict_missing's contribution join). factor_pairs is NOT
+            # cached: the fused similarity consumes it exactly once, and at
+            # scale it is orders of magnitude larger than its parents —
+            # measured at sf0.1, caching it doubled wall time.
             normalized = normalized.persist(StorageLevel.MEMORY_AND_DISK)
 
         factor_pairs = self._factor_pairs(normalized)
-        if persist:
-            factor_pairs = factor_pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
         if is_sparse:
             factor_mod = self._factor_mod_sparse(factor_pairs)
