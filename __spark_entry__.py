@@ -311,6 +311,16 @@ def q_text_fingerprint(spark, sf):
         TX.token_count("text").cast("long").alias("n_tokens"))
 
 
+def q_text_token_stats(spark, sf):
+    return TX.token_stats(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_ann_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries_df, k=10, n_centroids=8, n_probes=2)
+
+
 def q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -516,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_token_stats": q_text_token_stats,
         # dedup suite (phase D)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -525,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (phase D)
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,  # rows-only (seeded Spark-ML KMeans quantizer)
         # multimodal plumbing (phase D)
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
@@ -762,6 +774,16 @@ SELECT doc AS y, word AS x, CAST(COUNT(*) AS DOUBLE) AS "value"
 FROM tok WHERE word NOT IN ({_SW_SQL}) GROUP BY 1, 2""",
         "text_quality": quality_sql,
         "text_lang_id": _lang_id_oracle(),
+        "text_token_stats": f"""
+SELECT CAST(doc_id AS BIGINT) doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+       AS BIGINT) n_ws_tokens,
+  CAST(len({_TOKS}) AS BIGINT) n_word_tokens,
+  CAST(len(regexp_extract_all(lower(text),
+       '{TX.BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT)
+       n_bpe_tokens,
+  CAST(length(text) AS BIGINT) n_chars
+FROM documents""",
         "text_fingerprint": f"""
 SELECT CAST(doc_id AS BIGINT) doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint,

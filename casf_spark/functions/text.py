@@ -80,6 +80,33 @@ def token_count(col: Column | str, pattern: str = TOKEN_SPLIT_PATTERN) -> Column
     return F.size(tokens(col, pattern))
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style splitter, lowercased form):
+#: contractions, space-prefixed word/number runs, punctuation runs. Uses no
+#: lookarounds so it behaves identically under Java regex and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokenization of lowercased text — the token-count
+    proxy an LLM-data pipeline uses for budget accounting (whitespace
+    splitting undercounts punctuation-heavy text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens, regex word tokens,
+    BPE-ish tokens, chars."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        token_count(text_col).cast("long").alias("n_word_tokens"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str,
                      stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
     """Per-document quality metrics for pipeline filtering:

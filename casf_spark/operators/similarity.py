@@ -211,6 +211,74 @@ def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probes: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    buckets the corpus; each query searches only its ``n_probes`` nearest
+    buckets exactly.
+
+    The scale path for corpus x corpus ANN when hyperplane LSH recall is
+    insufficient: centroids are tiny (collected + broadcast), corpus rows
+    shuffle once on bucket id, and per-bucket search is an equi-join —
+    no all-pairs anything. Output (query_id, neighbor_id, cos_sim, rank).
+
+    Deterministic for a fixed seed (Spark ML KMeans is seeded), but not
+    oracle-expressible in SQL — registered as a rows-only query.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                         F.col(vec_col).alias("cv"))
+    feats = corp.withColumn(
+        "features",
+        array_to_vector(F.transform(F.col("cv"), lambda x: x.cast("double"))))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                   predictionCol="bucket").fit(feats)
+    assigned = (model.transform(feats)
+                .select("neighbor_id", "cv", "bucket"))
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    sc = corpus.sparkSession.sparkContext
+    b_centers = sc.broadcast(centers)
+
+    def probe(batches):
+        import pandas as pd
+
+        cm = b_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            d = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            nb = np.argsort(d, axis=1)[:, :n_probes]
+            qid = pdf["query_id"].to_numpy()
+            n = nb.shape[1]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qid, n),
+                "bucket": nb.reshape(-1).astype("int32"),
+                "qv": [v for v in pdf["qv"] for _ in range(n)],
+            })
+
+    q = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    probed = q.mapInPandas(
+        probe, "query_id long, bucket int, qv array<float>")
+    scored = (
+        F.broadcast(probed).join(assigned, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
 def lsh_topk(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 10, num_planes: int = 8, seed: int = 42) -> DataFrame:
     """Approximate top-k neighbors per vector from LSH candidates."""

@@ -39,7 +39,14 @@ def main() -> None:
                 .where(F.col("doc_id") < 3)
                 .select("doc_id", "text"))
 
-    term_matrix = TX.term_counts(articles, "doc_id", "text")
+    # per-article term matrices stacked with unionByName — the demo's
+    # words1.unionAll(words2).unionAll(words3) (KWD:101, U1)
+    per_article = [
+        TX.term_counts(articles.where(F.col("doc_id") == i), "doc_id", "text")
+        for i in range(3)
+    ]
+    term_matrix = per_article[0].unionByName(per_article[1]) \
+                                .unionByName(per_article[2])
     model = CosineAnalyser(axis="y").fit(term_matrix, is_sparse=False,
                                          pre_aggregated=True)
 

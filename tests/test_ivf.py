@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import similarity as SIM
+from casf_spark.sources import load_table
+
+
+def test_ivf_topk_contract_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    ivf = SIM.ivf_topk(emb, q, k=5, n_centroids=4, n_probes=2)
+    rows = ivf.collect()
+    assert rows, "IVF returned nothing"
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert 1 <= r.rank <= 5
+        by_q.setdefault(r.query_id, []).append(r)
+    # recall vs exact: with half the buckets probed the true top-1 should
+    # usually be found; assert the approximate top-1 is within the exact
+    # top-5 for most queries (loose, deterministic for fixed seed)
+    exact = SIM.brute_force_topk(emb, q, k=5)
+    exact_by_q = {}
+    for r in exact.collect():
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for qid, rs in by_q.items()
+        if min(rs, key=lambda r: r.rank).neighbor_id in exact_by_q[qid])
+    assert hits >= len(by_q) // 2, f"IVF recall too low: {hits}/{len(by_q)}"
+
+
+def test_ivf_deterministic_for_seed(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = emb.where(F.col("vec_id") < 3)
+    a = {tuple(r) for r in SIM.ivf_topk(emb, q, k=3, n_centroids=4, seed=7).collect()}
+    b = {tuple(r) for r in SIM.ivf_topk(emb, q, k=3, n_centroids=4, seed=7).collect()}
+    assert a == b

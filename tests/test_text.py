@@ -71,6 +71,29 @@ def test_fingerprint_whitespace_and_case_invariant(spark):
     assert fps[4] != fps[1]
 
 
+def test_union_of_per_doc_matrices_equals_whole(spark, docs):
+    """U1 parity: stacking per-document term matrices with unionByName
+    yields the same COO relation as one grouped pass."""
+    parts = [TX.term_counts(docs.where(F.col("doc_id") == i), "doc_id", "text")
+             for i in (1, 2, 3, 4, 5)]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    whole = TX.term_counts(docs, "doc_id", "text")
+    assert ({tuple(r) for r in unioned.collect()}
+            == {tuple(r) for r in whole.collect()})
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "It's 42 ok-ish,  really")], "doc_id long, text string")
+    r = TX.token_stats(df, "doc_id", "text").first()
+    assert r.n_ws_tokens == 4
+    assert r.n_word_tokens == 6      # it s 42 ok ish really
+    assert r.n_bpe_tokens > 0
+    assert r.n_chars == 23
+
+
 def test_token_count(spark, docs):
     n = docs.where("doc_id = 1").select(
         TX.token_count("text").alias("n")).first().n
