@@ -289,6 +289,39 @@ def q_events_json(spark, sf):
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_events_rollup(spark, sf):
+    """Rollup aggregation: counts by (event_type, day) with subtotals —
+    grouping-set coverage (absent from the reference, SURVEY §2.9)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+            .rollup("event_type", "event_day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("event_day", F.lit("ALL")).alias("event_day"),
+                    "n_events", "sum_value"))
+
+
+def q_customers_no_orders(spark, sf):
+    """Left-anti join: customers with no order in 1995-H1."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_users_click_not_purchase(spark, sf):
+    """Set ops: users who clicked on 2024-01-01 but made no purchase that
+    day (EXCEPT semantics)."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys).select("user_id")
+
+
 def q_text_term_counts(spark, sf):
     docs = load_table(spark, sf, "documents")
     return TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
@@ -521,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        "events_rollup": q_events_rollup,
+        "customers_no_orders": q_customers_no_orders,
+        "users_click_not_purchase": q_users_click_not_purchase,
         # text analysis (§7 phase C/D)
         "text_term_counts": q_text_term_counts,
         "text_quality": q_text_quality,
@@ -766,6 +802,29 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
        CAST(COUNT(*) AS BIGINT) n
 FROM events GROUP BY event_type""",
+        "events_rollup": """
+SELECT COALESCE(event_type, 'ALL') event_type,
+       COALESCE(event_day, 'ALL') event_day,
+       CAST(COUNT(*) AS BIGINT) n_events,
+       ROUND(SUM(value), 6) sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') event_day, value FROM events)
+GROUP BY ROLLUP (event_type, event_day)""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01')""",
+        "users_click_not_purchase": """
+SELECT user_id FROM events
+WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02'
+GROUP BY user_id
+EXCEPT ALL
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02'
+GROUP BY user_id""",
         "text_term_counts": f"""
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) doc, unnest({_TOKS}) AS word
