@@ -83,7 +83,10 @@ class CosineAnalyser:
             F.col(vec).cast("string").alias("vector"),
             F.col(coord).cast("string").alias("coord"),
             F.col("value").cast("double").alias("value"),
-        )
+            # explicit not-null on BOTH keys: downstream branches (max-value
+            # agg vs normalize join) then share an identical subplan, so
+            # Catalyst's ReusedExchange computes the element table once
+        ).where(F.col("vector").isNotNull() & F.col("coord").isNotNull())
         if pre_aggregated:
             return projected
         return (projected.groupBy("vector", "coord")

@@ -85,12 +85,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     cases; production pipelines drop top-frequency shingles first.
     Output: (doc0, doc1, jaccard) with doc0 > doc1 canonical ordering.
     """
-    sh = _shingles(df, id_col, text_col, n)
+    # join/aggregate on 60-bit shingle hashes instead of shingle strings:
+    # fixed-width long keys shuffle and hash-probe far cheaper. Collision
+    # odds are ~|shingles|^2 / 2^61 — negligible below ~10^9 distinct
+    # shingles, and a collision only perturbs one intersection count by 1.
+    sh = _shingles(df, id_col, text_col, n).select(
+        "doc", md5_long("shingle").alias("sh"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("doc0"), "shingle")
-    b = sh.select(F.col("doc").alias("doc1"), "shingle")
+    a = sh.select(F.col("doc").alias("doc0"), "sh")
+    b = sh.select(F.col("doc").alias("doc1"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .where(F.col("doc0") > F.col("doc1"))
         .groupBy("doc0", "doc1")
         .agg(F.count(F.lit(1)).alias("n_inter"))
