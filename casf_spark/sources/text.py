@@ -34,6 +34,30 @@ def read_stopwords(spark: SparkSession, path: str) -> DataFrame:
             .where(F.col("word") != ""))
 
 
+def read_csv(spark: SparkSession, path: str, schema: str | None = None,
+             header: bool = True, delimiter: str = ",") -> DataFrame:
+    """CSV source. Always pass an explicit ``schema`` in production —
+    inference scans the data twice and guesses types per-file, which is both
+    slow and unstable at 100 TB."""
+    r = (spark.read.option("header", str(header).lower())
+         .option("delimiter", delimiter))
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: str | None = None) -> DataFrame:
+    """JSON-lines source; explicit schema recommended (same rationale as
+    CSV). Nested fields arrive as structs/arrays and stay columnar."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
                   mode: str = "overwrite") -> None:
     """Partitioned parquet sink. ``partition_by`` drives directory layout —

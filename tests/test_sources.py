@@ -49,6 +49,20 @@ def test_partitioned_parquet_write(spark, tmp_path):
     assert pruned.count() == 2
 
 
+def test_csv_json_roundtrip(spark, tmp_path):
+    from casf_spark.sources.text import read_csv, read_json
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(csv), schema="id long, name string")
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "alpha"), (2, "beta")}
+
+    js = tmp_path / "t.jsonl"
+    js.write_text('{"id": 1, "tags": ["a", "b"]}\n{"id": 2, "tags": []}\n')
+    jdf = read_json(spark, str(js), schema="id long, tags array<string>")
+    got = {r.id: list(r.tags) for r in jdf.collect()}
+    assert got == {1: ["a", "b"], 2: []}
+
+
 def test_demo_example_runs(spark, sf_dir):
     import subprocess
     import sys
