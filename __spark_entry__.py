@@ -322,6 +322,30 @@ def q_users_click_not_purchase(spark, sf):
     return clicks.exceptAll(buys).select("user_id")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf):
+    """Pivot: daily event counts, one column per event type."""
+    ev = load_table(spark, sf, "events")
+    piv = (ev.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+           .groupBy("event_day")
+           .pivot("event_type", _EVENT_TYPES)
+           .count())
+    return piv.select(
+        "event_day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES])
+
+
+def q_events_percentiles(spark, sf):
+    """Exact interpolated percentiles of event value per type."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_text_term_counts(spark, sf):
     docs = load_table(spark, sf, "documents")
     return TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
@@ -555,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "events_percentiles": q_events_percentiles,
         "customers_no_orders": q_customers_no_orders,
         "users_click_not_purchase": q_users_click_not_purchase,
         # text analysis (§7 phase C/D)
@@ -809,6 +835,20 @@ SELECT COALESCE(event_type, 'ALL') event_type,
        ROUND(SUM(value), 6) sum_value
 FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') event_day, value FROM events)
 GROUP BY ROLLUP (event_type, event_day)""",
+        "events_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') event_day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view
+FROM events GROUP BY 1""",
+        "events_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) p50,
+       ROUND(quantile_cont(value, 0.9), 6) p90,
+       CAST(COUNT(*) AS BIGINT) n
+FROM events GROUP BY event_type""",
         "customers_no_orders": """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
