@@ -183,6 +183,23 @@ def q_doc_cosine(spark, sf):
     return _round_sim(model.all_similarity())
 
 
+def q_doc_cosine_lsh(spark, sf):
+    """Full-corpus document similarity, the corpus-scale composition:
+    MinHash-banding candidates (sub-quadratic) -> exact sparse cosine ONLY
+    for candidate pairs (CosineModel.similarity_for_pairs semi-join)."""
+    docs = load_table(spark, sf, "documents")
+    cand = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                n=2, num_hashes=12, bands=4)
+    a, b = F.col("doc0").cast("string"), F.col("doc1").cast("string")
+    cand_str = cand.select(
+        F.when(a > b, a).otherwise(b).alias("vector0"),
+        F.when(a > b, b).otherwise(a).alias("vector1"))
+    m = TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
+    model = CosineAnalyser(axis="y").fit(m, is_sparse=True, persist=False,
+                                         pre_aggregated=True)
+    return _round_sim(model.similarity_for_pairs(cand_str))
+
+
 def q_q1(spark, sf):
     li = load_table(spark, sf, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
@@ -436,7 +453,9 @@ toks AS (SELECT CAST(doc_id AS BIGINT) doc, generate_subscripts(a, 1) pos,
          FROM toklist)"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """WITH-body fragment ending in a ``mh_cand(doc0, doc1)`` CTE of MinHash
+    banding candidate pairs (doc0 > doc1 numerically)."""
     hash_sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
     exprs = minhash_sql_exprs(hash_sql, 12)
     mins = ",\n         ".join(
@@ -447,8 +466,7 @@ def _minhash_oracle() -> str:
             f"CAST(mh_{b * 3 + r} AS VARCHAR)" for r in range(3))
         bands.append(f"SELECT doc, {b} AS band, {cols} AS bucket FROM sig")
     bands_sql = "\nUNION ALL\n".join(bands)
-    return f"""
-WITH {_toks_cte()},
+    return f"""{_toks_cte()},
 sh AS (
   SELECT DISTINCT t1.doc, t1.w || ' ' || t2.w AS shingle
   FROM toks t1 JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1),
@@ -456,10 +474,51 @@ sig AS (
   SELECT doc,
          {mins}
   FROM sh GROUP BY doc),
-bands AS ({bands_sql})
-SELECT DISTINCT a.doc AS doc0, b.doc AS doc1
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc > b.doc"""
+bands AS ({bands_sql}),
+mh_cand AS (
+  SELECT DISTINCT a.doc AS doc0, b.doc AS doc1
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc > b.doc)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_cte()}\nSELECT doc0, doc1 FROM mh_cand"
+
+
+def _doc_cosine_lsh_oracle() -> str:
+    """Full-corpus document cosine restricted to MinHash candidates:
+    sub-quadratic candidates, exact sparse cosine only for them. Candidate
+    pairs are re-canonicalized to *string* ordering to match the engine's
+    vector0 > vector1 binary-string comparison."""
+    return f"""
+WITH {_minhash_cte()},
+cand AS (
+  SELECT DISTINCT
+    CASE WHEN CAST(doc0 AS VARCHAR) > CAST(doc1 AS VARCHAR)
+         THEN CAST(doc0 AS VARCHAR) ELSE CAST(doc1 AS VARCHAR) END v0c,
+    CASE WHEN CAST(doc0 AS VARCHAR) > CAST(doc1 AS VARCHAR)
+         THEN CAST(doc1 AS VARCHAR) ELSE CAST(doc0 AS VARCHAR) END v1c
+  FROM mh_cand),
+tokc AS (
+  SELECT CAST(doc_id AS VARCHAR) doc, unnest({_TOKS}) AS word
+  FROM documents),
+elem AS (
+  SELECT doc AS vector, word AS coord, CAST(COUNT(*) AS DOUBLE) val
+  FROM tokc WHERE word NOT IN ({_SW_SQL}) GROUP BY 1, 2),
+mx AS (SELECT vector, MAX(val) mv FROM elem GROUP BY vector),
+norm AS (SELECT e.vector, e.coord, e.val / m.mv AS nv
+         FROM elem e JOIN mx m USING (vector)),
+pairs AS (
+  SELECT a.vector v0, b.vector v1, a.nv nv0, b.nv nv1
+  FROM norm a JOIN norm b ON a.coord = b.coord AND a.vector > b.vector
+  JOIN cand c ON c.v0c = a.vector AND c.v1c = b.vector),
+agg AS (
+  SELECT v0, v1, SQRT(SUM(nv0*nv0)) m0, SQRT(SUM(nv1*nv1)) m1,
+         SUM(nv0*nv1) num
+  FROM pairs GROUP BY v0, v1)
+SELECT v0 AS vector0, v1 AS vector1,
+       ROUND(num / (m0 * m1), 6) AS similarity_value
+FROM agg"""
 
 
 def _simhash_oracle() -> str:
@@ -568,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_predict": q_cosine_predict,
         "doc_cosine": q_doc_cosine,
+        "doc_cosine_lsh": q_doc_cosine_lsh,
         # relational operator coverage (scans/filters/joins/aggs/sort/limit/
         # window/json)
         "q1_pricing_summary": q_q1,
@@ -769,6 +829,7 @@ FROM wins GROUP BY 1, 2"""
         "cosine_topk": topk_sql,
         "cosine_predict": predict_sql,
         "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
+        "doc_cosine_lsh": _doc_cosine_lsh_oracle(),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) sum_qty,

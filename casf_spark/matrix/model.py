@@ -130,6 +130,22 @@ class CosineModel:
     # extensions (absent from the reference — SURVEY.md §7 phase D)
     # ------------------------------------------------------------------ #
 
+    def similarity_for_pairs(self, pairs: DataFrame) -> DataFrame:
+        """Exact similarity restricted to a caller-supplied candidate pair
+        set (columns ``vector0``, ``vector1``, canonical ordering).
+
+        The corpus-scale composition: generate candidates sub-quadratically
+        (MinHash banding, SimHash blocking, LSH buckets), then pay the exact
+        aligned-pair aggregation ONLY for candidates — a semi-join prunes
+        the pair stream before the heavy shuffle.
+        """
+        cand = pairs.select("vector0", "vector1").distinct()
+        fp = self.factor_pairs.join(cand, ["vector0", "vector1"], "left_semi")
+        if self.is_sparse:
+            return self._fused_sparse_similarity(fp)
+        fm = self.factor_mod.join(cand, ["vector0", "vector1"], "left_semi")
+        return self._compute_similarity(fm, fp)
+
     def top_k(self, k: int, round_to: int | None = None) -> DataFrame:
         """Top-k most-similar neighbors per vector.
 

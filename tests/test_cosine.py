@@ -184,6 +184,21 @@ def test_top_k_and_predict(spark):
     assert 0.0 < preds[("y1", "x4")] <= 1.0
 
 
+def test_similarity_for_pairs_semi_join(spark):
+    """Restricting to a candidate pair set returns exactly the full-run
+    values for those pairs and nothing else."""
+    df = _matrix_df(spark)
+    model = CosineAnalyser().fit(df, is_sparse=True)
+    full = _collect_sims(model)
+    cand = spark.createDataFrame([("y2", "y1"), ("y3", "y1")],
+                                 "vector0 string, vector1 string")
+    got = {(r.vector0, r.vector1): r.similarity_value
+           for r in model.similarity_for_pairs(cand).collect()}
+    assert set(got) == {("y2", "y1"), ("y3", "y1")}
+    for k, v in got.items():
+        assert v == pytest.approx(full[k], abs=1e-12)
+
+
 def test_duplicate_cells_are_summed(spark):
     data = [("a", "x1", 1.0), ("a", "x1", 2.0), ("b", "x1", 3.0)]
     df = spark.createDataFrame(data, "y string, x string, value double")
