@@ -140,7 +140,21 @@ class CosineModel:
         the pair stream before the heavy shuffle.
         """
         cand = pairs.select("vector0", "vector1").distinct()
-        fp = self.factor_pairs.join(cand, ["vector0", "vector1"], "left_semi")
+        # Drive the aligned-pair join FROM the candidates: candidate rows
+        # pick up each endpoint's elements and align on the shared
+        # coordinate — O(|candidates| x shared-coords) work. A semi-join
+        # against the full pair self-join would still *generate* the
+        # quadratic pair stream before pruning it (measured 188 s vs 9 s on
+        # the 5000-doc corpus).
+        n0 = self.normalized.select(
+            F.col("vector").alias("vector0"), "coord",
+            F.col("normalized_value").alias("value0"))
+        n1 = self.normalized.select(
+            F.col("vector").alias("vector1"), "coord",
+            F.col("normalized_value").alias("value1"))
+        fp = (cand.join(n0, "vector0")
+              .join(n1, ["vector1", "coord"])
+              .select("vector0", "vector1", "coord", "value0", "value1"))
         if self.is_sparse:
             return self._fused_sparse_similarity(fp)
         fm = self.factor_mod.join(cand, ["vector0", "vector1"], "left_semi")

@@ -18,6 +18,10 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    # timestamp-derived outputs (date_format/window/date_trunc) must agree
+    # with the DuckDB oracle's naive timestamps regardless of the caller's
+    # session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read nanos as long and truncate to micros (same
