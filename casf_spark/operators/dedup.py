@@ -53,11 +53,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return keep.select("doc_id", "fingerprint")
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc, shingle).
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+              distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (doc, shingle).
 
     Built with a window-free array slide (transform over index range) —
-    stays in codegen; distinct is per (doc, shingle).
+    stays in codegen. ``distinct=False`` skips the per-(doc, shingle)
+    dedup shuffle for consumers whose aggregate is duplicate-insensitive
+    (MIN for MinHash).
     """
     toks = TX.tokens(text_col)
     # guard size < n: F.sequence(0, negative) would emit a descending range
@@ -68,11 +71,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).cast("long").alias("doc"),
-                  F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).cast("long").alias("doc"),
+                    F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -124,7 +125,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     single shuffle of the shingle rows — no per-hash explode (an early
     long-form version multiplied the shuffle volume by num_hashes).
     """
-    sh = _shingles(df, id_col, text_col, n)
+    sh = _shingles(df, id_col, text_col, n, distinct=False)  # MIN is dup-safe
     hashed = sh.select("doc", md5_long("shingle").alias("h"))
     remixes = minhash_exprs(F.col("h"), num_hashes, seed)
     return hashed.groupBy("doc").agg(

@@ -236,8 +236,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     feats = corp.withColumn(
         "features",
         array_to_vector(F.transform(F.col("cv"), lambda x: x.cast("double"))))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
-                   predictionCol="bucket").fit(feats)
+    # few iterations suffice: the quantizer only buckets, centroid quality
+    # beyond rough convergence buys no recall
+    model = KMeans(k=n_centroids, seed=seed, maxIter=8,
+                   featuresCol="features", predictionCol="bucket").fit(feats)
     assigned = (model.transform(feats)
                 .select("neighbor_id", "cv", "bucket"))
 
