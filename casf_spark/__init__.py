@@ -11,5 +11,10 @@ no row-at-a-time Python UDFs in any hot path.
 from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.matrix.model import CosineModel
 
-__all__ = ["CosineAnalyser", "CosineModel"]
+#: reference-API aliases (Casf class names) for drop-in migration
+MatrixCosineAnalyse = CosineAnalyser
+MatrixModel = CosineModel
+
+__all__ = ["CosineAnalyser", "CosineModel", "MatrixCosineAnalyse",
+           "MatrixModel"]
 __version__ = "0.1.0"

@@ -247,3 +247,10 @@ class CosineAnalyser:
             factor_mod=factor_mod,
             is_sparse=is_sparse,
         )
+
+    # reference-API aliases, so a Casf caller can switch with minimal edits:
+    # `simpleFit` (MCA:218) and the stale README name `simpleMatrixModel`
+    # (/root/reference/README.md:19) both map to fit().
+    simple_fit = fit
+    simpleFit = fit
+    simpleMatrixModel = fit

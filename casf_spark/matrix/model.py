@@ -97,6 +97,11 @@ class CosineModel:
         )
         return schemas.conform(out, schemas.SIMILARITY_VALUE)
 
+    @property
+    def all_similarity_value(self) -> DataFrame:
+        """Reference-API alias: ``MatrixModel.allSimilarityValue`` (MM:26-28)."""
+        return self.all_similarity()
+
     def all_similarity(self) -> DataFrame:
         """Cosine similarity for every canonical pair.
 
