@@ -342,6 +342,17 @@ def q_users_click_not_purchase(spark, sf):
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_events_zscore(spark, sf):
+    """Unbounded window aggregate: per-type z-score of each event's value
+    (window mean/stddev without collapsing rows)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    mu, sd = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id", "event_type",
+        F.round((F.col("value") - mu) / sd, 6).alias("zscore"))
+
+
 def q_events_pivot(spark, sf):
     """Pivot: daily event counts, one column per event type."""
     ev = load_table(spark, sf, "events")
@@ -640,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
+        "events_zscore": q_events_zscore,
         "events_percentiles": q_events_percentiles,
         "customers_no_orders": q_customers_no_orders,
         "users_click_not_purchase": q_users_click_not_purchase,
@@ -904,6 +916,11 @@ SELECT strftime(ts, '%Y-%m-%d') event_day,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view
 FROM events GROUP BY 1""",
+        "events_zscore": """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) zscore
+FROM events""",
         "events_percentiles": """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) p50,

@@ -68,6 +68,26 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def write_stream_parquet(stream_df: DataFrame, path: str,
+                         checkpoint: str, timeout_sec: int = 120) -> None:
+    """foreachBatch parquet sink: each micro-batch appends atomically;
+    exactly-once via the checkpointed batch id (re-delivered batches
+    overwrite their own partition directory). Demonstrates the custom-sink
+    seam a warehouse upsert (MERGE INTO / Delta) would use."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(path))
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          timeout_sec: int = 120) -> None:
     """Drive a streaming aggregation to completion with availableNow (test

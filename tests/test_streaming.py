@@ -17,6 +17,17 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    stream = EV.read_events_stream(spark, sf_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    EV.write_stream_parquet(stream.select("event_id", "ts", "event_type"),
+                            out, ckpt)
+    back = spark.read.parquet(out)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert back.count() == n_src
+    assert "_batch_id" in back.columns
+
+
 def test_sliding_each_event_in_two_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     n_events = ev.count()
