@@ -183,6 +183,15 @@ def q_doc_cosine(spark, sf):
     return _round_sim(model.all_similarity())
 
 
+def q_cosine_threshold(spark, sf):
+    """Exact threshold all-pairs via prefix filtering (Bayardo-style APSS):
+    only candidate pairs sharing a prefix coordinate are generated; the
+    oracle just filters the full dense result — same answer, the Spark plan
+    never enumerates all pairs."""
+    model = _supplier_model(spark, sf, sparse=False)
+    return model.threshold_similarity(0.2, round_to=6)
+
+
 def q_doc_cosine_lsh(spark, sf):
     """Full-corpus document similarity, the corpus-scale composition:
     MinHash-banding candidates (sub-quadratic) -> exact sparse cosine ONLY
@@ -636,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_norm_none": q_cosine_norm_none,
         "cosine_axis_x": q_cosine_axis_x,
         "cosine_topk": q_cosine_topk,
+        "cosine_threshold": q_cosine_threshold,
         "cosine_predict": q_cosine_predict,
         "doc_cosine": q_doc_cosine,
         "doc_cosine_lsh": q_doc_cosine_lsh,
@@ -839,6 +849,9 @@ FROM wins GROUP BY 1, 2"""
                                         normalization="none"),
         "cosine_axis_x": _cosine_sql(_ELEM_PRIORITY, sparse=True),
         "cosine_topk": topk_sql,
+        "cosine_threshold": (
+            f"SELECT * FROM ({_cosine_sql(_ELEM_SUPPLIER, sparse=False)})\n"
+            "WHERE similarity_value >= 0.2"),
         "cosine_predict": predict_sql,
         "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
         "doc_cosine_lsh": _doc_cosine_lsh_oracle(),

@@ -162,8 +162,74 @@ class CosineModel:
               .select("vector0", "vector1", "coord", "value0", "value1"))
         if self.is_sparse:
             return self._fused_sparse_similarity(fp)
-        fm = self.factor_mod.join(cand, ["vector0", "vector1"], "left_semi")
+        # dense: derive per-vector mods and attach via the candidate list —
+        # never materializes the all-pairs factor_mod cross-join
+        vm = self.normalized.groupBy("vector").agg(
+            F.sqrt(F.sum(F.pow(F.col("normalized_value"), F.lit(2.0))))
+            .alias("mod"))
+        fm = (cand
+              .join(vm.select(F.col("vector").alias("vector0"),
+                              F.col("mod").alias("mod0")), "vector0")
+              .join(vm.select(F.col("vector").alias("vector1"),
+                              F.col("mod").alias("mod1")), "vector1"))
         return self._compute_similarity(fm, fp)
+
+    def threshold_similarity(self, t: float, round_to: int | None = None,
+                             prune_slack: float = 1e-6) -> DataFrame:
+        """Exact all-pairs similarity >= ``t`` WITHOUT full pair enumeration
+        — prefix filtering in the style of Bayardo et al., "Scaling Up All
+        Pairs Similarity Search" (WWW'07). Dense (textbook-cosine) mode
+        only; requires t > 0.
+
+        Soundness: order every vector's coordinates by a fixed global order
+        (max coordinate weight descending). For unit vectors, if ALL shared
+        coordinates of a pair lie in both vectors' suffixes where
+        ``sum(x_c * maxw_c) < t``, then cos <= that sum < t. Contrapositive:
+        any pair with cos >= t shares a coordinate inside at least one
+        vector's prefix — so joining prefix rows against all rows on the
+        coordinate finds every qualifying pair. Candidates then get the
+        exact fused rescoring via :meth:`similarity_for_pairs`.
+
+        ``prune_slack`` widens the prune bound so pairs that only cross the
+        threshold after output rounding are still found.
+        """
+        if self.is_sparse:
+            raise ValueError("threshold_similarity requires dense mode "
+                             "(textbook cosine); sparse-mode pair-dependent "
+                             "norms admit no prefix bound")
+        if t <= 0:
+            raise ValueError("threshold t must be > 0")
+        tb = float(t) - prune_slack
+
+        nv = self.normalized
+        norms = nv.groupBy("vector").agg(
+            F.sqrt(F.sum(F.pow(F.col("normalized_value"), F.lit(2.0))))
+            .alias("n2"))
+        unit = (nv.join(norms, "vector")
+                .select("vector", "coord",
+                        (F.col("normalized_value") / F.col("n2")).alias("x")))
+        maxw = unit.groupBy("coord").agg(F.max("x").alias("maxw"))
+        scored = unit.join(maxw, "coord")
+        w = (Window.partitionBy("vector")
+             .orderBy(F.desc("maxw"), F.asc("coord"))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        prefix = (scored
+                  .withColumn("suffix_bound",
+                              F.sum(F.col("x") * F.col("maxw")).over(w))
+                  .where(F.col("suffix_bound") >= tb)
+                  .select(F.col("vector").alias("pv"), "coord"))
+        probe = unit.select(F.col("vector").alias("qv"), "coord")
+        cand = (prefix.join(probe, "coord")
+                .where(F.col("pv") != F.col("qv"))
+                .select(
+                    F.greatest("pv", "qv").alias("vector0"),
+                    F.least("pv", "qv").alias("vector1"))
+                .distinct())
+        sims = self.similarity_for_pairs(cand)
+        if round_to is not None:
+            sims = sims.withColumn("similarity_value",
+                                   F.round("similarity_value", round_to))
+        return sims.where(F.col("similarity_value") >= t)
 
     def top_k(self, k: int, round_to: int | None = None) -> DataFrame:
         """Top-k most-similar neighbors per vector.

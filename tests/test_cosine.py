@@ -199,6 +199,28 @@ def test_similarity_for_pairs_semi_join(spark):
         assert v == pytest.approx(full[k], abs=1e-12)
 
 
+def test_threshold_similarity_equals_filtered_dense(spark):
+    """Prefix-filtered threshold search returns exactly the dense all-pairs
+    result filtered by the threshold (exactness of the prune)."""
+    df = _matrix_df(spark)
+    model = CosineAnalyser().fit(df, is_sparse=False)
+    for t in (0.1, 0.5, 0.9, 0.97, 0.999):
+        full = {k: v for k, v in _collect_sims(model).items() if v >= t}
+        got = {(r.vector0, r.vector1): r.similarity_value
+               for r in model.threshold_similarity(t).collect()}
+        assert got.keys() == full.keys(), t
+        for k in full:
+            assert got[k] == pytest.approx(full[k], abs=1e-12)
+
+
+def test_threshold_similarity_guards(spark):
+    df = _matrix_df(spark)
+    with pytest.raises(ValueError):
+        CosineAnalyser().fit(df, is_sparse=True).threshold_similarity(0.5)
+    with pytest.raises(ValueError):
+        CosineAnalyser().fit(df, is_sparse=False).threshold_similarity(0.0)
+
+
 def test_duplicate_cells_are_summed(spark):
     data = [("a", "x1", 1.0), ("a", "x1", 2.0), ("b", "x1", 3.0)]
     df = spark.createDataFrame(data, "y string, x string, value double")

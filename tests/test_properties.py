@@ -51,6 +51,23 @@ def _ref_similarities(cells: dict, is_sparse: bool):
     return out
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cells=matrix_strategy, t=st.sampled_from([0.2, 0.5, 0.8, 0.95]))
+def test_threshold_similarity_exact(spark, cells, t):
+    """Prefix-filtered threshold search == filtered brute force, over
+    generated matrices and thresholds."""
+    data = [(f"v{y}", f"c{x}", float(v)) for (y, x), v in cells.items()]
+    df = spark.createDataFrame(data, "y string, x string, value double")
+    model = CosineAnalyser(axis="y").fit(df, is_sparse=False, persist=False)
+    want = {k: v for k, v in _ref_similarities(cells, False).items() if v >= t}
+    got = {(r.vector0, r.vector1): r.similarity_value
+           for r in model.threshold_similarity(t).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
 @pytest.mark.parametrize("is_sparse", [True, False])
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
