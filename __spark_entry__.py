@@ -184,12 +184,14 @@ def q_doc_cosine(spark, sf):
 
 
 def q_cosine_threshold(spark, sf):
-    """Exact threshold all-pairs via prefix filtering (Bayardo-style APSS):
-    only candidate pairs sharing a prefix coordinate are generated; the
-    oracle just filters the full dense result — same answer, the Spark plan
-    never enumerates all pairs."""
-    model = _supplier_model(spark, sf, sparse=False)
-    return model.threshold_similarity(0.2, round_to=6)
+    """Exact threshold all-pairs via prefix filtering (Bayardo-style APSS)
+    over the document term matrix at a high threshold, where the prune
+    bites; the oracle just filters the full dense result — same answer, the
+    Spark plan only rescores prefix-matched candidates."""
+    model = CosineAnalyser(axis="y").fit(
+        _doc_matrix(spark, sf), is_sparse=False, persist=False,
+        pre_aggregated=True)
+    return model.threshold_similarity(0.8, round_to=6)
 
 
 def q_doc_cosine_lsh(spark, sf):
@@ -850,8 +852,8 @@ FROM wins GROUP BY 1, 2"""
         "cosine_axis_x": _cosine_sql(_ELEM_PRIORITY, sparse=True),
         "cosine_topk": topk_sql,
         "cosine_threshold": (
-            f"SELECT * FROM ({_cosine_sql(_ELEM_SUPPLIER, sparse=False)})\n"
-            "WHERE similarity_value >= 0.2"),
+            f"SELECT * FROM ({_cosine_sql(_ELEM_DOCS, sparse=False)})\n"
+            "WHERE similarity_value >= 0.8"),
         "cosine_predict": predict_sql,
         "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
         "doc_cosine_lsh": _doc_cosine_lsh_oracle(),

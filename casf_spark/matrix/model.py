@@ -175,7 +175,8 @@ class CosineModel:
         return self._compute_similarity(fm, fp)
 
     def threshold_similarity(self, t: float, round_to: int | None = None,
-                             prune_slack: float = 1e-6) -> DataFrame:
+                             prune_slack: float = 1e-6,
+                             max_direct_candidates: int = 200_000) -> DataFrame:
         """Exact all-pairs similarity >= ``t`` WITHOUT full pair enumeration
         — prefix filtering in the style of Bayardo et al., "Scaling Up All
         Pairs Similarity Search" (WWW'07). Dense (textbook-cosine) mode
@@ -192,6 +193,14 @@ class CosineModel:
 
         ``prune_slack`` widens the prune bound so pairs that only cross the
         threshold after output rounding are still found.
+
+        Degenerate-prune guard: prefix filtering only pays off when ``t`` is
+        high relative to the similarity mass (long near-uniform vectors at a
+        low threshold yield prefixes ≈ whole vectors). The candidate count
+        is checked (one small job — a planning action, like AQE stats) and
+        above ``max_direct_candidates`` the exact rescoring switches from
+        candidate-driven expansion to the plain pair self-join with a
+        post-filter, whose cost is bounded by brute force.
         """
         if self.is_sparse:
             raise ValueError("threshold_similarity requires dense mode "
@@ -225,7 +234,14 @@ class CosineModel:
                     F.greatest("pv", "qv").alias("vector0"),
                     F.least("pv", "qv").alias("vector1"))
                 .distinct())
-        sims = self.similarity_for_pairs(cand)
+        cand = cand.persist()
+        if cand.count() > max_direct_candidates:
+            # prune degenerated — rescore via the full pair stream instead
+            # of expanding each candidate by its endpoints' elements
+            cand.unpersist()
+            sims = self.all_similarity()
+        else:
+            sims = self.similarity_for_pairs(cand)
         if round_to is not None:
             sims = sims.withColumn("similarity_value",
                                    F.round("similarity_value", round_to))
