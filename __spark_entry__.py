@@ -166,12 +166,20 @@ def q_cosine_axis_x(spark, sf):
 
 
 def q_cosine_topk(spark, sf):
-    model = _supplier_model(spark, sf, sparse=False)
+    # persist: sims feeds both branches of the symmetrizing union, and
+    # normalized feeds the pair join + dense mods (see top_k docstring)
+    m = matrix_from_lineitem(spark, sf)
+    model = CosineAnalyser(axis="y").fit(
+        m, is_sparse=False, persist=True, pre_aggregated=True)
     return model.top_k(5, round_to=6)
 
 
 def q_cosine_predict(spark, sf):
-    model = _supplier_model(spark, sf, sparse=False)
+    # persist: normalized has three consumers here (pair join, contribution
+    # join, missing-cell anti-join); sims is cached inside top_k
+    m = matrix_from_lineitem(spark, sf)
+    model = CosineAnalyser(axis="y").fit(
+        m, is_sparse=False, persist=True, pre_aggregated=True)
     return (model.predict_missing(k=3, round_to=6)
             .withColumn("predicted_value", F.round("predicted_value", 6)))
 
