@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from casf_spark import schemas
 from casf_spark.functions import text as TX
 from casf_spark.functions import vectors as V
 from casf_spark.functions.hashing import md5_long, minhash_exprs
@@ -34,7 +35,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     At 100 TB this is a single hash-shuffle on a 32-char key; partial
     aggregation makes the map-side combine absorb most duplicates.
     """
-    return (
+    out = (
         df.select(F.col(id_col).cast("long").alias("doc_id"),
                   TX.fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -42,6 +43,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_dups"))
         .where(F.col("n_dups") >= 2)
     )
+    return schemas.conform(out, schemas.DUP_GROUP)
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -50,7 +52,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("doc_id"),
         TX.fingerprint(text_col).alias("fingerprint"))
     keep = ranked.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    return keep.select("doc_id", "fingerprint")
+    return schemas.conform(keep, schemas.DEDUP_KEEP)
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
@@ -103,7 +105,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     sz0 = sizes.select(F.col("doc").alias("doc0"), F.col("n_sh").alias("n0"))
     sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
-    return (
+    out = (
         inter.join(sz0, "doc0").join(sz1, "doc1")
         .select(
             "doc0", "doc1",
@@ -114,6 +116,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return schemas.conform(out, schemas.JACCARD_PAIR)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -160,12 +163,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
              F.col("bb.bucket").alias("bucket"))
     a = banded.select(F.col("doc").alias("doc0"), "band", "bucket")
     b = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
-    return (
+    out = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc0") > F.col("doc1"))
         .select("doc0", "doc1")
         .distinct()
     )
+    return schemas.conform(out, schemas.CANDIDATE_PAIR)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -230,7 +234,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     ham = cand.select(
         "doc0", "doc1",
         F.bit_count(F.col("h0").bitwiseXOR(F.col("h1"))).alias("hamming"))
-    return ham.where(F.col("hamming") <= max_hamming)
+    return schemas.conform(
+        ham.where(F.col("hamming") <= max_hamming), schemas.HAMMING_PAIR)
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
@@ -255,10 +260,11 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         V.l2_normalize(vec_col).alias("v"))
     a = normed.select(F.col("id").alias("id0"), F.col("v").alias("v0"))
     b = normed.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
-    return (
+    out = (
         a.crossJoin(b)
         .where(F.col("id0") > F.col("id1"))
         .select("id0", "id1",
                 F.round(V.dot(F.col("v0"), F.col("v1")), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+    return schemas.conform(out, schemas.COSINE_PAIR)

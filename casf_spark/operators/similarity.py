@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from casf_spark import schemas
 from casf_spark.functions import vectors as V
 
 #: hyperplane component range: H(plane:dim) % 2001 - 1000 -> [-1000, 1000]
@@ -71,8 +72,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
-                      .where(F.col("rank") <= k))
+        return schemas.conform(
+            scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k), schemas.ANN_TOPK)
 
     import numpy as np
 
@@ -111,8 +113,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                             "query_id long, neighbor_id long, cos_sim double"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (partial.withColumn("rank", F.row_number().over(w))
-                   .where(F.col("rank") <= k))
+    return schemas.conform(
+        partial.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k), schemas.ANN_TOPK)
 
 
 def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -150,8 +153,9 @@ def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 yield pd.DataFrame({"id0": bid[i], "id1": all_ids[j],
                                     "cos_sim": s[i, j]})
 
-    return (df.select(F.col(id_col).cast("long").alias("id"), vec_col)
-            .mapInPandas(pairs, "id0 long, id1 long, cos_sim double"))
+    out = (df.select(F.col(id_col).cast("long").alias("id"), vec_col)
+           .mapInPandas(pairs, "id0 long, id1 long, cos_sim double"))
+    return schemas.conform(out, schemas.COSINE_PAIR)
 
 
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
@@ -203,12 +207,13 @@ def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
     sig = hyperplane_signature(df, id_col, vec_col, num_planes, seed)
     a = sig.select(F.col("id").alias("id0"), F.col("v").alias("v0"), "bucket")
     b = sig.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("id0") > F.col("id1"))
         .select("id0", "id1",
                 F.round(V.cosine(F.col("v0"), F.col("v1")), 6).alias("cos_sim"))
     )
+    return schemas.conform(out, schemas.COSINE_PAIR)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -277,8 +282,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k))
+    return schemas.conform(
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k), schemas.ANN_TOPK)
 
 
 def lsh_topk(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -72,6 +72,76 @@ SIMILARITY_VALUE = T.StructType([
     T.StructField("similarity_value", T.DoubleType(), False),
 ])
 
+# ------------------------------------------------------------------------- #
+# Extension-operator output contracts (SURVEY.md §7 phases C-E — no
+# reference counterpart; these pin the public API of the dedup / ANN /
+# streaming operators the same way the entity classes pin the cosine core).
+# ------------------------------------------------------------------------- #
+
+# operators.dedup.exact_duplicates: one row per duplicate group
+DUP_GROUP = T.StructType([
+    T.StructField("fingerprint", T.StringType(), False),
+    T.StructField("keep_id", T.LongType(), False),
+    T.StructField("n_dups", T.LongType(), False),
+])
+
+# operators.dedup.dedup_exact: the surviving representative per fingerprint
+DEDUP_KEEP = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("fingerprint", T.StringType(), False),
+])
+
+# operators.dedup.ngram_jaccard_pairs
+JACCARD_PAIR = T.StructType([
+    T.StructField("doc0", T.LongType(), False),
+    T.StructField("doc1", T.LongType(), False),
+    T.StructField("jaccard", T.DoubleType(), False),
+])
+
+# operators.dedup.minhash_lsh_pairs (candidate pairs, canonical doc0 > doc1)
+CANDIDATE_PAIR = T.StructType([
+    T.StructField("doc0", T.LongType(), False),
+    T.StructField("doc1", T.LongType(), False),
+])
+
+# operators.dedup.simhash_pairs
+HAMMING_PAIR = T.StructType([
+    T.StructField("doc0", T.LongType(), False),
+    T.StructField("doc1", T.LongType(), False),
+    T.StructField("hamming", T.IntegerType(), False),
+])
+
+# operators.dedup.embedding_near_dups / similarity.gemm_near_dup_pairs /
+# similarity.lsh_candidates (canonical id0 > id1)
+COSINE_PAIR = T.StructType([
+    T.StructField("id0", T.LongType(), False),
+    T.StructField("id1", T.LongType(), False),
+    T.StructField("cos_sim", T.DoubleType(), False),
+])
+
+# operators.similarity.brute_force_topk / ivf_topk
+ANN_TOPK = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("neighbor_id", T.LongType(), False),
+    T.StructField("cos_sim", T.DoubleType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+])
+
+# streaming.events.tumbling_counts (and its batch twin)
+EVENT_WINDOW_COUNTS = T.StructType([
+    T.StructField("window_start", T.TimestampType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("n_events", T.LongType(), False),
+    T.StructField("sum_value", T.DoubleType(), False),
+])
+
+# streaming.events.sliding_counts (and its batch twin)
+EVENT_SLIDING_COUNTS = T.StructType([
+    T.StructField("window_start", T.TimestampType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("n_events", T.LongType(), False),
+])
+
 
 def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast ``df`` onto ``schema`` (name-matched, order enforced).

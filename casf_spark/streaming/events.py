@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from casf_spark import schemas
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
@@ -44,13 +46,15 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return (
+    out = (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
+    # conform works on streaming frames too (pure select/cast projection)
+    return schemas.conform(out, schemas.EVENT_WINDOW_COUNTS)
 
 
 def sliding_counts(events: DataFrame, window: str = "1 hour",
@@ -60,12 +64,13 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return (
+    out = (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events")
     )
+    return schemas.conform(out, schemas.EVENT_SLIDING_COUNTS)
 
 
 def write_stream_parquet(stream_df: DataFrame, path: str,
