@@ -419,6 +419,14 @@ def q_text_token_stats(spark, sf):
     return TX.token_stats(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_text_winnow(spark, sf):
+    """Winnowing fingerprints (rolling k-gram hash + window min) over the
+    full documents table — the local-overlap detector; see
+    functions.text.winnow_fingerprints."""
+    return TX.winnow_fingerprints(load_table(spark, sf, "documents"),
+                                  "doc_id", "text", k=5, w=4)
+
+
 def q_ann_ivf(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
@@ -680,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "text_token_stats": q_text_token_stats,
         # dedup suite (phase D)
         "dedup_exact": q_dedup_exact,
@@ -989,6 +998,23 @@ SELECT CAST(doc_id AS BIGINT) doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint,
        CAST(len({_TOKS}) AS BIGINT) n_tokens
 FROM documents""",
+        "text_winnow": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(len(toks) - 4),
+                                 i -> array_to_string(toks[i+1:i+5], ' '))
+             ELSE [] END grams FROM t),
+h AS (SELECT doc_id,
+        list_transform(grams,
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) hs
+      FROM g),
+m AS (SELECT doc_id,
+        CASE WHEN len(hs) >= 4
+             THEN list_transform(range(len(hs) - 3), j -> list_min(hs[j+1:j+4]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END mins FROM h)
+SELECT DISTINCT CAST(doc_id AS BIGINT) doc, unnest(mins) AS fp FROM m""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint

@@ -38,12 +38,29 @@ def main() -> None:
         sf = sf_label
     spark = get_spark("casf_bench")
 
-    # warm up JVM/codegen/parquet-footer caches so per-query numbers reflect
-    # steady state rather than first-query startup cost
-    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-
+    # Warm-up: run the whole suite once at sf0.001 (untimed). Generated
+    # whole-stage-codegen classes are keyed by plan shape, not data size, so
+    # this fills the codegen + JIT caches for every timed plan — the timed
+    # numbers then reflect steady-state throughput (what a long-running
+    # cluster job sees) instead of first-run JIT compilation, which
+    # dominated cold per-query times (e.g. 12.8s cold vs 1.7s steady for
+    # the dense top-k pipeline at sf0.1).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     qs = entrymod.queries()
+    if os.path.isdir(warm_dir):
+        for name, fn in qs.items():
+            try:
+                materialize(fn(spark, warm_dir))
+            except Exception:
+                pass
+        # Drop caches persisted by warm-up queries. Essential when warming at
+        # SF_DIR itself: CacheManager matches persisted plans structurally,
+        # so without this the timed pass would read the warm-up's cached
+        # data instead of computing — we want warm code, cold data.
+        spark.catalog.clearCache()
+    else:
+        warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

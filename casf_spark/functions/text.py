@@ -180,3 +180,60 @@ def fingerprint(col: Column | str) -> Column:
     Stable across engines (DuckDB md5 produces identical digests), unlike
     Spark's murmur3 ``hash``."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, w: int = 4,
+                        pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD'03): hash every token
+    k-gram, then keep the minimum hash of each sliding window of ``w``
+    consecutive k-gram hashes. Two documents sharing a run of >= k+w-1
+    tokens are *guaranteed* to share a fingerprint — the partial-overlap
+    detector exact dedup misses and whole-doc hashing can't see.
+
+    Everything runs inside array higher-order functions on one row — no
+    explode until the final distinct-fingerprint emission, so the per-doc
+    work never shuffles. Short docs (< k tokens) emit nothing; docs with
+    fewer than ``w`` k-grams emit their global min. Output: (doc, fp)
+    distinct, conforming to schemas.WINNOW_FP. Overlap candidates are then
+    one self equi-join on ``fp`` (same shape as the shingle join in
+    operators.dedup, but over the winnowed ~1/w subsample).
+    """
+    from pyspark.sql import Window
+
+    # One projection per stage so each expression evaluates once per row:
+    # referencing the raw ``tokens()`` expression inside an array lambda
+    # re-tokenizes the document per lambda element — O(len²) per doc
+    # (measured 28 s vs <1 s on 500 docs). Materializing ``toks`` as a
+    # column first keeps it a single evaluation (CollapseProject declines
+    # to re-inline a non-cheap alias referenced more than once).
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       tokens(text_col, pattern).alias("toks"))
+    grams = tok_df.select(
+        "doc",
+        F.when(
+            F.size("toks") >= k,
+            F.transform(F.sequence(F.lit(0), F.size("toks") - k),
+                        lambda i: F.array_join(F.slice("toks", i + 1, k), " ")),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"))
+    # one row per k-gram with its rolling 60-bit hash (md5-derived:
+    # DuckDB-reproducible), then the window min per sliding group of w
+    hashed = grams.select(
+        "doc", F.posexplode("grams").alias("pos", "gram")
+    ).select(
+        "doc", "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long").alias("h"))
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy("doc")
+    # keep only full windows (pos <= n-w); docs with fewer than w k-grams
+    # keep pos 0, whose "window" min degrades to the global min
+    out = (hashed
+           .withColumn("wmin", F.min("h").over(win))
+           .withColumn("n", F.count(F.lit(1)).over(whole))
+           .where(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+           .select("doc", F.col("wmin").alias("fp"))
+           .distinct())
+    from casf_spark import schemas
+    return schemas.conform(out, schemas.WINNOW_FP)

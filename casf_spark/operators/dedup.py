@@ -63,18 +63,23 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
     stays in codegen. ``distinct=False`` skips the per-(doc, shingle)
     dedup shuffle for consumers whose aggregate is duplicate-insensitive
     (MIN for MinHash).
+
+    The token array is materialized as a column BEFORE the sliding
+    transform: referencing the raw tokens() expression inside the lambda
+    re-tokenizes the text once per element — O(len²) per doc (measured
+    ~10x slower at sf0.1).
     """
-    toks = TX.tokens(text_col)
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
     # guard size < n: F.sequence(0, negative) would emit a descending range
     sh = F.when(
-        F.size(toks) >= n,
+        F.size("toks") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col).cast("long").alias("doc"),
-                    F.explode(sh).alias("shingle"))
+    out = tok_df.select("doc", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -127,6 +127,12 @@ ANN_TOPK = T.StructType([
     T.StructField("rank", T.IntegerType(), False),
 ])
 
+# functions.text.winnow_fingerprints: distinct winnowed k-gram hashes
+WINNOW_FP = T.StructType([
+    T.StructField("doc", T.LongType(), False),
+    T.StructField("fp", T.LongType(), False),
+])
+
 # streaming.events.tumbling_counts (and its batch twin)
 EVENT_WINDOW_COUNTS = T.StructType([
     T.StructField("window_start", T.TimestampType(), False),

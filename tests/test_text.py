@@ -98,3 +98,33 @@ def test_token_count(spark, docs):
     n = docs.where("doc_id = 1").select(
         TX.token_count("text").alias("n")).first().n
     assert n == 7
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee (Schleimer et al. SIGMOD'03): documents sharing
+    a run of >= k+w-1 tokens share at least one fingerprint; short docs
+    degrade gracefully."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    df = spark.createDataFrame(
+        [(1, f"intro words here {shared} tail one"),
+         (2, f"{shared} completely different ending text"),
+         (3, "nothing in common with the others at all whatsoever"),
+         (4, "tiny doc"),                       # < k tokens -> no fingerprints
+         (5, "exactly five tokens right here now")],  # k tokens, < w k-grams
+        "doc_id long, text string")
+    fp = TX.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "overlapping docs must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1  # global-min fallback below w k-grams
+    # self-join on fp is the candidate generator: doc pair (1,2) must appear
+    a = fp.select(F.col("doc").alias("d0"), "fp")
+    b = fp.select(F.col("doc").alias("d1"), "fp")
+    cand = (a.join(b, "fp").where(F.col("d0") > F.col("d1"))
+            .select("d0", "d1").distinct().collect())
+    assert (2, 1) in [tuple(r) for r in cand] or (1, 2) in [
+        tuple(r) for r in cand]
