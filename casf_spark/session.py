@@ -37,6 +37,15 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # InferFiltersFromGenerate adds `size(child) > 0 AND isnotnull(child)`
+        # below every explode/posexplode. With a non-trivial generator child
+        # (tokenize->slide->hash array expressions — our common case) the
+        # inferred filter INLINES that whole expression twice more per row;
+        # measured 8x slowdown on winnowing fingerprints at sf0.1. Generate
+        # with outer=false already skips empty/null arrays, so for this
+        # engine the rule only ever duplicates work.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
