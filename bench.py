@@ -61,26 +61,34 @@ def main() -> None:
     else:
         warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    # best-of-N per query (min = the standard noise-free estimator; single
+    # runs showed +-40% run-to-run variance on the heavy queries locally)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        try:
-            materialize(fn(spark, SF_DIR))
-            dt = round(time.time() - t0, 3)
-        except Exception as e:  # record failures without killing the run
-            dt = -1.0
-            print(f"# {name} FAILED: {e}", file=sys.stderr)
-        timings[name] = dt
-        if dt > 0:
-            total += dt
+        best = -1.0
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                materialize(fn(spark, SF_DIR))
+                dt = round(time.time() - t0, 3)
+            except Exception as e:  # record failures without killing the run
+                print(f"# {name} FAILED: {e}", file=sys.stderr)
+                break
+            best = dt if best < 0 else min(best, dt)
+            spark.catalog.clearCache()  # warm code, cold data (see above)
+        timings[name] = best
+        if best > 0:
+            total += best
 
     print(json.dumps({
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": runs,
         "sf": sf,
     }))
 
