@@ -419,6 +419,13 @@ def q_text_token_stats(spark, sf):
     return TX.token_stats(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_dedup_winnow(spark, sf):
+    """Local-overlap near-dups: pairs sharing >= 2 winnowing fingerprints
+    (guaranteed to catch any shared token run of >= k+w-1 = 8 tokens)."""
+    return DD.winnow_overlap_pairs(load_table(spark, sf, "documents"),
+                                   "doc_id", "text", k=5, w=4, min_shared=2)
+
+
 def q_text_winnow(spark, sf):
     """Winnowing fingerprints (rolling k-gram hash + window min) over the
     full documents table — the local-overlap detector; see
@@ -689,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
+        "dedup_winnow": q_dedup_winnow,
         "text_token_stats": q_text_token_stats,
         # dedup suite (phase D)
         "dedup_exact": q_dedup_exact,
@@ -1015,6 +1023,27 @@ m AS (SELECT doc_id,
              WHEN len(hs) > 0 THEN [list_min(hs)]
              ELSE [] END mins FROM h)
 SELECT DISTINCT CAST(doc_id AS BIGINT) doc, unnest(mins) AS fp FROM m""",
+        "dedup_winnow": f"""
+WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_transform(range(len(toks) - 4),
+                                 i -> array_to_string(toks[i+1:i+5], ' '))
+             ELSE [] END grams FROM t),
+h AS (SELECT doc_id,
+        list_transform(grams,
+                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) hs
+      FROM g),
+m AS (SELECT doc_id,
+        CASE WHEN len(hs) >= 4
+             THEN list_transform(range(len(hs) - 3), j -> list_min(hs[j+1:j+4]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END mins FROM h),
+fp AS (SELECT DISTINCT CAST(doc_id AS BIGINT) doc, unnest(mins) AS fp FROM m)
+SELECT a.doc AS doc0, b.doc AS doc1, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc > b.doc
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint

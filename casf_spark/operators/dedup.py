@@ -273,3 +273,31 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .where(F.col("cos_sim") >= threshold)
     )
     return schemas.conform(out, schemas.COSINE_PAIR)
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 5, w: int = 4,
+                         min_shared: int = 2) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints — the
+    local-overlap complement to MinHash (which measures whole-set overlap):
+    any two docs sharing a token run of >= k+w-1 are guaranteed to meet
+    here (functions.text.winnow_fingerprints), so plagiarism-style partial
+    copies surface even when global Jaccard is low.
+
+    Same join shape as the shingle self-join, but over the winnowed ~1/w
+    subsample of k-gram hashes — proportionally cheaper shuffle. Output
+    (doc0, doc1, n_shared) canonical doc0 > doc1, n_shared >= min_shared.
+    """
+    from casf_spark.functions.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fp.select(F.col("doc").alias("doc0"), "fp")
+    b = fp.select(F.col("doc").alias("doc1"), "fp")
+    out = (
+        a.join(b, "fp")
+        .where(F.col("doc0") > F.col("doc1"))
+        .groupBy("doc0", "doc1")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return schemas.conform(out, schemas.OVERLAP_PAIR)

@@ -127,6 +127,13 @@ ANN_TOPK = T.StructType([
     T.StructField("rank", T.IntegerType(), False),
 ])
 
+# operators.dedup.winnow_overlap_pairs: shared-fingerprint near-dups
+OVERLAP_PAIR = T.StructType([
+    T.StructField("doc0", T.LongType(), False),
+    T.StructField("doc1", T.LongType(), False),
+    T.StructField("n_shared", T.LongType(), False),
+])
+
 # functions.text.winnow_fingerprints: distinct winnowed k-gram hashes
 WINNOW_FP = T.StructType([
     T.StructField("doc", T.LongType(), False),

@@ -77,3 +77,22 @@ def test_shingles_short_doc_no_crash(spark):
                                "doc_id long, text string")
     out = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1)
     assert out.count() == 0
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a >= k+w-1 token run must pair; unrelated docs must
+    not. min_shared filters incidental single-fingerprint collisions."""
+    from casf_spark.operators.dedup import winnow_overlap_pairs
+
+    run = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+           "eiusmod tempor incididunt ut labore")
+    df = spark.createDataFrame(
+        [(1, f"prefix one {run} suffix alpha"),
+         (2, f"other opening {run} closing words"),
+         (3, "entirely disjoint content about completely different topics "
+             "nothing shared with any other document here")],
+        "doc_id long, text string")
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", k=5, w=4, min_shared=2)
+    rows = {(r.doc0, r.doc1) for r in pairs.collect()}
+    assert (2, 1) in rows
+    assert all(3 not in p for p in rows)
