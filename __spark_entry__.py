@@ -476,6 +476,13 @@ def q_ann_lsh(spark, sf):
                               num_planes=8, seed=42)
 
 
+def q_ann_lsh_multiprobe(spark, sf):
+    """3-table multi-probe LSH: per-table miss probability p compounds to
+    p^3, closing most of the recall gap to brute force (SCALE.md table)."""
+    return SIM.lsh_candidates_multiprobe(load_table(spark, sf, "embeddings"),
+                                         num_planes=8, seeds=(42, 43, 44))
+
+
 def q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents")
     return MM.payload_metadata(MM.with_payload(docs, "doc_id", "text"))
@@ -707,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (phase D)
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_mp": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,  # rows-only (seeded Spark-ML KMeans quantizer)
         # multimodal plumbing (phase D)
         "multimodal_meta": q_multimodal_meta,
@@ -1055,6 +1063,10 @@ GROUP BY 2""",
         "dedup_embedding": emb_pairs_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh": _lsh_oracle(),
+        "ann_lsh_mp": "SELECT DISTINCT * FROM (("
+                      + _lsh_oracle(seed=42) + ") UNION ("
+                      + _lsh_oracle(seed=43) + ") UNION ("
+                      + _lsh_oracle(seed=44) + "))",
         "multimodal_meta": """
 SELECT CAST(doc_id AS BIGINT) doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) n_bytes,

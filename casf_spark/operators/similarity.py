@@ -216,6 +216,28 @@ def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
     return schemas.conform(out, schemas.COSINE_PAIR)
 
 
+def lsh_candidates_multiprobe(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              num_planes: int = 8,
+                              seeds: tuple[int, ...] = (42, 43, 44)) -> DataFrame:
+    """Multi-probe LSH: union candidate pairs over several independent
+    hyperplane tables, dedup on the pair key.
+
+    Each extra table multiplies the bucketing cost (cheap: one signature
+    projection + one equi-join) but compounds recall — a pair missed with
+    probability p by one table is missed by t independent tables with
+    probability p^t. The cos_sim value is identical across tables, so a
+    plain distinct dedups without re-scoring. Measured at sf0.1 (SCALE.md):
+    1 table = the baseline recall, 3 tables close most of the gap to
+    brute force at ~3x the candidate volume.
+    """
+    out = None
+    for s in seeds:
+        c = lsh_candidates(df, id_col, vec_col, num_planes, s)
+        out = c if out is None else out.unionByName(c)
+    return schemas.conform(out.distinct(), schemas.COSINE_PAIR)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probes: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -46,3 +46,16 @@ def test_lsh_topk_rank_contract(spark, emb):
     res = SIM.lsh_topk(emb, k=3, num_planes=2).collect()
     for r in res:
         assert 1 <= r.rank <= 3
+
+
+def test_lsh_multiprobe_supersets_single_table(spark, emb):
+    from casf_spark.operators.similarity import (lsh_candidates,
+                                                 lsh_candidates_multiprobe)
+
+    single = {(r.id0, r.id1) for r in lsh_candidates(emb, seed=42).collect()}
+    multi = {(r.id0, r.id1) for r in
+             lsh_candidates_multiprobe(emb, seeds=(42, 43, 44)).collect()}
+    assert single <= multi  # each extra table only adds candidates
+    # dedup across tables: pair keys are unique
+    rows = lsh_candidates_multiprobe(emb, seeds=(42, 43)).collect()
+    assert len(rows) == len({(r.id0, r.id1) for r in rows})
