@@ -45,25 +45,35 @@ def tokens(col: Column | str, pattern: str = TOKEN_SPLIT_PATTERN) -> Column:
 
 
 def tokenize(df: DataFrame, id_col: str, text_col: str,
-             pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
-    """Explode documents to (id, pos, word) — one row per token occurrence."""
+             pattern: str = TOKEN_SPLIT_PATTERN,
+             tokenizer=None) -> DataFrame:
+    """Explode documents to (id, pos, word) — one row per token occurrence.
+
+    ``tokenizer`` is the pluggable seam (Column -> Column(array<string>)):
+    pass :func:`cjk_tokens` for mixed CJK text or :func:`jieba_tokenizer`'s
+    result for dictionary segmentation; default is the regex tokenizer.
+    """
+    tok = (tokenizer(F.col(text_col)) if tokenizer is not None
+           else tokens(text_col, pattern))
     return df.select(
         F.col(id_col).cast("string").alias("doc"),
-        F.posexplode(tokens(text_col, pattern)).alias("pos", "word"),
+        F.posexplode(tok).alias("pos", "word"),
     )
 
 
 def term_counts(df: DataFrame, id_col: str, text_col: str,
                 stopwords: Sequence[str] | DataFrame | None = DEFAULT_STOPWORDS,
-                pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+                pattern: str = TOKEN_SPLIT_PATTERN,
+                tokenizer=None) -> DataFrame:
     """Term-frequency COO matrix (y=doc, x=word, value=count) feeding
     CosineAnalyser — the KWD pipeline (tokenize -> stop-filter -> A5 count).
 
     ``stopwords`` may be a literal list (compiled to an IN predicate) or a
     one-column DataFrame (broadcast anti-join — replaces the reference's
-    driver-side collectAsList, KWD:43).
+    driver-side collectAsList, KWD:43). ``tokenizer`` plugs a custom
+    Column->Column tokenizer through to :func:`tokenize`.
     """
-    toks = tokenize(df, id_col, text_col, pattern)
+    toks = tokenize(df, id_col, text_col, pattern, tokenizer)
     if isinstance(stopwords, DataFrame):
         sw = stopwords.select(F.col(stopwords.columns[0]).alias("word"))
         toks = toks.join(F.broadcast(sw), "word", "left_anti")
@@ -78,6 +88,66 @@ def term_counts(df: DataFrame, id_col: str, text_col: str,
 def token_count(col: Column | str, pattern: str = TOKEN_SPLIT_PATTERN) -> Column:
     """Number of tokens in a text column."""
     return F.size(tokens(col, pattern))
+
+
+#: CJK codepoint ranges: Han unified, hiragana/katakana, hangul syllables.
+CJK_RUN_PATTERN = ("[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]+")
+
+
+def cjk_tokens(col: Column | str) -> Column:
+    """Tokenizer for mixed CJK/latin text: latin/digit word tokens plus
+    **character bigrams** of each CJK run — the standard dictionary-free IR
+    fallback for unsegmented scripts (CJK has no word whitespace, so the
+    default regex tokenizer drops those chars entirely).
+
+    Parity note: the reference demo segments Chinese with the ansj library
+    inside a flatMap (KeyWordsDemo.scala:47-58). A dictionary segmenter is
+    pluggable here via ``jieba_tokenizer()`` (pandas_udf, needs jieba
+    installed); this bigram form is the deterministic, JVM-only default —
+    bigram term vectors are the classic approximation for CJK cosine
+    similarity. Single-char runs are kept whole.
+
+    All Column expressions: regexp run extraction + per-run sliding
+    substrings via transform (no Python, no shuffle).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    latin = tokens(c)
+    runs = F.regexp_extract_all(c, F.lit(CJK_RUN_PATTERN), F.lit(0))
+    bigrams = F.flatten(F.transform(
+        runs,
+        lambda r: F.when(
+            F.length(r) >= 2,
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1),
+                        lambda i: F.substring(r, i, 2)),
+        ).otherwise(F.array(r))))
+    return F.concat(latin, bigrams)
+
+
+def jieba_tokenizer(user_dict: str | None = None):
+    """Dictionary-based Chinese segmentation as an Arrow-batched pandas_udf
+    (Column -> Column(array<string>)) — the direct replacement for the
+    reference's ansj flatMap when the ``jieba`` package is installed.
+
+    Raises ImportError with guidance when jieba is absent (this container
+    does not ship it); callers fall back to :func:`cjk_tokens`.
+    """
+    try:
+        import jieba
+    except ImportError as e:
+        raise ImportError(
+            "jieba is not installed; use cjk_tokens() (character bigrams) "
+            "or pip-install jieba in your cluster image") from e
+    if user_dict:
+        jieba.load_userdict(user_dict)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def segment(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [w for w in jieba.lcut(t or "")
+                                    if w.strip()])
+
+    return segment
 
 
 #: BPE-ish pre-tokenizer pattern (GPT-2-style splitter, lowercased form):

@@ -128,3 +128,46 @@ def test_winnow_fingerprints(spark):
             .select("d0", "d1").distinct().collect())
     assert (2, 1) in [tuple(r) for r in cand] or (1, 2) in [
         tuple(r) for r in cand]
+
+
+def test_cjk_tokens_and_cosine(spark):
+    """CJK seam (reference KeyWordsDemo parity: Chinese corpus): character
+    bigrams give a usable term matrix where the regex tokenizer sees
+    nothing; near-identical sentences must out-score unrelated ones."""
+    from casf_spark import CosineAnalyser
+
+    df = spark.createDataFrame(
+        [(1, "今天天气很好我们去公园散步"),
+         (2, "今天天气很好我们去海边散步"),
+         (3, "机器学习模型需要大量训练数据"),
+         (4, "mixed 文本 with latin words")],
+        "doc_id long, text string")
+    # default regex tokenizer drops CJK entirely
+    assert TX.term_counts(df.where("doc_id = 1"), "doc_id", "text",
+                          stopwords=None).count() == 0
+    toks = df.select(TX.cjk_tokens("text").alias("t")).collect()
+    assert "今天" in toks[0].t and "天天" in toks[0].t  # sliding bigrams
+    assert "mixed" in toks[3].t and "文本" in toks[3].t  # latin + CJK mix
+    m = TX.term_counts(df, "doc_id", "text", stopwords=None,
+                       tokenizer=TX.cjk_tokens)
+    sims = {(r.vector0, r.vector1): r.similarity_value
+            for r in CosineAnalyser(axis="y").fit(m, is_sparse=False)
+            .all_similarity().collect()}
+    assert sims[("2", "1")] > 0.6          # one-char edit: highly similar
+    assert sims[("3", "1")] < sims[("2", "1")]
+    assert sims[("3", "1")] < 0.2          # unrelated topic
+
+
+def test_jieba_tokenizer_gated(spark):
+    """Without jieba installed, the factory must raise an actionable
+    ImportError (cjk_tokens is the documented fallback)."""
+    try:
+        import jieba  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="jieba"):
+            TX.jieba_tokenizer()
+    else:
+        seg = TX.jieba_tokenizer()
+        df = spark.createDataFrame([(1, "今天天气很好",)],
+                                   "doc_id long, text string")
+        assert df.select(seg(F.col("text"))).first()[0]
