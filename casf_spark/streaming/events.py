@@ -100,3 +100,47 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     q = (stream_df.writeStream.format("memory").queryName(query_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_sec)
+
+
+def write_stream_upsert(stream_df: DataFrame, path: str, checkpoint: str,
+                        key_cols: list[str], timeout_sec: int = 120) -> None:
+    """MERGE-style keyed upsert sink via foreachBatch: each micro-batch's
+    rows replace the stored rows with the same key (last write wins), so an
+    update-mode streaming aggregation materializes to exactly its batch-twin
+    result.
+
+    Storage is a snapshot directory (``path/current``) swapped atomically by
+    rename per batch — correct and idempotent on batch replay (re-merging
+    the same batch reproduces the same snapshot, the checkpointed batch id
+    guarantees ordering). This is the demo-grade stand-in for a table
+    format's MERGE INTO; on object stores use Delta/Iceberg with the
+    identical foreachBatch body.
+    """
+    import os
+    import shutil
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = os.path.join(path, "current")
+        batch = batch_df.dropDuplicates(key_cols)
+        if os.path.exists(cur):
+            existing = spark.read.parquet(cur)
+            keep = existing.join(batch.select(*key_cols).distinct(),
+                                 key_cols, "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        tmp = os.path.join(path, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f"_retired_{batch_id}")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(tmp, cur)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from casf_spark.sources import load_table
 from casf_spark.streaming import events as EV
 
@@ -34,3 +36,26 @@ def test_sliding_each_event_in_two_windows(spark, sf_dir):
     sliding = EV.sliding_counts(ev, "1 hour", "30 minutes")
     total = sum(r.n_events for r in sliding.collect())
     assert total == 2 * n_events
+
+
+def test_upsert_sink_matches_batch_twin(spark, tmp_path):
+    """Update-mode tumbling counts upserted by window key must equal the
+    batch aggregation over the same input — the exactly-once MERGE story."""
+    from casf_spark.streaming.events import (read_events_stream,
+                                             tumbling_counts,
+                                             write_stream_upsert)
+
+    sf = "/root/testdata/sf0.001"
+    stream = tumbling_counts(read_events_stream(spark, sf), "1 hour")
+    out = tmp_path / "upsert"
+    write_stream_upsert(
+        stream.withColumn("window_start",
+                          F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")),
+        str(out), str(tmp_path / "ckpt"),
+        key_cols=["window_start", "event_type"])
+    got = spark.read.parquet(str(out / "current"))
+    from casf_spark.sources.tables import load_table
+    want = tumbling_counts(load_table(spark, sf, "events"), "1 hour") \
+        .withColumn("window_start",
+                    F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
