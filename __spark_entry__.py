@@ -454,6 +454,16 @@ def q_dedup_minhash(spark, sf):
                                 "doc_id", "text", n=2, num_hashes=12, bands=4)
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clusters: MinHash candidate pairs -> connected
+    components (distributed min-label propagation with pointer jumping).
+    cluster_id = min doc_id of the component."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+    return DD.connected_components(pairs)
+
+
 def q_dedup_simhash(spark, sf):
     return (DD.simhash_pairs(load_table(spark, sf, "documents"),
                              "doc_id", "text", bits=32, max_hamming=3)
@@ -535,6 +545,24 @@ mh_cand AS (
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_cte()}\nSELECT doc0, doc1 FROM mh_cand"
+
+
+def _clusters_oracle() -> str:
+    """Connected components over the MinHash candidate pairs as a recursive
+    transitive-closure CTE (min reachable id per node) — tractable at oracle
+    scale because closure size is bounded by the per-component size^2."""
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+  UNION ALL
+  SELECT doc1, doc0 FROM mh_cand),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+"""
 
 
 def _doc_cosine_lsh_oracle() -> str:
@@ -709,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         # similarity search (phase D)
@@ -1059,6 +1088,7 @@ FROM documents
 GROUP BY 2""",
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash": _minhash_oracle(),
+        "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": emb_pairs_sql,
         "ann_topk": ann_topk_sql,

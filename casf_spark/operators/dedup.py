@@ -275,6 +275,84 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     return schemas.conform(out, schemas.COSINE_PAIR)
 
 
+def connected_components(pairs: DataFrame, id0: str = "doc0",
+                         id1: str = "doc1", max_iter: int = 25) -> DataFrame:
+    """Cluster near-duplicate pairs into connected components — the step
+    that turns any pair generator above (MinHash, SimHash, Jaccard, winnow)
+    into dedup *groups*: transitively, A~B and B~C puts A, B, C in one
+    cluster even if A and C never met as a pair.
+
+    Distributed min-label propagation with pointer jumping: every node
+    starts labeled with its own id; each round takes the min over (its
+    label, its neighbors' labels, its label's label). The pointer-jumping
+    term makes convergence O(log diameter) rounds instead of O(diameter) —
+    each round is two shuffle joins + one aggregation, all DataFrame ops
+    (the large-star/small-star family of Kiveris et al., SoCC'14, simplified
+    to label maps since near-dup graphs have tiny components). The driver
+    only evaluates a has-any-row convergence probe per round; all real work
+    is executor-side.
+
+    Output: (doc_id, cluster_id) for every doc appearing in ``pairs``,
+    where cluster_id = min doc_id of its component. Docs with no pairs are
+    absent (they are their own singleton cluster by definition).
+    """
+    e = pairs.select(F.col(id0).cast("long").alias("src"),
+                     F.col(id1).cast("long").alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")).persist())
+    labels.count()  # materialize before the loop rewrites the lineage
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("dst"),
+                                     F.col("label").alias("nl")), "dst")
+            .groupBy("src").agg(F.min("nl").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        hop = prop.select(F.col("node").alias("pnode"),
+                          F.col("label").alias("plabel"))
+        jumped = (
+            prop.join(hop, prop["label"] == hop["pnode"], "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("plabel", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("cluster_id"))
+    return schemas.conform(out, schemas.CLUSTER_MEMBER)
+
+
+def dedup_keep_representatives(df: DataFrame, id_col: str,
+                               clusters: DataFrame) -> DataFrame:
+    """Final dedup decision from a cluster map: keep the min-id member of
+    every cluster plus all documents that never appeared in a pair.
+
+    One broadcast-size left-anti join at cluster scale (the cluster map is
+    ~duplicate docs only, a small fraction of the corpus at 100 TB).
+    """
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+                   .select("doc_id")
+    return df.join(drop, df[id_col].cast("long") == drop["doc_id"],
+                   "left_anti")
+
+
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                          k: int = 5, w: int = 4,
                          min_shared: int = 2) -> DataFrame:

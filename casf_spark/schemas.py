@@ -134,6 +134,12 @@ OVERLAP_PAIR = T.StructType([
     T.StructField("n_shared", T.LongType(), False),
 ])
 
+# operators.dedup.connected_components: near-dup cluster membership
+CLUSTER_MEMBER = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("cluster_id", T.LongType(), False),
+])
+
 # functions.text.winnow_fingerprints: distinct winnowed k-gram hashes
 WINNOW_FP = T.StructType([
     T.StructField("doc", T.LongType(), False),

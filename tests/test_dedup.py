@@ -96,3 +96,27 @@ def test_winnow_overlap_pairs(spark):
     rows = {(r.doc0, r.doc1) for r in pairs.collect()}
     assert (2, 1) in rows
     assert all(3 not in p for p in rows)
+
+
+def test_connected_components_transitivity(spark):
+    """A~B, B~C (A and C never paired) must land in one cluster; a chain
+    long enough to require pointer jumping must still converge; disjoint
+    pairs stay separate."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3} via chain, component {10,11}, chain {20..25}
+        [(2, 1), (3, 2), (11, 10)] + [(i + 1, i) for i in range(20, 25)],
+        "doc0 long, doc1 long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in DD.connected_components(pairs).collect()}
+    assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} <= got
+    assert {(i, 20) for i in range(20, 26)} <= got
+    assert len(got) == 11
+
+
+def test_dedup_keep_representatives(spark, dup_docs):
+    pairs = DD.minhash_lsh_pairs(dup_docs, "doc_id", "text")
+    cc = DD.connected_components(pairs)
+    kept = DD.dedup_keep_representatives(dup_docs, "doc_id", cc)
+    ids = {r.doc_id for r in kept.collect()}
+    # 1,2,5 are exact/near dups -> keep 1; 3 may or may not pair with them
+    assert 1 in ids and 2 not in ids and 5 not in ids and 4 in ids
