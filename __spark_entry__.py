@@ -23,6 +23,7 @@ from casf_spark.functions.hashing import MIX_PRIME, minhash_sql_exprs
 from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.multimodal import binary as MM
 from casf_spark.operators import dedup as DD
+from casf_spark.operators.joins import asof_join
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -323,6 +324,24 @@ def q_events_json(spark, sf):
             .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
                  .alias("sum_k"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def q_events_asof(spark, sf):
+    """Purchase attribution via as-of join: each purchase event matched to
+    the same user's most recent click at-or-before it (operators.joins.
+    asof_join — one shuffle on user_id, no inequality-join explosion).
+    Output keeps only attributed purchases; gap rounded to whole seconds."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("val"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts", "backward")
+    return (out.where(F.col("r_click_id").isNotNull())
+            .select("event_id", "user_id", "val",
+                    F.col("r_click_id").alias("click_id"),
+                    F.floor(F.unix_timestamp("ts")
+                            - F.unix_timestamp("r_ts")).alias("gap_sec")))
 
 
 def q_events_rollup(spark, sf):
@@ -719,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        "events_asof": q_events_asof,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
@@ -978,6 +998,19 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
        CAST(COUNT(*) AS BIGINT) n
 FROM events GROUP BY event_type""",
+        "events_asof": """
+WITH ranked AS (
+  SELECT p.event_id, p.user_id, ROUND(p.value, 6) val,
+         c.event_id AS click_id,
+         date_diff('second', c.ts, p.ts) AS gap_sec,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) rn
+  FROM events p
+  JOIN events c ON p.user_id = c.user_id AND c.ts <= p.ts
+                AND c.event_type = 'click'
+  WHERE p.event_type = 'purchase')
+SELECT event_id, user_id, val, click_id, CAST(gap_sec AS BIGINT) gap_sec
+FROM ranked WHERE rn = 1""",
         "events_rollup": """
 SELECT COALESCE(event_type, 'ALL') event_type,
        COALESCE(event_day, 'ALL') event_day,

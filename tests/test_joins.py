@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from casf_spark.operators.joins import asof_join
+
+
+def _t(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def _fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(20)), (3, 2, _t(5)), (4, 3, _t(9))],
+        "pid long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 1, _t(8)), (101, 1, _t(10)), (102, 1, _t(15)), (103, 2, _t(7))],
+        "cid long, user long, ts timestamp")
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _fixtures(spark)
+    got = {r.pid: r.r_cid
+           for r in asof_join(left, right, ["user"]).collect()}
+    # pid=1: cid 101 shares ts (<= is inclusive); pid=2: most recent is 102;
+    # pid=3: only click for user 2 is later -> null; pid=4: no user-3 rows
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_asof_forward(spark):
+    left, right = _fixtures(spark)
+    got = {r.pid: r.r_cid
+           for r in asof_join(left, right, ["user"],
+                              direction="forward").collect()}
+    assert got == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_asof_tie_breaks_to_max_payload(spark):
+    left = spark.createDataFrame([(1, 1, _t(10))],
+                                 "pid long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, 1, _t(4)), (9, 1, _t(4)), (8, 1, _t(4))],
+        "cid long, user long, ts timestamp")
+    row = asof_join(left, right, ["user"]).collect()[0]
+    assert row.r_cid == 9  # equal ts -> deterministic max-payload winner
+
+
+def test_asof_preserves_all_left_columns(spark):
+    left, right = _fixtures(spark)
+    out = asof_join(left, right, ["user"], right_prefix="click_")
+    assert out.columns == ["pid", "user", "ts", "click_cid", "click_ts"]
+    assert out.count() == left.count()  # left-join semantics
