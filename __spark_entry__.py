@@ -24,6 +24,7 @@ from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.multimodal import binary as MM
 from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join
+from casf_spark.operators import sampling as SP
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -459,6 +460,43 @@ def q_ann_ivf(spark, sf):
     return SIM.ivf_topk(emb, queries_df, k=10, n_centroids=8, n_probes=2)
 
 
+def q_text_split(spark, sf):
+    """Deterministic train/val/test assignment by doc_id hash — stable
+    under re-runs, corpus growth, and engine (md5-derived fraction)."""
+    docs = load_table(spark, sf, "documents")
+    return SP.assign_splits(
+        docs.select("doc_id"), F.col("doc_id").cast("string"))
+
+
+def q_text_line_dedup(spark, sf):
+    """C4-style cross-document duplicate-line removal at corpus scale:
+    documents re-chunked into 10-token pseudo-lines (the corpus is
+    single-line), each distinct line kept only at its first (doc, pos)
+    occurrence, documents rebuilt from surviving lines."""
+    docs = load_table(spark, sf, "documents")
+    tok_df = docs.select(F.col("doc_id").cast("long").alias("doc"),
+                         TX.tokens("text").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    chunk_arr = F.when(
+        F.size("toks") > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * 10 + 1, 10), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = tok_df.select(
+        "doc", F.posexplode(chunk_arr).alias("pos", "line"))
+    kept = DD.line_dedup_keep(lines)
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                       lambda s: s["line"]),
+                   "\n").alias("text")))
+    ids = tok_df.select("doc")
+    return (ids.join(rebuilt, "doc", "left")
+            .select("doc", F.coalesce("text", F.lit("")).alias("text")))
+
+
 def q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -753,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_dedup_winnow,
         "text_token_stats": q_text_token_stats,
+        "text_split": q_text_split,
+        "text_line_dedup": q_text_line_dedup,
         # dedup suite (phase D)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1076,6 +1116,36 @@ SELECT CAST(doc_id AS BIGINT) doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint,
        CAST(len({_TOKS}) AS BIGINT) n_tokens
 FROM documents""",
+        "text_split": """
+SELECT doc_id,
+       CASE WHEN frac < 0.98 THEN 'train'
+            WHEN frac < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) >> 30) / 1073741824.0 AS frac
+      FROM documents)""",
+        "text_line_dedup": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
+lins AS (
+  SELECT doc,
+         list_transform(range(CAST(ceil(len(a) / 10.0) AS BIGINT)),
+                        i -> array_to_string(
+                               list_slice(a, i*10 + 1, i*10 + 10), ' ')) ls
+  FROM t WHERE len(a) > 0),
+chunks AS (
+  SELECT doc, CAST(generate_subscripts(ls, 1) - 1 AS INT) pos,
+         unnest(ls) line
+  FROM lins),
+firsts AS (
+  SELECT doc, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc, pos) rn
+  FROM chunks),
+rebuilt AS (
+  SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM firsts WHERE rn = 1 GROUP BY doc)
+SELECT t.doc, COALESCE(r.text, '') AS text
+FROM t LEFT JOIN rebuilt r ON t.doc = r.doc""",
         "text_winnow": f"""
 WITH t AS (SELECT doc_id, {_TOKS} toks FROM documents),
 g AS (SELECT doc_id,

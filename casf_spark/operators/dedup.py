@@ -275,6 +275,50 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     return schemas.conform(out, schemas.COSINE_PAIR)
 
 
+def line_dedup_keep(lines: DataFrame) -> DataFrame:
+    """Cross-document line-level dedup core (the C4/RefinedWeb "remove
+    repeated lines" pass): given (doc, pos, line) rows, keep each distinct
+    line's FIRST occurrence only — min (doc, pos) lexicographically.
+
+    One shuffle on the line hash for the argmin, one semi-join back. The
+    arg-min is a struct MIN — map-side partial aggregation absorbs the
+    duplicate mass (boilerplate lines collapse before the exchange), so the
+    shuffle carries ~distinct lines, not all lines.
+    """
+    hashed = lines.withColumn("lh", md5_long("line"))
+    first = (hashed.groupBy("lh")
+             .agg(F.min(F.struct("doc", "pos")).alias("f"))
+             .select("lh", F.col("f.doc").alias("doc"),
+                     F.col("f.pos").alias("pos")))
+    return (hashed.join(first, ["lh", "doc", "pos"], "left_semi")
+            .select("doc", "pos", "line"))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               delim: str = "\n") -> DataFrame:
+    """Document-level wrapper: split text on ``delim``, drop every line
+    that already occurred in an earlier document (or earlier in the same
+    document), and rebuild each document from its surviving lines in
+    order. Documents whose lines are all removed survive with empty text.
+    Output: (doc, text).
+    """
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1))
+        .alias("pos", "line"))
+    kept = line_dedup_keep(lines)
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                       lambda s: s["line"]),
+                   delim).alias("text")))
+    ids = df.select(F.col(id_col).cast("long").alias("doc"))
+    out = (ids.join(rebuilt, "doc", "left")
+           .select("doc", F.coalesce("text", F.lit("")).alias("text")))
+    return out
+
+
 def connected_components(pairs: DataFrame, id0: str = "doc0",
                          id1: str = "doc1", max_iter: int = 25) -> DataFrame:
     """Cluster near-duplicate pairs into connected components — the step

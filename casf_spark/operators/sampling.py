@@ -1,0 +1,69 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+Random ``df.sample`` is non-reproducible across runs, partitionings and
+engines. Pipelines at 100 TB need splits that are (a) stable under re-runs
+and input reshuffles, (b) consistent for the same key everywhere (a doc
+lands in `train` in every job that ever looks at it), and (c) cheap — a
+narrow projection, no shuffle, no state. Hash-based assignment gives all
+three: split(key) = f(md5(key)) is a pure Column expression, engine-equal
+in DuckDB (functions.hashing.md5_long), and Catalyst pushes it into the
+scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from casf_spark.functions.hashing import HASH_BITS, md5_long
+
+#: denominator for hash -> [0,1) mapping; top 30 of the 60 md5 bits (keeps
+#: the DuckDB twin in exact integer arithmetic)
+_BUCKETS = 1 << 30
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """Uniform [0, 1) fraction derived from a key column — the primitive
+    under sampling and splitting. DuckDB twin:
+    ``(CAST('0x'||substr(md5(k),1,15) AS BIGINT) >> 30) / 1073741824.0``.
+    """
+    return (F.shiftright(md5_long(key), HASH_BITS - 30) / F.lit(float(_BUCKETS)))
+
+
+def deterministic_sample(df: DataFrame, key: Column | str,
+                         fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — same rows every run,
+    every engine, any partitioning. A narrow filter: pushes to the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(hash_fraction(key) < fraction)
+
+
+def assign_splits(df: DataFrame, key: Column | str,
+                  splits: Sequence[tuple[str, float]] = (
+                      ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                  out_col: str = "split") -> DataFrame:
+    """Label every row with a deterministic split by cumulative hash range.
+
+    ``splits`` are (name, weight) with weights summing to 1.0 (validated).
+    The assignment depends only on the key — adding/removing other rows
+    never moves a document between splits (critical for eval hygiene:
+    test-set membership survives corpus growth).
+    """
+    weights = [w for _, w in splits]
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {sum(weights)}")
+    frac = hash_fraction(key)
+    expr: Column | None = None
+    cumulative = 0.0
+    # build WHEN frac < cum ordered by range; last split is the ELSE branch
+    for name, w in splits[:-1]:
+        cumulative += w
+        cond = frac < F.lit(cumulative)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from casf_spark.operators import sampling as SP
+from casf_spark.operators.dedup import line_dedup
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.createDataFrame([(i, f"k{i}") for i in range(2000)],
+                                 "id long, key string")
+
+
+def test_deterministic_sample_stable_and_unbiased(keyed):
+    a = SP.deterministic_sample(keyed, "key", 0.25)
+    n1, n2 = a.count(), SP.deterministic_sample(keyed, "key", 0.25).count()
+    assert n1 == n2  # rerun-stable
+    assert 0.18 < n1 / 2000 < 0.32  # ~fraction
+    # monotone: smaller fraction selects a subset of the larger one
+    small = {r.id for r in SP.deterministic_sample(keyed, "key", 0.1).collect()}
+    big = {r.id for r in a.collect()}
+    assert small <= big
+
+
+def test_assign_splits_partition_and_weights(keyed):
+    out = SP.assign_splits(keyed, "key",
+                           [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1400
+    # growing the corpus never reassigns an existing key
+    sub = SP.assign_splits(keyed.where(F.col("id") < 100), "key",
+                           [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    full = {r.key: r.split for r in out.collect()}
+    assert all(full[r.key] == r.split for r in sub.collect())
+
+
+def test_assign_splits_validates_weights(keyed):
+    with pytest.raises(ValueError):
+        SP.assign_splits(keyed, "key", [("a", 0.5), ("b", 0.6)])
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared line\nbeta"),
+         (2, "shared line\ngamma\nshared line"),
+         (3, "delta")],
+        "doc_id long, text string")
+    got = {r.doc: r.text for r in line_dedup(df, "doc_id", "text").collect()}
+    assert got[1] == "alpha\nshared line\nbeta"
+    assert got[2] == "gamma"          # both copies of the shared line drop
+    assert got[3] == "delta"
+
+
+def test_line_dedup_fully_duplicated_doc_survives_empty(spark):
+    df = spark.createDataFrame([(1, "only line"), (2, "only line")],
+                               "doc_id long, text string")
+    got = {r.doc: r.text for r in line_dedup(df, "doc_id", "text").collect()}
+    assert got == {1: "only line", 2: ""}
