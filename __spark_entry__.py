@@ -23,7 +23,7 @@ from casf_spark.functions.hashing import MIX_PRIME, minhash_sql_exprs
 from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.multimodal import binary as MM
 from casf_spark.operators import dedup as DD
-from casf_spark.operators.joins import asof_join
+from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
@@ -325,6 +325,36 @@ def q_events_json(spark, sf):
             .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
                  .alias("sum_k"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def q_events_interval(spark, sf):
+    """Range/interval join: error events matched into the +/-60s-expanded
+    session windows of the same user (operators.joins.interval_join —
+    bucketized equi-join, no inequality-join cartesian). Expansion makes
+    boundary events match adjacent sessions, so the join is a real
+    containment test, not a partition lookup."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(F.col("user_id").alias("s_user"), "sid")
+        .agg((F.unix_timestamp(F.min("ts")) - 60).alias("s_begin"),
+             (F.unix_timestamp(F.max("ts")) + 60).alias("s_close")))
+    sessions = sessions.select(
+        "s_user", "sid",
+        F.timestamp_seconds("s_begin").alias("s_begin"),
+        F.timestamp_seconds("s_close").alias("s_close"))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("event_id", F.col("user_id").alias("s_user"), "ts"))
+    out = interval_join(errors, sessions, ["s_user"], "ts",
+                        "s_begin", "s_close", bucket_seconds=1800)
+    return out.select(
+        "event_id", F.col("s_user").alias("user_id"), "sid",
+        F.unix_timestamp("s_begin").alias("s_begin_epoch"))
 
 
 def q_events_asof(spark, sf):
@@ -777,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
@@ -1038,6 +1069,29 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
        CAST(COUNT(*) AS BIGINT) n
 FROM events GROUP BY event_type""",
+        "events_interval": """
+WITH marks AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tagged AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) sid
+  FROM marks),
+sessions AS (
+  SELECT user_id AS s_user, CAST(sid AS BIGINT) sid,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) - 60 AS s_begin,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) + 60 AS s_close
+  FROM tagged GROUP BY 1, 2),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, s.sid, s.s_begin AS s_begin_epoch
+FROM errors e JOIN sessions s
+  ON e.user_id = s.s_user
+ AND epoch(e.ts) >= s.s_begin AND epoch(e.ts) <= s.s_close""",
         "events_asof": """
 WITH ranked AS (
   SELECT p.event_id, p.user_id, ROUND(p.value, 6) val,

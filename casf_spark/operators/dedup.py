@@ -345,9 +345,13 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
     edges = (e.union(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst")))
              .distinct().persist())
+    # localCheckpoint (not persist): each round must TRUNCATE lineage, or
+    # the logical plan doubles per iteration and the driver OOMs just
+    # stringifying it (hit at sf0.1). On a cluster, swap for reliable
+    # checkpoints (spark.sparkContext.setCheckpointDir) for fault tolerance.
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label")).persist())
-    labels.count()  # materialize before the loop rewrites the lineage
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("node").alias("dst"),
@@ -367,13 +371,12 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
             .select("node",
                     F.least(F.col("label"),
                             F.coalesce("plabel", "label")).alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             jumped.join(labels.withColumnRenamed("label", "old"), "node")
             .where(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break

@@ -7,6 +7,9 @@ joins anywhere — §2.9). These are pipeline extensions, built shuffle-first:
   temporal-join semantics): for each left row, the single right row with
   the greatest right_ts <= left_ts (backward) or smallest >= (forward)
   within the same key group.
+* interval join — points matched into [start, end] ranges (Flink interval
+  join / Spark range-join semantics) via bucketized equi-join instead of
+  an inequality join.
 
 A naive implementation is an inequality join (``l.key = r.key AND r.ts <=
 l.ts``) + argmax — Catalyst executes that as a broadcast-nested-loop or a
@@ -90,3 +93,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     return (u.withColumn("__m", match)
              .where(F.col("__is_left") == 1)
              .select(*out_cols))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  on: Sequence[str], point_ts: str = "ts",
+                  start_col: str = "start", end_col: str = "end",
+                  bucket_seconds: int = 3600) -> DataFrame:
+    """Inner-join point rows into every interval row whose inclusive
+    [start_col, end_col] range contains the point's timestamp, matching
+    equality keys ``on`` first.
+
+    Catalyst plans a raw ``p.ts BETWEEN i.start AND i.end`` predicate as a
+    broadcast-nested-loop (or worse, per-key cartesian) — O(|points| x
+    |intervals|) comparisons. This instead discretizes time into
+    ``bucket_seconds`` buckets: each interval explodes into the buckets it
+    covers, each point maps to one bucket, and the match becomes a plain
+    equi-join on (keys..., bucket) + an exact containment filter — one
+    hash shuffle, comparisons only within (key, bucket) cells.
+
+    Pick ``bucket_seconds`` near the typical interval length: the explode
+    factor is ~len/bucket + 1 per interval, while over-wide buckets put
+    unrelated rows in one cell. Column names must not collide between the
+    two inputs (rename before calling); both timestamp columns are kept in
+    the output.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    on = list(on)
+    w = F.lit(int(bucket_seconds))
+    p = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(point_ts)) / w))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_col)) / w),
+            F.floor(F.unix_timestamp(F.col(end_col)) / w))))
+    return (p.join(iv, on + ["__b"])
+            .where(F.col(point_ts).between(F.col(start_col),
+                                           F.col(end_col)))
+            .drop("__b"))

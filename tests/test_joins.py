@@ -51,3 +51,20 @@ def test_asof_preserves_all_left_columns(spark):
     out = asof_join(left, right, ["user"], right_prefix="click_")
     assert out.columns == ["pid", "user", "ts", "click_cid", "click_ts"]
     assert out.count() == left.count()  # left-join semantics
+
+
+def test_interval_join_containment_and_overlap(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _t(100)), (2, 1, _t(500)), (3, 2, _t(100)), (4, 1, _t(7300))],
+        "eid long, user long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(10, 1, _t(50), _t(150)),     # contains eid 1
+         (11, 1, _t(90), _t(600)),     # contains eids 1 and 2 (overlapping)
+         (12, 2, _t(200), _t(300)),    # user 2, contains nothing
+         (13, 1, _t(7000), _t(8000))], # crosses a 3600s bucket boundary
+        "iid long, user long, s timestamp, e timestamp")
+    from casf_spark.operators.joins import interval_join
+    got = {(r.eid, r.iid)
+           for r in interval_join(points, iv, ["user"], "ts", "s", "e",
+                                  bucket_seconds=3600).collect()}
+    assert got == {(1, 10), (1, 11), (2, 11), (4, 13)}
