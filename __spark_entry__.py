@@ -25,6 +25,7 @@ from casf_spark.multimodal import binary as MM
 from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators import sampling as SP
+from casf_spark.operators import skew as SK
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -373,6 +374,17 @@ def q_events_asof(spark, sf):
                     F.col("r_click_id").alias("click_id"),
                     F.floor(F.unix_timestamp("ts")
                             - F.unix_timestamp("r_ts")).alias("gap_sec")))
+
+
+def q_events_distinct_users(spark, sf):
+    """Exact per-type distinct-user counts via the two-phase salted plan
+    (operators.skew.salted_count_distinct) — identical results to plain
+    COUNT(DISTINCT), but the final per-key exchange carries n_salt partial
+    rows instead of every (key, user) occurrence, so a hot event type
+    cannot pin one reducer."""
+    ev = load_table(spark, sf, "events")
+    return SK.salted_count_distinct(ev, ["event_type"], "user_id",
+                                    n_salt=16, out_col="n_users")
 
 
 def q_events_rollup(spark, sf):
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "events_distinct_users": q_events_distinct_users,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
@@ -1068,6 +1081,9 @@ FROM events GROUP BY 1, 2""",
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
        CAST(COUNT(*) AS BIGINT) n
+FROM events GROUP BY event_type""",
+        "events_distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users
 FROM events GROUP BY event_type""",
         "events_interval": """
 WITH marks AS (

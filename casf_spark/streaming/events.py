@@ -73,6 +73,35 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     return schemas.conform(out, schemas.EVENT_SLIDING_COUNTS)
 
 
+def dedup_stream(events: DataFrame, key_cols: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, drop re-deliveries
+    — the streaming twin of operators.dedup.dedup_exact for an ingest
+    pipeline (e.g. re-crawled documents keyed by content fingerprint).
+
+    State is BOUNDED by the watermark: ``dropDuplicatesWithinWatermark``
+    evicts a key's dedup state once the watermark passes its event time,
+    so memory tracks (keys seen per watermark horizon), not stream
+    lifetime — the only formulation that survives an unbounded 100 TB/day
+    stream. Duplicates arriving later than the watermark horizon are NOT
+    caught (by design — pair with a periodic batch dedup_exact compaction
+    for the long tail). Batch input degrades to plain dropDuplicates.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(key_cols))
+
+
+def run_stream_append_to_memory(stream_df: DataFrame, query_name: str,
+                                timeout_sec: int = 120) -> None:
+    """Like run_stream_to_memory but append output mode (row-wise
+    operators: dedup, filters, maps — no complete-mode aggregation)."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
 def write_stream_parquet(stream_df: DataFrame, path: str,
                          checkpoint: str, timeout_sec: int = 120) -> None:
     """foreachBatch parquet sink: each micro-batch appends atomically;

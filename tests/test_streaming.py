@@ -59,3 +59,31 @@ def test_upsert_sink_matches_batch_twin(spark, tmp_path):
         .withColumn("window_start",
                     F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """The same 200 events delivered twice in two micro-batches: the
+    watermark-bounded streaming dedup must emit each event_id once."""
+    src = load_table(spark, sf_dir, "events").limit(200)
+    stage = tmp_path / "dup_stream"
+    src.coalesce(1).write.parquet(str(stage / "a"))
+    src.coalesce(1).write.parquet(str(stage / "b"))
+    files = sorted(str(p) for p in stage.rglob("*.parquet")
+                   if not p.name.startswith("_"))
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, f in enumerate(files):
+        (land / f"f{i}.parquet").symlink_to(f)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    deduped = EV.dedup_stream(stream, ["event_id"], watermark="365 days")
+    EV.run_stream_append_to_memory(deduped, "t_dedup_stream")
+    out = spark.sql("SELECT event_id FROM t_dedup_stream")
+    assert out.count() == 200
+    assert out.distinct().count() == 200
+
+
+def test_dedup_stream_batch_fallback(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    doubled = ev.unionByName(ev)
+    assert EV.dedup_stream(doubled, ["event_id"]).count() == 50
