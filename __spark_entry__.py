@@ -26,6 +26,7 @@ from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import skew as SK
+from casf_spark.operators.pipeline import curate_documents
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -539,6 +540,13 @@ def q_text_line_dedup(spark, sf):
             .select("doc", F.coalesce("text", F.lit("")).alias("text")))
 
 
+def q_pipeline_curate(spark, sf):
+    """The composed curation pipeline: quality + language filters, exact
+    dedup among survivors, deterministic split labels — one scan, one
+    shuffle (operators.pipeline.curate_documents)."""
+    return curate_documents(load_table(spark, sf, "documents"))
+
+
 def q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -766,6 +774,48 @@ def _marker_score(markers: tuple[str, ...]) -> str:
     return f"CAST(len(list_filter(a, t -> list_contains({lst}, t))) AS BIGINT)"
 
 
+def _curate_oracle() -> str:
+    s = {lang: _marker_score(m) for lang, m in TX.LANG_MARKERS.items()}
+    g = "GREATEST(score_en, score_es, score_fr, score_de)"
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, text, {_TOKS} a
+           FROM documents),
+feats AS (
+  SELECT doc_id,
+    CAST(len(a) AS BIGINT) n_tokens,
+    ROUND(CASE WHEN len(a) > 0
+          THEN CAST(len(list_filter(a, t -> list_contains({_STOP_LIST}, t)))
+               AS DOUBLE) / len(a) ELSE 0.0 END, 6) stopword_ratio,
+    ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+          AS DOUBLE) / GREATEST(length(text), 1), 6) digit_ratio,
+    {s['en']} score_en, {s['es']} score_es,
+    {s['fr']} score_fr, {s['de']} score_de,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp
+  FROM t),
+langed AS (
+  SELECT *, CASE WHEN {g} = 0 THEN 'und'
+                 WHEN score_en = {g} THEN 'en'
+                 WHEN score_es = {g} THEN 'es'
+                 WHEN score_fr = {g} THEN 'fr'
+                 ELSE 'de' END AS pred_lang
+  FROM feats),
+kept AS (
+  SELECT * FROM langed
+  WHERE n_tokens >= 20 AND stopword_ratio <= 0.15
+    AND digit_ratio <= 0.3 AND pred_lang IN ('en')),
+uniq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+  FROM kept)
+SELECT doc_id, n_tokens, pred_lang,
+       CASE WHEN frac < 0.98 THEN 'train'
+            WHEN frac < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) >> 30) / 1073741824.0 AS frac
+      FROM uniq WHERE rn = 1)"""
+
+
 def _lang_id_oracle() -> str:
     s = {lang: _marker_score(m) for lang, m in TX.LANG_MARKERS.items()}
     return f"""
@@ -837,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
         "text_line_dedup": q_text_line_dedup,
+        "pipeline_curate": q_pipeline_curate,
         # dedup suite (phase D)
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1171,6 +1222,7 @@ SELECT doc AS y, word AS x, CAST(COUNT(*) AS DOUBLE) AS "value"
 FROM tok WHERE word NOT IN ({_SW_SQL}) GROUP BY 1, 2""",
         "text_quality": quality_sql,
         "text_lang_id": _lang_id_oracle(),
+        "pipeline_curate": _curate_oracle(),
         "text_token_stats": f"""
 SELECT CAST(doc_id AS BIGINT) doc_id,
   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))

@@ -177,13 +177,12 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str,
-                     stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
-    """Per-document quality metrics for pipeline filtering:
-
-    n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
-    punct_ratio — all as JVM-side expressions over one pass.
-    """
+def quality_exprs(text_col: str,
+                  stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+                  ) -> dict[str, Column]:
+    """The six quality-metric Columns keyed by output name — importable so
+    composite pipelines (operators.pipeline.curate_documents) can evaluate
+    them inline in ONE scan instead of joining per-feature outputs."""
     tok = tokens(text_col)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_tokens = F.size(tok)
@@ -195,20 +194,33 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
     n_digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
     n_punct = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            F.when(n_tokens > 0, total_tok_len.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0)), 6),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0)), 6),
+        "digit_ratio": F.round(
+            n_digits.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(
+            n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+    }
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-document quality metrics for pipeline filtering:
+
+    n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
+    punct_ratio — all as JVM-side expressions over one pass.
+    """
+    q = quality_exprs(text_col, stopwords)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(
-            F.when(n_tokens > 0, total_tok_len.cast("double") / n_tokens)
-            .otherwise(F.lit(0.0)), 6).alias("avg_token_len"),
-        F.round(
-            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
-            .otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
-        F.round(n_digits.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
-        .alias("digit_ratio"),
-        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
-        .alias("punct_ratio"),
+        *[c.alias(name) for name, c in q.items()],
     )
 
 
@@ -221,21 +233,33 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pass, no shuffle beyond the final projection (scores are computed per
     row from the token array, not via explode).
     """
+    scores = lang_score_exprs(text_col)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        lang_pred_expr(text_col).alias("pred_lang"),
+    )
+    return out
+
+
+def lang_score_exprs(text_col: str) -> dict[str, Column]:
+    """Per-language marker-hit counts as Columns (see lang_id)."""
     tok = tokens(text_col)
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         scores[lang] = F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+    return scores
+
+
+def lang_pred_expr(text_col: str) -> Column:
+    """The lang_id argmax-with-priority decision as a single Column."""
+    scores = lang_score_exprs(text_col)
     best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
     pred = F.when(best == 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PRIORITY],
-        pred.otherwise(F.lit("und")).alias("pred_lang"),
-    )
-    return out
+    return pred.otherwise(F.lit("und"))
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -1,0 +1,67 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+The individual passes (quality scoring, language ID, exact dedup, split
+assignment) each exist as standalone operators; a real pipeline runs them
+together, and HOW they compose determines the 100 TB cost:
+
+* All per-row features (quality metrics, language decision, content
+  fingerprint) evaluate in ONE projection over ONE scan — importing the
+  Column-expression builders (functions.text.quality_exprs /
+  lang_pred_expr) instead of joining each pass's output frame, which
+  would shuffle the corpus once per feature.
+* Quality + language filters apply BEFORE the dedup aggregation, so the
+  only shuffle in the whole plan — the fingerprint argmin — carries only
+  surviving rows.
+* Split assignment is a narrow hash expression appended at the end.
+
+Net: one feature projection per scanned row and one shuffle key (the
+fingerprint argmin, whose probe side re-reads the projected features —
+cache ``feats`` on a cluster if the scan dominates), for the entire
+curation decision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from casf_spark.functions import text as TX
+from casf_spark.operators.sampling import assign_splits
+
+
+def curate_documents(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_tokens: int = 20,
+                     max_stopword_ratio: float = 0.15,
+                     max_digit_ratio: float = 0.3,
+                     keep_langs: Sequence[str] = ("en",),
+                     splits: Sequence[tuple[str, float]] = (
+                         ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                     ) -> DataFrame:
+    """Filter → dedup → split in one declarative plan.
+
+    Keeps documents with >= min_tokens tokens, stopword/digit ratios under
+    the caps, and a predicted language in ``keep_langs``; among surviving
+    exact duplicates keeps the min-id copy; labels the keepers with a
+    deterministic split. Output: (doc_id, n_tokens, pred_lang, split).
+    """
+    q = TX.quality_exprs(text_col)
+    feats = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        TX.lang_pred_expr(text_col).alias("pred_lang"),
+        TX.fingerprint(text_col).alias("fp"),
+    )
+    kept = feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & F.col("pred_lang").isin(list(keep_langs)))
+    first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    unique = kept.join(first, ["fp", "doc_id"], "left_semi")
+    out = assign_splits(unique, F.col("doc_id").cast("string"), list(splits))
+    return out.select("doc_id", "n_tokens", "pred_lang", "split")
