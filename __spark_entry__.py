@@ -27,6 +27,7 @@ from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
+from casf_spark.operators.profile import profile
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -386,6 +387,15 @@ def q_events_distinct_users(spark, sf):
     ev = load_table(spark, sf, "events")
     return SK.salted_count_distinct(ev, ["event_type"], "user_id",
                                     n_salt=16, out_col="n_users")
+
+
+def q_events_profile(spark, sf):
+    """ANALYZE-style column profile of the events table in one aggregation
+    pass (operators.profile) — null counts, exact cardinalities, ranges.
+    Restricted to integer/string columns so min/max string rendering is
+    engine-identical."""
+    return profile(load_table(spark, sf, "events"),
+                   ["event_id", "user_id", "event_type"])
 
 
 def q_events_rollup(spark, sf):
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "events_distinct_users": q_events_distinct_users,
+        "events_profile": q_events_profile,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
@@ -1136,6 +1147,25 @@ FROM events GROUP BY event_type""",
         "events_distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users
 FROM events GROUP BY event_type""",
+        "events_profile": """
+SELECT 'event_id' col_name, CAST(COUNT(*) AS BIGINT) n_rows,
+       CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT) n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) min_value,
+       CAST(MAX(event_id) AS VARCHAR) max_value
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+FROM events""",
         "events_interval": """
 WITH marks AS (
   SELECT event_id, user_id, ts, event_type,

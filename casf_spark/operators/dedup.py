@@ -349,8 +349,11 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
     # the logical plan doubles per iteration and the driver OOMs just
     # stringifying it (hit at sf0.1). On a cluster, swap for reliable
     # checkpoints (spark.sparkContext.setCheckpointDir) for fault tolerance.
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label"))
+    # Init folds the first propagation round in for free: label = min(self,
+    # neighbors) straight off the edge list (one aggregation, no join).
+    labels = (edges.groupBy("src")
+              .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+              .select(F.col("src").alias("node"), "label")
               .localCheckpoint())
     for _ in range(max_iter):
         nbr = (
