@@ -73,6 +73,39 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     return schemas.conform(out, schemas.EVENT_SLIDING_COUNTS)
 
 
+def clicks_before_purchases(events: DataFrame, max_gap: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream (self-)join: every purchase paired with the same
+    user's clicks in the preceding ``max_gap`` — the streaming attribution
+    twin of the batch as-of join (operators.joins.asof_join), except it
+    keeps ALL qualifying clicks (streaming cannot know "the latest" until
+    the watermark closes; a downstream ranked pick can follow).
+
+    State-bounded by construction: both sides carry watermarks and the
+    join condition bounds click_ts to [purchase_ts - max_gap, purchase_ts],
+    so the state store evicts rows once the watermark passes their
+    horizon — the REQUIRED shape for unbounded stream-stream inner joins
+    (an unconstrained join would buffer both streams forever). Works
+    identically on batch frames (no watermark, same join).
+    """
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts")))
+    if events.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (purchases["user_id"] == clicks["click_user"])
+        & (clicks["click_ts"] <= purchases["ts"])
+        & (clicks["click_ts"] >= F.expr(f"ts - INTERVAL {max_gap}"))
+    )
+    return (purchases.join(clicks, cond)
+            .select("event_id", "user_id", "ts", "click_id", "click_ts"))
+
+
 def dedup_stream(events: DataFrame, key_cols: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: keep the first row per key, drop re-deliveries

@@ -87,3 +87,15 @@ def test_dedup_stream_batch_fallback(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").limit(50)
     doubled = ev.unionByName(ev)
     assert EV.dedup_stream(doubled, ["event_id"]).count() == 50
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Self stream-stream join (purchases x prior clicks within 1h) with
+    watermarks on both sides must equal the batch twin exactly."""
+    batch = EV.clicks_before_purchases(load_table(spark, sf_dir, "events"))
+    stream = EV.clicks_before_purchases(EV.read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    EV.run_stream_append_to_memory(stream, "t_ss_join")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_ss_join").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
