@@ -28,6 +28,7 @@ from casf_spark.operators import sampling as SP
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
 from casf_spark.operators.profile import profile
+from casf_spark import sql as CSQL
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
 from casf_spark.streaming import events as EV
@@ -187,6 +188,14 @@ def q_cosine_predict(spark, sf):
         m, is_sparse=False, persist=True, pre_aggregated=True)
     return (model.predict_missing(k=3, round_to=6)
             .withColumn("predicted_value", F.round("predicted_value", 6)))
+
+
+def q_cosine_via_sql(spark, sf):
+    """The sparse cosine pipeline through the SQL-string interface
+    (casf_spark.sql) — same semantics as cosine_sparse, compiled by
+    Catalyst from SQL text instead of the DataFrame DSL. The reference has
+    no SQL surface at all (SURVEY §2.9)."""
+    return CSQL.supplier_cosine(spark, sf)
 
 
 def q_doc_cosine(spark, sf):
@@ -858,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # cosine engine (reference parity, SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
+        "cosine_via_sql": q_cosine_via_sql,
         "cosine_dense": q_cosine_dense,
         "cosine_subset": q_cosine_subset,
         "cosine_omit": q_cosine_omit,
@@ -1071,6 +1081,7 @@ FROM wins GROUP BY 1, 2"""
 
     return {
         "cosine_sparse": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
+        "cosine_via_sql": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
         "cosine_dense": _cosine_sql(_ELEM_SUPPLIER, sparse=False),
         "cosine_subset": _cosine_sql(_ELEM_SUPPLIER, sparse=True,
                                      subset=["1", "3", "5", "7"]),

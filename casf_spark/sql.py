@@ -1,0 +1,68 @@
+"""SQL-string interface.
+
+The reference exposes only the Dataset DSL (no ``spark.sql`` anywhere —
+SURVEY.md §2.9); a Spark-first engine should speak both. This module
+registers the corpus tables as temp views and builds the cosine pipeline
+as a single ANSI-ish SQL statement, so SQL-only consumers (BI tools,
+notebooks, dbt-style models) can run the exact engine semantics through
+``spark.sql(...)``. Catalyst compiles this SQL to the same physical plan
+family as the DataFrame pipeline — same self-join pair enumeration, same
+fused aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from casf_spark.sources.tables import TABLES, load_table
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: Sequence[str] = TABLES) -> None:
+    """Register each corpus parquet as a temp view named after the table."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sparse_cosine_sql(elem_cte: str, round_to: int = 6) -> str:
+    """Sparse-mode pairwise cosine as one SQL statement over an ``elem``
+    CTE with columns (vector, coord, val).
+
+    Semantics match CosineAnalyser(axis).fit(is_sparse=True) +
+    all_similarity(): max-normalization, canonical vector0 > vector1
+    ordering, pair-dependent norms over shared coordinates, the fused
+    single-aggregation form (casf_spark.matrix.model.
+    CosineModel._fused_sparse_similarity).
+    """
+    return f"""
+WITH {elem_cte},
+mx AS (SELECT vector, MAX(val) mv FROM elem GROUP BY vector),
+norm AS (SELECT e.vector, e.coord, e.val / m.mv AS nv
+         FROM elem e JOIN mx m USING (vector)),
+pairs AS (
+  SELECT a.vector v0, b.vector v1, a.coord, a.nv nv0, b.nv nv1
+  FROM norm a JOIN norm b ON a.coord = b.coord AND a.vector > b.vector),
+agg AS (
+  SELECT v0, v1, SQRT(SUM(nv0*nv0)) m0, SQRT(SUM(nv1*nv1)) m1,
+         SUM(nv0*nv1) num
+  FROM pairs GROUP BY v0, v1)
+SELECT v0 AS vector0, v1 AS vector1,
+       ROUND(num / (m0 * m1), {round_to}) AS similarity_value
+FROM agg"""
+
+
+#: supplier x part quantity matrix from lineitem, Spark SQL dialect
+SUPPLIER_ELEM_SQL = """
+elem AS (
+  SELECT CAST(l_suppkey AS STRING) vector, CAST(l_partkey AS STRING) coord,
+         CAST(SUM(l_quantity) AS DOUBLE) val
+  FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship sparse cosine query via the SQL interface."""
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(sparse_cosine_sql(SUPPLIER_ELEM_SQL))
