@@ -68,3 +68,32 @@ def test_interval_join_containment_and_overlap(spark):
            for r in interval_join(points, iv, ["user"], "ts", "s", "e",
                                   bucket_seconds=3600).collect()}
     assert got == {(1, 10), (1, 11), (2, 11), (4, 13)}
+
+
+def test_asof_matches_naive_reference(spark):
+    """Randomized check: asof_join output equals the brute-force
+    'max right_ts <= left_ts per key' reference on ~200 rows with
+    clustered keys/timestamps (forces ties and empty groups)."""
+    import random
+
+    rng = random.Random(42)
+    left_rows = [(i, rng.randint(1, 8), _t(rng.randint(0, 50)))
+                 for i in range(120)]
+    right_rows = [(1000 + i, rng.randint(1, 10), _t(rng.randint(0, 50)))
+                  for i in range(80)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid long, k long, ts timestamp")
+    got = {r.lid: r.r_rid
+           for r in asof_join(left, right, ["k"]).collect()}
+
+    def naive(lid, k, ts):
+        cand = [(r_ts, rid) for rid, rk, r_ts in right_rows
+                if rk == k and r_ts <= ts]
+        if not cand:
+            return None
+        # engine tie-break: max (ts, payload) -> payload = (rid, ts)
+        best_ts = max(c[0] for c in cand)
+        return max(rid for r_ts, rid in cand if r_ts == best_ts)
+
+    want = {lid: naive(lid, k, ts) for lid, k, ts in left_rows}
+    assert got == want
