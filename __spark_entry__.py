@@ -583,7 +583,9 @@ def q_dedup_minhash(spark, sf):
 def q_dedup_clusters(spark, sf):
     """Transitive near-dup clusters: MinHash candidate pairs -> connected
     components (distributed min-label propagation with pointer jumping).
-    cluster_id = min doc_id of the component."""
+    cluster_id = min doc_id of the component. At corpus scale swap the
+    pair generator for DD.minhash_lsh_star_edges (same components, edge
+    volume linear per bucket instead of quadratic)."""
     docs = load_table(spark, sf, "documents")
     pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
                                  n=2, num_hashes=12, bands=4)

@@ -177,6 +177,47 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return schemas.conform(out, schemas.CANDIDATE_PAIR)
 
 
+def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 2, num_hashes: int = 12, bands: int = 4,
+                           seed: int = 42) -> DataFrame:
+    """Star-contracted MinHash candidate edges for clustering: per (band,
+    bucket) with >= 2 docs, one edge doc -> min(doc in bucket) instead of
+    the bucket's full pairwise clique.
+
+    Connected components over these edges equal components over
+    ``minhash_lsh_pairs`` exactly (every bucket member reaches the bucket
+    min, so the bucket stays one component), but edge volume is linear in
+    bucket size instead of quadratic — at 100 TB a hot bucket of m docs
+    emits m edges, not m^2/2 pairs. Node set is identical too (docs in a
+    >=2 bucket == docs in >=1 candidate pair). Output (doc0, doc1),
+    doc0 > doc1.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    mins = (banded.groupBy("band", "bucket")
+            .agg(F.min("doc").alias("mdoc"),
+                 F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") >= 2))
+    out = (banded.join(mins, ["band", "bucket"])
+           .where(F.col("doc") > F.col("mdoc"))
+           .select(F.col("doc").alias("doc0"), F.col("mdoc").alias("doc1"))
+           .distinct())
+    return schemas.conform(out, schemas.CANDIDATE_PAIR)
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 32) -> DataFrame:
     """Per-document SimHash: sign-aggregate each bit of the token hashes,
@@ -367,6 +408,10 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
                     F.least(F.col("label"),
                             F.coalesce("nbr_label", "label")).alias("label"))
         )
+        # exactly ONE pointer jump per round: chaining a second jump into
+        # the same pre-checkpoint plan measured 8x-per-round degradation in
+        # late rounds locally (codegen/hashed-relation pathology as label
+        # entropy collapses) — the simple shape is the fast one.
         hop = prop.select(F.col("node").alias("pnode"),
                           F.col("label").alias("plabel"))
         jumped = (

@@ -120,3 +120,15 @@ def test_dedup_keep_representatives(spark, dup_docs):
     ids = {r.doc_id for r in kept.collect()}
     # 1,2,5 are exact/near dups -> keep 1; 3 may or may not pair with them
     assert 1 in ids and 2 not in ids and 5 not in ids and 4 in ids
+
+
+def test_star_edges_same_components_as_pairs(spark, dup_docs):
+    """Star-contracted bucket edges must yield exactly the clique pairs'
+    connected components (same node set, same cluster assignment)."""
+    pairs = DD.minhash_lsh_pairs(dup_docs, "doc_id", "text")
+    stars = DD.minhash_lsh_star_edges(dup_docs, "doc_id", "text")
+    via_pairs = {(r.doc_id, r.cluster_id)
+                 for r in DD.connected_components(pairs).collect()}
+    via_stars = {(r.doc_id, r.cluster_id)
+                 for r in DD.connected_components(stars).collect()}
+    assert via_stars == via_pairs and len(via_pairs) > 0
