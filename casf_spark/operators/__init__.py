@@ -1,3 +1,5 @@
-from casf_spark.operators import dedup, similarity
+from casf_spark.operators import (dedup, joins, pipeline, profile, sampling,
+                                  similarity, skew)
 
-__all__ = ["dedup", "similarity"]
+__all__ = ["dedup", "joins", "pipeline", "profile", "sampling",
+           "similarity", "skew"]

@@ -92,3 +92,43 @@ def test_simhash_identical_docs_equal_signatures(spark, docs):
     for i, toks in enumerate(docs):
         if toks:
             assert sig[i] == sig[100 + i]
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)).filter(
+                  lambda p: p[0] != p[1]),
+    min_size=1, max_size=40,
+)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """Distributed pointer-jumping label propagation == classic union-find
+    on arbitrary random graphs (cycles, self-merging chains, duplicates)."""
+    pairs = spark.createDataFrame(
+        [(max(a, b), min(a, b)) for a, b in raw_edges],
+        "doc0 long, doc1 long")
+    got = {r.doc_id: r.cluster_id
+           for r in DD.connected_components(pairs).collect()}
+    want = _union_find_components(raw_edges)
+    assert got == want
