@@ -294,6 +294,50 @@ def q_q5(spark, sf):
     )
 
 
+def q_q4_order_priority(spark, sf):
+    """TPC-H Q4 shape (adapted: no commitdate in the synthetic schema —
+    the EXISTS predicate is 'has a returned lineitem'): per-priority count
+    of orders with >= 1 qualifying lineitem, via LEFT SEMI join — the
+    semi-join never duplicates or widens order rows."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(li, orders["o_orderkey"] == li["l_orderkey"],
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6: pure scan-bound filter + aggregate — every predicate
+    pushes to the parquet scan, no shuffle beyond the final one-row agg."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue")))
+
+
+def q_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a per-order aggregate), joined back to customer — the
+    aggregate side shrinks to the qualifying orders before the join."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+           .where(F.col("total_qty") > 250))
+    return (orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty"))
+
+
 def q_window_top_orders(spark, sf):
     orders = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -885,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1,
         "q3_shipping_priority": q_q3,
         "q5_region_revenue": q_q5,
+        "q4_order_priority": q_q4_order_priority,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q18_large_orders": q_q18_large_orders,
         "window_top_orders": q_window_top_orders,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1136,6 +1183,28 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+        "q6_forecast_revenue": """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+        "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 6) total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 6) > 250)
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
         "window_top_orders": """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) total_price,
        CAST(rn AS INT) rn

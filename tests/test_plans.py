@@ -73,3 +73,17 @@ def test_subset_filter_pushed_before_agg(spark, sf_dir):
     # contains a Filter with the IN list over the pair columns)
     assert plan.count("vector0") > 0
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the canonical pushdown check: every predicate (shipdate range,
+    discount band, quantity cap) must reach the parquet scan, and only the
+    needed columns are read."""
+    import __spark_entry__ as E
+    df = E.queries()["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema = scan_read_schema(df)
+    assert any("l_extendedprice" in s for s in schema)
+    assert not any("l_partkey" in s for s in schema)  # pruned
