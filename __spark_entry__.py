@@ -498,6 +498,20 @@ def q_events_zscore(spark, sf):
         F.round((F.col("value") - mu) / sd, 6).alias("zscore"))
 
 
+def q_events_cube(spark, sf):
+    """CUBE over (event_type, weekday): all four grouping sets in one
+    pass, with grouping_id distinguishing subtotal levels — completes the
+    grouping-sets family next to events_rollup."""
+    ev = load_table(spark, sf, "events")
+    return (ev.withColumn("weekday", F.date_format("ts", "E"))
+            .cube("event_type", "weekday")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+                    "n_events", "gid"))
+
+
 def q_events_pivot(spark, sf):
     """Pivot: daily event counts, one column per event type."""
     ev = load_table(spark, sf, "events")
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": q_events_distinct_users,
         "events_profile": q_events_profile,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
         "events_percentiles": q_events_percentiles,
@@ -1284,6 +1299,13 @@ WITH ranked AS (
   WHERE p.event_type = 'purchase')
 SELECT event_id, user_id, val, click_id, CAST(gap_sec AS BIGINT) gap_sec
 FROM ranked WHERE rn = 1""",
+        "events_cube": """
+SELECT COALESCE(event_type, 'ALL') event_type,
+       COALESCE(weekday, 'ALL') weekday,
+       CAST(COUNT(*) AS BIGINT) n_events,
+       CAST(GROUPING(event_type, weekday) AS BIGINT) gid
+FROM (SELECT event_type, strftime(ts, '%a') weekday FROM events)
+GROUP BY CUBE (event_type, weekday)""",
         "events_rollup": """
 SELECT COALESCE(event_type, 'ALL') event_type,
        COALESCE(event_day, 'ALL') event_day,
