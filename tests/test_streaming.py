@@ -99,3 +99,55 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_ss_join").collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Three micro-batches: A advances event time past hour 3, B turns that
+    into the late-filter watermark (Spark's late-record filter uses the
+    PREVIOUS batch's eviction watermark — it lags one batch), C delivers an
+    hour-0 straggler. Append-mode tumbling counts must emit the finalized
+    hour-0 window WITHOUT the late row, while the batch twin counts it."""
+    import datetime as dt
+    import time
+
+    def T(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    file_a = [(1, T(0, 30), "click", 1.0), (2, T(0, 40), "click", 1.0),
+              (3, T(0, 50), "click", 1.0), (4, T(1, 30), "click", 1.0),
+              (5, T(1, 40), "click", 1.0), (6, T(4, 0), "click", 1.0)]
+    file_b = [(8, T(5, 0), "click", 1.0)]   # advances the lagged filter wm
+    file_c = [(7, T(0, 45), "click", 1.0)]  # 3h+ late vs watermark
+    land = tmp_path / "landing"
+    land.mkdir()
+    # file-source batch order follows the TARGET file's mtime — write with
+    # >1s gaps so A, B, C become batches 0, 1, 2
+    for i, rows in enumerate((file_a, file_b, file_c)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(tmp_path / f"src{i}"))
+        time.sleep(1.1)
+    for i in range(3):
+        f = next(p for p in (tmp_path / f"src{i}").glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(f)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.ws.hour: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
+    assert got[0] == 3          # late straggler DROPPED
+    assert got[1] == 2
+    assert 5 not in got         # unfinalized window not emitted in append
+
+    batch = spark.createDataFrame(file_a + file_b + file_c, schema)
+    bcounts = {r.ws.hour: r.n for r in
+               batch.groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("w.start").alias("ws"), "n").collect()}
+    assert bcounts[0] == 4      # batch sees all rows
