@@ -97,3 +97,31 @@ def test_asof_matches_naive_reference(spark):
 
     want = {lid: naive(lid, k, ts) for lid, k, ts in left_rows}
     assert got == want
+
+
+def test_interval_join_matches_naive_reference(spark):
+    """Randomized check vs brute-force containment, with intervals both
+    shorter and longer than the bucket width (explode-factor edge cases),
+    empty intervals filtered by start<=end, and cross-key isolation."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(1, 5), _t(rng.randint(0, 20000)))
+           for i in range(150)]
+    ivs = []
+    for i in range(60):
+        s = rng.randint(0, 20000)
+        ivs.append((500 + i, rng.randint(1, 6), _t(s),
+                    _t(s + rng.randint(0, 9000))))
+    points = spark.createDataFrame(pts, "pid long, k long, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "iid long, k long, s timestamp, e timestamp")
+    from casf_spark.operators.joins import interval_join
+    got = {(r.pid, r.iid)
+           for r in interval_join(points, intervals, ["k"], "ts", "s", "e",
+                                  bucket_seconds=3600).collect()}
+    want = {(pid, iid)
+            for pid, pk, ts in pts
+            for iid, ik, s, e in ivs
+            if pk == ik and s <= ts <= e}
+    assert got == want and len(want) > 0
