@@ -661,6 +661,15 @@ def q_dedup_embedding(spark, sf):
                                   threshold=0.3)
 
 
+def q_ann_ivf_det(spark, sf):
+    """Deterministic IVF (md5-sampled centroids, rounded-argmin buckets,
+    exact cosine within probed buckets) — the oracle-checked twin of the
+    KMeans-quantizer ann_ivf."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_topk_det(emb, queries_df, k=10, n_centroids=8, n_probes=2)
+
+
 def q_ann_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
@@ -985,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_mp": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,  # rows-only (seeded Spark-ML KMeans quantizer)
+        "ann_ivf_det": q_ann_ivf_det,
         # multimodal plumbing (phase D)
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
@@ -1451,6 +1461,55 @@ GROUP BY 2""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": emb_pairs_sql,
         "ann_topk": ann_topk_sql,
+        "ann_ivf_det": """
+WITH cent AS (
+  SELECT vec_id cid, embedding cemb
+  FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+corp AS (SELECT vec_id nid, embedding cv FROM embeddings),
+ad AS (
+  SELECT nid, cid, cv,
+         ROUND(list_sum(list_transform(range(len(cv)),
+               i -> (CAST(cv[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE))
+                    * (CAST(cv[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE)))),
+               6) d
+  FROM corp CROSS JOIN cent),
+assign AS (
+  SELECT nid, cv, cid AS bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY d, cid) rn
+    FROM ad) WHERE rn = 1),
+qd AS (
+  SELECT q.nid qid, q.cv qv, c.cid,
+         ROUND(list_sum(list_transform(range(len(q.cv)),
+               i -> (CAST(q.cv[i+1] AS DOUBLE) - CAST(c.cemb[i+1] AS DOUBLE))
+                    * (CAST(q.cv[i+1] AS DOUBLE) - CAST(c.cemb[i+1] AS DOUBLE)))),
+               6) d
+  FROM (SELECT * FROM corp WHERE nid < 10) q CROSS JOIN cent c),
+probed AS (
+  SELECT qid, qv, cid AS bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) rn
+    FROM qd) WHERE rn <= 2),
+scored AS (
+  SELECT p.qid query_id, a.nid neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(len(p.qv)),
+             i -> CAST(p.qv[i+1] AS DOUBLE) * CAST(a.cv[i+1] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE)
+                                                      * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(a.cv, x -> CAST(x AS DOUBLE)
+                                                        * CAST(x AS DOUBLE))))),
+           6) cos_sim
+  FROM probed p JOIN assign a USING (bucket)
+  WHERE p.qid <> a.nid)
+SELECT CAST(query_id AS BIGINT) query_id,
+       CAST(neighbor_id AS BIGINT) neighbor_id, cos_sim,
+       CAST(rank AS INT) rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) rank
+      FROM scored)
+WHERE rank <= 10""",
         "ann_lsh": _lsh_oracle(),
         "ann_lsh_mp": "SELECT DISTINCT * FROM (("
                       + _lsh_oracle(seed=42) + ") UNION ("

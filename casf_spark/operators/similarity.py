@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from casf_spark import schemas
 from casf_spark.functions import vectors as V
+from casf_spark.functions.hashing import md5_long
 
 #: hyperplane component range: H(plane:dim) % 2001 - 1000 -> [-1000, 1000]
 _PLANE_MOD = 2001
@@ -320,3 +321,61 @@ def lsh_topk(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (sym.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= k))
+
+
+def ivf_topk_det(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_centroids: int = 8, n_probes: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> DataFrame:
+    """Deterministic IVF: the coarse quantizer's centroids are the
+    ``n_centroids`` corpus vectors with the smallest md5(vec_id) — a
+    deterministic sample instead of KMeans iterations. Everything else is
+    the IVF shape: each corpus vector is assigned to its nearest centroid
+    (squared L2, rounded to 6dp, ties to the smaller centroid id), each
+    query probes its ``n_probes`` nearest buckets, and exact cosine +
+    top-k runs within probed buckets only.
+
+    Centroid quality is worse than KMeans' (a random sample, not a data
+    optimum — expect somewhat lower recall at equal probes), in exchange
+    the whole operator is pure Column expressions and exactly
+    reproducible in the DuckDB oracle (SQL-expressible argmin) — this is
+    the oracle-checked twin of :func:`ivf_topk`. Centroids broadcast (a
+    ``n_centroids``-row cross join); corpus shuffles once on bucket id.
+    """
+    cent = (corpus.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).alias("cemb"),
+        md5_long(F.col(id_col).cast("string")).alias("ck"))
+        .orderBy("ck", "cid").limit(n_centroids).drop("ck"))
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(V.as_double(a), V.as_double(b),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    corp = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                         F.col(vec_col).alias("cv"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy("d", "cid")
+    assigned = (corp.crossJoin(F.broadcast(cent))
+                .withColumn("d", F.round(sq_dist("cv", "cemb"), 6))
+                .withColumn("rn", F.row_number().over(w_assign))
+                .where(F.col("rn") == 1)
+                .select("neighbor_id", "cv", F.col("cid").alias("bucket")))
+    q = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cid")
+    probed = (q.crossJoin(F.broadcast(cent))
+              .withColumn("d", F.round(sq_dist("qv", "cemb"), 6))
+              .withColumn("rn", F.row_number().over(w_probe))
+              .where(F.col("rn") <= n_probes)
+              .select("query_id", "qv", F.col("cid").alias("bucket")))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    scored = (F.broadcast(probed).join(assigned, "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos_sim", F.round(V.cosine("qv", "cv"), 6))
+              .withColumn("rank", F.row_number().over(w_rank))
+              .where(F.col("rank") <= k)
+              .select("query_id", "neighbor_id", "cos_sim", "rank"))
+    return schemas.conform(scored, schemas.ANN_TOPK)

@@ -36,3 +36,38 @@ def test_ivf_deterministic_for_seed(spark, sf_dir):
     a = {tuple(r) for r in SIM.ivf_topk(emb, q, k=3, n_centroids=4, seed=7).collect()}
     b = {tuple(r) for r in SIM.ivf_topk(emb, q, k=3, n_centroids=4, seed=7).collect()}
     assert a == b
+
+
+def test_ivf_det_deterministic_and_well_formed(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from casf_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    a = SIM.ivf_topk_det(emb, q, k=5, n_centroids=8, n_probes=2).collect()
+    b = SIM.ivf_topk_det(emb, q, k=5, n_centroids=8, n_probes=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # no randomness
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_ivf_det_more_probes_no_worse(spark, sf_dir):
+    """Probing every bucket == exact search restricted to nothing: top-1
+    similarity per query must be >= the 2-probe top-1 (monotone recall)."""
+    from pyspark.sql import functions as F
+    from casf_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    two = {r.query_id: r.cos_sim
+           for r in SIM.ivf_topk_det(emb, q, k=1, n_probes=2).collect()}
+    full = {r.query_id: r.cos_sim
+            for r in SIM.ivf_topk_det(emb, q, k=1, n_probes=8).collect()}
+    assert all(full[k] >= two[k] for k in two)
