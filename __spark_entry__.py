@@ -338,6 +338,46 @@ def q_q18_large_orders(spark, sf):
                     "total_qty"))
 
 
+def q_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returns per customer over a year,
+    with customer/nation context — a 4-table join where the selective
+    lineitem filter drives join order and the dimensions broadcast."""
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            # decimal, not double: a revenue sum landing exactly on a .xx5
+            # half-way point rounds differently per float summation order;
+            # decimal arithmetic is exact so both engines agree bit-for-bit
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                               * (F.lit(1).cast("decimal(18,2)")
+                                  - F.col("l_discount").cast("decimal(18,2)"))),
+                         2).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_q12_shipmode_priority(spark, sf):
+    """TPC-H Q12 shape (adapted: no shipmode column — bucketed by ship
+    quarter instead): per-bucket counts of high- vs low-priority orders as
+    conditional aggregates (sum of CASE), one shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .withColumn("ship_quarter", F.date_format("l_shipdate", "yyyy-QQ"))
+            .where(F.col("l_shipdate") >= F.lit("1996-01-01"))
+            .groupBy("ship_quarter")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
 def q_window_top_orders(spark, sf):
     orders = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -955,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q_q4_order_priority,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q18_large_orders": q_q18_large_orders,
+        "q10_returned_items": q_q10_returned_items,
+        "q12_shipmode_priority": q_q12_shipmode_priority,
         "window_top_orders": q_window_top_orders,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1230,6 +1272,30 @@ SELECT c_custkey, c_name, o_orderkey,
 FROM orders
 JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) revenue,
+       CAST(COUNT(*) AS BIGINT) n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name""",
+        "q12_shipmode_priority": """
+SELECT strftime(l_shipdate, '%Y') || '-0' ||
+         CAST(quarter(l_shipdate) AS VARCHAR) AS ship_quarter,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1""",
         "window_top_orders": """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) total_price,
        CAST(rn AS INT) rn
