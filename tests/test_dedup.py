@@ -106,11 +106,13 @@ def test_connected_components_transitivity(spark):
         # component {1,2,3} via chain, component {10,11}, chain {20..25}
         [(2, 1), (3, 2), (11, 10)] + [(i + 1, i) for i in range(20, 25)],
         "doc0 long, doc1 long")
-    got = {(r.doc_id, r.cluster_id)
-           for r in DD.connected_components(pairs).collect()}
-    assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} <= got
-    assert {(i, 20) for i in range(20, 26)} <= got
-    assert len(got) == 11
+    for thresh in (10_000_000, 0):  # union-find path, then distributed
+        got = {(r.doc_id, r.cluster_id)
+               for r in DD.connected_components(
+                   pairs, small_graph_edges=thresh).collect()}
+        assert {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)} <= got
+        assert {(i, 20) for i in range(20, 26)} <= got
+        assert len(got) == 11
 
 
 def test_dedup_keep_representatives(spark, dup_docs):

@@ -128,7 +128,13 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     pairs = spark.createDataFrame(
         [(max(a, b), min(a, b)) for a, b in raw_edges],
         "doc0 long, doc1 long")
-    got = {r.doc_id: r.cluster_id
-           for r in DD.connected_components(pairs).collect()}
     want = _union_find_components(raw_edges)
-    assert got == want
+    # both strategies: single-task union-find (default for small graphs)
+    # and the distributed label-propagation loop (forced via threshold 0)
+    got_uf = {r.doc_id: r.cluster_id
+              for r in DD.connected_components(pairs).collect()}
+    got_lp = {r.doc_id: r.cluster_id
+              for r in DD.connected_components(
+                  pairs, small_graph_edges=0).collect()}
+    assert got_uf == want
+    assert got_lp == want
