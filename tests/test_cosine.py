@@ -228,3 +228,34 @@ def test_duplicate_cells_are_summed(spark):
     elems = {(r.vector, r.coord): r.normalized_value
              for r in model.normalized.collect()}
     assert elems[("a", "x1")] == 1.0  # (1+2)/max(3)=1
+
+
+def test_gemm_matches_joins_both_modes(spark):
+    """The single-task GEMM kernel must reproduce the join plans exactly
+    (same pairs, same canonical ordering, values to float tolerance) in
+    both norm modes — including a missing cell, which exercises the
+    sparse presence mask and the dense zero-treatment."""
+    m = _matrix_df(spark, drop=(("y2", "x1"), ("y3", "x4")))
+    for sparse in (True, False):
+        model = CosineAnalyser(axis="y").fit(m, is_sparse=sparse)
+        joins = {(r.vector0, r.vector1): r.similarity_value
+                 for r in model.all_similarity(method="joins").collect()}
+        gemm = {(r.vector0, r.vector1): r.similarity_value
+                for r in model.all_similarity(method="gemm").collect()}
+        assert set(joins) == set(gemm)
+        for k in joins:
+            assert gemm[k] == pytest.approx(joins[k], abs=1e-12), (sparse, k)
+
+
+def test_gemm_disjoint_pair_semantics(spark):
+    """Vectors sharing no coordinate: dense emits the pair with 0.0 (GEMM
+    numerator is naturally 0), sparse omits it entirely."""
+    m = spark.createDataFrame(
+        [("a", "x0", 1.0), ("a", "x1", 2.0), ("b", "x2", 3.0)],
+        "y string, x string, value double")
+    dense = CosineAnalyser(axis="y").fit(m, is_sparse=False)
+    got = {(r.vector0, r.vector1): r.similarity_value
+           for r in dense.all_similarity(method="gemm").collect()}
+    assert got == {("b", "a"): 0.0}
+    sparse = CosineAnalyser(axis="y").fit(m, is_sparse=True)
+    assert sparse.all_similarity(method="gemm").count() == 0
