@@ -378,6 +378,304 @@ def q_q12_shipmode_priority(spark, sf):
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
 
 
+def _rev_dec():
+    """Exact-decimal revenue term: float sums land on .xx5 half-points in
+    different orders per engine; decimal arithmetic agrees bit-for-bit."""
+    return (F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)")
+               - F.col("l_discount").cast("decimal(18,2)")))
+
+
+def q_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: shipping volume between two nations by year — a
+    5-table join with a disjunctive nation-pair predicate and a derived
+    year column. Both dimension chains (supplier->nation, customer->nation)
+    broadcast; the fact tables join on their keys."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+            .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+            .where(pair)
+            .withColumn("l_year", F.year("l_shipdate"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")))
+
+
+def q_q8_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's share of revenue within a region per
+    year — a conditional-aggregate ratio (sum of CASE over sum), the
+    canonical 'slice inside the aggregate, not with a filter' pattern."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nat_c = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    nat_s = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    vol = _rev_dec()
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat_c), cust["c_nationkey"] == F.col("c_nk"))
+            .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(nat_s), supp["s_nationkey"] == F.col("s_nk"))
+            .withColumn("o_year", F.year("o_orderdate"))
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(vol), 6).cast("double").alias("mkt_share")))
+
+
+def q_q9_product_profit(spark, sf):
+    """TPC-H Q9 shape: profit by supplier nation and year over a part-name
+    pattern. Adapted: this schema has no partsupp, so supply cost is
+    modeled as 10% of p_retailprice per unit — the plan shape (LIKE filter
+    -> 4-way join -> derived profit -> two-level group) is what matters."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    profit = (_rev_dec()
+              - (F.col("p_retailprice").cast("decimal(18,2)")
+                 * F.lit(0.1).cast("decimal(18,2)")
+                 * F.col("l_quantity").cast("decimal(18,2)")))
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(nation),
+                  supp["s_nationkey"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    profit.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).cast("double")
+                 .alias("sum_profit")))
+
+
+def q_q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of order counts per customer — LEFT
+    OUTER join (customers with zero orders must survive) followed by two
+    stacked aggregations."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "5-LOW")
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregate ratio over a broadcast part join, single-row output."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    part = load_table(spark, sf, "part")
+    vol = _rev_dec()
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .agg(F.round(
+                F.lit(100).cast("decimal(18,2)")
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                        .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(vol), 6).cast("double").alias("promo_revenue")))
+
+
+def q_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregated 'view' joined against its own scalar MAX. Revenue is
+    rounded to exact cents before the max-equality so the tie comparison
+    is engine-stable."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    supp = load_table(spark, sf, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(_rev_dec()), 2).alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.join(F.broadcast(top),
+                     rev["total_revenue"] == top["max_revenue"])
+            .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue")))
+
+
+def q_q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape: revenue impact of small-quantity orders for one
+    brand — correlated per-part average (here a join against the per-part
+    AVG, which Catalyst also produces when de-correlating the subquery).
+    Quantities are integer-valued doubles, so the AVG is exact in any
+    summation order and the 0.2*avg comparison is engine-stable."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#11")
+    li_b = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    avg_q = (li_b.groupBy(F.col("l_partkey").alias("ap_partkey"))
+             .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (li_b.join(avg_q, li_b["l_partkey"] == F.col("ap_partkey"))
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,2)")) / 7, 2)
+                 .cast("double").alias("avg_yearly")))
+
+
+def q_q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    predicate branches — the canonical disjunctive-pushdown test (the
+    whole predicate must reach the join, not turn into a post-filter)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b1 = ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+          & (F.col("l_quantity").between(1, 11)))
+    b2 = ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+          & (F.col("l_quantity").between(10, 20)))
+    b3 = ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+          & (F.col("l_quantity").between(20, 30)))
+    return (j.where(b1 | b2 | b3)
+            .agg(F.round(F.sum(_rev_dec()), 2).cast("double")
+                 .alias("revenue")))
+
+
+def q_q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the sole 'R'-flagged supplier
+    in multi-supplier orders — EXISTS (another supplier on the order) plus
+    NOT EXISTS (another supplier also flagged), both as join-condition
+    semi/anti joins on the same fact table. Adapted: returnflag stands in
+    for the missing receipt/commit delay columns."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier").where(
+        F.col("s_nationkey").isin(0, 1, 2, 3, 4))
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o_k"),
+                  F.col("l_suppkey").alias("s_k")))
+    l2 = li.select(F.col("l_orderkey").alias("o_k2"),
+                   F.col("l_suppkey").alias("s_k2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o_k3"),
+                  F.col("l_suppkey").alias("s_k3")))
+    waiting = (l1
+               .join(l2, (F.col("o_k") == F.col("o_k2"))
+                     & (F.col("s_k") != F.col("s_k2")), "left_semi")
+               .join(l3, (F.col("o_k") == F.col("o_k3"))
+                     & (F.col("s_k") != F.col("s_k3")), "left_anti"))
+    return (waiting.join(supp, F.col("s_k") == supp["s_suppkey"])
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+def q_q22_idle_customers(spark, sf):
+    """TPC-H Q22 shape: high-balance customers with no RECENT orders, per
+    nation — scalar AVG subquery as the balance threshold (rounded to
+    cents so the filter boundary is engine-exact) plus an anti-join on the
+    filtered orders. (Adapted to 'lapsed since 2000-06-01': this synthetic
+    data has no order-less customers at all.)"""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01"))
+    in_scope = cust.where(F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+    thresh = (in_scope.where(F.col("c_acctbal") > 0.0)
+              .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal")))
+    return (in_scope.crossJoin(F.broadcast(thresh))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, in_scope["c_custkey"] == orders["o_custkey"],
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("totacctbal")))
+
+
+def q_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: for each part of one size, the supplier(s) with the
+    minimum account balance among suppliers who actually shipped it — a
+    correlated MIN de-correlated into a per-part aggregate joined back on
+    equality. Adapted: the supplier/part association comes from lineitem
+    (no partsupp table), and s_acctbal stands in for ps_supplycost."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_size") == 5)
+    supp = load_table(spark, sf, "supplier")
+    assoc = (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+             .select("l_partkey", "l_suppkey").distinct()
+             .join(supp, F.col("l_suppkey") == supp["s_suppkey"]))
+    min_bal = (assoc.groupBy(F.col("l_partkey").alias("m_partkey"))
+               .agg(F.min("s_acctbal").alias("min_bal")))
+    return (assoc.join(min_bal,
+                       (assoc["l_partkey"] == F.col("m_partkey"))
+                       & (assoc["s_acctbal"] == F.col("min_bal")))
+            .join(F.broadcast(part.select("p_partkey", "p_name")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select(F.col("l_partkey").alias("partkey"), "p_name", "s_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+def q_q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose held value exceeds a fraction of the
+    global total — GROUP BY + HAVING against a scalar subquery over the
+    same aggregate. Adapted: value = sum(quantity * retailprice) over
+    lineitems of suppliers in two nations (no partsupp availqty)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier").where(
+        F.col("s_nationkey").isin(0, 1))
+    val = (F.col("l_quantity").cast("decimal(18,2)")
+           * F.col("p_retailprice").cast("decimal(18,2)"))
+    base = (li.join(supp, li["l_suppkey"] == supp["s_suppkey"], "left_semi")
+            .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .select("l_partkey", val.alias("val")))
+    per_part = (base.groupBy("l_partkey")
+                .agg(F.sum("val").alias("part_value")))
+    total = base.agg((F.sum("val")
+                      * F.lit(0.001).cast("decimal(18,6)")).alias("cutoff"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("part_value") > F.col("cutoff"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("part_value", 2).cast("double")
+                    .alias("part_value")))
+
+
+def q_q16_supplier_count(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding one brand and a supplier blacklist — COUNT(DISTINCT) after
+    an anti-join (the NOT IN subquery de-correlated). Association via
+    lineitem (no partsupp)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    bad_supp = load_table(spark, sf, "supplier").where(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (li.select("l_partkey", "l_suppkey").distinct()
+            .join(bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"],
+                  "left_anti")
+            .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 def q_window_top_orders(spark, sf):
     orders = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1002,6 +1300,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q10_returned_items": q_q10_returned_items,
         "q12_shipmode_priority": q_q12_shipmode_priority,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_parts": q_q11_important_parts,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_count": q_q16_supplier_count,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -1301,6 +1612,179 @@ SELECT strftime(l_shipdate, '%Y') || '-0' ||
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1""",
+        "q7_volume_shipping": """
+SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
+        "q8_market_share": """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) o_year,
+       CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE 0 END)
+                  / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 6)
+            AS DOUBLE) mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+        "q9_product_profit": """
+SELECT n_name nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(0.1 AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE) sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2""",
+        "q13_customer_distribution": """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+GROUP BY c_count""",
+        "q14_promo_revenue": """
+SELECT CAST(ROUND(CAST(100 AS DECIMAL(18,2))
+                  * SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END)
+                  / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 6)
+            AS DOUBLE) promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+           total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+        "q16_supplier_count": """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3""",
+        "q17_small_quantity": """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7, 2)
+            AS DOUBLE) avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < 0.2 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+        "q21_waiting_supplier": """
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND s_nationkey IN (0, 1, 2, 3, 4)
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY 1, 2""",
+        "q22_idle_customers": """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         totacctbal
+FROM customer
+WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+  AND c_acctbal > (
+    SELECT ROUND(AVG(c_acctbal), 2) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey""",
+        "q2_min_cost_supplier": """
+WITH assoc AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 5)
+SELECT l_partkey partkey, p_name, s_name, ROUND(s_acctbal, 2) s_acctbal
+FROM assoc
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE s_acctbal = (
+  SELECT MIN(s2.s_acctbal)
+  FROM assoc a2 JOIN supplier s2 ON a2.l_suppkey = s2.s_suppkey
+  WHERE a2.l_partkey = assoc.l_partkey)""",
+        "q11_important_parts": """
+WITH base AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS DECIMAL(18,2))
+           * CAST(p_retailprice AS DECIMAL(18,2)) val
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1)))
+SELECT l_partkey partkey,
+       CAST(ROUND(SUM(val), 2) AS DOUBLE) part_value
+FROM base
+GROUP BY l_partkey
+HAVING SUM(val) > (
+  SELECT SUM(val) * CAST(0.001 AS DECIMAL(18,6)) FROM base)""",
         "window_top_orders": """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) total_price,
        CAST(rn AS INT) rn
