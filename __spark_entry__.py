@@ -694,6 +694,31 @@ def q_q11_important_parts(spark, sf):
                     .alias("part_value")))
 
 
+def q_q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part's
+    flow — nested correlated aggregates (per-(part,supplier) quantity vs
+    the part's total), de-correlated into two stacked aggregations joined
+    back. Adapted: shipped-quantity share replaces the missing partsupp
+    availqty ('excess' = > 2x the part's fair per-supplier share).
+    Quantity sums are integer-valued doubles, so the share boundary is
+    exact in both engines."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf, "supplier")
+    pq = (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("sq")))
+    pt = (pq.groupBy(F.col("l_partkey").alias("t_partkey"))
+          .agg(F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")))
+    return (pq.join(pt, pq["l_partkey"] == F.col("t_partkey"))
+            .where((F.col("ns") >= 3)
+                   & (F.col("sq") > F.lit(2.0) * F.col("tq") / F.col("ns")))
+            .join(supp, pq["l_suppkey"] == supp["s_suppkey"])
+            .select(F.col("l_partkey").alias("partkey"), "s_suppkey",
+                    "s_name", F.round("sq", 2).alias("supplier_qty"),
+                    F.round("tq", 2).alias("part_total_qty")))
+
+
 def q_q16_supplier_count(spark, sf):
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
     excluding one brand and a supplier blacklist — COUNT(DISTINCT) after
@@ -1349,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_count": q_q16_supplier_count,
         "q17_small_quantity": q_q17_small_quantity,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q20_excess_suppliers": q_q20_excess_suppliers,
         "q21_waiting_supplier": q_q21_waiting_supplier,
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
@@ -1767,6 +1793,20 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)""",
+        "q20_excess_suppliers": """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) sq
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+  GROUP BY 1, 2),
+pt AS (SELECT l_partkey, SUM(sq) tq, COUNT(*) ns FROM pq GROUP BY 1)
+SELECT pq.l_partkey partkey, s_suppkey, s_name,
+       ROUND(sq, 2) supplier_qty, ROUND(tq, 2) part_total_qty
+FROM pq
+JOIN pt ON pq.l_partkey = pt.l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE ns >= 3 AND sq > 2.0 * tq / ns""",
         "q21_waiting_supplier": """
 SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) numwait
 FROM lineitem l1
