@@ -87,3 +87,33 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
     schema = scan_read_schema(df)
     assert any("l_extendedprice" in s for s in schema)
     assert not any("l_partkey" in s for s in schema)  # pruned
+
+
+def test_q8_all_joins_broadcast(spark, sf_dir):
+    """The 6-table market-share join must plan as all broadcast hash
+    joins at test scale — no sort-merge/shuffled-hash on the dimension
+    chains."""
+    df = E.q_q8_market_share(spark, sf_dir)
+    plan = explain_str(df)
+    assert broadcast_join_count(df) >= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q19_disjunction_reaches_scan(spark, sf_dir):
+    """The OR'd quantity predicate must push into the lineitem scan (not
+    become a post-join filter) and the scan must prune to the 4 needed
+    columns."""
+    df = E.q_q19_disjunctive_revenue(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    schemas = scan_read_schema(df)
+    li = [s for s in schemas if "l_quantity" in s]
+    assert li and all("l_shipdate" not in s and "l_tax" not in s for s in li)
+
+
+def test_q17_single_fact_scan_reused(spark, sf_dir):
+    """The correlated-AVG de-correlation reads the brand-filtered lineitem
+    join twice; exchange reuse must collapse the two subtrees into one
+    physical scan of the join output (ReusedExchange in the plan)."""
+    df = E.q_q17_small_quantity(spark, sf_dir)
+    assert "ReusedExchange" in explain_str(df)
