@@ -23,14 +23,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros (same
-        # truncation DuckDB applies to nano timestamps).
+        # events.parquet has stored `ts` as TIMESTAMP(NANOS) in some
+        # generations (which Spark's reader rejects without nanosAsLong) and
+        # plain timestamp[us] in others. Never assume: set nanosAsLong so a
+        # nanos file reads as long, then branch on the dtype we actually got.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df.withColumn("ts", normalize_ts(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_ts(dtype, col: str = "ts"):
+    """Column expression mapping a parquet-read `ts` of either encoding to a
+    session-tz TimestampType: long = raw nanos (read under nanosAsLong) →
+    truncate to micros, the same truncation DuckDB applies to nano
+    timestamps; timestamp / timestamp_ntz → pass through (cast unifies NTZ
+    vs LTZ so downstream schemas are stable across data generations)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(dtype, LongType):
+        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    return F.col(col).cast("timestamp")
 
 
 def matrix_from_lineitem(spark: SparkSession, sf_dir: str,

@@ -18,11 +18,13 @@ from casf_spark import schemas
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """Replay the events parquet as a stream. Schema is pinned from the
-    batch read (readStream requires a user-supplied schema for files); the
-    nanos `ts` is truncated to a micros timestamp, mirroring
-    sources.tables.load_table."""
+    batch read (readStream requires a user-supplied schema for files); `ts`
+    is normalized to a micros timestamp whichever encoding the parquet
+    carries, mirroring sources.tables.load_table."""
     import os
     import tempfile
+
+    from casf_spark.sources.tables import normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -35,8 +37,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(stage))
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -112,8 +112,13 @@ def test_q19_disjunction_reaches_scan(spark, sf_dir):
 
 
 def test_q17_single_fact_scan_reused(spark, sf_dir):
-    """The correlated-AVG de-correlation reads the brand-filtered lineitem
-    join twice; exchange reuse must collapse the two subtrees into one
-    physical scan of the join output (ReusedExchange in the plan)."""
+    """The correlated AVG is a window over the brand-filtered join, so the
+    plan must contain exactly ONE lineitem scan (the de-correlated
+    join-against-groupBy form scans the fact table twice — its two subtrees
+    prune to different columns, so ReusedExchange cannot merge them) and no
+    self-join of lineitem (window, not SortMergeJoin)."""
     df = E.q_q17_small_quantity(spark, sf_dir)
-    assert "ReusedExchange" in explain_str(df)
+    plan = explain_str(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan

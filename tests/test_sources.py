@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from casf_spark.functions import text as TX
 from casf_spark.sources import (read_stopwords, read_text_documents,
                                 read_text_lines, write_parquet)
@@ -72,3 +74,42 @@ def test_demo_example_runs(spark, sf_dir):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert res.returncode == 0, res.stderr[-2000:]
     assert "similarity_value" in res.stdout
+
+
+def _write_events_fixture(tmp_path, unit):
+    """Write a tiny events.parquet with ts encoded at the given resolution
+    (the driver has generated both TIMESTAMP(NANOS) and timestamp[us]
+    between rounds — load_table must accept either)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [base + datetime.timedelta(minutes=m) for m in (0, 30, 90)]
+    table = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(rows, pa.timestamp(unit)),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["view", "click", "view"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(['{"k": 1}', "{}", "{}"]),
+    })
+    d = tmp_path / f"events_{unit}"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"),
+                   version="2.6", coerce_timestamps=None)
+    return str(d)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_load_events_either_ts_encoding(spark, tmp_path, unit):
+    from pyspark.sql.types import TimestampType
+
+    from casf_spark.sources.tables import load_table
+
+    df = load_table(spark, _write_events_fixture(tmp_path, unit), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert [t.minute for t in got] == [0, 30, 30]
+    assert [t.hour for t in got] == [0, 0, 1]
