@@ -287,17 +287,25 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        method: str = "gemm") -> DataFrame:
+                        method: str = "blocked") -> DataFrame:
     """Exact embedding near-duplicates: pairs with cosine >= threshold.
 
-    ``method="gemm"`` (default): blocked numpy matmul via mapInPandas
-    (operators.similarity.gemm_near_dup_pairs) — ~100x the arithmetic
-    throughput of per-pair expression evaluation. ``method="expr"``: pure
-    Column-expression all-pairs cross-join baseline (correctness anchor,
-    no Python). Either way this is O(n^2) compute: the 100 TB path is
-    LSH-bucket first (operators.similarity.lsh_candidates), then exact
-    pairs within buckets. Output (id0, id1, cos_sim) canonical ordering.
+    ``method="blocked"`` (default): distributed block-pair numpy matmul
+    (operators.similarity.blocked_gemm_pairs) — no driver-side collect at
+    any corpus size; block count is sized from a measured corpus count so
+    per-task memory stays bounded. ``method="gemm"``: single-broadcast
+    matmul (faster constant factor when the corpus comfortably fits one
+    executor — an explicit opt-in, not the default, because it collects
+    the full table). ``method="expr"``: pure Column-expression all-pairs
+    cross-join baseline (correctness anchor, no Python). Exact all-pairs
+    is inherently O(n^2) compute: for sub-quadratic *approximate* recall
+    at 100 TB, LSH-bucket first (operators.similarity.lsh_candidates) and
+    re-rank, or use minhash/simhash. Output (id0, id1, cos_sim) canonical
+    ordering; all three methods produce identical rows.
     """
+    if method == "blocked":
+        from casf_spark.operators.similarity import blocked_gemm_pairs
+        return blocked_gemm_pairs(emb, id_col, vec_col, threshold)
     if method == "gemm":
         from casf_spark.operators.similarity import gemm_near_dup_pairs
         return gemm_near_dup_pairs(emb, id_col, vec_col, threshold)

@@ -159,6 +159,97 @@ def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     return schemas.conform(out, schemas.COSINE_PAIR)
 
 
+def blocked_gemm_pairs(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       num_blocks: int | None = None,
+                       max_block_rows: int = 32768) -> DataFrame:
+    """All-pairs cosine >= threshold via DISTRIBUTED block-pair GEMM — the
+    same exact result as gemm_near_dup_pairs with no driver-side collect
+    at any corpus size.
+
+    Each vector is hashed to one of B blocks; every row is replicated B
+    times, tagged with the block-pair group it participates in (upper
+    triangle: B(B+1)/2 groups), and each group's two sub-blocks meet in one
+    applyInPandas task that runs the chunked numpy matmul. Per-task memory
+    is bounded by 2*max_block_rows vectors + one chunk of the similarity
+    matrix; shuffle volume is O(n*B) rows. B is sized from a measured count
+    (the same measure-then-pick strategy as dedup.connected_components), so
+    small corpora get a handful of parallel tasks and a 100 TB corpus gets
+    blocks that still fit one executor. The O(n^2/B^2)-per-task compute is
+    inherent to *exact* all-pairs — for sub-quadratic approximate recall use
+    lsh_candidates / minhash instead.
+    """
+    import numpy as np
+
+    if num_blocks is None:
+        n = df.count()
+        # at least 4 blocks (10 parallel block-pairs) once there's any real
+        # data; beyond that, scale so a block never exceeds max_block_rows
+        num_blocks = max(4, -(-n // max_block_rows))
+    B = num_blocks
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(B))
+         .cast("int").alias("blk"))
+    partner = F.explode(F.array(*[F.lit(p) for p in range(B)])).alias("p")
+    # p ranges over all B blocks, so each row lands in exactly the B groups
+    # its block participates in (pair {blk, p} -> group key once per p; the
+    # p == blk case produces the diagonal group exactly once)
+    replicated = (base.select("id", "v", "blk", partner)
+                  .select("id", "v", "blk",
+                          (F.least("blk", "p") * B + F.greatest("blk", "p"))
+                          .alias("g")))
+
+    def block_pair(pdf):
+        import pandas as pd
+
+        g = int(pdf["g"].iloc[0])
+        bi, bj = g // B, g % B
+        out = []
+
+        def emit(s, ids_a, ids_b, same_block):
+            # canonical id0 > id1; within a block keep the strict upper
+            # triangle, across blocks orient each hit
+            if same_block:
+                mask = (s >= threshold) & (ids_a[:, None] > ids_b[None, :])
+            else:
+                mask = s >= threshold
+            i, j = np.nonzero(mask)
+            if i.size:
+                a, b = ids_a[i], ids_b[j]
+                out.append(pd.DataFrame({
+                    "id0": np.maximum(a, b), "id1": np.minimum(a, b),
+                    "cos_sim": s[i, j]}))
+
+        if bi == bj:
+            ids = pdf["id"].to_numpy()
+            m = _normalized_matrix(pdf, "v")
+            for lo in range(0, len(ids), 1024):
+                hi = lo + 1024
+                emit(np.round(m[lo:hi] @ m.T, 6), ids[lo:hi], ids, True)
+        else:
+            pa = pdf[pdf["blk"] == bi]
+            pb = pdf[pdf["blk"] == bj]
+            ids_a, ids_b = pa["id"].to_numpy(), pb["id"].to_numpy()
+            ma, mb = _normalized_matrix(pa, "v"), _normalized_matrix(pb, "v")
+            if ids_a.size and ids_b.size:
+                for lo in range(0, len(ids_a), 1024):
+                    hi = lo + 1024
+                    emit(np.round(ma[lo:hi] @ mb.T, 6), ids_a[lo:hi], ids_b,
+                         False)
+        if not out:
+            return pd.DataFrame({"id0": pd.Series(dtype="int64"),
+                                 "id1": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    out = replicated.groupBy("g").applyInPandas(
+        block_pair, "id0 long, id1 long, cos_sim double")
+    return schemas.conform(out, schemas.COSINE_PAIR)
+
+
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
                          num_planes: int = 8, seed: int = 42) -> DataFrame:
     """Sign-bit LSH signature: bucket = sum over planes of sign-bit << p.

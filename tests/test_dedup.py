@@ -72,6 +72,27 @@ def test_embedding_near_dups(spark):
     assert (4, 1) not in pairs
 
 
+def test_embedding_near_dups_methods_agree(spark, sf_dir):
+    """The three all-pairs methods (distributed blocked GEMM default,
+    broadcast GEMM, pure Column expr) are exact and must return identical
+    rows on real embeddings — and the default's plan must contain no
+    driver-side collect of the corpus (it is groupBy+applyInPandas)."""
+    from casf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {}
+    for m in ("blocked", "gemm", "expr"):
+        got[m] = sorted(
+            (r.id0, r.id1, r.cos_sim)
+            for r in DD.embedding_near_dups(emb, threshold=0.3,
+                                            method=m).collect())
+    assert got["blocked"] == got["gemm"] == got["expr"]
+    assert len(got["blocked"]) > 0
+    plan = DD.embedding_near_dups(emb, threshold=0.3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_shingles_short_doc_no_crash(spark):
     df = spark.createDataFrame([(1, "one"), (2, "two words")],
                                "doc_id long, text string")
