@@ -368,13 +368,21 @@ class CosineModel:
         return sims.where(F.col("similarity_value") >= t)
 
     def top_k(self, k: int, round_to: int | None = None,
-              cache_sims: bool = True) -> DataFrame:
+              cache_sims: bool = True, method: str = "groupby") -> DataFrame:
         """Top-k most-similar neighbors per vector.
 
         The canonical pair table stores each unordered pair once; symmetrize
-        (union both directions — a narrow transformation, no shuffle) then a
-        window ``row_number`` per vector. Output: (vector, neighbor,
-        similarity_value, rank).
+        (union both directions — a narrow transformation, no shuffle), then
+        reduce per vector. Output: (vector, neighbor, similarity_value,
+        rank); rank order is (similarity desc, neighbor asc).
+
+        ``method="groupby"`` (default) aggregates
+        ``slice(array_sort(collect_list(struct)), 1, k)`` + posexplode: a
+        hash aggregation instead of a total partition sort — no
+        whole-partition sort of the n*(n-1) symmetrized rows, only an
+        O(m log m) in-memory sort per group. ``method="window"`` keeps the
+        classic ``row_number`` window (same rows, pinned by a differential
+        test).
 
         ``round_to`` rounds similarities before ranking — makes rank order
         reproducible across engines whose float-sum orders differ (used by
@@ -402,10 +410,31 @@ class CosineModel:
             F.col("vector0").alias("neighbor"),
             "similarity_value",
         ))
-        w = Window.partitionBy("vector").orderBy(
-            F.desc("similarity_value"), F.asc("neighbor"))
-        return (sym.withColumn("rank", F.row_number().over(w))
-                   .where(F.col("rank") <= k))
+        if method == "window":
+            w = Window.partitionBy("vector").orderBy(
+                F.desc("similarity_value"), F.asc("neighbor"))
+            return (sym.withColumn("rank", F.row_number().over(w))
+                       .where(F.col("rank") <= k))
+        # sort key: struct fields compare in order -> (sim desc via negation,
+        # neighbor asc); Spark normalizes -0.0 == 0.0 in orderings, so the
+        # negation cannot split a tie that the window would have merged
+        top = (
+            sym.groupBy("vector")
+            .agg(F.slice(
+                F.array_sort(F.collect_list(F.struct(
+                    (-F.col("similarity_value")).alias("_ns"),
+                    F.col("neighbor").alias("neighbor"),
+                    F.col("similarity_value").alias("similarity_value")))),
+                1, k).alias("_top"))
+        )
+        return (
+            top.select("vector",
+                       F.posexplode("_top").alias("_pos", "_t"))
+            .select("vector",
+                    F.col("_t.neighbor").alias("neighbor"),
+                    F.col("_t.similarity_value").alias("similarity_value"),
+                    (F.col("_pos") + 1).cast("int").alias("rank"))
+        )
 
     def predict_missing(self, k: int = 10,
                         round_to: int | None = None) -> DataFrame:
