@@ -184,6 +184,21 @@ def test_top_k_and_predict(spark):
     assert 0.0 < preds[("y1", "x4")] <= 1.0
 
 
+def test_top_k_methods_agree(spark, sf_dir):
+    """The grouped partial top-k (default) and the window row_number path
+    must produce identical rows — ties included — on real data."""
+    from casf_spark.sources.tables import matrix_from_lineitem
+
+    m = matrix_from_lineitem(spark, sf_dir)
+    model = CosineAnalyser(axis="y").fit(m, is_sparse=False,
+                                         pre_aggregated=True)
+    a = sorted(map(tuple, model.top_k(5, round_to=6,
+                                      method="groupby").collect()))
+    b = sorted(map(tuple, model.top_k(5, round_to=6,
+                                      method="window").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_similarity_for_pairs_semi_join(spark):
     """Restricting to a candidate pair set returns exactly the full-run
     values for those pairs and nothing else."""
