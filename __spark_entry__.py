@@ -68,6 +68,27 @@ elem AS (
 """
 
 
+#: CJK twin of _ELEM_DOCS: translate a-z -> Han (the _CJK26 table is
+#: spliced in at oracle_sql() build time, after its definition), then
+#: character bigrams per space-delimited run — mirroring cjk_tokens
+#: (single-char runs kept whole, runs >= 2 chars slide a 2-window)
+_ELEM_DOCS_CJK_TMPL = """
+ctext AS (
+  SELECT CAST(doc_id AS VARCHAR) doc,
+         translate(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                   'abcdefghijklmnopqrstuvwxyz', '{cjk26}') ct
+  FROM documents WHERE doc_id < 100),
+runs AS (SELECT doc, unnest(regexp_extract_all(ct, '[^ ]+')) r FROM ctext),
+tok AS (
+  SELECT doc, unnest(CASE WHEN length(r) >= 2
+           THEN [substr(r, i, 2) for i in range(1, length(r))]
+           ELSE [r] END) AS word
+  FROM runs),
+elem AS (SELECT doc AS vector, word AS coord, CAST(COUNT(*) AS DOUBLE) val
+         FROM tok GROUP BY 1, 2)
+"""
+
+
 def _norm_sql(normalization: str = "max", omit: float | None = None) -> str:
     if normalization == "none" and omit is None:
         return "norm AS (SELECT vector, coord, val AS nv FROM elem)"
@@ -239,6 +260,31 @@ def q_doc_cosine(spark, sf):
     model = CosineAnalyser(axis="y").fit(
         _doc_matrix(spark, sf), is_sparse=True, persist=False,
         pre_aggregated=True)  # term_counts output is unique per (doc, word)
+    return _round_sim(model.all_similarity())
+
+
+#: 26 Han characters standing in for a-z when deriving deterministic CJK
+#: text from the documents table (same translate() in Spark and DuckDB)
+_CJK26 = "的一是在不了有和人这中大为上个国我以要他时来用们生到"
+
+
+def q_doc_cosine_cjk(spark, sf):
+    """CJK document cosine, end-to-end (reference KeyWordsDemo parity for
+    unsegmented scripts): deterministic Chinese-script text derived from
+    the documents table via translate(a-z -> Han), tokenized with the
+    character-bigram CJK tokenizer (functions/text.py cjk_tokens — all
+    Column exprs), then the sparse cosine pipeline. The bigram tokenizer is
+    SQL-expressible, so this has a full DuckDB oracle twin; the
+    dictionary-FMM segmenter (dict_tokenizer) is pytest-covered."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    ct = F.translate(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+        "abcdefghijklmnopqrstuvwxyz", _CJK26)
+    m = TX.term_counts(docs.select("doc_id", ct.alias("text")),
+                       "doc_id", "text", stopwords=None,
+                       tokenizer=TX.cjk_tokens)
+    model = CosineAnalyser(axis="y").fit(
+        m, is_sparse=True, persist=False, pre_aggregated=True)
     return _round_sim(model.all_similarity())
 
 
@@ -1407,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "events_percentiles": q_events_percentiles,
         # ---- end of driver 50-query window ----
+        "doc_cosine_cjk": q_doc_cosine_cjk,
         "customers_no_orders": q_customers_no_orders,
         # relational operator coverage (scans/filters/joins/aggs/sort/limit/
         # window/json)
@@ -1605,6 +1652,8 @@ FROM wins GROUP BY 1, 2"""
             "WHERE similarity_value >= 0.8"),
         "cosine_predict": predict_sql,
         "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
+        "doc_cosine_cjk": _cosine_sql(
+            _ELEM_DOCS_CJK_TMPL.format(cjk26=_CJK26), sparse=True),
         "doc_cosine_lsh": _doc_cosine_lsh_oracle(),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -139,15 +139,79 @@ def jieba_tokenizer(user_dict: str | None = None):
             "or pip-install jieba in your cluster image") from e
     if user_dict:
         jieba.load_userdict(user_dict)
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<string>")
-    def segment(texts: pd.Series) -> pd.Series:
+    def segment(texts):
         return texts.map(lambda t: [w for w in jieba.lcut(t or "")
                                     if w.strip()])
 
-    return segment
+    return _series_pandas_udf(segment, "array<string>")
+
+
+def _series_pandas_udf(fn, return_type: str):
+    """Wrap a Series->Series function as a SCALAR pandas_udf with explicit
+    type hints. This module uses ``from __future__ import annotations``, so
+    inline ``pd.Series`` hints stringify and PySpark's hint inference cannot
+    resolve them against module globals — real annotations are attached
+    here instead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(return_type)(fn)
+
+
+def dict_tokenizer(vocab, max_word_len: int | None = None):
+    """Dictionary-based CJK segmentation with NO external dependency:
+    forward maximum matching (FMM) over a caller-supplied vocabulary, as an
+    Arrow-batched pandas_udf (Column -> Column(array<string>)).
+
+    Runtime answer to the reference demo's ansj segmentation
+    (KeyWordsDemo.scala:47-58) for containers without jieba: latin/digit
+    runs tokenize as whole words; each CJK run is segmented greedily
+    longest-match-first against ``vocab``; CJK chars not starting any vocab
+    word fall out as single characters (the FMM convention). Deterministic
+    — same vocab, same split.
+
+    The vocab set ships inside the UDF closure (serialized once per task);
+    for dictionaries beyond a few hundred thousand entries, distribute the
+    file to executors and load lazily instead.
+    """
+    import re
+
+    words = frozenset(w for w in vocab if w)
+    maxlen = max_word_len or (max(map(len, words)) if words else 1)
+    # \uXXXX escapes parse identically in Python re and Java regex, so the
+    # shared CJK_RUN_PATTERN constant is reused verbatim
+    run_re = re.compile(r"[a-z0-9]+|" + CJK_RUN_PATTERN)
+    latin_re = re.compile(r"[a-z0-9]+")
+
+    def _fmm(run: str) -> list[str]:
+        out, i, n = [], 0, len(run)
+        while i < n:
+            for ln in range(min(maxlen, n - i), 1, -1):
+                if run[i:i + ln] in words:
+                    out.append(run[i:i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+
+    def _seg(t: str) -> list[str]:
+        toks: list[str] = []
+        for m in run_re.finditer((t or "").lower()):
+            s = m.group(0)
+            if latin_re.fullmatch(s):
+                toks.append(s)
+            else:
+                toks.extend(_fmm(s))
+        return toks
+
+    def segment(texts):
+        return texts.map(_seg)
+
+    return _series_pandas_udf(segment, "array<string>")
 
 
 #: BPE-ish pre-tokenizer pattern (GPT-2-style splitter, lowercased form):

@@ -171,3 +171,28 @@ def test_jieba_tokenizer_gated(spark):
         df = spark.createDataFrame([(1, "今天天气很好",)],
                                    "doc_id long, text string")
         assert df.select(seg(F.col("text"))).first()[0]
+
+
+def test_dict_tokenizer_fmm(spark):
+    """Pure-Python dictionary segmentation: greedy longest-match splits on
+    vocab words, out-of-vocab CJK falls out as single chars, latin runs
+    tokenize whole — end-to-end through term_counts."""
+    vocab = ["北京", "天安门", "天气", "今天", "机器学习", "学习"]
+    seg = TX.dict_tokenizer(vocab)
+    df = spark.createDataFrame(
+        [(1, "我爱北京天安门"),
+         (2, "今天天气很好"),
+         (3, "机器学习 with Latin2 text"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: list(r.t)
+           for r in df.select("doc_id", seg(F.col("text")).alias("t"))
+                      .collect()}
+    assert got[1] == ["我", "爱", "北京", "天安门"]
+    assert got[2] == ["今天", "天气", "很", "好"]
+    # longest match wins: 机器学习 (4) beats 学习 (2); latin lowercased
+    assert got[3] == ["机器学习", "with", "latin2", "text"]
+    assert got[4] == []
+    m = TX.term_counts(df, "doc_id", "text", stopwords=None, tokenizer=seg)
+    counts = {(r.y, r.x): r.value for r in m.collect()}
+    assert counts[("1", "北京")] == 1.0 and counts[("2", "天气")] == 1.0
