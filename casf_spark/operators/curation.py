@@ -1,0 +1,281 @@
+"""Training-corpus curation operators: repetition metrics, PII scrubbing,
+benchmark decontamination, sequence packing, stratified sampling.
+
+These are the per-document / cross-corpus hygiene passes an LLM data
+pipeline runs between raw crawl and tokenizer:
+
+- ``repetition_features`` — Gopher-style repeated-n-gram signals (docs
+  dominated by repeated phrases are low-quality boilerplate).
+- ``pii_features`` / ``redact_pii`` — regex detection + scrubbing of
+  emails / IPv4 / phone-shaped spans, cross-engine-portable patterns.
+- ``contamination_flags`` — test-set decontamination: flag corpus docs
+  sharing word n-grams with a benchmark corpus (the standard 13-gram
+  overlap rule, n configurable).
+- ``pack_sequences`` / ``pack_greedy_chunks`` — assign docs to fixed
+  token-budget training bins, either by deterministic prefix-sum
+  (SQL-expressible, oracle-checkable) or greedy first-fit per chunk.
+- ``stratified_sample`` — per-stratum deterministic hash-rate sampling
+  (domain/language rebalancing).
+
+Scale notes (100 TB bar): every operator is a narrow projection plus at
+most one keyed shuffle. Nothing windows over a global order on the full
+corpus — ``pack_sequences`` does the classic two-level distributed prefix
+sum (per-chunk window + a tiny chunk-offset table) precisely to avoid the
+single-task global window. The decontamination join keeps the benchmark
+side aggregated and broadcast (benchmarks are ~1e5 grams even when the
+corpus is 1e10 docs).
+
+Reference parity note: the reference engine (SaltFishYe/Casf) has no
+curation surface — these extend the engine for the LLM-pipeline brief;
+semantics follow Rae et al. 2021 (Gopher §A1.1) and Brown et al. 2020
+(GPT-3 §C) as published.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from casf_spark.functions.hashing import md5_long
+from casf_spark.operators.dedup import _shingles
+from casf_spark.operators.sampling import hash_fraction
+
+__all__ = [
+    "repetition_features",
+    "pii_features",
+    "redact_pii",
+    "pii_scrub_report",
+    "contamination_flags",
+    "pack_sequences",
+    "pack_greedy_chunks",
+    "stratified_sample",
+    "PII_PATTERNS",
+]
+
+
+# ---------------------------------------------------------------- repetition
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str,
+                        ns: Sequence[int] = (2, 3)) -> DataFrame:
+    """Per-document repeated-n-gram ratios (Gopher repetition signals).
+
+    For each n in ``ns``:
+
+    - ``dup_gram_frac_{n}`` — fraction of n-gram *occurrences* whose gram
+      appears >= 2 times in the document;
+    - ``top_gram_frac_{n}`` — share of the single most frequent n-gram.
+
+    Docs shorter than n tokens score 0.0 (no grams, nothing repeated).
+
+    Plan: per n, one (doc, gram) count aggregation (map-side combined —
+    the shuffle carries distinct grams per doc, not occurrences) and a
+    doc-level rollup; the per-n results join on ``doc``, every side
+    already hash-partitioned by the same key so AQE plans them without
+    extra exchanges. Cost is linear in corpus token count.
+    """
+    out = df.select(F.col(id_col).cast("long").alias("doc"))
+    for n in ns:
+        occ = _shingles(df, id_col, text_col, n, distinct=False)
+        cnt = (occ.groupBy("doc", "shingle")
+               .agg(F.count(F.lit(1)).alias("c")))
+        feat = (cnt.groupBy("doc")
+                .agg(F.sum("c").alias("total"),
+                     F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                           .otherwise(F.lit(0))).alias("dup"),
+                     F.max("c").alias("top"))
+                .select(
+                    "doc",
+                    F.round(F.col("dup") / F.col("total"), 6)
+                     .alias(f"dup_gram_frac_{n}"),
+                    F.round(F.col("top") / F.col("total"), 6)
+                     .alias(f"top_gram_frac_{n}")))
+        out = out.join(feat, "doc", "left")
+    return out.fillna({c: 0.0 for c in out.columns if c != "doc"})
+
+
+# ----------------------------------------------------------------------- PII
+
+#: detection patterns chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround, explicit classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{2}[ -]\d{3}[ -]\d{4,8}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: redaction order matters (an email contains dot-separated digit runs an
+#: ipv4 pattern could clip) — fixed here and mirrored in the oracle twin.
+_REDACT_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII span counts: (doc, n_email, n_phone, n_ipv4).
+
+    Pure narrow projection — ``regexp_count`` stays in codegen; no
+    shuffle, no UDF. DuckDB twin: ``len(regexp_extract_all(text, p))``.
+    """
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        *[F.regexp_count(F.col(text_col), F.lit(p)).cast("long")
+          .alias(f"n_{name}") for name, p in PII_PATTERNS.items()])
+
+
+def _scrub_expr(text_col: str | Column, token: str) -> Column:
+    scrubbed = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in _REDACT_ORDER:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[name], token)
+    return scrubbed
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str,
+               token: str = "<PII>") -> DataFrame:
+    """Scrub PII spans, replacing each with ``token``: (doc, text).
+
+    Chained ``regexp_replace`` in the fixed ``_REDACT_ORDER`` — one
+    projection, no shuffle.
+    """
+    return df.select(F.col(id_col).cast("long").alias("doc"),
+                     _scrub_expr(text_col, token).alias("text"))
+
+
+def pii_scrub_report(df: DataFrame, id_col: str, text_col: str,
+                     token: str = "<PII>") -> DataFrame:
+    """Counts + scrubbed text in ONE projection:
+    (doc, n_email, n_phone, n_ipv4, redacted).
+
+    The audit-trail shape pipelines persist — what was found and the text
+    with it removed — without scanning the corpus twice or self-joining
+    the per-doc outputs of :func:`pii_features` and :func:`redact_pii`.
+    """
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        *[F.regexp_count(F.col(text_col), F.lit(p)).cast("long")
+          .alias(f"n_{name}") for name, p in PII_PATTERNS.items()],
+        _scrub_expr(text_col, token).alias("redacted"))
+
+
+# ------------------------------------------------------------ decontamination
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 13, min_hits: int = 1) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing >= ``min_hits``
+    distinct word n-grams with the benchmark corpus -> (doc, n_hits).
+
+    The GPT-3 appendix-C rule (13-gram collision) with n configurable —
+    short synthetic corpora want smaller n.
+
+    Plan shape for 100 TB: the benchmark side reduces to DISTINCT 60-bit
+    gram hashes *before* the join and is broadcast — eval benchmarks are
+    tiny (~1e5-1e7 grams) next to the corpus, so the corpus never
+    shuffles; the join is a map-side hash probe per corpus gram, and the
+    only exchange is the final per-doc count (keyed by doc, combiner
+    pushed map-side).
+    """
+    d = (_shingles(docs, id_col, text_col, n, distinct=True)
+         .select("doc", md5_long("shingle").alias("g")))
+    b = (_shingles(benchmark, id_col, text_col, n, distinct=True)
+         .select(md5_long("shingle").alias("g"))
+         .distinct())
+    return (d.join(F.broadcast(b), "g")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits))
+
+
+# ------------------------------------------------------------------- packing
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, chunk: int = 1024) -> DataFrame:
+    """Deterministic token-budget bin assignment: docs taken in id order,
+    bin i holds the docs whose *exclusive* prefix token-sum lands in
+    ``[i*budget, (i+1)*budget)`` -> (doc, n_tok, bin).
+
+    Semantically the "never split, allow overflow" packing: a doc whose
+    tokens straddle a boundary belongs to the bin its first token falls
+    in (downstream loaders truncate/continue — this operator only needs a
+    stable, order-preserving assignment).
+
+    Scale design — the naive ``SUM() OVER (ORDER BY doc)`` is a
+    single-task global window; this is the two-level distributed prefix
+    sum instead:
+
+    1. per-chunk exclusive cumsum, chunk = doc div ``chunk`` (windows
+       partitioned by chunk — parallel across the corpus);
+    2. chunk totals (one row per chunk, corpus/chunk rows) windowed
+       globally — the only serial step, over the tiny totals table;
+    3. offsets broadcast-joined back; global prefix = offset + local.
+
+    Oracle-equal to the single global window by associativity of +.
+    """
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(tokens_col).cast("long").alias("n_tok"),
+        F.floor(F.col(id_col).cast("long") / chunk).cast("long").alias("ck"))
+    in_chunk = Window.partitionBy("ck").orderBy("doc") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    local = t.withColumn(
+        "local_excl", F.coalesce(F.sum("n_tok").over(in_chunk), F.lit(0)))
+    totals = t.groupBy("ck").agg(F.sum("n_tok").alias("ck_tok"))
+    prior = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "ck", F.coalesce(F.sum("ck_tok").over(prior), F.lit(0)).alias("off"))
+    return (local.join(F.broadcast(offsets), "ck")
+            .select("doc", "n_tok",
+                    F.floor((F.col("off") + F.col("local_excl")) / budget)
+                    .cast("long").alias("bin")))
+
+
+def pack_greedy_chunks(df: DataFrame, id_col: str, tokens_col: str,
+                       budget: int, chunk: int = 1024) -> DataFrame:
+    """Greedy first-fit-in-order packing, parallel per chunk ->
+    (doc, n_tok, bin): within each id-range chunk, docs accumulate into a
+    bin until the next doc would exceed ``budget``, then a new bin opens.
+    No bin exceeds budget unless a single doc does. Bins are globally
+    unique as ``ck * chunk + local_bin`` (a chunk of ``chunk`` docs opens
+    at most ``chunk`` bins).
+
+    The true no-overflow semantics need a sequential scan, so it runs as
+    an Arrow-batched ``applyInPandas`` per chunk — each task packs its id
+    range independently; determinism comes from chunking on ids, not on
+    physical partitioning.
+    """
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(tokens_col).cast("long").alias("n_tok"),
+        F.floor(F.col(id_col).cast("long") / chunk).cast("long").alias("ck"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc").reset_index(drop=True)
+        bins, acc, b = [], 0, 0
+        for n in pdf["n_tok"]:
+            if acc > 0 and acc + n > budget:
+                b += 1
+                acc = 0
+            bins.append(b)
+            acc += n
+        pdf["bin"] = pdf["ck"] * chunk + bins
+        return pdf[["doc", "n_tok", "bin"]]
+
+    return t.groupBy("ck").applyInPandas(
+        pack, "doc long, n_tok long, bin long")
+
+
+# ------------------------------------------------------------------ sampling
+
+def stratified_sample(df: DataFrame, key: Column | str, strata_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-derived
+    key fraction < the rate configured for its stratum (domain/language
+    rebalancing with rerun- and engine-stable membership).
+
+    Narrow filter, no shuffle; Catalyst pushes it into the scan. DuckDB
+    twin: CASE over strata + the documented ``hash_fraction`` expression.
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.where(hash_fraction(key) < rate)

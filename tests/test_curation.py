@@ -1,0 +1,180 @@
+"""Curation operators: repetition metrics, PII scrubbing, decontamination,
+sequence packing, stratified sampling — hand-computed fixtures plus
+properties on real testdata."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import curation as CU
+from casf_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_hand_computed(spark):
+    # "a b a b a": 2-grams = [a b, b a, a b, b a] -> all 4 occurrences
+    # duplicated, top gram ("a b") share 2/4.
+    # "x y z": 2-grams = [x y, y z] -> nothing duplicated, top 1/2.
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y z"), (3, "solo")])
+    got = {r["doc"]: r.asDict()
+           for r in CU.repetition_features(df, "doc_id", "text",
+                                           ns=(2,)).collect()}
+    assert got[1]["dup_gram_frac_2"] == 1.0
+    assert got[1]["top_gram_frac_2"] == 0.5
+    assert got[2]["dup_gram_frac_2"] == 0.0
+    assert got[2]["top_gram_frac_2"] == 0.5
+    # shorter than n: defined as 0.0, not null
+    assert got[3]["dup_gram_frac_2"] == 0.0
+
+
+def test_repetition_range(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = CU.repetition_features(docs, "doc_id", "text", ns=(2, 3))
+    bad = feats.where(
+        (F.col("dup_gram_frac_2") < 0) | (F.col("dup_gram_frac_2") > 1)
+        | (F.col("top_gram_frac_3") <= 0) | (F.col("top_gram_frac_3") > 1))
+    assert bad.count() == 0
+    assert feats.count() == docs.count()
+
+
+# ----------------------------------------------------------------------- PII
+
+def test_pii_counts_and_redaction(spark):
+    df = _docs(spark, [
+        (1, "mail a@b.com and c.d+x@e.org end"),
+        (2, "server 10.0.0.1 called +49 171 5551234"),
+        (3, "clean text only"),
+    ])
+    counts = {r["doc"]: r.asDict()
+              for r in CU.pii_features(df, "doc_id", "text").collect()}
+    assert counts[1]["n_email"] == 2
+    assert counts[2]["n_ipv4"] == 1 and counts[2]["n_phone"] == 1
+    assert all(counts[3][k] == 0 for k in ("n_email", "n_phone", "n_ipv4"))
+
+    red = {r["doc"]: r["text"]
+           for r in CU.redact_pii(df, "doc_id", "text").collect()}
+    assert red[1] == "mail <PII> and <PII> end"
+    assert red[2] == "server <PII> called <PII>"
+    assert red[3] == "clean text only"
+
+
+def test_redacted_text_has_no_remaining_matches(spark):
+    df = _docs(spark, [(1, "a@b.com 1.2.3.4 +12 345 6789 a@b.com")])
+    red = CU.redact_pii(df, "doc_id", "text")
+    counts = CU.pii_features(red, "doc", "text").collect()[0]
+    assert counts["n_email"] == 0
+    assert counts["n_ipv4"] == 0
+    assert counts["n_phone"] == 0
+
+
+# ------------------------------------------------------------ decontamination
+
+def test_contamination_exact_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    docs = _docs(spark, [
+        (1, "lazy dogs avoid the quick brown fox jumps daily"),  # overlap
+        (2, "completely different words here entirely"),          # clean
+        (3, "the quick brown cat sits"),                          # 5-gram miss
+    ])
+    hits = {r["doc"]: r["n_hits"]
+            for r in CU.contamination_flags(docs, bench, "doc_id", "text",
+                                            n=5).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+    assert 3 not in hits
+
+
+def test_contamination_self_is_total(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    long_enough = docs.where(CU.F.size(
+        CU.F.split(CU.F.col("text"), " ")) >= 5)
+    n = long_enough.count()
+    hits = CU.contamination_flags(long_enough, long_enough,
+                                  "doc_id", "text", n=5)
+    assert hits.count() == n  # every doc overlaps itself
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    rows = [(i, f"id{i}", (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, n) for i, _, n in rows], "doc_id long, n_tokens long")
+    got = {r["doc"]: r["bin"]
+           for r in CU.pack_sequences(df, "doc_id", "n_tokens",
+                                      budget=256, chunk=16).collect()}
+    cum = 0
+    for i, _, n in rows:
+        assert got[i] == cum // 256, f"doc {i}"
+        cum += n
+
+
+def test_pack_greedy_respects_budget(spark):
+    rows = [(i, (i * 53) % 120 + 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = CU.pack_greedy_chunks(df, "doc_id", "n_tokens",
+                                budget=200, chunk=32).collect()
+    assert len(out) == 300  # every doc assigned
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r)
+    for rows_in_bin in by_bin.values():
+        tot = sum(r["n_tok"] for r in rows_in_bin)
+        assert tot <= 200 or len(rows_in_bin) == 1
+    # deterministic across recomputation
+    again = {(r["doc"], r["bin"])
+             for r in CU.pack_greedy_chunks(df, "doc_id", "n_tokens",
+                                            budget=200, chunk=32).collect()}
+    assert {(r["doc"], r["bin"]) for r in out} == again
+
+
+def test_pack_greedy_chunk_isolation(spark):
+    # chunk boundaries reset packing: doc assignment inside a chunk must
+    # not depend on other chunks' contents
+    a = spark.createDataFrame(
+        [(i, 50) for i in range(64)], "doc_id long, n_tokens long")
+    b = spark.createDataFrame(
+        [(i, 50) for i in range(32, 64)], "doc_id long, n_tokens long")
+    got_a = {r["doc"]: r["bin"]
+             for r in CU.pack_greedy_chunks(a, "doc_id", "n_tokens",
+                                            budget=120, chunk=32).collect()}
+    got_b = {r["doc"]: r["bin"]
+             for r in CU.pack_greedy_chunks(b, "doc_id", "n_tokens",
+                                            budget=120, chunk=32).collect()}
+    for doc in got_b:
+        assert got_a[doc] == got_b[doc]
+
+
+# ------------------------------------------------------------------ sampling
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    out = CU.stratified_sample(docs, F.col("doc_id").cast("string"),
+                               "lang", rates)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per.get("de", 0) == totals["de"]      # rate 1.0 keeps all
+    assert "zh" not in per                        # rate 0.0 drops all
+    assert "fr" not in per                        # unlisted -> default 0.0
+    if totals.get("en", 0) >= 20:
+        frac = per.get("en", 0) / totals["en"]
+        assert 0.2 < frac < 0.8                   # loose: hashed, not exact
+    # engine-portable membership: python md5 agrees with the Spark expr
+    kept_en = {r["doc_id"] for r in out.where(F.col("lang") == "en")
+               .select("doc_id").collect()}
+    all_en = [r["doc_id"] for r in docs.where(F.col("lang") == "en")
+              .select("doc_id").collect()]
+    for d in all_en:
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        expect = (h >> 30) / float(1 << 30) < 0.5
+        assert (d in kept_en) == expect
