@@ -2186,12 +2186,11 @@ g AS (SELECT doc, source, unnest(CASE WHEN len(a) >= 4
         THEN list_transform(range(len(a) - 3),
                             i -> array_to_string(a[i+1:i+4], ' '))
         ELSE [] END) gram FROM t),
-dg AS (SELECT DISTINCT doc, source, gram FROM g),
 dh AS (SELECT doc, source,
-         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) g FROM dg),
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) g FROM g),
 b AS (SELECT DISTINCT g FROM dh WHERE source = 'src0'),
 d AS (SELECT doc, g FROM dh WHERE source <> 'src0')
-SELECT d.doc, CAST(COUNT(*) AS BIGINT) n_hits
+SELECT d.doc, CAST(COUNT(DISTINCT d.g) AS BIGINT) n_hits
 FROM d JOIN b USING (g) GROUP BY 1""",
         "pack_bins": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc,

@@ -168,20 +168,22 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     short synthetic corpora want smaller n.
 
     Plan shape for 100 TB: the benchmark side reduces to DISTINCT 60-bit
-    gram hashes *before* the join and is broadcast — eval benchmarks are
-    tiny (~1e5-1e7 grams) next to the corpus, so the corpus never
-    shuffles; the join is a map-side hash probe per corpus gram, and the
-    only exchange is the final per-doc count (keyed by doc, combiner
-    pushed map-side).
+    gram hashes and broadcasts — eval benchmarks are tiny (~1e5-1e7
+    grams) next to the corpus. The corpus side stays UN-deduplicated so
+    it never shuffles at full volume: the broadcast join filters it
+    map-side down to only the contaminated gram occurrences, and the
+    distinct-per-doc count aggregates that residue — every exchange in
+    the plan is proportional to the contamination, not the corpus
+    (plan-pinned in tests/test_plans.py).
     """
-    d = (_shingles(docs, id_col, text_col, n, distinct=True)
+    d = (_shingles(docs, id_col, text_col, n, distinct=False)
          .select("doc", md5_long("shingle").alias("g")))
     b = (_shingles(benchmark, id_col, text_col, n, distinct=True)
          .select(md5_long("shingle").alias("g"))
          .distinct())
     return (d.join(F.broadcast(b), "g")
             .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .agg(F.countDistinct("g").alias("n_hits"))
             .where(F.col("n_hits") >= min_hits))
 
 

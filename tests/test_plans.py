@@ -122,3 +122,53 @@ def test_q17_single_fact_scan_reused(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+    """The benchmark gram set broadcasts and the corpus side reaches the
+    join with NO exchange — every shuffle in the plan is over the
+    benchmark grams or the post-join contaminated residue, never the
+    full corpus."""
+    df = E.q_decontaminate(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, explain_str(df)
+    plan = explain_str(df)
+    # in the formatted tree the corpus subtree is the lines between the
+    # BroadcastHashJoin node and its BroadcastExchange build side
+    tree = plan[plan.index("BroadcastHashJoin"):]
+    corpus_subtree = tree[:tree.index("BroadcastExchange")]
+    assert "Exchange" not in corpus_subtree, corpus_subtree
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """Distributed prefix sum: every window over the doc table is
+    partitioned by chunk; only the tiny chunk-offset table may window
+    over a global order (the serial step is O(n_docs/chunk))."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tokens"))
+    from casf_spark.operators.curation import pack_sequences
+    df = pack_sequences(t, "doc_id", "n_tokens", budget=512, chunk=64)
+    plan = explain_str(df)
+    # the doc-table window is keyed by chunk -> its exchange partitions
+    # by ck; the offsets window's SinglePartition exchange exists but
+    # consumes the chunk-totals aggregate, not the doc table
+    assert "Window" in plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "partitionBy=[ck" in plan.replace(" ", "") or \
+        "hashpartitioning(ck" in plan, plan
+
+
+def test_pii_scrub_single_projection_no_shuffle(spark, sf_dir):
+    """PII audit is scan -> project: no exchange anywhere."""
+    df = E.q_pii_redact(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
+    """The md5-rate filter is a narrow predicate: no exchange, single
+    scan."""
+    df = E.q_sample_stratified(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
