@@ -1137,6 +1137,30 @@ def q_sample_stratified(spark, sf):
                     "lang", "source"))
 
 
+def q_pack_greedy(spark, sf):
+    """True first-fit sequence packing (no bin overflow) — rows-only:
+    the greedy scan is sequential per id-chunk (applyInPandas), not
+    SQL-expressible; budget/coverage properties are pytest-pinned
+    (test_curation)."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    TX.token_count("text").cast("long").alias("n_tokens"))
+    return CU.pack_greedy_chunks(t, "doc_id", "n_tokens",
+                                 budget=512, chunk=64)
+
+
+def q_events_approx_distinct(spark, sf):
+    """Sketch-based distinct users per event type (HyperLogLog++,
+    rsd=5%) next to the exact count — rows-only: sketch estimates are
+    engine-specific; the relative-error bound is pytest-pinned
+    (test_skew). At 100 TB the sketch is the default path: fixed-size
+    state, one pass, no distinct shuffle."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
 def q_dedup_exact(spark, sf):
     return DD.dedup_exact(load_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -1517,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "events_percentiles": q_events_percentiles,
         # ---- end of driver 50-query window ----
+        "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
+        "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,

@@ -42,3 +42,14 @@ def test_salted_count_distinct_exact(spark, skewed):
            SK.salted_count_distinct(skewed, ["k"], "v", n_salt=8).collect()}
     assert got == truth
     assert got["hot"] == 37
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ sketch estimate stays within its configured rsd of the exact
+    count (5% rsd -> assert 3 sigma = 15%)."""
+    import __spark_entry__ as E
+    rows = E.q_events_approx_distinct(spark, sf_dir).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) \
+            <= max(0.15 * r["exact_users"], 2.0), r
