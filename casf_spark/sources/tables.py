@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -29,7 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos file reads as long, then branch on the dtype we actually got.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", normalize_ts(df.schema["ts"].dataType))
+        df = df.withColumn("ts", normalize_ts(df.schema["ts"].dataType))
+        # `props` is consumed as a JSON string (get_json_object). Data
+        # regenerations have changed physical encodings before (see ts
+        # above) — if a generation stores it as a parquet struct/map,
+        # serialize it back rather than failing analysis.
+        if "props" in df.columns and not isinstance(
+                df.schema["props"].dataType, StringType):
+            df = df.withColumn("props", F.to_json("props"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

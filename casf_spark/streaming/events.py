@@ -37,7 +37,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(stage))
-    return raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
+    out = raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
+    # mirror load_table's props normalization (struct-encoded generations)
+    from pyspark.sql.types import StringType
+    if "props" in out.columns and not isinstance(
+            schema["props"].dataType, StringType):
+        out = out.withColumn("props", F.to_json("props"))
+    return out
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -113,3 +113,38 @@ def test_load_events_either_ts_encoding(spark, tmp_path, unit):
     got = sorted(r.ts for r in df.select("ts").collect())
     assert [t.minute for t in got] == [0, 30, 30]
     assert [t.hour for t in got] == [0, 0, 1]
+
+
+def test_load_events_struct_props(spark, tmp_path):
+    """A generation that stores `props` as a parquet struct must load as a
+    JSON string (get_json_object is the consumer contract)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from casf_spark.sources.tables import load_table
+
+    base = datetime.datetime(2024, 1, 1)
+    table = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([base, base], pa.timestamp("us")),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array([{"k": 7}, {"k": None}],
+                          pa.struct([("k", pa.int64())])),
+    })
+    d = tmp_path / "events_struct"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["props"].dataType, StringType)
+    got = {r.event_id: r.k for r in df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k")).collect()}
+    assert got[1] == "7"
