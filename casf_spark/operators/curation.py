@@ -51,6 +51,8 @@ __all__ = [
     "pack_sequences",
     "pack_greedy_chunks",
     "stratified_sample",
+    "mixture_resample",
+    "budget_select",
     "PII_PATTERNS",
 ]
 
@@ -266,6 +268,79 @@ def pack_greedy_chunks(df: DataFrame, id_col: str, tokens_col: str,
 
 
 # ------------------------------------------------------------------ sampling
+
+def mixture_resample(df: DataFrame, key: Column | str, strata_col: str,
+                     shares: dict[str, float], total_rows: int) -> DataFrame:
+    """Resample toward a target domain mixture: downsample each stratum to
+    ``~ shares[s] * total_rows`` rows (never upsampling — acceptance rate
+    is capped at 1.0), membership decided by deterministic key hash.
+
+    The knob LLM data recipes publish as "mixture weights": given measured
+    stratum sizes, the per-stratum acceptance rate is
+    ``min(1, share * total_rows / n_stratum)``. Strata absent from
+    ``shares`` are dropped (rate 0).
+
+    Plan: one tiny count aggregation (rows = |strata|) broadcast back onto
+    the corpus; the acceptance test itself is the same narrow
+    ``hash_fraction(key) < rate`` filter as :func:`stratified_sample` —
+    the corpus is scanned once and never shuffled.
+    """
+    share = F.lit(0.0)
+    for k, v in sorted(shares.items()):
+        share = F.when(F.col("_stratum") == k, F.lit(float(v))).otherwise(share)
+    rates = (df.groupBy(F.col(strata_col).alias("_stratum"))
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .select("_stratum",
+                     F.least(F.lit(1.0),
+                             share * F.lit(float(total_rows)) / F.col("_n"))
+                     .alias("_rate")))
+    out = (df.join(F.broadcast(rates),
+                   df[strata_col] == rates["_stratum"])
+           .where(hash_fraction(key) < F.col("_rate")))
+    return out.drop("_stratum", "_rate")
+
+
+def budget_select(df: DataFrame, id_col: str, tokens_col: str,
+                  strata_col: str, budget: int,
+                  n_chunks: int = 64) -> DataFrame:
+    """Per-stratum token-budget selection -> (doc, stratum, n_tok): rank
+    each stratum's docs by deterministic hash priority and keep the prefix
+    whose *inclusive* cumulative token count stays <= ``budget``.
+
+    "Give me ~1B tokens per language, chosen reproducibly" — truncation
+    semantics: once the budget is exhausted every later-priority doc in
+    the stratum is excluded (no skip-and-refill; greedy refill is
+    :func:`pack_greedy_chunks`'s job).
+
+    Scale design: the naive form is ``SUM() OVER (PARTITION BY stratum
+    ORDER BY priority)`` — one task per stratum, and corpora have few,
+    huge strata. This is the two-level distributed prefix sum instead
+    (same scheme as :func:`pack_sequences`), with the chunk key derived
+    from the priority itself: priorities are uniform in [0,1), so
+    ``floor(p * n_chunks)`` yields ``n_chunks`` balanced, ORDER-ALIGNED
+    chunks per stratum. Per-(stratum, chunk) windows run in parallel; the
+    serial window sees only |strata| * n_chunks rows. Oracle-equal to the
+    single window by associativity of +.
+    """
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.col(tokens_col).cast("long").alias("n_tok"),
+        F.col(strata_col).alias("stratum"),
+        hash_fraction(F.col(id_col).cast("string")).alias("p"))
+    t = t.withColumn("ck", F.floor(F.col("p") * n_chunks).cast("long"))
+    in_ck = Window.partitionBy("stratum", "ck").orderBy("p", "doc") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = t.withColumn("cum_local", F.sum("n_tok").over(in_ck))
+    totals = t.groupBy("stratum", "ck").agg(F.sum("n_tok").alias("ck_tok"))
+    prior = Window.partitionBy("stratum").orderBy("ck") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "stratum", "ck",
+        F.coalesce(F.sum("ck_tok").over(prior), F.lit(0)).alias("off"))
+    return (local.join(F.broadcast(offsets), ["stratum", "ck"])
+            .where(F.col("off") + F.col("cum_local") <= budget)
+            .select("doc", "stratum", "n_tok"))
+
 
 def stratified_sample(df: DataFrame, key: Column | str, strata_col: str,
                       rates: dict[str, float],

@@ -1,0 +1,173 @@
+"""Term-relevance analytics: TF-IDF keyword extraction, BM25 retrieval,
+kNN label classification.
+
+The reference's whole demo is keyword analysis — raw term-count vectors
+fed to cosine similarity (KeyWordsDemo.scala:59-62 builds the counts,
+README.md:9 frames the engine as keyword extraction). TF-IDF is the
+standard next step that pipeline implies but never ships: weight each
+doc's terms by corpus-wide rarity so "the most similar words" stop being
+dominated by common ones. BM25 extends the same statistics into a ranked
+retrieval scorer; kNN classification is the label-side twin of the ANN
+operators (operators/similarity.py).
+
+Scale notes (100 TB bar):
+
+- ``tfidf_terms``: two keyed aggregations (doc-term counts, then term
+  document-frequency over the *distinct* doc-term rows — shuffle carries
+  the vocabulary-sized table, not token occurrences). The corpus row
+  count enters as a 1-row aggregate broadcast-cross-joined, never a
+  driver collect. Top-k per doc is the grouped
+  ``slice(array_sort(collect_list))`` partial aggregation (same shape as
+  CosineModel.top_k) — no global window sort.
+- ``bm25_rank``: the corpus-sized side is filtered to query-term hits
+  BEFORE any shuffle (the ``isin`` predicate pushes to the scan), so
+  every exchange is proportional to the hit set, not the corpus. The
+  final top-n is ``orderBy().limit()`` which Spark executes as
+  TakeOrderedAndProject — per-partition partial top-n, no full sort.
+- ``knn_classify``: inherits brute_force_topk's contract (broadcast
+  query block, corpus streams through partial-top-k GEMM); the majority
+  vote is one tiny aggregation over n_queries * k rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
+from casf_spark.operators import similarity as _sim
+
+__all__ = ["tfidf_terms", "bm25_rank", "knn_classify"]
+
+
+def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
+                     pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """(doc, term, tf) — one aggregation over exploded tokens."""
+    return (tokenize(docs, id_col, text_col, pattern)
+            .groupBy(F.col("doc").cast("long").alias("doc"),
+                     F.col("word").alias("term"))
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def _corpus_size(docs: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n_docs) aggregate — broadcast-cross-joined where a scalar is
+    needed, so corpus cardinality never round-trips through the driver."""
+    return docs.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+
+
+def tfidf_terms(docs: DataFrame, id_col: str, text_col: str,
+                top_k: int = 5,
+                pattern: str = TOKEN_SPLIT_PATTERN,
+                round_to: int = 6) -> DataFrame:
+    """Top-``top_k`` TF-IDF keywords per document ->
+    (doc, term, tf, tfidf, rank).
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (the smoothed variant — never
+    zero, never divides by zero), ``tfidf = tf * idf`` rounded to
+    ``round_to`` so rank order is engine-stable. Rank ties break on term
+    ascending.
+    """
+    tf = _doc_term_counts(docs, id_col, text_col, pattern)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = _corpus_size(docs, id_col)
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .select(
+                  "doc", "term", "tf",
+                  F.round(
+                      F.col("tf")
+                      * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                      round_to).alias("tfidf")))
+    # grouped partial top-k: per-doc in-memory sort of its term list, no
+    # global window. struct sort is lexicographic -> (-tfidf, term) gives
+    # (tfidf desc, term asc).
+    topk = (scored
+            .groupBy("doc")
+            .agg(F.slice(
+                F.array_sort(F.collect_list(F.struct(
+                    (-F.col("tfidf")).alias("neg"),
+                    F.col("term").alias("term"),
+                    F.col("tf").alias("tf")))),
+                1, top_k).alias("top")))
+    return (topk.select("doc", F.posexplode("top").alias("pos", "t"))
+            .select("doc",
+                    F.col("t.term").alias("term"),
+                    F.col("t.tf").alias("tf"),
+                    (-F.col("t.neg")).alias("tfidf"),
+                    (F.col("pos") + 1).cast("int").alias("rank")))
+
+
+def bm25_rank(docs: DataFrame, query_terms: Sequence[str],
+              id_col: str, text_col: str,
+              k1: float = 1.2, b: float = 0.75, top_n: int = 20,
+              pattern: str = TOKEN_SPLIT_PATTERN,
+              round_to: int = 6) -> DataFrame:
+    """BM25-ranked documents for a bag-of-words query ->
+    (doc, score, n_hit_terms), top ``top_n`` by (score desc, doc asc).
+
+    Robertson/Sparck-Jones idf: ``ln(1 + (N - df + 0.5) / (df + 0.5))``;
+    per-term contribution ``idf * tf * (k1+1) / (tf + k1 * (1 - b +
+    b * dl / avgdl))``. Doc length = token occurrences under the same
+    tokenizer.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(docs, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (dl.crossJoin(F.broadcast(_corpus_size(docs, id_col)))
+             .agg(F.first("n_docs").alias("n_docs"),
+                  F.avg("dl").alias("avgdl")))
+    # corpus side filtered to query-term hits before any shuffle
+    hits = (toks.where(F.col("word").isin(terms))
+            .groupBy("doc", F.col("word").alias("term"))
+            .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    dfreq = (hits.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (hits
+              .join(F.broadcast(dfreq), "term")
+              .join(dl, "doc")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "doc", "term",
+                  (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5))
+                   * F.col("tf") * (k1 + 1.0)
+                   / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                          / F.col("avgdl")))).alias("c")))
+    ranked = (scored.groupBy("doc")
+              .agg(F.round(F.sum("c"), round_to).alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_hit_terms")))
+    # sort+limit compiles to TakeOrderedAndProject (partial per-partition
+    # top-n) — not a global sort
+    return ranked.orderBy(F.desc("score"), F.asc("doc")).limit(top_n)
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 method: str = "gemm") -> DataFrame:
+    """k-nearest-neighbor majority-vote label prediction ->
+    (vec_id, pred_label, n_votes).
+
+    Neighbors come from :func:`similarity.brute_force_topk` (exact cosine,
+    self excluded, broadcast-query / streamed-corpus contract); the vote
+    is a (query, label) count with ties broken toward the smaller label.
+    Swap the neighbor source for ``lsh_candidates``/``ivf_topk`` output at
+    scale — the vote shape is identical.
+    """
+    nn = _sim.brute_force_topk(corpus, queries, k=k,
+                               id_col=id_col, vec_col=vec_col,
+                               method=method)
+    labels = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                           F.col(label_col).alias("nl"))
+    votes = (nn.join(labels, "neighbor_id")
+             .groupBy(F.col("query_id").alias("vec_id"), "nl")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_votes")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("n_votes"), F.asc("nl"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("nl").alias("pred_label"), "n_votes"))

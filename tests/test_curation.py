@@ -178,3 +178,84 @@ def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
         h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
         expect = (h >> 30) / float(1 << 30) < 0.5
         assert (d in kept_en) == expect
+
+
+def test_mixture_resample_rates_and_caps(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    # src0 target exceeds its stratum size -> rate caps at 1.0 (keep all);
+    # src1 gets a fractional rate; unlisted sources drop entirely
+    big = 10 * totals["src0"]
+    out = CU.mixture_resample(docs, F.col("doc_id").cast("string"), "source",
+                              {"src0": 1.0, "src1": 0.5}, total_rows=big)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["src0"] == totals["src0"]
+    assert set(per) <= {"src0", "src1"}
+    # deterministic: rerun picks the identical rows
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               CU.mixture_resample(docs, F.col("doc_id").cast("string"),
+                                   "source", {"src0": 1.0, "src1": 0.5},
+                                   total_rows=big)
+               .select("doc_id").collect())
+    assert a == b
+
+
+def test_mixture_resample_exact_membership(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    shares, total = {"src0": 0.6, "src1": 0.4}, 10
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    out = CU.mixture_resample(docs, F.col("doc_id").cast("string"), "source",
+                              shares, total_rows=total)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # python reference: rate = min(1, share*total/n_s), md5-fraction accept
+    want = set()
+    for r in docs.select("doc_id", "source").collect():
+        rate = min(1.0, shares.get(r["source"], 0.0) * total
+                   / totals[r["source"]])
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        if (h >> 30) / float(1 << 30) < rate:
+            want.add(r["doc_id"])
+    assert got == want
+
+
+def test_budget_select_matches_serial_cumsum(spark):
+    rows = [(i, f"s{i % 3}", 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    budget = 300
+    got = {(r["stratum"], r["doc"]) for r in
+           CU.budget_select(df, "doc_id", "n_tok", "lang", budget,
+                            n_chunks=8).collect()}
+    # serial reference: per stratum, order by (md5-priority, doc), keep
+    # while inclusive cumsum <= budget
+    by_stratum = {}
+    for doc, lang, ntok in rows:
+        h = int(hashlib.md5(str(doc).encode()).hexdigest()[:15], 16)
+        p = (h >> 30) / float(1 << 30)
+        by_stratum.setdefault(lang, []).append((p, doc, ntok))
+    want = set()
+    for lang, items in by_stratum.items():
+        acc = 0
+        for p, doc, ntok in sorted(items):
+            acc += ntok
+            if acc > budget:
+                break
+            want.add((lang, doc))
+    assert got == want
+
+
+def test_budget_select_chunk_count_invariant(spark):
+    rows = [(i, "only", 5 + i % 20) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    one = {(r["doc"], r["n_tok"]) for r in
+           CU.budget_select(df, "doc_id", "n_tok", "lang", 1000,
+                            n_chunks=1).collect()}
+    many = {(r["doc"], r["n_tok"]) for r in
+            CU.budget_select(df, "doc_id", "n_tok", "lang", 1000,
+                             n_chunks=32).collect()}
+    assert one == many and len(one) > 0

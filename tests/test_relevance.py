@@ -1,0 +1,121 @@
+"""Relevance operators: TF-IDF keyword extraction, BM25 retrieval, kNN
+label classification — hand-computed fixtures plus invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import relevance as RV
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -------------------------------------------------------------------- tf-idf
+
+def test_tfidf_hand_computed(spark):
+    # corpus of 3 docs; "cat" in 2 docs, "dog" in 1, "the" in all 3
+    df = _docs(spark, [
+        (1, "the cat cat"),
+        (2, "the cat dog"),
+        (3, "the the fish"),
+    ])
+    got = {(r["doc"], r["term"]): r.asDict()
+           for r in RV.tfidf_terms(df, "doc_id", "text", top_k=10).collect()}
+
+    def idf(df_t, n=3):
+        return math.log((n + 1) / (df_t + 1)) + 1
+
+    assert got[(1, "cat")]["tf"] == 2
+    assert got[(1, "cat")]["tfidf"] == round(2 * idf(2), 6)
+    assert got[(2, "dog")]["tfidf"] == round(1 * idf(1), 6)
+    assert got[(3, "the")]["tfidf"] == round(2 * idf(3), 6)
+    # rarer term outranks the ubiquitous one at equal tf
+    assert got[(2, "dog")]["rank"] < got[(2, "the")]["rank"]
+
+
+def test_tfidf_top_k_and_ties(spark):
+    # doc 1 has four distinct once-only terms, all with identical df=1 ->
+    # identical tfidf; top-2 must be the lexicographically first two
+    df = _docs(spark, [(1, "delta alpha charlie bravo"), (2, "unrelated")])
+    got = RV.tfidf_terms(df, "doc_id", "text", top_k=2) \
+        .where(F.col("doc") == 1).orderBy("rank").collect()
+    assert [r["term"] for r in got] == ["alpha", "bravo"]
+    assert [r["rank"] for r in got] == [1, 2]
+
+
+# ---------------------------------------------------------------------- bm25
+
+def test_bm25_hand_computed(spark):
+    df = _docs(spark, [
+        (1, "spark spark engine"),
+        (2, "spark row"),
+        (3, "pure noise here"),
+    ])
+    got = RV.bm25_rank(df, ["spark"], "doc_id", "text", top_n=10).collect()
+    # only docs containing a query term appear
+    assert {r["doc"] for r in got} == {1, 2}
+    by_doc = {r["doc"]: r for r in got}
+    n, df_t = 3, 2
+    avgdl = (3 + 2 + 3) / 3
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert by_doc[1]["score"] == round(bm25(2, 3), 6)
+    assert by_doc[2]["score"] == round(bm25(1, 2), 6)
+    assert by_doc[1]["n_hit_terms"] == 1
+    # doc 1 has higher tf -> ranked first
+    assert got[0]["doc"] == 1
+
+
+def test_bm25_multi_term_accumulates(spark):
+    df = _docs(spark, [(1, "alpha beta"), (2, "alpha"), (3, "gamma")])
+    one = {r["doc"]: r["score"]
+           for r in RV.bm25_rank(df, ["alpha"], "doc_id", "text").collect()}
+    two = {r["doc"]: (r["score"], r["n_hit_terms"])
+           for r in RV.bm25_rank(df, ["alpha", "beta"],
+                                 "doc_id", "text").collect()}
+    # adding a matched term strictly increases doc 1's score, not doc 2's
+    assert two[1][0] > one[1] and two[1][1] == 2
+    assert two[2][1] == 1
+
+
+# ----------------------------------------------------------------------- knn
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_classify_two_clusters(spark):
+    # two well-separated clusters; every vector's neighbors share its label
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 7))
+        rows.append((10 + i, [-1.0, 0.01 * i], 3))
+    emb = _emb(spark, rows)
+    got = {r["vec_id"]: (r["pred_label"], r["n_votes"])
+           for r in RV.knn_classify(emb, emb, k=3).collect()}
+    for i in range(6):
+        assert got[i] == (7, 3)
+        assert got[10 + i] == (3, 3)
+
+
+def test_knn_majority_tie_breaks_low_label(spark):
+    # query 0's 2 nearest neighbors have labels 5 and 9 (one vote each):
+    # tie must resolve to the smaller label
+    emb = _emb(spark, [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 9),
+        (2, [0.99, -0.1], 5),
+        (3, [-1.0, 0.0], 9),
+    ])
+    got = RV.knn_classify(emb, emb.where(F.col("vec_id") == 0), k=2).collect()
+    assert len(got) == 1
+    assert got[0]["pred_label"] == 5 and got[0]["n_votes"] == 1
