@@ -1286,6 +1286,25 @@ def q_budget_select(spark, sf):
                             budget=2000, n_chunks=8)
 
 
+def q_dedup_spans(spark, sf):
+    """Cross-document duplicated-span coverage (Lee et al. substring-dedup
+    signal): per doc, the fraction of token positions inside a 4-gram that
+    also occurs in another document (operators.dedup.cross_doc_spans)."""
+    docs = load_table(spark, sf, "documents")
+    return DD.cross_doc_spans(docs, "doc_id", "text", n=4)
+
+
+def q_curation_funnel(spark, sf):
+    """One-pass cumulative filter funnel over documents: length -> script
+    -> token-count survivor counts (operators.curation.curation_funnel)."""
+    docs = load_table(spark, sf, "documents")
+    return CU.curation_funnel(docs, [
+        ("min_chars", F.col("n_chars") >= 60),
+        ("latin_script", F.col("lang") != "zh"),
+        ("min_tokens", TX.token_count("text") >= 20),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders for the non-cosine queries
 # ---------------------------------------------------------------------------
@@ -1594,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "mixture_resample": q_mixture_resample,
         "budget_select": q_budget_select,
+        "dedup_spans": q_dedup_spans,
+        "curation_funnel": q_curation_funnel,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2364,6 +2385,42 @@ SELECT CAST(d.doc_id AS BIGINT) doc_id, d.source, d.lang
 FROM documents d JOIN r ON d.source = r.s
 WHERE ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
         AS BIGINT) >> 30) / 1073741824.0) < r.rate""",
+        "dedup_spans": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+occ AS (
+  SELECT doc, CAST(i AS BIGINT) pos,
+         CAST('0x' || substr(md5(array_to_string(a[i+1:i+4], ' ')), 1, 15)
+              AS BIGINT) g
+  FROM toklist, UNNEST(range(len(a) - 3)) AS u(i)
+  WHERE len(a) >= 4),
+dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc) >= 2),
+cov AS (
+  SELECT doc, COUNT(DISTINCT tp) covered
+  FROM (SELECT o.doc, unnest(range(o.pos, o.pos + 4)) tp
+        FROM occ o JOIN dup USING (g))
+  GROUP BY doc)
+SELECT t.doc, CAST(len(t.a) AS BIGINT) n_tokens,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) covered,
+       ROUND(COALESCE(cov.covered, 0) / GREATEST(len(t.a), 1), 6)
+         dup_span_frac
+FROM toklist t LEFT JOIN cov ON cov.doc = t.doc""",
+        "curation_funnel": f"""
+WITH a AS (
+  SELECT COUNT(*) total,
+    SUM(CASE WHEN n_chars >= 60 THEN 1 ELSE 0 END) s0,
+    SUM(CASE WHEN n_chars >= 60 AND lang <> 'zh' THEN 1 ELSE 0 END) s1,
+    SUM(CASE WHEN n_chars >= 60 AND lang <> 'zh'
+              AND len({_TOKS}) >= 20 THEN 1 ELSE 0 END) s2
+  FROM documents)
+SELECT CAST(1 AS INT) stage_idx, 'min_chars' stage,
+       CAST(s0 AS BIGINT) n_pass, ROUND(s0 / total, 6) pass_rate FROM a
+UNION ALL
+SELECT CAST(2 AS INT), 'latin_script', CAST(s1 AS BIGINT),
+       ROUND(s1 / total, 6) FROM a
+UNION ALL
+SELECT CAST(3 AS INT), 'min_tokens', CAST(s2 AS BIGINT),
+       ROUND(s2 / total, 6) FROM a""",
         "budget_select": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc,
                   CAST(len({_TOKS}) AS BIGINT) n_tok, lang stratum,

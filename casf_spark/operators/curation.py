@@ -53,6 +53,7 @@ __all__ = [
     "stratified_sample",
     "mixture_resample",
     "budget_select",
+    "curation_funnel",
     "PII_PATTERNS",
 ]
 
@@ -265,6 +266,46 @@ def pack_greedy_chunks(df: DataFrame, id_col: str, tokens_col: str,
 
     return t.groupBy("ck").applyInPandas(
         pack, "doc long, n_tok long, bin long")
+
+
+# -------------------------------------------------------------------- funnel
+
+def curation_funnel(df: DataFrame,
+                    stages: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Cumulative filter-funnel report in ONE aggregation pass ->
+    (stage_idx, stage, n_pass, pass_rate).
+
+    Stage k counts rows satisfying stages 1..k (the order pipelines apply
+    them), so the report reads as survivor counts down the funnel — the
+    dashboard row every curation pipeline publishes. A null condition
+    counts as fail.
+
+    Plan: every stage is a conditional SUM inside a single global
+    aggregate — the corpus is scanned once, shuffles one partial row per
+    partition, and the explode at the end unpivots the 1-row result.
+    Adding stages adds columns, not passes.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    conds, acc = [], F.lit(True)
+    for name, cond in stages:
+        acc = acc & cond
+        conds.append((name, acc))
+    row = df.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_s{i}")
+          for i, (_, c) in enumerate(conds)])
+    arr = F.array(*[
+        F.struct(F.lit(i + 1).cast("int").alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(f"_s{i}").alias("n_pass"))
+        for i, (name, _) in enumerate(conds)])
+    return (row.select("_total", F.explode(arr).alias("s"))
+            .select(F.col("s.stage_idx").alias("stage_idx"),
+                    F.col("s.stage").alias("stage"),
+                    F.col("s.n_pass").alias("n_pass"),
+                    F.round(F.col("s.n_pass") / F.col("_total"), 6)
+                    .alias("pass_rate")))
 
 
 # ------------------------------------------------------------------ sampling

@@ -368,6 +368,58 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def cross_doc_spans(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 4) -> DataFrame:
+    """Cross-document duplicated-span coverage ->
+    (doc, n_tokens, covered, dup_span_frac): per document, how many of its
+    token positions fall inside a word ``n``-gram that also occurs in at
+    least one OTHER document.
+
+    The document-level signal behind substring-style dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    docs dominated by corpus-repeated spans are boilerplate/mirror
+    content. This computes the exact coverage metric — the union of all
+    cross-duplicated n-gram spans — not just a duplicated-gram count, so
+    overlapping grams are not double-counted.
+
+    Scale shape: one (gram-hash -> distinct-doc count) aggregation over
+    hashed grams (map-side combined; shuffle carries distinct grams), a
+    join of gram occurrences against the duplicated-gram set (duplicated
+    grams are typically a small fraction — AQE broadcasts the set when it
+    fits), then a position explode proportional to DUPLICATED occurrences
+    only, reduced per doc. Nothing is quadratic; nothing materializes
+    positions for unique grams.
+    """
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
+           .select("doc", "pos", md5_long("gram").alias("g")))
+    dup = (occ.groupBy("g")
+           .agg(F.countDistinct("doc").alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("g"))
+    cov = (occ.join(dup, "g")
+           .select("doc", F.explode(
+               F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"))
+           .groupBy("doc")
+           .agg(F.countDistinct("tp").alias("covered")))
+    lens = tok_df.select("doc", F.size("toks").cast("long").alias("n_tokens"))
+    return (lens.join(cov, "doc", "left")
+            .select("doc", "n_tokens",
+                    F.coalesce("covered", F.lit(0)).cast("long")
+                    .alias("covered"),
+                    F.round(F.coalesce("covered", F.lit(0))
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("dup_span_frac")))
+
+
 def _union_find_single_task(edges: DataFrame) -> DataFrame:
     """Connected components of a small graph in ONE executor task: classic
     union-find (path compression + union by size) over the edge list via

@@ -19,11 +19,15 @@ Scale notes (100 TB bar):
   driver collect. Top-k per doc is the grouped
   ``slice(array_sort(collect_list))`` partial aggregation (same shape as
   CosineModel.top_k) — no global window sort.
-- ``bm25_rank``: the corpus-sized side is filtered to query-term hits
-  BEFORE any shuffle (the ``isin`` predicate pushes to the scan), so
-  every exchange is proportional to the hit set, not the corpus. The
-  final top-n is ``orderBy().limit()`` which Spark executes as
-  TakeOrderedAndProject — per-partition partial top-n, no full sort.
+- ``bm25_rank``: the term-match side is filtered to query-term hits
+  BEFORE any shuffle (the ``isin`` predicate applies during the token
+  explode, map-side), so term-frequency exchanges are proportional to
+  the hit set. The one inherently corpus-sized piece is the doc-length
+  table (BM25's dl/avgdl normalizer) — a single map-combined
+  per-doc count; AQE picks broadcast vs shuffle for its join against
+  the hit set at runtime. The final top-n is ``orderBy().limit()``
+  which Spark executes as TakeOrderedAndProject — per-partition partial
+  top-n, no full sort.
 - ``knn_classify``: inherits brute_force_topk's contract (broadcast
   query block, corpus streams through partial-top-k GEMM); the majority
   vote is one tiny aggregation over n_queries * k rows.

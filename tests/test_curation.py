@@ -259,3 +259,24 @@ def test_budget_select_chunk_count_invariant(spark):
             CU.budget_select(df, "doc_id", "n_tok", "lang", 1000,
                              n_chunks=32).collect()}
     assert one == many and len(one) > 0
+
+
+# -------------------------------------------------------------------- funnel
+
+def test_curation_funnel_cumulative(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 40), (3, "zh", 100), (4, "en", 100),
+         (5, None, 100)],
+        "doc_id long, lang string, n_chars long")
+    got = {r["stage"]: r.asDict() for r in CU.curation_funnel(df, [
+        ("long_enough", F.col("n_chars") >= 50),
+        ("lang_en", F.col("lang") == "en"),
+    ]).collect()}
+    # 4 of 5 pass stage 1; of those, doc 3 is zh and doc 5's null lang
+    # counts as fail -> 2 survive the cumulative stage 2
+    assert got["long_enough"]["n_pass"] == 4
+    assert got["long_enough"]["pass_rate"] == 0.8
+    assert got["lang_en"]["n_pass"] == 2
+    assert got["lang_en"]["pass_rate"] == 0.4
+    assert got["long_enough"]["stage_idx"] == 1
+    assert got["lang_en"]["stage_idx"] == 2

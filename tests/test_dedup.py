@@ -155,3 +155,33 @@ def test_star_edges_same_components_as_pairs(spark, dup_docs):
     via_stars = {(r.doc_id, r.cluster_id)
                  for r in DD.connected_components(stars).collect()}
     assert via_stars == via_pairs and len(via_pairs) > 0
+
+
+def test_cross_doc_spans_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d x y"), (2, "a b c d z"), (3, "q r s t u"),
+         (4, "m n m n")],
+        "doc_id long, text string")
+    got = {r["doc"]: r.asDict()
+           for r in DD.cross_doc_spans(df, "doc_id", "text", n=2).collect()}
+    # "a b","b c","c d" are shared between docs 1 and 2 -> they cover
+    # token positions 0..3 in both (overlaps counted once)
+    assert got[1]["covered"] == 4 and got[1]["n_tokens"] == 6
+    assert got[1]["dup_span_frac"] == round(4 / 6, 6)
+    assert got[2]["covered"] == 4 and got[2]["n_tokens"] == 5
+    assert got[2]["dup_span_frac"] == 0.8
+    # doc 3 shares nothing; doc 4 repeats "m n" only WITHIN itself --
+    # same-doc repetition is repetition_features' job, not cross-doc dedup
+    assert got[3]["covered"] == 0 and got[3]["dup_span_frac"] == 0.0
+    assert got[4]["covered"] == 0
+
+
+def test_cross_doc_spans_short_docs_survive(spark):
+    # docs shorter than n produce no grams but still appear with zero
+    # coverage (left join back to lengths)
+    df = spark.createDataFrame([(1, "one two three"), (2, "hi")],
+                               "doc_id long, text string")
+    got = {r["doc"]: r.asDict()
+           for r in DD.cross_doc_spans(df, "doc_id", "text", n=3).collect()}
+    assert got[2]["n_tokens"] == 1 and got[2]["covered"] == 0
+    assert got[1]["covered"] == 0
