@@ -172,3 +172,45 @@ def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
     df = E.q_sample_stratified(spark, sf_dir)
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
+
+
+def test_budget_select_windows_are_partitioned(spark, sf_dir):
+    """Both prefix-sum windows key on a partition (stratum+chunk for the
+    doc table, stratum for the chunk totals) — no single-task global
+    window over the corpus."""
+    df = E.q_budget_select(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_tfidf_no_window_grouped_topk(spark, sf_dir):
+    """Per-doc top-k runs as a hash aggregation (slice/array_sort), not a
+    row_number window over the full doc-term table; the only
+    single-partition exchange feeds the 1-row corpus-count aggregate."""
+    df = E.q_tfidf_terms(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_curation_funnel_single_pass(spark, sf_dir):
+    """N funnel stages = one scan + one global aggregate: exactly one
+    exchange (the 1-row final agg), one parquet scan."""
+    df = E.q_curation_funnel(spark, sf_dir)
+    tree = explain_str(df).split("\n\n")[0]  # operator tree only
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_mixture_resample_corpus_single_scan_no_shuffle(spark, sf_dir):
+    """The corpus side is scanned for the tiny rate table and once for
+    the filter, but never exchanged at full width: the only exchanges
+    feed the stratum-count aggregate (strata-sized) and its broadcast."""
+    df = E.q_mixture_resample(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # no full-corpus hash exchange: every Exchange hashes the stratum key
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "_stratum" in m.group(1) or "source" in m.group(1), plan
