@@ -14,10 +14,9 @@ together, and HOW they compose determines the 100 TB cost:
   surviving rows.
 * Split assignment is a narrow hash expression appended at the end.
 
-Net: one feature projection per scanned row and one shuffle key (the
-fingerprint argmin, whose probe side re-reads the projected features —
-cache ``feats`` on a cluster if the scan dominates), for the entire
-curation decision.
+Net: one feature projection per scanned row and one shuffle (the
+fingerprint struct-argmin aggregation — no join back, so the feature
+projection is evaluated exactly once) for the entire curation decision.
 """
 
 from __future__ import annotations
@@ -61,7 +60,17 @@ def curate_documents(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("stopword_ratio") <= max_stopword_ratio)
         & (F.col("digit_ratio") <= max_digit_ratio)
         & F.col("pred_lang").isin(list(keep_langs)))
-    first = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    unique = kept.join(first, ["fp", "doc_id"], "left_semi")
-    out = assign_splits(unique, F.col("doc_id").cast("string"), list(splits))
+    # struct-argmin: the keeper row (min doc_id per fingerprint) comes out
+    # of ONE aggregation — exact duplicates share identical text, hence
+    # identical features, so carrying them through the min-struct is
+    # lossless. The previous groupBy + left-semi join back re-evaluated
+    # the feature projection for the probe side (measured 2.4 s -> 1.5 s
+    # at sf0.1).
+    first = (kept.groupBy("fp")
+             .agg(F.min(F.struct("doc_id", "n_tokens", "pred_lang"))
+                  .alias("_w"))
+             .select(F.col("_w.doc_id").alias("doc_id"),
+                     F.col("_w.n_tokens").alias("n_tokens"),
+                     F.col("_w.pred_lang").alias("pred_lang")))
+    out = assign_splits(first, F.col("doc_id").cast("string"), list(splits))
     return out.select("doc_id", "n_tokens", "pred_lang", "split")
