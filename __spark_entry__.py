@@ -1294,6 +1294,16 @@ def q_dedup_spans(spark, sf):
     return DD.cross_doc_spans(docs, "doc_id", "text", n=4)
 
 
+def q_dedup_incremental(spark, sf):
+    """Daily-ingest dedup: label the src19 batch against the rest of the
+    corpus as exact_dup / near_dup / new (operators.dedup.incremental_dedup
+    — history side never shuffles at full width)."""
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("source") == "src19")
+    hist = docs.where(F.col("source") != "src19")
+    return DD.incremental_dedup(new, hist, "doc_id", "text")
+
+
 def q_curation_funnel(spark, sf):
     """One-pass cumulative filter funnel over documents: length -> script
     -> token-count survivor counts (operators.curation.curation_funnel)."""
@@ -1347,6 +1357,52 @@ mh_cand AS (
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_cte()}\nSELECT doc0, doc1 FROM mh_cand"
+
+
+def _incremental_oracle(batch: str = "src19") -> str:
+    """incremental_dedup twin: same MinHash band params as _minhash_cte
+    but with `source` carried through so the batch/history split can be
+    expressed; exact-dup (fingerprint) takes precedence over near-dup."""
+    hash_sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    exprs = minhash_sql_exprs(hash_sql, 12)
+    mins = ",\n         ".join(
+        f"MIN({e}) AS mh_{i}" for i, e in enumerate(exprs))
+    bands = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * 3 + r} AS VARCHAR)" for r in range(3))
+        bands.append(
+            f"SELECT doc, source, {b} AS band, {cols} AS bucket FROM sig")
+    bands_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, source, {_TOKS} a
+           FROM documents),
+toks AS (SELECT doc, source, generate_subscripts(a, 1) pos, unnest(a) w
+         FROM t),
+sh AS (
+  SELECT DISTINCT t1.doc, t1.source, t1.w || ' ' || t2.w AS shingle
+  FROM toks t1 JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1),
+sig AS (SELECT doc, source,
+         {mins}
+        FROM sh GROUP BY doc, source),
+bands AS ({bands_sql}),
+fp AS (SELECT CAST(doc_id AS BIGINT) doc, source,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fp
+       FROM documents),
+exact AS (
+  SELECT DISTINCT nw.doc FROM fp nw JOIN fp h ON nw.fp = h.fp
+  WHERE nw.source = '{batch}' AND h.source <> '{batch}'),
+near AS (
+  SELECT DISTINCT nb.doc FROM bands nb
+  JOIN bands hb ON nb.band = hb.band AND nb.bucket = hb.bucket
+  WHERE nb.source = '{batch}' AND hb.source <> '{batch}')
+SELECT f.doc,
+       CASE WHEN e.doc IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END status
+FROM fp f LEFT JOIN exact e ON e.doc = f.doc
+LEFT JOIN near nr ON nr.doc = f.doc
+WHERE f.source = '{batch}'"""
 
 
 def _clusters_oracle() -> str:
@@ -1615,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "dedup_spans": q_dedup_spans,
         "curation_funnel": q_curation_funnel,
+        "dedup_incremental": q_dedup_incremental,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2522,6 +2579,7 @@ FROM documents
 GROUP BY 2""",
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash": _minhash_oracle(),
+        "dedup_incremental": _incremental_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": emb_pairs_sql,

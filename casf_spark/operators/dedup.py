@@ -151,21 +151,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     — the textbook LSH trade (prob of candidacy = 1-(1-s^r)^b).
     Output: (doc0, doc1) canonical, distinct.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    banded = sig.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ]).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(df, id_col, text_col, n, num_hashes, bands, seed)
     a = banded.select(F.col("doc").alias("doc0"), "band", "bucket")
     b = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
     out = (
@@ -366,6 +352,77 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     out = (ids.join(rebuilt, "doc", "left")
            .select("doc", F.coalesce("text", F.lit("")).alias("text")))
     return out
+
+
+def incremental_dedup(new: DataFrame, history: DataFrame,
+                      id_col: str, text_col: str,
+                      n: int = 2, num_hashes: int = 12, bands: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Dedup a NEW batch against a historical corpus -> (doc, status) for
+    every new doc: ``exact_dup`` (content fingerprint already in history),
+    ``near_dup`` (shares a MinHash band bucket with a history doc), or
+    ``new``.
+
+    The daily-ingest shape: the new batch is small (a day's crawl), the
+    history is the 100 TB corpus. The plan honors that asymmetry — the
+    HISTORY side never shuffles at full width:
+
+    - the new batch's fingerprint set and band-bucket set are broadcast;
+    - history rows stream past those broadcast filters map-side, so the
+      only aggregated residue is history keys that actually collide with
+      the batch (∝ duplication, not corpus size);
+    - the collision sets broadcast back onto the batch for labeling.
+
+    Same filter-then-reduce contract as ``curation.contamination_flags``.
+    Band parameters mirror :func:`minhash_lsh_pairs`; exact-dup precedence
+    over near-dup (an exact copy also collides in every band).
+    """
+    nf = new.select(F.col(id_col).cast("long").alias("doc"),
+                    TX.fingerprint(text_col).alias("fp"))
+    hf = history.select(TX.fingerprint(text_col).alias("fp"))
+    hit_fp = (hf.join(F.broadcast(nf.select("fp").distinct()), "fp")
+              .select("fp").distinct())
+
+    nb = _band_buckets(new, id_col, text_col, n, num_hashes, bands, seed)
+    hb = (_band_buckets(history, id_col, text_col, n, num_hashes, bands,
+                        seed)
+          .select("band", "bucket"))
+    hit_bb = (hb.join(F.broadcast(nb.select("band", "bucket").distinct()),
+                      ["band", "bucket"])
+              .select("band", "bucket").distinct())
+    near_docs = (nb.join(F.broadcast(hit_bb), ["band", "bucket"])
+                 .select("doc").distinct()
+                 .withColumn("_near", F.lit(True)))
+
+    return (nf.join(F.broadcast(hit_fp.withColumn("_exact", F.lit(True))),
+                    "fp", "left")
+            .join(F.broadcast(near_docs), "doc", "left")
+            .select("doc",
+                    F.when(F.col("_exact").isNotNull(), F.lit("exact_dup"))
+                     .when(F.col("_near").isNotNull(), F.lit("near_dup"))
+                     .otherwise(F.lit("new")).alias("status")))
+
+
+def _band_buckets(df: DataFrame, id_col: str, text_col: str,
+                  n: int, num_hashes: int, bands: int,
+                  seed: int) -> DataFrame:
+    """(doc, band, bucket) MinHash band buckets — the banding half of
+    :func:`minhash_lsh_pairs`, shared with :func:`incremental_dedup`."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    return sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def cross_doc_spans(df: DataFrame, id_col: str, text_col: str,

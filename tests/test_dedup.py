@@ -185,3 +185,26 @@ def test_cross_doc_spans_short_docs_survive(spark):
            for r in DD.cross_doc_spans(df, "doc_id", "text", n=3).collect()}
     assert got[2]["n_tokens"] == 1 and got[2]["covered"] == 0
     assert got[1]["covered"] == 0
+
+
+def test_incremental_dedup_statuses(spark):
+    hist = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "totally unrelated history content lives here now"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        # exact copy of doc 1
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # near copy of doc 2 (one trailing token changed)
+        (101, "one two three four five six seven eight nine eleven"),
+        # fresh content
+        (102, "entirely novel words never seen before anywhere else"),
+    ], "doc_id long, text string")
+    got = {r["doc"]: r["status"]
+           for r in DD.incremental_dedup(new, hist, "doc_id",
+                                         "text").collect()}
+    assert got[100] == "exact_dup"   # precedence over near_dup
+    assert got[101] == "near_dup"
+    assert got[102] == "new"
+    assert len(got) == 3             # one row per new doc, history absent
