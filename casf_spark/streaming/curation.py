@@ -1,0 +1,86 @@
+"""Streaming corpus curation: micro-batch dedup against a persistent
+fingerprint index — the Structured Streaming twin of
+``operators.dedup.incremental_dedup``.
+
+A stateful-operator dedup (``dropDuplicatesWithinWatermark``) bounds its
+state by the watermark horizon; a training-corpus index must instead
+remember every fingerprint EVER ingested. That state does not belong in
+the streaming state store — it belongs in a table. ``foreachBatch`` is
+the seam: each micro-batch is a bounded DataFrame, so the full batch
+toolbox (broadcast semi-joins against the index, struct-argmin
+within-batch dedup) applies, and the index is a plain parquet directory
+(swap for Delta/Iceberg MERGE on a real deployment — identical body).
+
+Scale contract (the incremental_dedup orientation): the index is only
+ever FILTERED by a broadcast of the current batch's fingerprints — the
+semi-join residue is proportional to collisions, and the index is never
+shuffled or aggregated at full width no matter how many years of corpus
+it holds.
+
+Exactly-once: survivors and their fingerprints both land in partitions
+keyed by the checkpointed ``batch_id`` with dynamic partition overwrite —
+a replayed batch overwrites its own partitions, and the index read
+EXCLUDES the current batch id so a replay never anti-joins a batch
+against its own previous output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from casf_spark.functions import text as TX
+
+__all__ = ["dedup_stream_against_index"]
+
+
+def _index_nonempty(index_dir: str) -> bool:
+    return os.path.isdir(index_dir) and any(
+        name.startswith("_batch_id=") for name in os.listdir(index_dir))
+
+
+def dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
+                               out_dir: str, checkpoint: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               timeout_sec: int = 120) -> None:
+    """Drive ``docs_stream`` through content-fingerprint dedup against the
+    persistent index at ``index_dir``; survivors (doc, text, fp) append to
+    ``out_dir``, their fingerprints to the index. availableNow trigger
+    (processes all pending input, then stops — cron-style incremental
+    ingest)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = batch_df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("text"),
+            TX.fingerprint(text_col).alias("fp"))
+        # within-batch first occurrence: struct-argmin, one aggregation
+        keep = (fp.groupBy("fp")
+                .agg(F.min(F.struct("doc", "text")).alias("_w"))
+                .select("fp", F.col("_w.doc").alias("doc"),
+                        F.col("_w.text").alias("text")))
+        if _index_nonempty(index_dir):
+            seen = (spark.read.parquet(index_dir)
+                    .where(F.col("_batch_id") != batch_id))
+            hit = (seen.join(F.broadcast(keep.select("fp").distinct()), "fp")
+                   .select("fp").distinct())
+            keep = keep.join(F.broadcast(hit), "fp", "left_anti")
+        keep = keep.localCheckpoint()  # evaluate once; two sinks below
+        (keep.select("doc", "text", "fp")
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(out_dir))
+        (keep.select("fp").withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(index_dir))
+
+    q = (docs_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)

@@ -151,3 +151,40 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
                .agg(F.count(F.lit(1)).alias("n"))
                .select(F.col("w.start").alias("ws"), "n").collect()}
     assert bcounts[0] == 4      # batch sees all rows
+
+
+def test_stream_dedup_against_persistent_index(spark, tmp_path):
+    """Two micro-batches with overlapping CONTENT (different ids): the
+    foreachBatch index dedup keeps each distinct text exactly once across
+    batches, and the fingerprint index accumulates one row per kept doc."""
+    from casf_spark.streaming.curation import dedup_stream_against_index
+
+    b1 = spark.createDataFrame([(i, f"text number {i}") for i in range(50)],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(1000 + i, f"text number {i}") for i in range(25, 75)],
+        "doc_id long, text string")
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    b1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    for i, stage in enumerate(("s1", "s2")):
+        src = next(p for p in (tmp_path / stage).glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    idx = str(tmp_path / "fp_index")
+    out = str(tmp_path / "kept")
+    dedup_stream_against_index(stream, idx, out,
+                               str(tmp_path / "ckpt"))
+
+    kept = spark.read.parquet(out)
+    # 75 distinct texts total; the 25 cross-batch content dups are dropped
+    assert kept.count() == 75
+    assert kept.select("fp").distinct().count() == 75
+    # each text number kept exactly once
+    nums = [r["text"] for r in kept.collect()]
+    assert len(set(nums)) == 75
+    index = spark.read.parquet(idx)
+    assert index.count() == 75
