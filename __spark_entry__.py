@@ -1294,6 +1294,27 @@ def q_dedup_spans(spark, sf):
     return DD.cross_doc_spans(docs, "doc_id", "text", n=4)
 
 
+def q_vocab_coverage(spark, sf):
+    """Top-20 vocabulary with cumulative corpus coverage — partial top-n
+    (TakeOrderedAndProject) then a window over the 20 survivors."""
+    docs = load_table(spark, sf, "documents")
+    return RV.vocab_coverage(docs, "doc_id", "text", top_n=20)
+
+
+def q_unigram_logprob(spark, sf):
+    """Average negative unigram log-likelihood per doc (perplexity-filter
+    stand-in); vocabulary broadcast so token scoring is map-side."""
+    docs = load_table(spark, sf, "documents")
+    return RV.unigram_logprob(docs, "doc_id", "text")
+
+
+def q_embedding_outliers(spark, sf):
+    """Per-label bottom-5 cosine-to-centroid vectors (mislabeled-data
+    sweep); centroids broadcast, corpus scored map-side."""
+    emb = load_table(spark, sf, "embeddings")
+    return RV.label_centroid_outliers(emb, k=5)
+
+
 def q_dedup_incremental(spark, sf):
     """Daily-ingest dedup: label the src19 batch against the rest of the
     corpus as exact_dup / near_dup / new (operators.dedup.incremental_dedup
@@ -1672,6 +1693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "curation_funnel": q_curation_funnel,
         "dedup_incremental": q_dedup_incremental,
+        "vocab_coverage": q_vocab_coverage,
+        "unigram_logprob": q_unigram_logprob,
+        "embedding_outliers": q_embedding_outliers,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2478,6 +2502,47 @@ SELECT CAST(2 AS INT), 'latin_script', CAST(s1 AS BIGINT),
 UNION ALL
 SELECT CAST(3 AS INT), 'min_tokens', CAST(s2 AS BIGINT),
        ROUND(s2 / total, 6) FROM a""",
+        "vocab_coverage": f"""
+WITH toklist AS (SELECT {_TOKS} a FROM documents),
+toks AS (SELECT unnest(a) w FROM toklist),
+tc AS (SELECT w term, CAST(COUNT(*) AS BIGINT) cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) tot FROM tc),
+r AS (SELECT term, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, term) rk,
+        SUM(cnt) OVER (ORDER BY cnt DESC, term
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      FROM tc)
+SELECT CAST(rk AS INT) rank, term, cnt, ROUND(cum / tot.tot, 6) cum_share
+FROM r CROSS JOIN tot WHERE rk <= 20""",
+        "unigram_logprob": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+tc AS (SELECT w, COUNT(*) wc FROM toks GROUP BY 1),
+tot AS (SELECT SUM(wc) tot FROM tc)
+SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
+       ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
+FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc""",
+        "embedding_outliers": """
+WITH ee AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+cent AS (SELECT label, i, AVG(x) c FROM ee GROUP BY 1, 2),
+sc AS (
+  SELECT e.vec_id, e.label,
+         SUM(e.x * c.c) dp, SQRT(SUM(e.x * e.x)) nv,
+         SQRT(SUM(c.c * c.c)) nc
+  FROM ee e JOIN cent c ON c.label = e.label AND c.i = e.i
+  GROUP BY 1, 2),
+r AS (
+  SELECT label, CAST(vec_id AS BIGINT) vec_id,
+         ROUND(dp / (nv * nc), 6) cos_centroid,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY ROUND(dp / (nv * nc), 6), vec_id) rk
+  FROM sc)
+SELECT label, vec_id, cos_centroid, CAST(rk AS INT) rank
+FROM r WHERE rk <= 5""",
         "budget_select": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc,
                   CAST(len({_TOKS}) AS BIGINT) n_tok, lang stratum,

@@ -41,9 +41,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
+from casf_spark.functions import vectors as V
 from casf_spark.operators import similarity as _sim
 
-__all__ = ["tfidf_terms", "bm25_rank", "knn_classify"]
+__all__ = ["tfidf_terms", "bm25_rank", "knn_classify", "vocab_coverage",
+           "unigram_logprob", "label_centroid_outliers"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -148,6 +150,101 @@ def bm25_rank(docs: DataFrame, query_terms: Sequence[str],
     # sort+limit compiles to TakeOrderedAndProject (partial per-partition
     # top-n) — not a global sort
     return ranked.orderBy(F.desc("score"), F.asc("doc")).limit(top_n)
+
+
+def vocab_coverage(docs: DataFrame, id_col: str, text_col: str,
+                   top_n: int = 20,
+                   pattern: str = TOKEN_SPLIT_PATTERN,
+                   round_to: int = 6) -> DataFrame:
+    """Top-``top_n`` vocabulary with cumulative corpus coverage ->
+    (rank, term, cnt, cum_share): the tokenizer-prep report ("how much of
+    the corpus do the first N vocabulary entries explain").
+
+    Scale shape: term counts are one map-combined aggregation; the top-n
+    cut is ``orderBy().limit()`` (TakeOrderedAndProject — per-partition
+    partial top-n, never a full vocabulary sort); the cumulative window
+    runs over the ≤ ``top_n`` surviving rows only. Total token count is a
+    1-row aggregate broadcast back.
+    """
+    toks = tokenize(docs, id_col, text_col, pattern)
+    tc = toks.groupBy(F.col("word").alias("term")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    total = tc.agg(F.sum("cnt").alias("tot"))
+    top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (top
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .withColumn("cum", F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .crossJoin(F.broadcast(total))
+            .select("rank", "term", "cnt",
+                    F.round(F.col("cum") / F.col("tot"), round_to)
+                    .alias("cum_share")))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
+                    pattern: str = TOKEN_SPLIT_PATTERN,
+                    round_to: int = 6) -> DataFrame:
+    """Per-document average negative unigram log-likelihood under the
+    corpus's own unigram distribution -> (doc, n_tokens, avg_neg_logprob).
+
+    The deterministic stand-in for the LM-perplexity quality filter
+    (CCNet-style): documents full of globally-rare tokens score high
+    (surprising), boilerplate scores low. ``p(w) = count(w) / total``.
+
+    Scale shape: the vocabulary table (word -> count) is the broadcast
+    side of the scoring join — vocabularies are ~1e6-1e7 rows even for
+    100 TB corpora — so token occurrences are scored MAP-SIDE and the
+    corpus's only shuffle is the per-doc aggregation. Joining by word
+    without the broadcast would Zipf-skew the shuffle (the most common
+    word's occurrences all land on one reducer).
+    """
+    toks = tokenize(docs, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    tc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = tc.agg(F.sum("wc").alias("tot"))
+    return (toks
+            .join(F.broadcast(tc), "word")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(-F.avg(F.log(F.col("wc") / F.col("tot"))),
+                         round_to).alias("avg_neg_logprob")))
+
+
+def label_centroid_outliers(emb: DataFrame, k: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            round_to: int = 6) -> DataFrame:
+    """Per label, the ``k`` vectors FURTHEST from their own label's mean
+    vector -> (label, vec_id, cos_centroid, rank) — the mislabeled-data /
+    outlier sweep over an embedded, labeled corpus.
+
+    Scale shape: centroids come from one (label, dim) aggregation reduced
+    to a labels-sized array table that broadcasts; each corpus vector is
+    scored map-side against its label's centroid (zip_with dot product —
+    the corpus never shuffles for scoring). The per-label bottom-k is a
+    window over rows already partitioned by label.
+    """
+    ee = emb.select(F.col(label_col).alias("label"),
+                    F.posexplode(V.as_double(vec_col)).alias("i", "x"))
+    cent = (ee.groupBy("label", "i").agg(F.avg("x").alias("c"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"]).alias("cvec")))
+    scored = (emb.select(F.col(label_col).alias("label"),
+                         F.col(id_col).cast("long").alias("vec_id"),
+                         V.as_double(vec_col).alias("v"))
+              .join(F.broadcast(cent), "label")
+              .select("label", "vec_id",
+                      F.round(V.cosine(F.col("v"), F.col("cvec")), round_to)
+                      .alias("cos_centroid")))
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"),
+                                            F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))
 
 
 def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,

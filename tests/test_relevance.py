@@ -119,3 +119,52 @@ def test_knn_majority_tie_breaks_low_label(spark):
     got = RV.knn_classify(emb, emb.where(F.col("vec_id") == 0), k=2).collect()
     assert len(got) == 1
     assert got[0]["pred_label"] == 5 and got[0]["n_votes"] == 1
+
+
+# --------------------------------------------------------- vocab / unigram LM
+
+def test_vocab_coverage_hand_computed(spark):
+    df = _docs(spark, [(1, "a a a b b c"), (2, "a b x")])
+    got = RV.vocab_coverage(df, "doc_id", "text", top_n=3).orderBy(
+        "rank").collect()
+    # counts: a=4, b=3, c=1, x=1 (ties break lexicographically)
+    assert [(r["rank"], r["term"], r["cnt"]) for r in got] == \
+        [(1, "a", 4), (2, "b", 3), (3, "c", 1)]
+    assert got[0]["cum_share"] == round(4 / 9, 6)
+    assert got[1]["cum_share"] == round(7 / 9, 6)
+    assert got[2]["cum_share"] == round(8 / 9, 6)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    # corpus: "a a b" + "c" -> p(a)=2/4, p(b)=1/4, p(c)=1/4
+    df = _docs(spark, [(1, "a a b"), (2, "c")])
+    got = {r["doc"]: r.asDict()
+           for r in RV.unigram_logprob(df, "doc_id", "text").collect()}
+    want1 = -(math.log(0.5) + math.log(0.5) + math.log(0.25)) / 3
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_neg_logprob"] == round(want1, 6)
+    assert got[2]["avg_neg_logprob"] == round(-math.log(0.25), 6)
+    # rare-token doc scores higher (more surprising) than common-token doc
+    assert got[2]["avg_neg_logprob"] > round(-math.log(0.5), 6)
+
+
+# ----------------------------------------------------------- centroid outliers
+
+def test_label_centroid_outliers_flags_planted_outlier(spark):
+    # label 1: five vectors near [1, 0] plus one planted at [-1, 0] --
+    # the outlier must rank first (lowest cosine to the label centroid)
+    rows = [(i, [1.0, 0.02 * i], 1) for i in range(5)]
+    rows.append((99, [-1.0, 0.0], 1))
+    rows += [(200 + i, [0.0, 1.0], 2) for i in range(3)]
+    emb = _emb(spark, rows)
+    got = RV.label_centroid_outliers(emb, k=2).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r["label"], []).append(r)
+    assert by_label[1][0]["vec_id"] == 99
+    assert by_label[1][0]["rank"] == 1
+    assert by_label[1][0]["cos_centroid"] < 0
+    # label 2's members are identical: all cosine 1.0, ties by vec_id
+    assert [r["vec_id"] for r in sorted(by_label[2], key=lambda r: r["rank"])] \
+        == [200, 201]
