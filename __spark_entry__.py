@@ -951,6 +951,22 @@ def q_events_zscore(spark, sf):
         F.round((F.col("value") - mu) / sd, 6).alias("zscore"))
 
 
+def q_events_moving_avg(spark, sf):
+    """Time-RANGE window frame: per-user trailing 1-hour average of
+    `value` for every event (feature-engineering shape). Partitioned by
+    user_id — high-cardinality on purpose: a per-TYPE version would put
+    each type's whole history in one task; per-entity keys keep frames
+    tiny and tasks balanced at any scale."""
+    ev = load_table(spark, sf, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"))
+
+
 def q_events_cube(spark, sf):
     """CUBE over (event_type, weekday): all four grouping sets in one
     pass, with grouping_id distinguishing subtotal levels — completes the
@@ -1696,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
+        "events_moving_avg": q_events_moving_avg,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2277,6 +2294,13 @@ SELECT strftime(ts, '%Y-%m-%d') event_day,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view
 FROM events GROUP BY 1""",
+        "events_moving_avg": """
+SELECT event_id, user_id,
+  ROUND(AVG(value) OVER w, 6) avg_1h,
+  CAST(COUNT(*) OVER w AS BIGINT) n_1h
+FROM (SELECT *, CAST(FLOOR(epoch(ts)) AS BIGINT) sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
         "events_zscore": """
 SELECT event_id, event_type,
        ROUND((value - AVG(value) OVER (PARTITION BY event_type))

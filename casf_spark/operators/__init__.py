@@ -1,5 +1,5 @@
-from casf_spark.operators import (dedup, joins, pipeline, profile, sampling,
-                                  similarity, skew)
+from casf_spark.operators import (curation, dedup, joins, pipeline, profile,
+                                  relevance, sampling, similarity, skew)
 
-__all__ = ["dedup", "joins", "pipeline", "profile", "sampling",
-           "similarity", "skew"]
+__all__ = ["curation", "dedup", "joins", "pipeline", "profile", "relevance",
+           "sampling", "similarity", "skew"]
