@@ -1310,6 +1310,20 @@ def q_dedup_spans(spark, sf):
     return DD.cross_doc_spans(docs, "doc_id", "text", n=4)
 
 
+def q_dedup_collision(spark, sf):
+    """Key-collision fuzzy clustering over the corpus augmented with
+    token-REVERSED twins: same bag of distinct words, so every twin must
+    collide with its original (operators.dedup.collision_clusters)."""
+    docs = load_table(spark, sf, "documents")
+    rev = docs.select(
+        (F.col("doc_id").cast("long") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+        .alias("text"))
+    aug = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "text").unionByName(rev)
+    return DD.collision_clusters(aug, "doc_id", "text")
+
+
 def q_vocab_coverage(spark, sf):
     """Top-20 vocabulary with cumulative corpus coverage — partial top-n
     (TakeOrderedAndProject) then a window over the 20 survivors."""
@@ -1713,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
         "events_moving_avg": q_events_moving_avg,
+        "dedup_collision": q_dedup_collision,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2526,6 +2541,22 @@ SELECT CAST(2 AS INT), 'latin_script', CAST(s1 AS BIGINT),
 UNION ALL
 SELECT CAST(3 AS INT), 'min_tokens', CAST(s2 AS BIGINT),
        ROUND(s2 / total, 6) FROM a""",
+        "dedup_collision": f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) doc, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents),
+k AS (SELECT doc,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      t -> t <> ''))), ' ')) ck
+      FROM aug),
+g AS (SELECT ck, MIN(doc) keep_id, COUNT(*) cluster_size
+      FROM k GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT k.doc, g.keep_id, CAST(g.cluster_size AS BIGINT) cluster_size
+FROM k JOIN g USING (ck)""",
         "vocab_coverage": f"""
 WITH toklist AS (SELECT {_TOKS} a FROM documents),
 toks AS (SELECT unnest(a) w FROM toklist),

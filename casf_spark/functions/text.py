@@ -340,6 +340,20 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def collision_key(col: Column | str,
+                  pattern: str = TOKEN_SPLIT_PATTERN) -> Column:
+    """OpenRefine-style clustering key: the document's DISTINCT tokens,
+    sorted and re-joined. Token order, repetition, punctuation, and case
+    all normalize away, so reordered/reworded-but-same-bag-of-words
+    variants collide on one key — the classic key-collision fuzzy-match
+    method (cheap, transitive, no pairwise comparison).
+
+    DuckDB twin: ``array_to_string(list_sort(list_distinct(toks)), ' ')``.
+    """
+    return F.array_join(F.array_sort(F.array_distinct(tokens(col, pattern))),
+                        " ")
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                         k: int = 5, w: int = 4,
                         pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:

@@ -354,6 +354,30 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def collision_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Key-collision fuzzy clusters (OpenRefine fingerprint method) ->
+    (doc, keep_id, cluster_size): documents whose sorted-distinct-token
+    keys collide form a cluster; every member maps to the min-id
+    representative. Only multi-member clusters are returned.
+
+    Catches reordered / re-punctuated / repetition-padded variants that
+    exact fingerprints miss, WITHOUT pairwise comparison: one key-hash
+    aggregation (map-side combined), transitive by construction. The
+    cheap first rung of the fuzzy-dedup ladder — MinHash/SimHash
+    (probabilistic, partial overlap) sit above it.
+    """
+    keyed = df.select(F.col(id_col).cast("long").alias("doc"),
+                      F.md5(TX.collision_key(text_col)).alias("ck"))
+    groups = (keyed.groupBy("ck")
+              .agg(F.min("doc").alias("keep_id"),
+                   F.count(F.lit(1)).alias("cluster_size"),
+                   F.collect_list("doc").alias("members"))
+              .where(F.col("cluster_size") >= 2))
+    return (groups.select("keep_id", "cluster_size",
+                          F.explode("members").alias("doc"))
+            .select("doc", "keep_id", "cluster_size"))
+
+
 def incremental_dedup(new: DataFrame, history: DataFrame,
                       id_col: str, text_col: str,
                       n: int = 2, num_hashes: int = 12, bands: int = 4,

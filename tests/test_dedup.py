@@ -208,3 +208,16 @@ def test_incremental_dedup_statuses(spark):
     assert got[101] == "near_dup"
     assert got[102] == "new"
     assert len(got) == 3             # one row per new doc, history absent
+
+
+def test_collision_clusters_bag_of_words(spark):
+    df = spark.createDataFrame([
+        (1, "alpha beta gamma"),
+        (2, "gamma ALPHA beta beta"),   # same distinct-token bag -> collides
+        (3, "alpha beta delta"),        # different bag
+        (4, "beta, gamma... alpha!"),   # punctuation normalizes away
+    ], "doc_id long, text string")
+    got = {r["doc"]: (r["keep_id"], r["cluster_size"])
+           for r in DD.collision_clusters(df, "doc_id", "text").collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[4] == (1, 3)
+    assert 3 not in got                 # singleton clusters not reported
