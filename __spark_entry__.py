@@ -967,6 +967,41 @@ def q_events_moving_avg(spark, sf):
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"))
 
 
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel per user (view -> click -> purchase by
+    FIRST occurrence of each step): one conditional-MIN aggregation per
+    user, then stage flags summed — no self-joins, no event-sequence
+    explosion."""
+    ev = load_table(spark, sf, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(*[F.min(F.when(F.col("event_type") == t, F.col("ts")))
+                     .alias(f"t_{t}") for t in ("view", "click", "purchase")]))
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_view"),
+        F.sum(F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0))
+        .cast("long").alias("n_view_click"),
+        F.sum(F.when((F.col("t_view") < F.col("t_click"))
+                     & (F.col("t_click") < F.col("t_purchase")), 1)
+              .otherwise(0)).cast("long").alias("n_view_click_purchase"))
+
+
+def q_events_retention(spark, sf):
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort_day, day_offset) the count of distinct users active that many
+    days later. Two aggregations + a user-keyed join — the classic
+    retention matrix without any per-day self-join fan-out."""
+    ev = load_table(spark, sf, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (days.join(cohort, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+            .where(F.col("day_offset") <= 7))
+
+
 def q_events_cube(spark, sf):
     """CUBE over (event_type, weekday): all four grouping sets in one
     pass, with grouping_id distinguishing subtotal levels — completes the
@@ -1728,6 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "events_moving_avg": q_events_moving_avg,
         "dedup_collision": q_dedup_collision,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2309,6 +2346,30 @@ SELECT strftime(ts, '%Y-%m-%d') event_day,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view
 FROM events GROUP BY 1""",
+        "events_funnel": """
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) t_purchase
+  FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    n_view,
+  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+    n_view_click,
+  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+            THEN 1 ELSE 0 END) AS BIGINT) n_view_click_purchase
+FROM f""",
+        "events_retention": """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dt FROM events),
+cohort AS (SELECT user_id, MIN(dt) cohort_day FROM days GROUP BY 1)
+SELECT d.cohort_day, CAST(day_offset AS INT) day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) n_active
+FROM (SELECT days.user_id, cohort.cohort_day,
+             days.dt - cohort.cohort_day AS day_offset
+      FROM days JOIN cohort USING (user_id)) d
+GROUP BY d.cohort_day, day_offset HAVING day_offset <= 7""",
         "events_moving_avg": """
 SELECT event_id, user_id,
   ROUND(AVG(value) OVER w, 6) avg_1h,
