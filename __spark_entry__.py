@@ -967,6 +967,53 @@ def q_events_moving_avg(spark, sf):
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"))
 
 
+def q_users_view_and_purchase(spark, sf):
+    """INTERSECT set op: users who both viewed and purchased — completes
+    the set-operation family next to exceptAll
+    (users_click_not_purchase)."""
+    ev = load_table(spark, sf, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)
+
+
+def q_orders_quartiles(spark, sf):
+    """NTILE window: per-quartile totalprice stats over orders (quartile
+    assignment needs a total order — the global sort is the point of the
+    query; the rollup after it is cheap)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select(F.ntile(4).over(w).alias("quartile"), "o_totalprice")
+            .groupBy("quartile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).alias("total"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+def q_events_corr(spark, sf):
+    """Statistical aggregates: per-type Pearson correlation and sample
+    covariance of (value, hour-of-day) in one pass."""
+    ev = load_table(spark, sf, "events")
+    h = F.hour("ts").cast("double")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.corr(F.col("value"), h), 6).alias("corr_val_hour"),
+                 F.round(F.covar_samp(F.col("value"), h), 6)
+                 .alias("covar_val_hour"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def q_events_value_hist(spark, sf):
+    """Fixed-width histogram of `value` per event type: bucket = floor
+    (value / 2) — one aggregation, no windowing."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type",
+                       F.floor(F.col("value") / 2).cast("long")
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
 def q_events_funnel(spark, sf):
     """Ordered conversion funnel per user (view -> click -> purchase by
     FIRST occurrence of each step): one conditional-MIN aggregation per
@@ -1765,6 +1812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_collision": q_dedup_collision,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "users_view_and_purchase": q_users_view_and_purchase,
+        "orders_quartiles": q_orders_quartiles,
+        "events_corr": q_events_corr,
+        "events_value_hist": q_events_value_hist,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2346,6 +2397,30 @@ SELECT strftime(ts, '%Y-%m-%d') event_day,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) n_view
 FROM events GROUP BY 1""",
+        "users_view_and_purchase": """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'""",
+        "orders_quartiles": """
+WITH q AS (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+             quartile, o_totalprice
+           FROM orders)
+SELECT CAST(quartile AS INT) quartile, CAST(COUNT(*) AS BIGINT) n,
+  ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) total,
+  ROUND(MIN(o_totalprice), 2) lo, ROUND(MAX(o_totalprice), 2) hi
+FROM q GROUP BY 1""",
+        "events_corr": """
+SELECT event_type,
+  ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+    corr_val_hour,
+  ROUND(covar_samp(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 6)
+    covar_val_hour,
+  CAST(COUNT(*) AS BIGINT) n
+FROM events GROUP BY 1""",
+        "events_value_hist": """
+SELECT event_type, CAST(FLOOR(value / 2) AS BIGINT) bucket,
+       CAST(COUNT(*) AS BIGINT) n
+FROM events GROUP BY 1, 2""",
         "events_funnel": """
 WITH f AS (
   SELECT user_id,
