@@ -113,6 +113,20 @@ def clicks_before_purchases(events: DataFrame, max_gap: str = "1 hour",
             .select("event_id", "user_id", "ts", "click_id", "click_ts"))
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with its dimension row (user
+    segment, account tier, ...). The static side is broadcast per
+    micro-batch — no watermark, NO state store involvement (only
+    stream-stream joins buffer state); a dimension refresh is picked up on
+    the next micro-batch because the static plan re-executes per trigger.
+    Left join so events without a dimension row survive with nulls — an
+    inner join would silently drop late-registered users. Works
+    identically on batch frames.
+    """
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def dedup_stream(events: DataFrame, key_cols: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: keep the first row per key, drop re-deliveries

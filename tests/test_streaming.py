@@ -188,3 +188,28 @@ def test_stream_dedup_against_persistent_index(spark, tmp_path):
     assert len(set(nums)) == 75
     index = spark.read.parquet(idx)
     assert index.count() == 75
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static left join (event -> user segment dimension) must
+    equal the batch twin exactly, including events whose user has no
+    dimension row (null segment, not dropped)."""
+    ev = load_table(spark, sf_dir, "events")
+    # segment dimension covering only half the users
+    dim = (ev.select("user_id").distinct()
+           .where(F.col("user_id") % 2 == 0)
+           .withColumn("segment",
+                       F.when(F.col("user_id") % 4 == 0, "gold")
+                        .otherwise("silver")))
+    batch = EV.enrich_with_dimension(ev, dim).select(
+        "event_id", "user_id", "segment")
+    stream_src = EV.read_events_stream(spark, sf_dir)
+    stream = EV.enrich_with_dimension(stream_src, dim).select(
+        "event_id", "user_id", "segment")
+    assert stream.isStreaming
+    EV.run_stream_append_to_memory(stream, "t_enrich")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # unmatched users survive with null segment
+    assert any(r[2] is None for r in got)
