@@ -1329,6 +1329,15 @@ def q_ann_lsh_multiprobe(spark, sf):
                                          num_planes=8, seeds=(42, 43, 44))
 
 
+def q_ann_ivf_pq(spark, sf):
+    """IVF-PQ: product-quantized codes + ADC scoring + exact re-rank
+    (rows-only: numpy encoder/scorer via mapInPandas; recall + determinism
+    pinned in test_ivf)."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10), k=10,
+                           n_probes=4, rerank=4)
+
+
 def q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents")
     return MM.payload_metadata(MM.with_payload(docs, "doc_id", "text"))
@@ -1816,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quartiles": q_orders_quartiles,
         "events_corr": q_events_corr,
         "events_value_hist": q_events_value_hist,
+        "ann_ivf_pq": q_ann_ivf_pq,  # rows-only (numpy ADC via mapInPandas)
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,

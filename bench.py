@@ -62,8 +62,11 @@ def main() -> None:
         warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     # best-of-N per query (min = the standard noise-free estimator; single
-    # runs showed +-40% run-to-run variance on the heavy queries locally)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # runs showed +-40% run-to-run variance on the heavy queries locally,
+    # and the heaviest cosine plans show a bimodal JIT warm-up tail —
+    # ~8s for the first 1-2 sf0.1 executions, ~3.2s steady state — that
+    # two runs sometimes fail to escape; three reliably do)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -470,3 +470,135 @@ def ivf_topk_det(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .where(F.col("rank") <= k)
               .select("query_id", "neighbor_id", "cos_sim", "rank"))
     return schemas.conform(scored, schemas.ANN_TOPK)
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_centroids: int = 8, n_probes: int = 2,
+                m: int = 8, ksub: int = 16, rerank: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou et al., TPAMI 2011) — the standard
+    billion-vector ANN layout: coarse IVF buckets + product-quantized
+    codes scored by asymmetric distance computation, then exact cosine
+    re-rank of the top ``rerank * k`` ADC candidates.
+
+    Deterministic throughout: coarse centroids AND the ``m`` per-subspace
+    codebooks (``ksub`` entries each) are md5-ordered corpus samples, not
+    KMeans — reproducible across runs/engines, somewhat lower recall than
+    trained codebooks (use :func:`ivf_topk` when Spark-ML KMeans quality
+    is wanted).
+
+    Scale shape: codebooks are tiny (``n_centroids + ksub`` vectors,
+    broadcast); the corpus streams ONCE through an Arrow-batched encoder
+    emitting (id, bucket, m uint8 codes, |v_hat|) — at 100 TB the encoded
+    table is ~(m + 16) bytes/vector, the thing PQ exists for; scoring
+    streams the encoded table, keeps per-batch top candidates per query
+    (shuffle O(q * rerank*k * batches)), and only the final re-rank
+    touches ``rerank * k`` full vectors per query via an id semi-join.
+    """
+    import numpy as np
+
+    sc = corpus.sparkSession.sparkContext
+    sample = (corpus.select(F.col(id_col).cast("long").alias("id"), vec_col,
+                            md5_long(F.col(id_col).cast("string")).alias("o"))
+              .orderBy("o", "id").limit(n_centroids + ksub).toPandas())
+    smat = np.array([np.asarray(v, dtype=np.float64)
+                     for v in sample[vec_col]])
+    coarse = smat[:n_centroids]                      # (C, D)
+    dim = smat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # per-subspace codebooks from the next ksub samples: (m, ksub, dsub)
+    books = np.stack([smat[n_centroids:n_centroids + ksub,
+                           s * dsub:(s + 1) * dsub] for s in range(m)])
+    b_coarse, b_books = sc.broadcast(coarse), sc.broadcast(books)
+
+    def encode(batches):
+        import pandas as pd
+
+        C, B = b_coarse.value, b_books.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.array([np.asarray(v, dtype=np.float64)
+                           for v in pdf["v"]])
+            d2c = ((vm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            bucket = d2c.argmin(axis=1)
+            codes = np.empty((len(vm), m), dtype=np.int64)
+            vhat_sq = np.zeros(len(vm))
+            for s in range(m):
+                sub = vm[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+                vhat_sq += (B[s][codes[:, s]] ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf["id"].to_numpy(),
+                "bucket": bucket,
+                "codes": list(codes),
+                "vhat_norm": np.sqrt(vhat_sq)})
+
+    encoded = (corpus.select(F.col(id_col).cast("long").alias("id"),
+                             F.col(vec_col).alias("v"))
+               .mapInPandas(encode, "neighbor_id long, bucket long, "
+                                    "codes array<long>, vhat_norm double"))
+
+    qpdf = queries.select(F.col(id_col).cast("long").alias("id"),
+                          vec_col).toPandas()
+    q_ids = qpdf["id"].to_numpy()
+    q_mat = np.array([np.asarray(v, dtype=np.float64)
+                      for v in qpdf[vec_col]])
+    qd2c = ((q_mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    q_probes = np.argsort(qd2c, axis=1)[:, :n_probes]
+    # ADC lookup tables: tables[q, s, j] = q_sub . book[s][j]
+    tables = np.einsum("qsd,sjd->qsj",
+                       q_mat.reshape(len(q_mat), m, dsub), books)
+    q_norm = np.sqrt((q_mat ** 2).sum(axis=1))
+    b_q = sc.broadcast((q_ids, q_probes, tables, q_norm))
+    n_cand = max(k * rerank, k)
+
+    def adc_score(batches):
+        import pandas as pd
+
+        qids, probes, tabs, qn = b_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["neighbor_id"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy())        # (n, m)
+            vn = pdf["vhat_norm"].to_numpy()
+            for qi in range(len(qids)):
+                mask = np.isin(buckets, probes[qi]) & (cids != qids[qi])
+                if not mask.any():
+                    continue
+                cc = codes[mask]
+                dots = tabs[qi][np.arange(m)[None, :], cc].sum(axis=1)
+                sims = dots / np.maximum(qn[qi] * vn[mask], 1e-12)
+                ids_m = cids[mask]
+                order = np.lexsort((ids_m, -sims))[:n_cand]
+                yield pd.DataFrame({
+                    "query_id": np.full(order.size, qids[qi]),
+                    "neighbor_id": ids_m[order],
+                    "adc_sim": np.round(sims[order], 6)})
+
+    partial = encoded.mapInPandas(
+        adc_score, "query_id long, neighbor_id long, adc_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"),
+                                               F.asc("neighbor_id"))
+    cand = (partial.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_cand)
+            .select("query_id", "neighbor_id"))
+    # exact cosine re-rank of the ADC survivors (rerank*k rows per query)
+    cv = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                F.asc("neighbor_id"))
+    out = (cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+           .withColumn("cos_sim", F.round(V.cosine("qv", "cv"), 6))
+           .withColumn("rank", F.row_number().over(w2))
+           .where(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "cos_sim", "rank"))
+    return schemas.conform(out, schemas.ANN_TOPK)

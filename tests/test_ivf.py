@@ -71,3 +71,32 @@ def test_ivf_det_more_probes_no_worse(spark, sf_dir):
     full = {r.query_id: r.cos_sim
             for r in SIM.ivf_topk_det(emb, q, k=1, n_probes=8).collect()}
     assert all(full[k] >= two[k] for k in two)
+
+
+def test_ivf_pq_recall_and_determinism(spark, sf_dir):
+    from casf_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+    from casf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    truth = {}
+    for r in brute_force_topk(emb, qs, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_rows = ivf_pq_topk(emb, qs, k=5, n_probes=4, rerank=8).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    # sampled (not trained) codebooks + exact re-rank: well above chance
+    assert recall >= 0.3, f"recall {recall}"
+    # exact cosine on the re-ranked survivors
+    for r in got_rows:
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    # deterministic: identical output across runs
+    again = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+             for r in ivf_pq_topk(emb, qs, k=5, n_probes=4,
+                                  rerank=8).collect()}
+    assert {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in got_rows} == again
