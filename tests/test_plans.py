@@ -214,3 +214,24 @@ def test_mixture_resample_corpus_single_scan_no_shuffle(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "_stratum" in m.group(1) or "source" in m.group(1), plan
+
+
+def test_matrix_prepartition_no_cell_reshuffle(spark, sf_dir):
+    """matrix_from_lineitem pre-partitions raw rows on y, so the cosine
+    normalization pipeline adds NO exchange between the cell aggregation
+    and the per-vector max + join: exactly one exchange hashes y and no
+    exchange hashes the (y, x) pair."""
+    import re
+
+    from casf_spark import CosineAnalyser
+
+    m = matrix_from_lineitem(spark, sf_dir)
+    model = CosineAnalyser().fit(m)
+    plan = explain_str(model.normalized)
+    keys = re.findall(r"Exchange hashpartitioning\(((?:[^()]|\([^)]*\))*)\)",
+                      plan)
+    # no exchange keyed on both y and x (the cell agg runs on the raw
+    # y-partitioning); the single y-hash exchange is the repartition
+    assert not any(("y#" in k and "x#" in k) for k in keys), keys
+    y_only = [k for k in keys if "y#" in k]
+    assert len(set(y_only)) <= 1, keys
