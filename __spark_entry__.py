@@ -1383,6 +1383,17 @@ def q_mixture_resample(spark, sf):
                       "source", "lang")
 
 
+def q_temperature_resample(spark, sf):
+    """Alpha-sampling (XLM-R/mT5 rule): per-language rates from
+    n^0.5-normalized shares toward a 200-row target — up-weights tail
+    languages relative to natural proportions."""
+    docs = load_table(spark, sf, "documents")
+    out = CU.temperature_resample(docs, F.col("doc_id").cast("string"),
+                                  "lang", alpha=0.5, total_rows=200)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang", "source")
+
+
 def q_budget_select(spark, sf):
     """Per-language token-budget selection (2000 tokens/lang) via the
     chunked two-level prefix sum (operators.curation.budget_select)."""
@@ -1826,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_corr": q_events_corr,
         "events_value_hist": q_events_value_hist,
         "ann_ivf_pq": q_ann_ivf_pq,  # rows-only (numpy ADC via mapInPandas)
+        "temperature_resample": q_temperature_resample,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2744,6 +2756,17 @@ r AS (
   FROM sc)
 SELECT label, vec_id, cos_centroid, CAST(rk AS INT) rank
 FROM r WHERE rk <= 5""",
+        "temperature_resample": """
+WITH counts AS (SELECT lang s, CAST(COUNT(*) AS BIGINT) n
+                FROM documents GROUP BY 1),
+r AS (SELECT s, LEAST(1.0,
+        (POW(CAST(n AS DOUBLE), 0.5)
+         / SUM(POW(CAST(n AS DOUBLE), 0.5)) OVER ()) * 200.0 / n) rate
+      FROM counts)
+SELECT CAST(d.doc_id AS BIGINT) doc_id, d.lang, d.source
+FROM documents d JOIN r ON d.lang = r.s
+WHERE ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) >> 30) / 1073741824.0) < r.rate""",
         "budget_select": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc,
                   CAST(len({_TOKS}) AS BIGINT) n_tok, lang stratum,

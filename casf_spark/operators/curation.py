@@ -52,6 +52,7 @@ __all__ = [
     "pack_greedy_chunks",
     "stratified_sample",
     "mixture_resample",
+    "temperature_resample",
     "budget_select",
     "curation_funnel",
     "PII_PATTERNS",
@@ -335,6 +336,42 @@ def mixture_resample(df: DataFrame, key: Column | str, strata_col: str,
                      F.least(F.lit(1.0),
                              share * F.lit(float(total_rows)) / F.col("_n"))
                      .alias("_rate")))
+    out = (df.join(F.broadcast(rates),
+                   df[strata_col] == rates["_stratum"])
+           .where(hash_fraction(key) < F.col("_rate")))
+    return out.drop("_stratum", "_rate")
+
+
+def temperature_resample(df: DataFrame, key: Column | str, strata_col: str,
+                         alpha: float, total_rows: int) -> DataFrame:
+    """Temperature-based mixture resampling: target share of stratum s is
+    ``n_s^alpha / sum_t n_t^alpha`` (the multilingual alpha-sampling rule
+    published with XLM-R / mT5), realized as deterministic hash-rate
+    downsampling toward ``total_rows``.
+
+    ``alpha = 1`` keeps natural proportions; ``alpha -> 0`` flattens
+    toward uniform (up-weights tail languages/domains); rates cap at 1.0
+    (no upsampling — repeat-epoch upweighting is a training-loader
+    concern, not a corpus transform).
+
+    Same plan as :func:`mixture_resample`: one |strata|-row count
+    aggregate (the alpha powers and their normalizer computed over that
+    tiny table), broadcast back, narrow md5 acceptance filter — the
+    corpus is scanned once and never shuffled.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = (df.groupBy(F.col(strata_col).alias("_stratum"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.partitionBy()
+    rates = (counts
+             .withColumn("_pw", F.pow(F.col("_n").cast("double"),
+                                      F.lit(float(alpha))))
+             .withColumn("_share", F.col("_pw") / F.sum("_pw").over(w))
+             .select("_stratum",
+                     F.least(F.lit(1.0),
+                             F.col("_share") * F.lit(float(total_rows))
+                             / F.col("_n")).alias("_rate")))
     out = (df.join(F.broadcast(rates),
                    df[strata_col] == rates["_stratum"])
            .where(hash_fraction(key) < F.col("_rate")))

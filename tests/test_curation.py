@@ -280,3 +280,29 @@ def test_curation_funnel_cumulative(spark):
     assert got["lang_en"]["pass_rate"] == 0.4
     assert got["long_enough"]["stage_idx"] == 1
     assert got["lang_en"]["stage_idx"] == 2
+
+
+def test_temperature_resample_flattens_toward_uniform(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    n = sum(totals.values())
+    # alpha=1 reproduces natural proportions' rates: total/n for all
+    nat = CU.temperature_resample(docs, F.col("doc_id").cast("string"),
+                                  "lang", alpha=1.0, total_rows=n)
+    assert nat.count() == n  # rate = share*total/n_s = 1.0 for every s
+    # alpha=0 -> uniform target: tail strata get HIGHER acceptance rates
+    # than head strata; exact membership vs python reference
+    total = n // 2
+    out = CU.temperature_resample(docs, F.col("doc_id").cast("string"),
+                                  "lang", alpha=0.0, total_rows=total)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    k = len(totals)
+    want = set()
+    for r in docs.select("doc_id", "lang").collect():
+        rate = min(1.0, (1.0 / k) * total / totals[r["lang"]])
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+        if (h >> 30) / float(1 << 30) < rate:
+            want.add(r["doc_id"])
+    assert got == want
