@@ -59,6 +59,21 @@ elem AS (
   FROM orders GROUP BY 1, 2)
 """
 
+_ELEM_DOCS_TFIDF = f"""
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) doc, unnest({_TOKS}) AS word
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc, word, CAST(COUNT(*) AS BIGINT) tcnt
+       FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT word, COUNT(*) dfr FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT doc_id) n_docs FROM documents
+       WHERE doc_id < 100),
+elem AS (
+  SELECT tf.doc AS vector, tf.word AS coord,
+         tf.tcnt * (ln((nn.n_docs + 1) / (dfreq.dfr + 1)) + 1) AS val
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nn)
+"""
+
 _ELEM_DOCS = f"""
 tok AS (
   SELECT CAST(doc_id AS VARCHAR) doc,
@@ -262,6 +277,25 @@ def q_doc_cosine(spark, sf):
     model = CosineAnalyser(axis="y").fit(
         _doc_matrix(spark, sf), is_sparse=True, persist=False,
         pre_aggregated=True)  # term_counts output is unique per (doc, word)
+    return _round_sim(model.all_similarity())
+
+
+def q_doc_cosine_tfidf(spark, sf):
+    """Document cosine over TF-IDF-WEIGHTED term vectors (no stop-word
+    list needed — idf down-weights ubiquitous terms instead): the
+    relevance suite's weighting composed with the reference's core cosine
+    engine. Norm strategy 'none' because the weights already scale."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    tf = TX.term_counts(docs, "doc_id", "text", stopwords=None)
+    dfreq = tf.groupBy("x").agg(F.count(F.lit(1)).alias("dfr"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    m = (tf.join(dfreq, "x").crossJoin(F.broadcast(n))
+         .select("y", "x",
+                 (F.col("value")
+                  * (F.log((F.col("n_docs") + 1) / (F.col("dfr") + 1)) + 1))
+                 .alias("value")))
+    model = CosineAnalyser(axis="y", normalization="none").fit(
+        m, is_sparse=True, persist=False, pre_aggregated=True)
     return _round_sim(model.all_similarity())
 
 
@@ -1838,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_hist": q_events_value_hist,
         "ann_ivf_pq": q_ann_ivf_pq,  # rows-only (numpy ADC via mapInPandas)
         "temperature_resample": q_temperature_resample,
+        "doc_cosine_tfidf": q_doc_cosine_tfidf,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2044,6 +2079,8 @@ FROM wins GROUP BY 1, 2"""
             "WHERE similarity_value >= 0.8"),
         "cosine_predict": predict_sql,
         "doc_cosine": _cosine_sql(_ELEM_DOCS, sparse=True),
+        "doc_cosine_tfidf": _cosine_sql(_ELEM_DOCS_TFIDF, sparse=True,
+                                        normalization="none"),
         "doc_cosine_cjk": _cosine_sql(
             _ELEM_DOCS_CJK_TMPL.format(cjk26=_CJK26), sparse=True),
         "doc_cosine_lsh": _doc_cosine_lsh_oracle(),
