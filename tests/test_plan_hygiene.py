@@ -1,0 +1,73 @@
+"""Global plan-hygiene gate over EVERY registered query.
+
+Three anti-pattern sweeps across the full queries() surface (plan
+analysis only — nothing executes):
+
+- row-at-a-time Python (BatchEvalPython) is banned outright — the slow
+  path the design rules forbid; Arrow-batched mapInPandas is fine and
+  shows up as different operators.
+- cartesian / broadcast-nested-loop joins only where DELIBERATE: the
+  dense all-pairs semantics and 1-row/centroid-table broadcast cross
+  joins (corpus counts, scalar stats). A new query that introduces one
+  must consciously extend the whitelist.
+- at most one single-partition exchange per plan (two for the queries
+  carrying two independent 1-row scalar aggregates) — a growing count is
+  how a corpus-sized global sort/window sneaks in.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+#: queries whose product joins are design decisions (all have a tiny
+#: broadcast side or ARE the dense all-pairs semantics)
+PRODUCT_WHITELIST = {
+    "cosine_dense",      # deliberate all-pairs (dense semantics)
+    "cosine_topk",       # dense zero-fill path (mods product)
+    "cosine_predict",    # inherits top-k's dense path
+    "ann_ivf_det",       # centroid table (n_centroids rows) broadcast
+    "tfidf_terms",       # 1-row corpus-count broadcast
+    "bm25_rank",         # 1-row corpus stats broadcast
+    "vocab_coverage",    # 1-row total broadcast
+    "unigram_logprob",   # 1-row total broadcast
+    "doc_cosine_tfidf",  # 1-row corpus-count broadcast
+    "q11_important_parts",   # scalar-subquery threshold (1 row)
+    "q22_idle_customers",    # scalar-AVG threshold (1 row)
+}
+
+#: queries allowed two single-partition exchanges (two independent 1-row
+#: scalar aggregates feeding the same plan)
+TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan() \
+            .toString()
+        out[name] = plan.split("\n\n")[0]  # operator tree only
+    return out
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_products_only_where_deliberate(plans):
+    got = {n for n, p in plans.items()
+           if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p}
+    assert got <= PRODUCT_WHITELIST, got - PRODUCT_WHITELIST
+
+
+def test_single_partition_exchanges_bounded(plans):
+    over = {}
+    for n, p in plans.items():
+        cap = 2 if n in TWO_SP_WHITELIST else 1
+        c = p.count("Exchange SinglePartition")
+        if c > cap:
+            over[n] = c
+    assert not over, over
