@@ -1382,6 +1382,16 @@ def q_multimodal_features(spark, sf):
     return MM.extract_features(MM.with_payload(docs, "doc_id", "text"))
 
 
+def q_multimodal_rgb(spark, sf):
+    """REAL image decode path (raw rgb24, numpy — no external decoder):
+    synthesized rasters -> per-channel means + Rec.601 brightness via
+    Arrow-batched mapInPandas (rows-only: byte-level raster math has no
+    SQL twin; exactness pinned in test_multimodal)."""
+    docs = load_table(spark, sf, "documents")
+    imgs = MM.synthesize_rgb_payload(docs, "doc_id", width=8, height=8)
+    return MM.decode_rgb_features(imgs, 8, 8)
+
+
 def q_tfidf_terms(spark, sf):
     """Top-3 TF-IDF keywords per document (operators.relevance) — the
     keyword-extraction step the reference's demo implies (KWD term counts)
@@ -1873,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,  # rows-only (numpy ADC via mapInPandas)
         "temperature_resample": q_temperature_resample,
         "doc_cosine_tfidf": q_doc_cosine_tfidf,
+        "multimodal_rgb": q_multimodal_rgb,  # rows-only (raster math)
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
