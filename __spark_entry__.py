@@ -1456,6 +1456,14 @@ def q_dedup_spans(spark, sf):
     return DD.cross_doc_spans(docs, "doc_id", "text", n=4)
 
 
+def q_sample_per_source(spark, sf):
+    """Deterministic 3-per-source document sample via grouped partial
+    top-k (operators.sampling.sample_per_group — no window, no global
+    sort)."""
+    docs = load_table(spark, sf, "documents")
+    return SP.sample_per_group(docs, F.col("doc_id"), "source", k=3)
+
+
 def q_dedup_collision(spark, sf):
     """Key-collision fuzzy clustering over the corpus augmented with
     token-REVERSED twins: same bag of distinct words, so every twin must
@@ -1884,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "doc_cosine_tfidf": q_doc_cosine_tfidf,
         "multimodal_rgb": q_multimodal_rgb,  # rows-only (raster math)
+        "sample_per_source": q_sample_per_source,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2804,6 +2813,17 @@ r AS (
   FROM sc)
 SELECT label, vec_id, cos_centroid, CAST(rk AS INT) rank
 FROM r WHERE rk <= 5""",
+        "sample_per_source": """
+WITH t AS (
+  SELECT source,
+         CAST(doc_id AS VARCHAR) kv,
+         ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) >> 30) / 1073741824.0) p
+  FROM documents),
+r AS (SELECT source, kv,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY p, kv) rk
+      FROM t)
+SELECT source, kv AS key_val, CAST(rk AS INT) rank FROM r WHERE rk <= 3""",
         "temperature_resample": """
 WITH counts AS (SELECT lang s, CAST(COUNT(*) AS BIGINT) n
                 FROM documents GROUP BY 1),

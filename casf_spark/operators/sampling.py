@@ -67,3 +67,31 @@ def assign_splits(df: DataFrame, key: Column | str,
     last = F.lit(splits[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def sample_per_group(df: DataFrame, key: Column | str, group_col: str,
+                     k: int) -> DataFrame:
+    """Deterministic k-per-group sample -> (group, key_val, rank): each
+    group's members ranked by md5-hash priority (ties by key), first ``k``
+    kept — the distributed reservoir-sample twin with rerun-stable
+    membership (a true reservoir is RNG-order-dependent; hash priority
+    gives the same "uniform without replacement" distribution per fixed
+    key set, reproducibly).
+
+    Plan: grouped ``slice(array_sort(collect_list))`` partial aggregation
+    — per-group in-memory top-k, map-side combined, no window and no
+    global sort; shuffle carries at most the group keys' collected
+    candidate lists. Output keys are the sampled rows' key values; join
+    back to the source for payloads.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    t = df.select(F.col(group_col).alias("grp"),
+                  kc.cast("string").alias("kv"),
+                  hash_fraction(kc.cast("string")).alias("p"))
+    top = (t.groupBy("grp")
+           .agg(F.slice(F.array_sort(F.collect_list(
+               F.struct("p", "kv"))), 1, k).alias("_t")))
+    return (top.select("grp", F.posexplode("_t").alias("_pos", "_s"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("_s.kv").alias("key_val"),
+                    (F.col("_pos") + 1).cast("int").alias("rank")))

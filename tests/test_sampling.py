@@ -61,3 +61,24 @@ def test_line_dedup_fully_duplicated_doc_survives_empty(spark):
                                "doc_id long, text string")
     got = {r.doc: r.text for r in line_dedup(df, "doc_id", "text").collect()}
     assert got == {1: "only line", 2: ""}
+
+
+def test_sample_per_group_deterministic_prefix(spark):
+    import hashlib
+
+    from casf_spark.operators.sampling import sample_per_group
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {(r["grp"], r["key_val"], r["rank"])
+           for r in sample_per_group(df, F.col("doc_id"), "grp",
+                                     k=4).collect()}
+    # python reference: per group, order by (md5 frac, key string), take 4
+    by_g: dict[str, list] = {}
+    for i, g in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        by_g.setdefault(g, []).append(((h >> 30) / float(1 << 30), str(i)))
+    want = set()
+    for g, items in by_g.items():
+        for rk, (_, kv) in enumerate(sorted(items)[:4], 1):
+            want.add((g, kv, rk))
+    assert got == want
