@@ -368,7 +368,7 @@ class CosineModel:
         return sims.where(F.col("similarity_value") >= t)
 
     def top_k(self, k: int, round_to: int | None = None,
-              cache_sims: bool = True, method: str = "groupby") -> DataFrame:
+              cache_sims: bool = True, method: str = "window") -> DataFrame:
         """Top-k most-similar neighbors per vector.
 
         The canonical pair table stores each unordered pair once; symmetrize
@@ -376,13 +376,15 @@ class CosineModel:
         reduce per vector. Output: (vector, neighbor, similarity_value,
         rank); rank order is (similarity desc, neighbor asc).
 
-        ``method="groupby"`` (default) aggregates
-        ``slice(array_sort(collect_list(struct)), 1, k)`` + posexplode: a
-        hash aggregation instead of a total partition sort — no
-        whole-partition sort of the n*(n-1) symmetrized rows, only an
-        O(m log m) in-memory sort per group. ``method="window"`` keeps the
-        classic ``row_number`` window (same rows, pinned by a differential
-        test).
+        ``method="window"`` (default) is the classic ``row_number`` window
+        — partitioned by vector, it streams sorted runs without
+        materializing per-group arrays. ``method="groupby"`` aggregates
+        ``slice(array_sort(collect_list(struct)), 1, k)`` + posexplode
+        instead — no partition sort, but the collected per-group arrays
+        are allocation-heavy: measured on a warmed 106-plan JVM (the bench
+        shape) window wins 2.5 s vs 3.3-5.9 s at sf0.1 and is far more
+        stable, so it is the default; both return identical rows (pinned
+        by a differential test).
 
         ``round_to`` rounds similarities before ranking — makes rank order
         reproducible across engines whose float-sum orders differ (used by
