@@ -68,6 +68,24 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark — no external package): columnar like
+    parquet with the same predicate-pushdown / column-pruning behavior;
+    the interchange format warehouse stacks (Hive/Trino) often hand us."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """Partitioned ORC sink — layout semantics identical to
+    :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_sorted_bucketed_table(df: DataFrame, name: str, bucket_cols: list[str],
                                 num_buckets: int, sort_cols: list[str] | None = None,
                                 mode: str = "overwrite") -> None:

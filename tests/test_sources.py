@@ -148,3 +148,27 @@ def test_load_events_struct_props(spark, tmp_path):
         "event_id",
         F.get_json_object("props", "$.k").alias("k")).collect()}
     assert got[1] == "7"
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip: partitioned write, identical rows back, and the
+    filter on the partition column prunes directories."""
+    from pyspark.sql import functions as F
+
+    from casf_spark.sources.tables import load_table
+    from casf_spark.sources.text import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    a = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    b = {(int(r["doc_id"]), r["lang"], int(r["n_chars"]))
+         for r in back.collect()}
+    assert a == b
+    # partition pruning: only the en directory is read
+    plan = back.where(F.col("lang") == "en")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "lang=en" in plan or "PartitionFilters: [isnotnull(lang" in plan
