@@ -1492,6 +1492,14 @@ def q_unigram_logprob(spark, sf):
     return RV.unigram_logprob(docs, "doc_id", "text")
 
 
+def q_bigram_logprob(spark, sf):
+    """Average negative bigram log-likelihood per doc (add-one-smoothed
+    Markov model — the stronger perplexity-filter stand-in: flags common
+    words in impossible orders)."""
+    docs = load_table(spark, sf, "documents")
+    return RV.bigram_logprob(docs, "doc_id", "text")
+
+
 def q_embedding_outliers(spark, sf):
     """Per-label bottom-5 cosine-to-centroid vectors (mislabeled-data
     sweep); centroids broadcast, corpus scored map-side."""
@@ -1893,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cosine_tfidf": q_doc_cosine_tfidf,
         "multimodal_rgb": q_multimodal_rgb,  # rows-only (raster math)
         "sample_per_source": q_sample_per_source,
+        "bigram_logprob": q_bigram_logprob,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2793,6 +2802,21 @@ tot AS (SELECT SUM(wc) tot FROM tc)
 SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
        ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
 FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc""",
+        "bigram_logprob": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, generate_subscripts(a, 1) pos, unnest(a) w
+         FROM toklist),
+bi AS (SELECT t1.doc, t1.w prev, t2.w w
+       FROM toks t1 JOIN toks t2 ON t1.doc = t2.doc
+                                AND t2.pos = t1.pos + 1),
+bc AS (SELECT prev, w, COUNT(*) bc FROM bi GROUP BY 1, 2),
+uc AS (SELECT prev, COUNT(*) uc FROM bi GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) v FROM toks)
+SELECT bi.doc, CAST(COUNT(*) AS BIGINT) n_bigrams,
+  ROUND(-AVG(ln((bc.bc + 1) / (uc.uc + v.v))), 6) avg_neg_logprob
+FROM bi JOIN bc USING (prev, w) JOIN uc USING (prev) CROSS JOIN v
+GROUP BY bi.doc""",
         "embedding_outliers": """
 WITH ee AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) i,

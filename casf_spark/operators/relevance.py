@@ -45,7 +45,7 @@ from casf_spark.functions import vectors as V
 from casf_spark.operators import similarity as _sim
 
 __all__ = ["tfidf_terms", "bm25_rank", "knn_classify", "vocab_coverage",
-           "unigram_logprob", "label_centroid_outliers"]
+           "unigram_logprob", "bigram_logprob", "label_centroid_outliers"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -209,6 +209,47 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
             .groupBy("doc")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.round(-F.avg(F.log(F.col("wc") / F.col("tot"))),
+                         round_to).alias("avg_neg_logprob")))
+
+
+def bigram_logprob(docs: DataFrame, id_col: str, text_col: str,
+                   pattern: str = TOKEN_SPLIT_PATTERN,
+                   round_to: int = 6) -> DataFrame:
+    """Per-document average negative BIGRAM log-likelihood under the
+    corpus's own add-one-smoothed Markov model ->
+    (doc, n_bigrams, avg_neg_logprob).
+
+    The stronger perplexity-filter stand-in: word-salad that unigram
+    frequencies can't flag (common words in impossible orders) scores
+    high here. ``p(w | prev) = (c(prev, w) + 1) / (c(prev) + V)`` with V
+    = unigram vocabulary size (add-one smoothing keeps every observed
+    transition finite). Docs with < 2 tokens are absent (no bigrams).
+
+    Scale note: unlike :func:`unigram_logprob`'s vocabulary, the BIGRAM
+    table grows toward corpus size and cannot broadcast at 100 TB — the
+    scoring join is keyed by (prev, w) with the usual Zipf caveat (hot
+    bigrams like "of the"); AQE skew-join or ``operators.skew.salted_join``
+    is the mitigation, as elsewhere.
+    """
+    toks = tokenize(docs, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "pos", "word")
+    nxt = toks.select("doc", (F.col("pos") + 1).alias("pos"),
+                      F.col("word").alias("prev"))
+    bi = (toks.join(nxt, ["doc", "pos"])
+          .select("doc", "prev", F.col("word").alias("w")))
+    bc = bi.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("bc"))
+    # conditioning count = occurrences of prev as a bigram PREFIX (raw
+    # unigram counts would overcount document-final tokens)
+    uc = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = toks.agg(F.countDistinct("word").alias("v"))
+    return (bi
+            .join(bc, ["prev", "w"])
+            .join(uc, "prev")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.round(-F.avg(F.log((F.col("bc") + 1)
+                                      / (F.col("uc") + F.col("v")))),
                          round_to).alias("avg_neg_logprob")))
 
 

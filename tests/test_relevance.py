@@ -168,3 +168,21 @@ def test_label_centroid_outliers_flags_planted_outlier(spark):
     # label 2's members are identical: all cosine 1.0, ties by vec_id
     assert [r["vec_id"] for r in sorted(by_label[2], key=lambda r: r["rank"])] \
         == [200, 201]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+    # corpus: "a b a b" + "a b" -> bigrams: (a,b)x3, (b,a)x1; the
+    # vocabulary includes doc 3's "solo" -> V=3; prefix counts: a->3, b->1
+    df = _docs(spark, [(1, "a b a b"), (2, "a b"), (3, "solo")])
+    got = {r["doc"]: r.asDict()
+           for r in RV.bigram_logprob(df, "doc_id", "text").collect()}
+    p_ab = (3 + 1) / (3 + 3)   # (c(a,b)+1) / (c(a)+V)
+    p_ba = (1 + 1) / (1 + 3)
+    want1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_neg_logprob"] == round(want1, 6)
+    assert got[2]["avg_neg_logprob"] == round(-math.log(p_ab), 6)
+    assert 3 not in got   # single-token doc: no bigrams
+    # the common transition (a->b) is less surprising than the rare one
+    assert got[2]["avg_neg_logprob"] < got[1]["avg_neg_logprob"]
