@@ -32,6 +32,7 @@ PRODUCT_WHITELIST = {
     "bm25_rank",         # 1-row corpus stats broadcast
     "vocab_coverage",    # 1-row total broadcast
     "unigram_logprob",   # 1-row total broadcast
+    "bigram_logprob",    # 1-row vocabulary-size broadcast
     "doc_cosine_tfidf",  # 1-row corpus-count broadcast
     "q11_important_parts",   # scalar-subquery threshold (1 row)
     "q22_idle_customers",    # scalar-AVG threshold (1 row)
