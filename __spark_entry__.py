@@ -1492,6 +1492,36 @@ def q_unigram_logprob(spark, sf):
     return RV.unigram_logprob(docs, "doc_id", "text")
 
 
+def q_embedding_norms(spark, sf):
+    """Per-label vector-norm profile (min/max/avg |v|): the embedding-
+    table sanity report (norm collapse / un-normalized batches show up
+    here first). One aggregation, norms computed row-local."""
+    from casf_spark.functions import vectors as V
+    emb = load_table(spark, sf, "embeddings")
+    nrm = F.sqrt(V.dot(V.as_double("embedding"), V.as_double("embedding")))
+    return (emb.select("label", nrm.alias("nrm"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm")))
+
+
+def q_dedup_degrees(spark, sf):
+    """Degree distribution of the MinHash candidate graph — the dedup-
+    graph health report (a heavy tail here means hot buckets; feeds the
+    star-contraction / connected-components strategy choice)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+    deg = (pairs.select(F.col("doc0").alias("doc"))
+           .unionByName(pairs.select(F.col("doc1").alias("doc")))
+           .groupBy("doc").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select(F.col("degree").cast("long").alias("degree"), "n_docs"))
+
+
 def q_bigram_logprob(spark, sf):
     """Average negative bigram log-likelihood per doc (add-one-smoothed
     Markov model — the stronger perplexity-filter stand-in: flags common
@@ -1902,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_rgb": q_multimodal_rgb,  # rows-only (raster math)
         "sample_per_source": q_sample_per_source,
         "bigram_logprob": q_bigram_logprob,
+        "embedding_norms": q_embedding_norms,
+        "dedup_degrees": q_dedup_degrees,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
         "text_fingerprint": q_text_fingerprint,
@@ -2802,6 +2834,21 @@ tot AS (SELECT SUM(wc) tot FROM tc)
 SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
        ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
 FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc""",
+        "embedding_norms": """
+WITH ee AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) x
+            FROM embeddings),
+nn AS (SELECT vec_id, label, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1, 2)
+SELECT label, CAST(COUNT(*) AS BIGINT) n,
+       ROUND(MIN(nrm), 6) min_norm, ROUND(MAX(nrm), 6) max_norm,
+       ROUND(AVG(nrm), 6) avg_norm
+FROM nn GROUP BY 1""",
+        "dedup_degrees": f"""
+WITH {_minhash_cte()},
+deg AS (SELECT doc, COUNT(*) degree FROM (
+          SELECT doc0 doc FROM mh_cand
+          UNION ALL SELECT doc1 FROM mh_cand) GROUP BY 1)
+SELECT CAST(degree AS BIGINT) degree, CAST(COUNT(*) AS BIGINT) n_docs
+FROM deg GROUP BY 1""",
         "bigram_logprob": f"""
 WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
                  FROM documents),
