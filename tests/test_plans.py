@@ -235,3 +235,17 @@ def test_matrix_prepartition_no_cell_reshuffle(spark, sf_dir):
     assert not any(("y#" in k and "x#" in k) for k in keys), keys
     y_only = [k for k in keys if "y#" in k]
     assert len(set(y_only)) <= 1, keys
+
+
+def test_sql_path_matrix_prepartition(spark, sf_dir):
+    """The SQL interface's REPARTITION(vector) hint mirrors
+    matrix_from_lineitem's pre-partitioning: no exchange in the
+    cosine-via-SQL plan hashes the (vector, coord) pair."""
+    import re
+
+    df = E.q_cosine_via_sql(spark, sf_dir)
+    plan = explain_str(df)
+    keys = re.findall(r"Exchange hashpartitioning\(((?:[^()]|\([^)]*\))*)\)",
+                      plan)
+    assert keys, plan
+    assert not any("vector#" in k and "coord#" in k for k in keys), keys
