@@ -244,8 +244,9 @@ def test_sql_path_matrix_prepartition(spark, sf_dir):
     import re
 
     df = E.q_cosine_via_sql(spark, sf_dir)
+    # formatted explain puts exchange args on "Arguments:" lines; match
+    # the partitioning expressions themselves
     plan = explain_str(df)
-    keys = re.findall(r"Exchange hashpartitioning\(((?:[^()]|\([^)]*\))*)\)",
-                      plan)
+    keys = re.findall(r"hashpartitioning\(((?:[^()]|\([^)]*\))*)\)", plan)
     assert keys, plan
     assert not any("vector#" in k and "coord#" in k for k in keys), keys
