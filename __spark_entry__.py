@@ -25,6 +25,7 @@ from casf_spark.multimodal import binary as MM
 from casf_spark.operators import curation as CU
 from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
+from casf_spark.operators.linalg import power_iteration
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
@@ -1827,6 +1828,119 @@ SELECT doc_id, score_en, score_es, score_fr, score_de,
 FROM sc"""
 
 
+def q_events_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS ((type), (weekday), ()): the general form
+    next to rollup/cube — three subtotal levels in ONE pass over the fact
+    (Spark expands to a single Expand + hash aggregate; no re-scan per
+    grouping set)."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "weekday", F.date_format("ts", "E"))
+    return (ev.groupingSets([["event_type"], ["weekday"], []],
+                            "event_type", "weekday")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+                    "n_events", "gid"))
+
+
+def q_text_zipf(spark, sf):
+    """Zipf profile of the corpus: top-30 terms with rank and corpus
+    share. Scale shape: term counts are one hash aggregate (vocab-sized,
+    heavy hitters combine map-side); the top-30 cut is TakeOrdered (per
+    -partition partial top-k, NO full-sort exchange); rank/share then
+    run on 30 rows + a 1-row total broadcast."""
+    docs = load_table(spark, sf, "documents")
+    counts = (docs.select(F.explode(TX.tokens("text")).alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(30)
+    total = counts.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(w).alias("rank"), "term", "n",
+                    F.round(F.col("n") / F.col("tot"), 6).alias("share")))
+
+
+def q_doc_lang_source_lift(spark, sf):
+    """Corpus-audit contingency: observed/expected lift of each
+    (lang, source) cell — flags languages concentrated in one source
+    before training mixtures are chosen. One shuffle for the cells; the
+    marginals are tiny and broadcast back; total is a 1-row product."""
+    docs = load_table(spark, sf, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_cell"))
+    ml = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    ms = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (cell.join(F.broadcast(ml), "lang")
+            .join(F.broadcast(ms), "source")
+            .crossJoin(F.broadcast(tot))
+            .select("lang", "source", "n_cell",
+                    F.round(F.col("n_cell") * F.col("n_total")
+                            / (F.col("n_lang") * F.col("n_source")), 6)
+                    .alias("lift")))
+
+
+def q_events_gap_stats(spark, sf):
+    """Inter-arrival statistics per user (lag window + aggregate):
+    average / max gap in seconds between consecutive events. Partitioned
+    by user_id — per-entity frames stay tiny at any corpus size."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (ev.select("user_id", gap.alias("gap"))
+            .groupBy("user_id")
+            .agg(F.count("gap").cast("long").alias("n_gaps"),
+                 F.round(F.avg("gap"), 6).alias("avg_gap_sec"),
+                 F.max("gap").cast("long").alias("max_gap_sec"))
+            .where(F.col("n_gaps") >= 1))
+
+
+def q_customer_running_spend(spark, sf):
+    """Cumulative window frame: per-customer running order spend in order
+    -date order (ROWS UNBOUNDED PRECEDING) — the running-total window
+    shape, partitioned by the natural high-cardinality entity key."""
+    o = load_table(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"))
+
+
+def q_events_mad_outliers(spark, sf):
+    """Robust anomaly counts: per event type, the median / MAD of `value`
+    (exact interpolated percentiles) and how many events sit further than
+    3 MADs from the median. Two aggregation passes with tiny broadcast
+    thresholds — the fact table never shuffles on a data-sized key."""
+    ev = load_table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    ad = (ev.join(F.broadcast(med), "event_type")
+          .select("event_type", "med",
+                  F.abs(F.col("value") - F.col("med")).alias("ad")))
+    mad = ad.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (ad.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.min("med"), 6).alias("med"),
+                 F.round(F.min("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.round(F.col("ad"), 6)
+                              > F.round(3 * F.col("mad"), 6), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+def q_embedding_power_iter(spark, sf):
+    """Dominant principal direction of the embedding corpus via 8 rounds
+    of distributed power iteration (operators.linalg.power_iteration) —
+    iterative matvec with a D-dim driver state, the KMeans coordinator
+    pattern. Rows-only: 8 chained float reductions cannot be replayed
+    bit-stably in a SQL oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    return power_iteration(emb, "embedding", n_iter=8, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1936,6 +2050,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_degrees": q_dedup_degrees,
         "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
         "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
+        "events_grouping_sets": q_events_grouping_sets,
+        "text_zipf": q_text_zipf,
+        "doc_lang_source_lift": q_doc_lang_source_lift,
+        "events_gap_stats": q_events_gap_stats,
+        "customer_running_spend": q_customer_running_spend,
+        "events_mad_outliers": q_events_mad_outliers,
+        "embedding_power_iter": q_embedding_power_iter,  # rows-only (iterative)
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2541,6 +2662,58 @@ FROM events GROUP BY 1""",
 SELECT event_type, CAST(FLOOR(value / 2) AS BIGINT) bucket,
        CAST(COUNT(*) AS BIGINT) n
 FROM events GROUP BY 1, 2""",
+        "events_grouping_sets": """
+SELECT COALESCE(event_type, 'ALL') event_type,
+       COALESCE(weekday, 'ALL') weekday,
+       CAST(COUNT(*) AS BIGINT) n_events,
+       CAST(GROUPING(event_type, weekday) AS BIGINT) gid
+FROM (SELECT event_type, strftime(ts, '%a') weekday FROM events)
+GROUP BY GROUPING SETS ((event_type), (weekday), ())""",
+        "text_zipf": f"""
+WITH tok AS (SELECT unnest({_TOKS}) term FROM documents),
+c AS (SELECT term, COUNT(*) n FROM tok GROUP BY 1),
+tot AS (SELECT SUM(n) t FROM c),
+top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 30)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS "rank",
+       term, CAST(n AS BIGINT) n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS share
+FROM top, tot""",
+        "doc_lang_source_lift": """
+WITH cell AS (SELECT lang, source, COUNT(*) n_cell FROM documents
+              GROUP BY 1, 2),
+ml AS (SELECT lang, COUNT(*) n_lang FROM documents GROUP BY 1),
+ms AS (SELECT source, COUNT(*) n_source FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) n_total FROM documents)
+SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
+       ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
+FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "customer_running_spend": """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders""",
+        "events_mad_outliers": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) med FROM events
+             GROUP BY 1),
+ad AS (SELECT e.event_type, m.med, ABS(e.value - m.med) ad
+       FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) mad FROM ad GROUP BY 1)
+SELECT ad.event_type, ROUND(MIN(ad.med), 6) med, ROUND(MIN(mad.mad), 6) mad,
+       CAST(SUM(CASE WHEN ROUND(ad.ad, 6) > ROUND(3 * mad.mad, 6)
+                THEN 1 ELSE 0 END) AS BIGINT) n_outliers
+FROM ad JOIN mad USING (event_type) GROUP BY 1""",
+        "events_gap_stats": """
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) gap
+  FROM events)
+SELECT user_id, CAST(COUNT(gap) AS BIGINT) n_gaps,
+       ROUND(AVG(gap), 6) avg_gap_sec, CAST(MAX(gap) AS BIGINT) max_gap_sec
+FROM g GROUP BY 1 HAVING COUNT(gap) >= 1""",
         "events_funnel": """
 WITH f AS (
   SELECT user_id,

@@ -1,0 +1,47 @@
+"""power_iteration vs a numpy eigendecomposition reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from casf_spark.operators.linalg import power_iteration
+
+
+@pytest.fixture(scope="module")
+def mat():
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along a fixed unit vector
+    d = 12
+    u = rng.randn(d)
+    u /= np.linalg.norm(u)
+    x = rng.randn(300, d) * 0.3 + np.outer(rng.randn(300) * 3.0, u)
+    return x
+
+
+def test_power_iteration_matches_numpy_eigvec(spark, mat):
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "id INT, embedding ARRAY<DOUBLE>")
+    got = power_iteration(df, "embedding", n_iter=30)
+    rows = sorted(got.collect(), key=lambda r: r["pos"])
+    v = np.array([r["loading"] for r in rows])
+
+    g = mat.T @ mat
+    w, vec = np.linalg.eigh(g)
+    ref = vec[:, -1]
+    ref /= np.linalg.norm(ref)
+    # same sign convention as the operator
+    peak = int(np.argmax(np.abs(ref)))
+    if ref[peak] < 0:
+        ref = -ref
+    assert np.allclose(v, ref, atol=1e-4)
+
+
+def test_power_iteration_row_shape(spark, mat):
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat[:20])],
+        "id INT, embedding ARRAY<DOUBLE>")
+    got = power_iteration(df, "embedding", n_iter=3)
+    assert got.columns == ["pos", "loading"]
+    assert got.count() == mat.shape[1]

@@ -36,11 +36,15 @@ PRODUCT_WHITELIST = {
     "doc_cosine_tfidf",  # 1-row corpus-count broadcast
     "q11_important_parts",   # scalar-subquery threshold (1 row)
     "q22_idle_customers",    # scalar-AVG threshold (1 row)
+    "text_zipf",             # 1-row corpus-total broadcast
+    "doc_lang_source_lift",  # 1-row corpus-total broadcast
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
 #: scalar aggregates feeding the same plan)
-TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf"}
+TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
+                    # 1-row total agg + rank window over the 30-row top cut
+                    "text_zipf"}
 
 
 @pytest.fixture(scope="module")
