@@ -1,0 +1,62 @@
+"""Table-maintenance operators: small-file compaction and range clustering.
+
+Long-running ingestion (streaming sinks, per-batch appends) leaves parquet
+directories with thousands of KB-sized files; at 100 TB that turns every
+scan into a driver-side file-listing stall and starves the readers of
+row-group-level min/max skipping. Compaction rewrites a directory into
+size-targeted files; clustering additionally range-partitions + sorts on
+the chosen columns so each output file covers a narrow value range and
+filters on those columns skip whole files/row groups via parquet footer
+statistics.
+
+No equivalent exists in the reference (it has no sinks beyond .show,
+KeyWordsDemo.scala:106); this is pipeline-operations surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int:
+    """Total byte size of the files under ``path`` via the Hadoop
+    FileSystem API (driver-side metadata call — no data read)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet(spark: SparkSession, in_path: str, out_path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    cluster_by: list[str] | None = None) -> DataFrame:
+    """Rewrite the parquet directory at ``in_path`` into
+    ``ceil(input_bytes / target_file_bytes)`` files at ``out_path``.
+
+    Without ``cluster_by``: a round-robin repartition — balanced file
+    sizes, one shuffle whose width is the *output* file count (not the
+    input fragment count).
+
+    With ``cluster_by``: ``repartitionByRange`` + ``sortWithinPartitions``
+    on those columns — output files cover disjoint value ranges, so later
+    scans filtering on them skip non-matching files entirely (parquet
+    min/max footer stats). Range boundaries come from Spark's built-in
+    reservoir sampling of the keys, so skew in ``cluster_by`` spreads
+    across files instead of pinning one writer.
+
+    Returns the reloaded compacted DataFrame.
+    """
+    n_files = max(1, math.ceil(_input_bytes(spark, in_path)
+                               / max(1, target_file_bytes)))
+    df = spark.read.parquet(in_path)
+    if cluster_by:
+        out = (df.repartitionByRange(n_files, *cluster_by)
+               .sortWithinPartitions(*cluster_by))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -1,0 +1,64 @@
+"""Compaction: file-count targeting, content preservation, and the
+range-clustering data-skipping contract (disjoint per-file min/max)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from casf_spark.sources.maintenance import compact_parquet
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """events written as 64 deliberately tiny files."""
+    path = str(tmp_path_factory.mktemp("frag") / "events")
+    ev = spark.range(0, 20000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("user_id"),
+        (F.col("id") * 37 % 10000).alias("val"))
+    ev.repartition(64).write.parquet(path)
+    return path
+
+
+def _files(path):
+    return [f for f in glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.getsize(f) > 0]
+
+
+def test_compact_reduces_files_preserves_rows(spark, fragmented, tmp_path):
+    out = str(tmp_path / "compact")
+    got = compact_parquet(spark, fragmented, out, target_file_bytes=10**9)
+    assert len(_files(out)) == 1
+    assert got.count() == 20000
+    before = spark.read.parquet(fragmented).agg(F.sum("val")).first()[0]
+    assert got.agg(F.sum("val")).first()[0] == before
+
+
+def test_compact_targets_file_count(spark, fragmented, tmp_path):
+    out = str(tmp_path / "sized")
+    total = sum(os.path.getsize(f) for f in _files(fragmented))
+    compact_parquet(spark, fragmented, out, target_file_bytes=total // 4)
+    assert 3 <= len(_files(out)) <= 6  # ceil(total/(total/4)) with rounding
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, fragmented, tmp_path):
+    out = str(tmp_path / "clustered")
+    compact_parquet(spark, fragmented, out, target_file_bytes=10**5,
+                    cluster_by=["val"])
+    ranges = []
+    for f in _files(out):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(2).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(2).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi0), (lo1, _) in zip(ranges, ranges[1:]):
+        assert hi0 <= lo1  # disjoint: a val filter skips non-matching files
