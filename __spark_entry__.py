@@ -1896,6 +1896,22 @@ def q_events_gap_stats(spark, sf):
             .where(F.col("n_gaps") >= 1))
 
 
+def q_events_sketch_rollup(spark, sf):
+    """MERGEABLE distinct sketches (DataSketches HLL): per-day user
+    sketches built once, then re-aggregated to per-type totals by sketch
+    UNION — the 100 TB pattern approx_count_distinct can't do:
+    pre-aggregate daily partitions incrementally, answer coarser
+    rollups later without touching raw data. Rows-only: sketch
+    estimates are engine-specific."""
+    ev = load_table(spark, sf, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users")))
+
+
 def q_customer_running_spend(spark, sf):
     """Cumulative window frame: per-customer running order spend in order
     -date order (ROWS UNBOUNDED PRECEDING) — the running-total window
@@ -2057,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_spend": q_customer_running_spend,
         "events_mad_outliers": q_events_mad_outliers,
         "embedding_power_iter": q_embedding_power_iter,  # rows-only (iterative)
+        "events_sketch_rollup": q_events_sketch_rollup,  # rows-only (sketches)
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,

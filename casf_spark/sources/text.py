@@ -68,6 +68,17 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added over
+    the table's lifetime): ``mergeSchema`` unions every file footer's
+    schema; files missing a column yield NULLs. This is how a long-lived
+    ingestion directory stays readable after new fields appear — without
+    it Spark samples one footer and silently drops late-added columns.
+    Costs a footer read per file at planning; keep it off (the default)
+    for schema-stable tables."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (built into Spark — no external package): columnar like
     parquet with the same predicate-pushdown / column-pruning behavior;

@@ -53,3 +53,20 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) \
             <= max(0.15 * r["exact_users"], 2.0), r
+
+
+def test_sketch_rollup_merge_matches_exact(spark, sf_dir):
+    """Daily HLL sketches UNION-merged per type estimate the same distinct
+    users as a direct exact count (within the sketch's error bound) —
+    the mergeability contract that makes pre-aggregated sketch tables
+    safe to roll up."""
+    import __spark_entry__ as E
+    got = {r.event_type: r.approx_users
+           for r in E.q_events_sketch_rollup(spark, sf_dir).collect()}
+    exact = {r.event_type: r.n for r in
+             E.load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(0.1 * n, 2.0), (t, got[t], n)

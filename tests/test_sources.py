@@ -172,3 +172,19 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = back.where(F.col("lang") == "en")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "lang=en" in plan or "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """read_parquet_evolving unions footers across a column-added table:
+    old files surface NULL for the late column instead of dropping it."""
+    from casf_spark.sources.text import read_parquet_evolving
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id INT, txt STRING") \
+        .write.parquet(p + "/batch=0")
+    spark.createDataFrame([(2, "b", 0.5)],
+                          "id INT, txt STRING, score DOUBLE") \
+        .write.parquet(p + "/batch=1")
+    df = read_parquet_evolving(spark, p)
+    assert sorted(df.columns) == ["batch", "id", "score", "txt"]
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 0.5}
