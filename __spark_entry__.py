@@ -1912,6 +1912,16 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_events_session_window(spark, sf):
+    """Built-in session_window sessionization (gap 30 min): dynamic
+    merging windows in ONE aggregation — same session semantics as the
+    lag/island construction (q_events_sessions) but expressed as the
+    idiomatic Spark operator that also runs stateful-streaming with
+    watermark eviction (streaming.events.session_window_counts)."""
+    ev = load_table(spark, sf, "events")
+    return EV.session_window_counts(ev, "30 minutes")
+
+
 def q_customer_running_spend(spark, sf):
     """Cumulative window frame: per-customer running order spend in order
     -date order (ROWS UNBOUNDED PRECEDING) — the running-total window
@@ -2074,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "embedding_power_iter": q_embedding_power_iter,  # rows-only (iterative)
         "events_sketch_rollup": q_events_sketch_rollup,  # rows-only (sketches)
+        "events_session_window": q_events_session_window,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2704,6 +2715,22 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "events_session_window": """
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                      >= 1800 * 1000000
+              THEN 1 ELSE 0 END brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, brk DESC
+                           ROWS UNBOUNDED PRECEDING) sid
+  FROM o)
+SELECT user_id, MIN(us) start_us, MAX(us) + 1800 * 1000000 end_us,
+       CAST(COUNT(*) AS BIGINT) n_events, ROUND(SUM(value), 6) sum_value
+FROM s GROUP BY user_id, sid""",
         "customer_running_spend": """
 SELECT o_custkey, o_orderkey,
        ROUND(SUM(o_totalprice) OVER (

@@ -6,61 +6,83 @@ the dominant principal direction of an embedding corpus (power iteration)
 is the standard first look at embedding-space anisotropy before whitening
 or outlier pruning.
 
-Scale design: one iteration = one distributed matvec — dot(x_i, v) is a
-per-row array fold (JVM-side higher-order functions, no Python), the
-coordinate sums are one (pos)-keyed aggregation of N*D exploded rows with
-map-side combine, and the driver holds only the D-dim vector between
-iterations (same coordinator pattern as Spark-ML KMeans; D is the
-embedding width, never the corpus size).
+Scale design: the corpus is touched EXACTLY ONCE — each partition reduces
+to a D x D partial Gram matrix via an Arrow-batched numpy gemm
+(X_batch' @ X_batch), the partials (one D^2 row per partition, KBs) are
+collected, and the power iteration runs on the driver against the summed
+D x D Gram. Iterations therefore cost zero cluster work; D is the
+embedding width (64-4096), never the corpus size. A per-round distributed
+matvec was measured 6.7 s at sf0.1 — not from data volume but from
+Catalyst re-planning each round's fresh literal vector; the one-pass Gram
+form is ~1 job total and scales linearly in rows.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot_with_const(vec_col: str, v: list[float]):
-    lit_v = F.array(*[F.lit(float(x)) for x in v])
-    prods = F.zip_with(F.col(vec_col), lit_v, lambda a, b: a * b)
-    return F.aggregate(prods, F.lit(0.0),
-                       lambda acc, x: acc + x.cast("double"))
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                dim: int | None = None):
+    """Sum of outer products X'X as a dim x dim numpy array, computed as
+    per-partition Arrow-batched gemm partials (mapInPandas) + driver sum.
+    One pass over the corpus; shuffle-free."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("gram_matrix: empty input")
+        dim = first["d"]
+
+    d = dim
+
+    def part(batches):
+        import pandas as pd
+
+        acc = np.zeros((d, d), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                acc += m.T @ m
+                seen = True
+        if seen:
+            yield pd.DataFrame({"g": [acc.ravel().tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(part, "g array<double>").collect()
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in parts:
+        g += np.array(r["g"], dtype=np.float64).reshape(d, d)
+    return g
 
 
 def power_iteration(df: DataFrame, vec_col: str = "embedding",
                     n_iter: int = 8, dim: int | None = None) -> DataFrame:
     """Dominant eigenvector of the (uncentered) Gram matrix X'X via power
-    iteration: v <- normalize(X'(Xv)), `n_iter` rounds from the all-ones
-    start. Deterministic: fixed start, fixed iteration count, sign fixed
-    so the largest-magnitude loading is positive.
+    iteration: v <- normalize(G v), `n_iter` rounds from the all-ones
+    start, against the one-pass distributed Gram. Deterministic: fixed
+    start, fixed iteration count, sign fixed so the largest-magnitude
+    loading is positive.
 
     Returns a D-row DataFrame (pos INT, loading DOUBLE rounded 6dp).
     """
-    spark: SparkSession = df.sparkSession
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("power_iteration: empty input")
-        dim = first["d"]
-    v = [1.0 / math.sqrt(dim)] * dim
+    spark = df.sparkSession
+    g = gram_matrix(df, vec_col, dim)
+    d = g.shape[0]
+    import numpy as np
+
+    v = np.full(d, 1.0 / math.sqrt(d))
     for _ in range(n_iter):
-        step = df.select(_dot_with_const(vec_col, v).alias("dp"),
-                         F.posexplode(F.col(vec_col)))
-        sums = (step.groupBy("pos")
-                .agg(F.sum(F.col("col").cast("double") * F.col("dp"))
-                     .alias("w"))
-                .collect())
-        w = [0.0] * dim
-        for r in sums:
-            w[r["pos"]] = r["w"]
-        nrm = math.sqrt(sum(x * x for x in w)) or 1.0
-        v = [x / nrm for x in w]
-    # deterministic sign: largest-|loading| coordinate positive
-    peak = max(range(dim), key=lambda i: (abs(v[i]), -i))
+        w = g @ v
+        nrm = float(np.linalg.norm(w)) or 1.0
+        v = w / nrm
+    peak = int(np.argmax(np.abs(v)))
     if v[peak] < 0:
-        v = [-x for x in v]
+        v = -v
     return spark.createDataFrame(
-        [(i, round(x, 6)) for i, x in enumerate(v)],
+        [(i, round(float(x), 6)) for i, x in enumerate(v)],
         "pos INT, loading DOUBLE")

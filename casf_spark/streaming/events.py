@@ -64,6 +64,30 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     return schemas.conform(out, schemas.EVENT_WINDOW_COUNTS)
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization via Spark's built-in ``session_window``
+    (dynamic merging windows: an event extends its session while it
+    lands strictly within `gap` of the previous one). Works on both
+    batch and streaming frames; when streaming, the watermark both
+    finalizes sessions (append mode) and evicts their state — per-key
+    state is one open session, not the event history.
+
+    Output: user_id, start_us / end_us (epoch micros; end = last event
+    + gap), n_events, sum_value.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros("sw.start").alias("start_us"),
+                    F.unix_micros("sw.end").alias("end_us"),
+                    "n_events", "sum_value"))
+
+
 def sliding_counts(events: DataFrame, window: str = "1 hour",
                    slide: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:

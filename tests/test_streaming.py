@@ -213,3 +213,32 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
     # unmatched users survive with null segment
     assert any(r[2] is None for r in got)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir):
+    """Built-in session_window over a streamed replay: completed sessions
+    (update-to-complete via run_stream_to_memory's complete mode or the
+    finalized append set) must agree with the batch sessionization."""
+    batch = {tuple(r) for r in EV.session_window_counts(
+        load_table(spark, sf_dir, "events"), "30 minutes").collect()}
+    stream_src = EV.read_events_stream(spark, sf_dir)
+    agg = EV.session_window_counts(stream_src, "30 minutes")
+    EV.run_stream_to_memory(agg, "t_session_window")
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM t_session_window").collect()}
+    assert got == batch and len(got) > 0
+
+
+def test_session_window_matches_island_construction(spark, sf_dir):
+    """session_window and the lag/island sessionization agree on
+    (user, n_sessions, n_events) — two independent constructions of the
+    same gap semantics."""
+    import __spark_entry__ as E
+    sw = (E.q_events_session_window(spark, sf_dir)
+          .groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_sessions"),
+               F.sum("n_events").alias("n_events")))
+    island = E.q_events_sessions(spark, sf_dir)
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in island.collect()}
+    assert got == want
