@@ -1912,6 +1912,22 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_events_json_variant(spark, sf):
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    ONCE per row, then typed variant_get extractions — the open-schema
+    ingestion path. At scale variant beats per-field get_json_object
+    re-parses (one parse, binary-encoded fields, shredded column reads);
+    this query extracts + aggregates a typed field per event type."""
+    ev = load_table(spark, sf, "events")
+    v = ev.select("event_type",
+                  F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "bigint")
+    return (v.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.round(F.avg(k), 6).alias("avg_k"),
+                 F.count(k).cast("long").alias("n_with_k")))
+
+
 def q_events_session_window(spark, sf):
     """Built-in session_window sessionization (gap 30 min): dynamic
     merging windows in ONE aggregation — same session semantics as the
@@ -2085,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_power_iter": q_embedding_power_iter,  # rows-only (iterative)
         "events_sketch_rollup": q_events_sketch_rollup,  # rows-only (sketches)
         "events_session_window": q_events_session_window,
+        "events_json_variant": q_events_json_variant,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2715,6 +2732,13 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "events_json_variant": """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+         avg_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) n_with_k
+FROM events GROUP BY 1""",
         "events_session_window": """
 WITH o AS (
   SELECT user_id, value, epoch_us(ts) us,

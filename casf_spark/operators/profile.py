@@ -48,3 +48,29 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return (one.select(F.explode(F.array(*per_col)).alias("s"))
             .select("s.col_name", "s.n_rows", "s.n_null", "s.n_distinct",
                     "s.min_value", "s.max_value"))
+
+
+def materialize_with_metrics(df: DataFrame, metrics: dict[str, "F.Column"],
+                             path: str | None = None,
+                             fmt: str = "parquet") -> dict:
+    """Write (or noop-materialize) ``df`` while collecting aggregate
+    data-quality metrics IN THE SAME JOB via the Observation API — the
+    audit counters ride along as accumulator-style observed aggregates,
+    so a 100 TB write does not pay a second full scan just to know its
+    row count / null rate / value bounds.
+
+    ``metrics`` maps names to aggregate Columns (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col("x").isNull().cast("long"))``). Returns the observed
+    values as a dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [m.alias(k) for k, m in metrics.items()]
+    observed = df.observe(obs, named[0], *named[1:])
+    w = observed.write.mode("overwrite").format(fmt)
+    if path is None:
+        w.format("noop").save()
+    else:
+        w.save(path)
+    return obs.get

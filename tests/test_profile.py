@@ -20,3 +20,24 @@ def test_profile_stats(spark):
 def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], "id long, s string, v double")
     assert [r.col_name for r in profile(df, ["s"]).collect()] == ["s"]
+
+
+def test_materialize_with_metrics_single_job(spark, tmp_path):
+    """Observed aggregates computed during the write match a separate
+    aggregation — without a second scan of the input."""
+    from pyspark.sql import functions as F
+
+    from casf_spark.operators.profile import materialize_with_metrics
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        .alias("v"))
+    got = materialize_with_metrics(
+        df, {"n_rows": F.count(F.lit(1)),
+             "n_null_v": F.sum(F.col("v").isNull().cast("long")),
+             "max_id": F.max("id")},
+        path=str(tmp_path / "out"))
+    assert got == {"n_rows": 1000, "n_null_v": 100, "max_id": 999}
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 1000
