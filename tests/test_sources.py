@@ -188,3 +188,29 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert sorted(df.columns) == ["batch", "id", "score", "txt"]
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 0.5}
+
+
+def test_custom_python_datasource_jsonl(spark, tmp_path):
+    """Spark-4 Python DataSource: one partition per file, schema-projected
+    fields, missing keys NULL-filled."""
+    import json as _json
+
+    from casf_spark.sources import jsonl as J
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"part{i}.jsonl", "w") as fh:
+            for j in range(4):
+                rec = {"doc_id": i * 10 + j, "text": f"doc {i} {j}",
+                       "lang": "en"}
+                if j % 2 == 0:
+                    rec["source"] = f"src{i}"
+                fh.write(_json.dumps(rec) + "\n")
+    J.register(spark)
+    df = (spark.read.format("jsonl_docs")
+          .option("path", str(d)).load())
+    assert sorted(df.columns) == ["doc_id", "lang", "source", "text"]
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 12
+    assert sum(1 for r in rows if r.source is None) == 6
