@@ -1912,6 +1912,58 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_dedup_cross_source(spark, sf):
+    """Cross-source duplication audit: MinHash-LSH candidate pairs rolled
+    up to (source, source) counts — which sources copy from each other,
+    the first question before weighting a training mixture. Candidate
+    generation is the banded sub-quadratic path; the source lookup is a
+    doc-keyed join (no broadcast of a corpus-sized map)."""
+    docs = load_table(spark, sf, "documents")
+    cand = DD.minhash_lsh_pairs(docs, "doc_id", "text", n=2,
+                                num_hashes=12, bands=4)
+    s0 = docs.select(F.col("doc_id").cast("long").alias("d0"),
+                     F.col("source").alias("s0"))
+    s1 = docs.select(F.col("doc_id").cast("long").alias("d1"),
+                     F.col("source").alias("s1"))
+    j = (cand.join(s0, cand.doc0 == s0.d0)
+         .join(s1, F.col("doc1") == s1.d1))
+    return (j.select(F.least("s0", "s1").alias("source_a"),
+                     F.greatest("s0", "s1").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+def q_text_ttr(spark, sf):
+    """Lexical diversity (type-token ratio) per document: distinct over
+    total tokens, a shuffle-free projection (array HOFs, no explode)."""
+    docs = load_table(spark, sf, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    ty = F.size(F.array_distinct(toks))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        n.cast("long").alias("n_tokens"),
+                        ty.cast("long").alias("n_types"),
+                        F.round(ty.cast("double") / n, 6).alias("ttr"))
+            .where(F.col("n_tokens") > 0))
+
+
+def q_events_forward_fill(spark, sf):
+    """Gap filling: error events carry no usable reading (value masked to
+    NULL), forward-filled from the user's last non-null value — the
+    last(ignorenulls) running-frame idiom, per-entity partitions."""
+    ev = load_table(spark, sf, "events")
+    masked = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value"))
+        .alias("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return masked.select(
+        "event_id", "user_id",
+        F.round(F.last("value", ignorenulls=True).over(w), 6)
+        .alias("filled_value"))
+
+
 def q_events_json_variant(spark, sf):
     """Semi-structured props via the VARIANT type (Spark 4): parse_json
     ONCE per row, then typed variant_get extractions — the open-schema
@@ -2102,6 +2154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_rollup": q_events_sketch_rollup,  # rows-only (sketches)
         "events_session_window": q_events_session_window,
         "events_json_variant": q_events_json_variant,
+        "events_forward_fill": q_events_forward_fill,
+        "dedup_cross_source": q_dedup_cross_source,
+        "text_ttr": q_text_ttr,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2732,6 +2787,28 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "dedup_cross_source": f"""
+WITH {_minhash_cte()},
+src AS (SELECT CAST(doc_id AS BIGINT) doc, source FROM documents)
+SELECT LEAST(a.source, b.source) source_a,
+       GREATEST(a.source, b.source) source_b,
+       CAST(COUNT(*) AS BIGINT) n_pairs
+FROM mh_cand c JOIN src a ON a.doc = c.doc0 JOIN src b ON b.doc = c.doc1
+GROUP BY 1, 2""",
+        "text_ttr": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents)
+SELECT doc_id, CAST(len(a) AS BIGINT) n_tokens,
+       CAST(len(list_distinct(a)) AS BIGINT) n_types,
+       ROUND(CAST(len(list_distinct(a)) AS DOUBLE) / len(a), 6) ttr
+FROM t WHERE len(a) > 0""",
+        "events_forward_fill": """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                        IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS filled_value
+FROM events""",
         "events_json_variant": """
 SELECT event_type,
        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) sum_k,
