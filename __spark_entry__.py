@@ -1912,6 +1912,21 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_multimodal_pcm(spark, sf):
+    """REAL audio decode path (raw s16le PCM, numpy — no external
+    decoder): synthesized waveforms -> duration / RMS / peak /
+    zero-crossing rate via Arrow-batched mapInPandas (rows-only:
+    sample-level DSP has no SQL twin; exactness pinned in
+    test_multimodal)."""
+    docs = load_table(spark, sf, "documents")
+    pcm = MM.synthesize_pcm_payload(docs, "doc_id", n_samples=1600)
+    feats = MM.decode_pcm_features(pcm)
+    return feats.select("doc_id", "n_samples",
+                        F.round("duration_sec", 6).alias("duration_sec"),
+                        F.round("rms", 6).alias("rms"),
+                        F.round("zero_crossing_rate", 6).alias("zcr"))
+
+
 def q_dedup_cross_source(spark, sf):
     """Cross-source duplication audit: MinHash-LSH candidate pairs rolled
     up to (source, source) counts — which sources copy from each other,
@@ -2157,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forward_fill": q_events_forward_fill,
         "dedup_cross_source": q_dedup_cross_source,
         "text_ttr": q_text_ttr,
+        "multimodal_pcm": q_multimodal_pcm,  # rows-only (sample-level DSP)
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,

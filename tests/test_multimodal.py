@@ -107,3 +107,36 @@ def test_rgb_pipeline_end_to_end(spark, sf_dir):
                  MM.synthesize_rgb_payload(docs, "doc_id", 4, 4),
                  4, 4).collect()}
     assert {(r["doc_id"], r["brightness"]) for r in rows} == again
+
+
+def test_pcm_decode_hand_computed(spark):
+    """decode_pcm_features against a hand-built s16le payload: a constant
+    +0.5 then -0.5 square wave has known rms/peak/zcr."""
+    import numpy as np
+
+    from casf_spark.multimodal import binary as MM
+    half = 16384  # 0.5 * 32768
+    wave = np.array([half, half, -half, -half] * 100, dtype="<i2")
+    df = spark.createDataFrame([(7, bytearray(wave.tobytes()))],
+                               "doc_id LONG, payload BINARY")
+    r = MM.decode_pcm_features(df, sample_rate=400).collect()[0]
+    assert r.n_samples == 400
+    assert abs(r.duration_sec - 1.0) < 1e-9
+    assert abs(r.rms - 0.5) < 1e-9
+    assert abs(r.peak - 0.5) < 1e-9
+    # signs flip every 2 samples: 200 crossings minus edge effects / 399
+    assert abs(r.zero_crossing_rate - (200 - 1) / 399) < 1e-9
+
+
+def test_pcm_pipeline_end_to_end(spark, sf_dir):
+    """Synth -> decode over the documents table: one row per doc, bounded
+    amplitudes, correct duration at 16 kHz."""
+    import __spark_entry__ as E
+    out = E.q_multimodal_pcm(spark, sf_dir)
+    rows = out.collect()
+    n_docs = E.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert r.n_samples == 1600
+        assert abs(r.duration_sec - 0.1) < 1e-9
+        assert 0.0 < r.rms <= 1.0 and 0.0 < r.zcr < 1.0
