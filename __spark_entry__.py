@@ -1912,6 +1912,37 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_events_click_purchase_days(spark, sf):
+    """FULL OUTER join coverage: daily click counts vs daily purchase
+    counts — days where either side is missing survive with NULL-side
+    zero-fill. Both sides pre-aggregate to day grain before the join, so
+    the outer join carries days, not events."""
+    ev = load_table(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = (ev.where(F.col("event_type") == "click").select(day)
+              .groupBy("day").agg(F.count(F.lit(1)).alias("n_clicks")))
+    buys = (ev.where(F.col("event_type") == "purchase").select(day)
+            .groupBy("day").agg(F.count(F.lit(1)).alias("n_purchases")))
+    return (clicks.join(buys, "day", "full_outer")
+            .select("day",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    F.coalesce("n_purchases", F.lit(0))
+                    .alias("n_purchases")))
+
+
+def q_orders_price_position(spark, sf):
+    """percent_rank + cume_dist window coverage: each order's relative
+    price position within its priority class (per-group total order —
+    partitions bound the sort width)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
 def q_multimodal_pcm(spark, sf):
     """REAL audio decode path (raw s16le PCM, numpy — no external
     decoder): synthesized waveforms -> duration / RMS / peak /
@@ -2173,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source": q_dedup_cross_source,
         "text_ttr": q_text_ttr,
         "multimodal_pcm": q_multimodal_pcm,  # rows-only (sample-level DSP)
+        "events_click_purchase_days": q_events_click_purchase_days,
+        "orders_price_position": q_orders_price_position,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2803,6 +2836,22 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "events_click_purchase_days": """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) n
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(c.d, p.d) AS "day",
+       CAST(COALESCE(c.n, 0) AS BIGINT) n_clicks,
+       CAST(COALESCE(p.n, 0) AS BIGINT) n_purchases
+FROM c FULL OUTER JOIN p ON c.d = p.d""",
+        "orders_price_position": """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER w, 6) pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)""",
         "dedup_cross_source": f"""
 WITH {_minhash_cte()},
 src AS (SELECT CAST(doc_id AS BIGINT) doc, source FROM documents)
