@@ -214,3 +214,16 @@ def test_custom_python_datasource_jsonl(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 12
     assert sum(1 for r in rows if r.source is None) == 6
+
+
+def test_embedding_demo_runs(spark, sf_dir):
+    """examples/embedding_demo.py main() executes end to end."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["embedding_demo.py", sf_dir]
+    try:
+        runpy.run_path("examples/embedding_demo.py", run_name="__main__")
+    finally:
+        sys.argv = argv
