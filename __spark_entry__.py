@@ -1912,6 +1912,34 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_orders_yoy_growth(spark, sf):
+    """Year-over-year growth: yearly revenue per order priority, then a
+    lag window over the tiny aggregated series (year x priority rows) —
+    the aggregate-then-window time-series shape."""
+    o = load_table(spark, sf, "orders")
+    yearly = (o.groupBy(F.year("o_orderdate").alias("yr"), "o_orderpriority")
+              .agg(F.round(F.sum(F.col("o_totalprice")
+                                 .cast("decimal(18,2)")), 2).alias("revenue")))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr", "o_orderpriority", "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 6)
+        .alias("yoy_pct"))
+
+
+def q_events_unpivot(spark, sf):
+    """UNPIVOT/melt coverage: the pivoted per-day type counts melted back
+    to long form via stack() — wide->long reshape without ever exploding
+    the fact table (the melt runs on the day-grain pivot output)."""
+    wide = q_events_pivot(spark, sf)
+    cols = ", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES)
+    return (wide.select(
+        "event_day",
+        F.expr(f"stack({len(_EVENT_TYPES)}, {cols}) AS (event_type, n)"))
+        .where(F.col("n") > 0))
+
+
 def q_events_click_purchase_days(spark, sf):
     """FULL OUTER join coverage: daily click counts vs daily purchase
     counts — days where either side is missing survive with NULL-side
@@ -2206,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pcm": q_multimodal_pcm,  # rows-only (sample-level DSP)
         "events_click_purchase_days": q_events_click_purchase_days,
         "orders_price_position": q_orders_price_position,
+        "orders_yoy_growth": q_orders_yoy_growth,
+        "events_unpivot": q_events_unpivot,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2836,6 +2866,30 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "orders_yoy_growth": """
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) yr, o_orderpriority,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) revenue
+  FROM orders GROUP BY 1, 2)
+SELECT CAST(yr AS INT) yr, o_orderpriority, revenue,
+       ROUND((revenue - LAG(revenue) OVER w)
+             / LAG(revenue) OVER w * 100, 6) yoy_pct
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY yr)""",
+        "events_unpivot": """
+WITH wide AS (
+  SELECT strftime(ts, '%Y-%m-%d') event_day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) n_click,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) n_error,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) n_purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) n_signup,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) n_view
+  FROM events GROUP BY 1)
+SELECT event_day, event_type, CAST(n AS BIGINT) n
+FROM wide UNPIVOT (n FOR event_type IN (
+  n_click AS 'click', n_error AS 'error', n_purchase AS 'purchase',
+  n_signup AS 'signup', n_view AS 'view'))
+WHERE n > 0""",
         "events_click_purchase_days": """
 WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) n
            FROM events WHERE event_type = 'click' GROUP BY 1),

@@ -49,6 +49,15 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A 100+-plan session (the driver-contract / bench shape) churns
+        # through far more generated classes than the JVM's 240 MB default
+        # code cache and Spark's 100-entry codegen class cache expect; when
+        # the code cache fills, the JIT stops compiling and the HEAVIEST
+        # plans silently run interpreted (measured: cosine_predict 15.5 s
+        # in-suite vs 5 s standalone). Give both room.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
