@@ -1912,6 +1912,13 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_text_novelty(spark, sf):
+    """Per-doc 4-gram novelty (first-occurrence credit by doc order) —
+    the dataset-growth decay curve (operators.dedup.ngram_novelty)."""
+    docs = load_table(spark, sf, "documents")
+    return DD.ngram_novelty(docs, "doc_id", "text", n=4)
+
+
 def q_orders_yoy_growth(spark, sf):
     """Year-over-year growth: yearly revenue per order priority, then a
     lag window over the tiny aggregated series (year x priority rows) —
@@ -2236,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_position": q_orders_price_position,
         "orders_yoy_growth": q_orders_yoy_growth,
         "events_unpivot": q_events_unpivot,
+        "text_novelty": q_text_novelty,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2866,6 +2874,23 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "text_novelty": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
+g AS (
+  SELECT doc, unnest(list_distinct(CASE WHEN len(a) >= 4
+    THEN list_transform(range(len(a) - 3),
+                        i -> array_to_string(a[i+1:i+4], ' '))
+    ELSE [] END)) gram
+  FROM t),
+dg AS (SELECT doc, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) gh
+       FROM g),
+fst AS (SELECT gh, MIN(doc) first_doc FROM dg GROUP BY 1)
+SELECT dg.doc, CAST(COUNT(*) AS BIGINT) n_grams,
+       CAST(SUM(CASE WHEN fst.first_doc = dg.doc THEN 1 ELSE 0 END)
+            AS BIGINT) novel,
+       ROUND(CAST(SUM(CASE WHEN fst.first_doc = dg.doc THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) novelty_frac
+FROM dg JOIN fst USING (gh) GROUP BY 1""",
         "orders_yoy_growth": """
 WITH yearly AS (
   SELECT EXTRACT(year FROM o_orderdate) yr, o_orderpriority,

@@ -727,3 +727,45 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("n_shared") >= min_shared)
     )
     return schemas.conform(out, schemas.OVERLAP_PAIR)
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 4) -> DataFrame:
+    """Per-document n-gram novelty -> (doc, n_grams, novel,
+    novelty_frac): the fraction of a document's DISTINCT word n-grams
+    whose first corpus occurrence (minimum doc id) is this document.
+
+    The dataset-growth signal: as a crawl snowballs, per-doc novelty
+    decays; a novelty-sorted curve shows where additional data stops
+    adding information (and which sources are pure re-crawls). Distinct
+    from :func:`cross_doc_spans` — that measures how much of a doc is
+    covered by spans duplicated ANYWHERE; this credits each shared gram
+    to its earliest document.
+
+    Scale shape: grams are md5-hashed to 60-bit longs before any shuffle
+    (functions.hashing.md5_long — DuckDB-reproducible), one
+    (gram-hash -> min doc) aggregation with map-side combine, then a
+    gram-keyed join back to per-doc distinct grams and a per-doc
+    reduction. Linear in total distinct (doc, gram) pairs; no quadratic
+    path, no broadcast of corpus-sized state.
+    """
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (tok_df.select("doc", F.explode(F.array_distinct(grams))
+                        .alias("gram"))
+          .select("doc", md5_long("gram").alias("gh")))
+    first = dg.groupBy("gh").agg(F.min("doc").alias("first_doc"))
+    return (dg.join(first, "gh")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+                 .cast("long").alias("novel"))
+            .withColumn("novelty_frac",
+                        F.round(F.col("novel") / F.col("n_grams"), 6)))

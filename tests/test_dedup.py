@@ -221,3 +221,19 @@ def test_collision_clusters_bag_of_words(spark):
            for r in DD.collision_clusters(df, "doc_id", "text").collect()}
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[4] == (1, 3)
     assert 3 not in got                 # singleton clusters not reported
+
+
+def test_ngram_novelty_first_occurrence_credit(spark):
+    """Hand-built corpus: doc 1 fully novel; doc 2 repeats doc 1's text
+    (zero novelty); doc 3 is half-new."""
+    from casf_spark.operators.dedup import ngram_novelty
+    d1 = "a b c d e"                 # grams: abcd, bcde -> both novel
+    d2 = "a b c d e"                 # same grams, first_doc=1 -> novel 0
+    d3 = "a b c d x y z w"           # grams: abcd(old), bcdx,cdxy,dxyz,xyzw
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id LONG, text STRING")
+    got = {r.doc: (r.n_grams, r.novel, r.novelty_frac)
+           for r in ngram_novelty(df, "doc_id", "text", n=4).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (5, 4, 0.8)
