@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions import text as TX
 
-__all__ = ["dedup_stream_against_index"]
+__all__ = ["dedup_stream_against_index", "near_dedup_stream_against_index"]
 
 
 def _index_nonempty(index_dir: str) -> bool:
@@ -76,6 +76,83 @@ def dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(out_dir))
         (keep.select("fp").withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(index_dir))
+
+    q = (docs_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
+def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
+                                    out_dir: str, checkpoint: str,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text",
+                                    n: int = 2, num_hashes: int = 12,
+                                    bands: int = 4, seed: int = 42,
+                                    timeout_sec: int = 120) -> None:
+    """NEAR-duplicate streaming dedup against a persistent MinHash
+    band-bucket index — the near-dup sibling of
+    :func:`dedup_stream_against_index` (which is exact-only).
+
+    Per micro-batch: exact within-batch argmin on the content
+    fingerprint, then MinHash band buckets; a doc is dropped if any of
+    its buckets already exists in the index (near-dup vs ALL history),
+    or if a smaller surviving doc id in the SAME batch shares a bucket
+    (the star-representative rule — same contraction
+    ``minhash_lsh_star_edges`` uses; chains contract to their bucket
+    minimum). Survivors' buckets append to the index.
+
+    Same scale contract as the exact variant: the index is only ever
+    semi-joined against a BROADCAST of the current batch's bucket set —
+    history never shuffles at full width, residue ∝ collisions. Same
+    replay safety: batch-id partitions + dynamic overwrite, index read
+    excludes the current batch id.
+    """
+    from casf_spark.operators.dedup import _band_buckets
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = batch_df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("text"),
+            TX.fingerprint(text_col).alias("fp"))
+        keep = (base.groupBy("fp")
+                .agg(F.min(F.struct("doc", "text")).alias("_w"))
+                .select("fp", F.col("_w.doc").alias("doc"),
+                        F.col("_w.text").alias("text")))
+        nb = _band_buckets(keep.select("doc", "text"), "doc", "text",
+                           n, num_hashes, bands, seed)
+        nb = nb.localCheckpoint()
+        drop = None
+        if _index_nonempty(index_dir):
+            seen = (spark.read.parquet(index_dir)
+                    .where(F.col("_batch_id") != batch_id)
+                    .select("band", "bucket"))
+            hit = (seen.join(
+                F.broadcast(nb.select("band", "bucket").distinct()),
+                ["band", "bucket"]).select("band", "bucket").distinct())
+            drop = (nb.join(F.broadcast(hit), ["band", "bucket"])
+                    .select("doc").distinct())
+        # within-batch star rule: drop docs sharing a bucket with a
+        # smaller surviving doc
+        bmin = nb.groupBy("band", "bucket").agg(F.min("doc").alias("mn"))
+        intra = (nb.join(bmin, ["band", "bucket"])
+                 .where(F.col("doc") > F.col("mn"))
+                 .select("doc").distinct())
+        drop = intra if drop is None else drop.unionByName(intra).distinct()
+        keep = keep.join(F.broadcast(drop), "doc", "left_anti")
+        keep = keep.localCheckpoint()
+        (keep.select("doc", "text", "fp")
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(out_dir))
+        (nb.join(F.broadcast(keep.select("doc")), "doc")
+         .select("band", "bucket")
+         .withColumn("_batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(index_dir))

@@ -242,3 +242,38 @@ def test_session_window_matches_island_construction(spark, sf_dir):
     got = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
     want = {r.user_id: (r.n_sessions, r.n_events) for r in island.collect()}
     assert got == want
+
+
+def test_near_dedup_stream_against_persistent_index(spark, tmp_path):
+    """Two micro-batches: batch-2 exact copies AND near copies (one token
+    changed) of batch-1 docs are both dropped by the band-bucket index;
+    novel docs survive."""
+    from casf_spark.streaming.curation import near_dedup_stream_against_index
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "spark structured streaming processes micro batches of rows",
+        "duplicate detection with minhash signatures and band buckets",
+    ]
+    b1 = spark.createDataFrame(list(enumerate(base)),
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(100, base[0]),                                    # exact copy
+         (101, base[1].replace("rows", "records")),         # near copy
+         (102, "a completely different sentence about gardening tools")],
+        "doc_id long, text string")
+    land = tmp_path / "landing"
+    land.mkdir()
+    b1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    for i, stage in enumerate(("s1", "s2")):
+        src = next(p for p in (tmp_path / stage).glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    out = str(tmp_path / "kept")
+    near_dedup_stream_against_index(stream, str(tmp_path / "bb_index"),
+                                    out, str(tmp_path / "ckpt"))
+    kept = sorted(r.doc for r in spark.read.parquet(out).collect())
+    assert kept == [0, 1, 2, 102], kept
