@@ -67,13 +67,19 @@ def main() -> None:
     # plans at different data sizes, so the generated code differs. One
     # untimed execution of just the heavy family at SF_DIR settles the
     # JIT for ~40s instead of a whole extra suite pass.
-    for name in ("cosine_sparse", "cosine_dense", "cosine_via_sql",
-                 "cosine_norm_none", "cosine_topk", "cosine_predict"):
-        try:
-            materialize(qs[name](spark, SF_DIR))
-        except Exception:
-            pass
-    spark.catalog.clearCache()
+    # Three passes, not one: the biggest fused plans (predict/topk) take
+    # ~5 executions before tiered compilation fully promotes their
+    # generated methods — measured 8.7/16.6/7.8/15.0 then 3.4/3.7 s on
+    # repeat-in-process runs of cosine_predict at sf0.1.
+    for _ in range(3):
+        for name in ("cosine_sparse", "cosine_dense", "cosine_via_sql",
+                     "cosine_norm_none", "cosine_topk", "cosine_predict",
+                     "cosine_axis_x"):
+            try:
+                materialize(qs[name](spark, SF_DIR))
+            except Exception:
+                pass
+        spark.catalog.clearCache()
     # best-of-N per query (min = the standard noise-free estimator; single
     # runs showed +-40% run-to-run variance on the heavy queries locally)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
@@ -82,7 +88,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = -1.0
-        for _ in range(runs):
+        samples: list[float] = []
+        # best-of-N plus adaptive retries: heavy plans occasionally hit a
+        # transient 2-3x outlier (GC pause / deopt storm) on BOTH base
+        # runs; when the samples disagree by >50% keep sampling (up to 2
+        # extra) so one bad pair can't masquerade as the steady state.
+        attempts = 0
+        while attempts < runs + 2:
             t0 = time.time()
             try:
                 materialize(fn(spark, SF_DIR))
@@ -90,8 +102,14 @@ def main() -> None:
             except Exception as e:  # record failures without killing the run
                 print(f"# {name} FAILED: {e}", file=sys.stderr)
                 break
+            samples.append(dt)
             best = dt if best < 0 else min(best, dt)
             spark.catalog.clearCache()  # warm code, cold data (see above)
+            attempts += 1
+            if attempts >= runs and (max(samples) - best) <= 0.5 * best:
+                break
+            if attempts >= runs and best <= 1.0:
+                break  # sub-second shapes: jitter, not instability
         timings[name] = best
         if best > 0:
             total += best

@@ -55,8 +55,14 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         # the code cache fills, the JIT stops compiling and the HEAVIEST
         # plans silently run interpreted (measured: cosine_predict 15.5 s
         # in-suite vs 5 s standalone). Give both room.
+        # -XX:-DontCompileHugeMethods: whole-stage-codegen methods routinely
+        # exceed the JVM's 8000-bytecode huge-method limit, and WHETHER a
+        # given query's generated method crosses it depends on the AQE plan
+        # variant — so the same query runs compiled in one process and
+        # interpreted (2-3x slower) in another. Compile them regardless.
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                "-XX:-DontCompileHugeMethods")
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
