@@ -1912,6 +1912,17 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_customer_order_counts_right(spark, sf):
+    """RIGHT OUTER join coverage: orders RIGHT JOIN customer — customers
+    with no orders survive with a zero count (the dimension side is
+    preserved; count(o_orderkey) skips the null-extended rows)."""
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("o_orderkey").cast("long").alias("n_orders")))
+
+
 def q_text_novelty(spark, sf):
     """Per-doc 4-gram novelty (first-occurrence credit by doc order) —
     the dataset-growth decay curve (operators.dedup.ngram_novelty)."""
@@ -2244,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_yoy_growth": q_orders_yoy_growth,
         "events_unpivot": q_events_unpivot,
         "text_novelty": q_text_novelty,
+        "customer_order_counts_right": q_customer_order_counts_right,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2874,6 +2886,11 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "customer_order_counts_right": """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) n_orders
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2""",
         "text_novelty": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
 g AS (
