@@ -60,3 +60,59 @@ def compact_parquet(spark: SparkSession, in_path: str, out_path: str,
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def _zvalue(cols: list, mins: list, maxs: list, bits: int):
+    """Interleaved-bit Morton code over min/max-normalized columns (all
+    Column arithmetic — JVM-side, no UDF). ``bits`` per column."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        rng = (hi - lo) or 1
+        q = F.floor((F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(rng)) * ((1 << bits) - 1)).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_parquet(spark: SparkSession, in_path: str, out_path: str,
+                   zorder_by: list[str],
+                   target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Compact + Z-ORDER cluster: rows sort by the Morton (interleaved
+    -bit) code of ``zorder_by``, so every output file covers a bounded
+    hyper-rectangle in ALL the listed columns — filters on ANY of them
+    skip files via parquet min/max stats. Lexicographic clustering
+    (``compact_parquet(cluster_by=...)``) bounds only the leading
+    column; Z-order trades a little per-column locality for skipping on
+    every dimension (the Delta/Iceberg OPTIMIZE ZORDER technique).
+
+    Column min/max come from one 1-row aggregate (a metadata-cheap scan);
+    the z-code is pure JVM column arithmetic; the layout is
+    repartitionByRange + sortWithinPartitions on the code — reservoir
+    -sampled bounds, skew-tolerant, output-width shuffle.
+    """
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(in_path)
+    bits = max(4, 48 // max(1, len(zorder_by)))
+    stats = df.agg(*[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                   *[F.max(c).alias(f"mx_{c}") for c in zorder_by]).first()
+    mins = [stats[f"mn_{c}"] for c in zorder_by]
+    maxs = [stats[f"mx_{c}"] for c in zorder_by]
+    n_files = max(1, _math.ceil(_input_bytes(spark, in_path)
+                                / max(1, target_file_bytes)))
+    out = (df.withColumn("_z", _zvalue(zorder_by, mins, maxs, bits))
+           .repartitionByRange(n_files, "_z")
+           .sortWithinPartitions("_z")
+           .drop("_z"))
+    out.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -62,3 +62,46 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, fragmented, tmp_path):
     ranges.sort()
     for (_, hi0), (lo1, _) in zip(ranges, ranges[1:]):
         assert hi0 <= lo1  # disjoint: a val filter skips non-matching files
+
+
+def test_zorder_bounds_every_dimension(spark, tmp_path):
+    """Z-order vs lexicographic clustering on two independent uniform
+    columns: lexicographic bounds only the leading column per file;
+    z-order bounds BOTH (every file covers a sub-rectangle), which is
+    what makes filters on the second column skip files."""
+    from casf_spark.sources.maintenance import compact_parquet, zorder_parquet
+
+    src = str(tmp_path / "src")
+    ev = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 200).alias("b"))
+    ev.repartition(8).write.parquet(src)
+    total = sum(os.path.getsize(f) for f in _files(src))
+    target = total // 16
+
+    def spans(path, colidx):
+        out = []
+        for f in _files(path):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(colidx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(colidx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return sum(out) / len(out)
+
+    lex = str(tmp_path / "lex")
+    compact_parquet(spark, src, lex, target_file_bytes=target,
+                    cluster_by=["a", "b"])
+    zod = str(tmp_path / "zorder")
+    zorder_parquet(spark, src, zod, ["a", "b"], target_file_bytes=target)
+
+    assert len(_files(zod)) > 4
+    # leading column tight under both layouts
+    assert spans(lex, 0) < 100 and spans(zod, 0) < 120
+    # second column: lexicographic files span ~the full [0,200) range;
+    # z-ordered files must be materially tighter
+    assert spans(lex, 1) > 150
+    assert spans(zod, 1) < 120
+    # content preserved
+    assert spark.read.parquet(zod).count() == 40000
