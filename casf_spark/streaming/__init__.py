@@ -1,3 +1,3 @@
-from casf_spark.streaming import events
+from casf_spark.streaming import curation, events, sessions, stateful
 
-__all__ = ["events"]
+__all__ = ["events", "sessions", "curation", "stateful"]
