@@ -1912,6 +1912,29 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_data_quality_checks(spark, sf):
+    """Declarative expectations gate (operators.checks): row-level checks
+    fuse into ONE aggregation pass; uniqueness adds one keyed groupBy;
+    referential integrity one anti-join vs the dimension's keys. Run over
+    events + the orders->customer FK."""
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    from casf_spark.operators import checks as CK
+    ev_checks = CK.run_checks(ev, [
+        CK.not_null("event_id"),
+        CK.not_null("user_id"),
+        CK.in_set("event_type", _EVENT_TYPES),
+        CK.in_range("value", 0.0, 1000.0),
+        CK.expression("props_has_k",
+                      F.get_json_object("props", "$.k").isNull()),
+        CK.unique("event_id"),
+    ])
+    fk = CK.run_checks(orders,
+                       [CK.foreign_key("o_custkey", cust, "c_custkey")])
+    return ev_checks.unionByName(fk)
+
+
 def q_customer_order_counts_right(spark, sf):
     """RIGHT OUTER join coverage: orders RIGHT JOIN customer — customers
     with no orders survive with a zero count (the dimension side is
@@ -2256,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": q_events_unpivot,
         "text_novelty": q_text_novelty,
         "customer_order_counts_right": q_customer_order_counts_right,
+        "data_quality_checks": q_data_quality_checks,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2886,6 +2910,40 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "data_quality_checks": """
+SELECT 'not_null(event_id)' check_name,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         n_violations FROM events
+UNION ALL
+SELECT 'not_null(user_id)',
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'in_set(event_type)',
+       CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+            ('click','error','purchase','signup','view')
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'in_range(value)',
+       CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 1000.0
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props_has_k',
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM (SELECT COUNT(*) n FROM events GROUP BY event_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)""",
         "customer_order_counts_right": """
 SELECT c.c_custkey, c.c_mktsegment,
        CAST(COUNT(o.o_orderkey) AS BIGINT) n_orders

@@ -1,0 +1,64 @@
+"""operators.checks: planted violations are counted exactly; row-level
+checks fuse into one scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import checks as CK
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 5.0, 10),
+        (2, "b", -1.0, 20),     # range violation
+        (3, None, 5.0, 10),     # null + set violation
+        (4, "z", 2000.0, 30),   # set + range violation
+        (4, "a", 5.0, None),    # duplicate id + null fk
+        (5, "a", 5.0, 99),      # orphan fk
+    ]
+    return spark.createDataFrame(
+        rows, "id long, cat string, val double, fk long")
+
+
+def test_counts_exact(spark):
+    df = _df(spark)
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    out = CK.run_checks(df, [
+        CK.not_null("cat"),
+        CK.in_set("cat", ["a", "b"]),
+        CK.in_range("val", 0.0, 1000.0),
+        CK.expression("id_gt_4", F.col("id") > 4),
+        CK.unique("id"),
+        CK.foreign_key("fk", dim, "k"),
+    ])
+    got = {r.check_name: r.n_violations for r in out.collect()}
+    assert got == {
+        "not_null(cat)": 1,
+        "in_set(cat)": 2,       # null counts as not-in-set
+        "in_range(val)": 2,
+        "id_gt_4": 1,
+        "unique(id)": 2,        # both rows of the duplicated key
+        "foreign_key(fk)": 1,   # null fk is NOT an orphan
+    }
+
+
+def test_all_green_on_clean_data(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string")
+    out = CK.run_checks(df, [CK.not_null("id"), CK.in_set("cat", ["a", "b"]),
+                             CK.unique("id")])
+    assert all(r.n_violations == 0 for r in out.collect())
+
+
+def test_row_level_checks_fuse_into_one_scan(spark):
+    """Four row-level checks -> exactly ONE scan of the input in the
+    physical plan (the fused-aggregation contract)."""
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).cast("double").alias("v"))
+    out = CK.run_checks(df, [
+        CK.not_null("id"), CK.not_null("v"),
+        CK.in_range("v", 0.0, 10.0),
+        CK.expression("big", F.col("v") > 3),
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
