@@ -1912,6 +1912,40 @@ def q_events_sketch_rollup(spark, sf):
                  .alias("approx_users")))
 
 
+def q_cdc_snapshot(spark, sf):
+    """CDC compaction (operators.cdc): orders replayed as a changelog
+    per customer — version (o_orderdate, o_orderkey), delete when the
+    latest change is a fully-shipped 'F' order. One struct-argmax key
+    aggregation (no window sort), newest-wins, deletes filtered."""
+    from casf_spark.operators.cdc import cdc_snapshot
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", F.lit("d"))
+        .otherwise(F.lit("u")).alias("op"))
+    snap = cdc_snapshot(o, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+                        "op")
+    return snap.select("o_custkey", "o_orderkey",
+                       F.round("o_totalprice", 2).alias("latest_price"))
+
+
+def q_events_k_anonymity(spark, sf):
+    """k-anonymity audit: how many events sit in quasi-identifier groups
+    (event_type, hour-of-day, value-decile-bucket) smaller than k=5 —
+    the re-identification risk surface before a data release. One
+    group-by; risk counts, not rows."""
+    ev = load_table(spark, sf, "events")
+    q = ev.select("event_type", F.hour("ts").alias("hr"),
+                  F.floor(F.col("value") / 10).cast("long").alias("vb"))
+    g = q.groupBy("event_type", "hr", "vb").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (g.groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+                 .cast("long").alias("groups_under_k"),
+                 F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+                 .cast("long").alias("rows_at_risk")))
+
+
 def q_data_quality_checks(spark, sf):
     """Declarative expectations gate (operators.checks): row-level checks
     fuse into ONE aggregation pass; uniqueness adds one keyed groupBy;
@@ -2280,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": q_text_novelty,
         "customer_order_counts_right": q_customer_order_counts_right,
         "data_quality_checks": q_data_quality_checks,
+        "cdc_snapshot": q_cdc_snapshot,
+        "events_k_anonymity": q_events_k_anonymity,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2910,6 +2946,23 @@ tot AS (SELECT COUNT(*) n_total FROM documents)
 SELECT cell.lang, cell.source, CAST(n_cell AS BIGINT) n_cell,
        ROUND(CAST(n_cell AS DOUBLE) * n_total / (n_lang * n_source), 6) lift
 FROM cell JOIN ml USING (lang) JOIN ms USING (source), tot""",
+        "cdc_snapshot": """
+WITH c AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) latest_price
+FROM c WHERE rn = 1 AND o_orderstatus <> 'F'""",
+        "events_k_anonymity": """
+WITH q AS (SELECT event_type, EXTRACT(hour FROM ts) hr,
+                  CAST(FLOOR(value / 10) AS BIGINT) vb FROM events),
+g AS (SELECT event_type, hr, vb, COUNT(*) n FROM q GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         groups_under_k,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) rows_at_risk
+FROM g""",
         "data_quality_checks": """
 SELECT 'not_null(event_id)' check_name,
        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

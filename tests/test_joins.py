@@ -125,3 +125,22 @@ def test_interval_join_matches_naive_reference(spark):
             for iid, ik, s, e in ivs
             if pk == ik and s <= ts <= e}
     assert got == want and len(want) > 0
+
+
+def test_cdc_snapshot_latest_wins_and_deletes(spark):
+    """Hand-built changelog: upsert then newer upsert wins; key whose
+    newest change is a delete disappears; delete resurrected by a newer
+    upsert survives."""
+    from casf_spark.operators.cdc import cdc_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 1, "u", 10.0),   # overwritten by v2
+         (1, 2, "u", 11.0),   # current for key 1
+         (2, 1, "u", 20.0),
+         (2, 2, "d", 0.0),    # key 2 deleted
+         (3, 1, "d", 0.0),
+         (3, 2, "u", 30.0)],  # key 3 re-created after delete
+        "k long, v long, op string, val double")
+    snap = {r.k: (r.v, r.val) for r in
+            cdc_snapshot(log, ["k"], ["v"], "op").collect()}
+    assert snap == {1: (2, 11.0), 3: (2, 30.0)}
