@@ -1928,6 +1928,40 @@ def q_cdc_snapshot(spark, sf):
                        F.round("o_totalprice", 2).alias("latest_price"))
 
 
+def q_scd2_orders(spark, sf):
+    """SCD Type-2 validity intervals (operators.cdc.scd2_history): each
+    customer's order stream becomes [valid_from, valid_to) effective
+    ranges with an is_current flag — one per-key lead window."""
+    from casf_spark.operators.cdc import scd2_history
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"))
+    h = scd2_history(o, ["o_custkey"], "o_orderdate",
+                     tiebreak_cols=["o_orderkey"])
+    return h.select(
+        "o_custkey", "o_orderkey", "price",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"))
+
+
+def q_events_hour_spine(spark, sf):
+    """Gap-filled time series via a generated date spine: per-hour event
+    counts INCLUDING empty hours across the observed span — the spine is
+    sequence()-exploded from one (min,max) row (no driver loop), then
+    the sparse counts left-join onto it."""
+    ev = load_table(spark, sf, "events")
+    counts = (ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    span = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                  F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = span.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    return (spine.join(counts, "hr", "left")
+            .select(F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
 def q_events_k_anonymity(spark, sf):
     """k-anonymity audit: how many events sit in quasi-identifier groups
     (event_type, hour-of-day, value-decile-bucket) smaller than k=5 —
@@ -2316,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_checks": q_data_quality_checks,
         "cdc_snapshot": q_cdc_snapshot,
         "events_k_anonymity": q_events_k_anonymity,
+        "scd2_orders": q_scd2_orders,
+        "events_hour_spine": q_events_hour_spine,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
@@ -2954,6 +2990,23 @@ WITH c AS (
   FROM orders)
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) latest_price
 FROM c WHERE rn = 1 AND o_orderstatus <> 'F'""",
+        "scd2_orders": """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) price,
+       strftime(o_orderdate, '%Y-%m-%d') valid_from,
+       strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') valid_to,
+       CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+            THEN 1 ELSE 0 END AS INT) is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "events_hour_spine": """
+WITH span AS (SELECT date_trunc('hour', MIN(ts)) lo,
+                     date_trunc('hour', MAX(ts)) hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) hr
+          FROM span),
+c AS (SELECT date_trunc('hour', ts) hr, COUNT(*) n FROM events GROUP BY 1)
+SELECT strftime(spine.hr, '%Y-%m-%d %H:%M:%S') hr,
+       CAST(COALESCE(c.n, 0) AS BIGINT) n
+FROM spine LEFT JOIN c ON spine.hr = c.hr""",
         "events_k_anonymity": """
 WITH q AS (SELECT event_type, EXTRACT(hour FROM ts) hr,
                   CAST(FLOOR(value / 10) AS BIGINT) vb FROM events),

@@ -40,3 +40,27 @@ def cdc_snapshot(changelog: DataFrame, key_cols: Sequence[str],
               .agg(F.max(payload).alias("_w"))
               .select(F.col("_w._row.*")))
     return latest.where(F.col(op_col) != delete_op)
+
+
+def scd2_history(changelog: DataFrame, key_cols: Sequence[str],
+                 version_col: str,
+                 tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Slowly-changing-dimension type 2: each change becomes a validity
+    interval [valid_from, valid_to) per key — valid_to is the NEXT
+    change's version (NULL for the current row). The warehouse-history
+    twin of :func:`cdc_snapshot`: snapshot keeps only the newest row,
+    SCD2 keeps them all with their effective ranges.
+
+    One window (lead over the key partition, ordered by version) — the
+    sort is per key, so frames stay small at any history length.
+    ``tiebreak_cols`` (e.g. a sequence id) make same-version orderings
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(version_col, *tiebreak_cols)
+    return (changelog
+            .withColumn("valid_from", F.col(version_col))
+            .withColumn("valid_to", F.lead(version_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull()))

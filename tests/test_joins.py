@@ -144,3 +144,17 @@ def test_cdc_snapshot_latest_wins_and_deletes(spark):
     snap = {r.k: (r.v, r.val) for r in
             cdc_snapshot(log, ["k"], ["v"], "op").collect()}
     assert snap == {1: (2, 11.0), 3: (2, 30.0)}
+
+
+def test_scd2_history_intervals(spark):
+    """Validity chain: consecutive versions link, last row open-ended."""
+    from casf_spark.operators.cdc import scd2_history
+
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "x")],
+        "k long, ver long, val string")
+    rows = {(r.k, r.ver): (r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(log, ["k"], "ver").collect()}
+    assert rows[(1, 10)] == (10, 20, False)
+    assert rows[(1, 20)] == (20, None, True)
+    assert rows[(2, 5)] == (5, None, True)
