@@ -1928,6 +1928,26 @@ def q_cdc_snapshot(spark, sf):
                        F.round("o_totalprice", 2).alias("latest_price"))
 
 
+def q_split_leakage_safe(spark, sf):
+    """Leakage-safe train/val/test assignment: split by DEDUP CLUSTER,
+    not by document — near-duplicates can never straddle train and test
+    (the eval-contamination hole row-wise splitting leaves open). Docs
+    outside any candidate cluster are their own singleton cluster. The
+    composition: MinHash star edges -> connected components -> md5-range
+    split on cluster_id -> broadcast-size label join back."""
+    docs = load_table(spark, sf, "documents")
+    edges = DD.minhash_lsh_star_edges(docs, "doc_id", "text",
+                                      n=2, num_hashes=12, bands=4)
+    clusters = DD.connected_components(edges)
+    labeled = (docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+               .join(clusters, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col("doc_id"))))
+    out = SP.assign_splits(labeled, F.col("cluster_id").cast("string"),
+                           (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    return out.select("doc_id", "cluster_id", "split")
+
+
 def q_scd2_orders(spark, sf):
     """SCD Type-2 validity intervals (operators.cdc.scd2_history): each
     customer's order stream becomes [valid_from, valid_to) effective
@@ -2351,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot": q_cdc_snapshot,
         "events_k_anonymity": q_events_k_anonymity,
         "scd2_orders": q_scd2_orders,
+        "split_leakage_safe": q_split_leakage_safe,
         "events_hour_spine": q_events_hour_spine,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
@@ -2990,6 +3011,29 @@ WITH c AS (
   FROM orders)
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) latest_price
 FROM c WHERE rn = 1 AND o_orderstatus <> 'F'""",
+        "split_leakage_safe": f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+  UNION ALL
+  SELECT doc1, doc0 FROM mh_cand),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk
+       GROUP BY node),
+d AS (SELECT CAST(doc_id AS BIGINT) doc_id FROM documents),
+lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) cluster_id
+        FROM d LEFT JOIN cl USING (doc_id)),
+fr AS (SELECT doc_id, cluster_id,
+         (CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+               AS BIGINT) >> 30) / 1073741824.0 f
+       FROM lab)
+SELECT doc_id, cluster_id,
+       CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val'
+            ELSE 'test' END split
+FROM fr""",
         "scd2_orders": """
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) price,
        strftime(o_orderdate, '%Y-%m-%d') valid_from,
