@@ -227,3 +227,16 @@ def test_embedding_demo_runs(spark, sf_dir):
         runpy.run_path("examples/embedding_demo.py", run_name="__main__")
     finally:
         sys.argv = argv
+
+
+def test_ops_demo_runs(spark, sf_dir):
+    """examples/ops_demo.py main() executes end to end."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["ops_demo.py", sf_dir]
+    try:
+        runpy.run_path("examples/ops_demo.py", run_name="__main__")
+    finally:
+        sys.argv = argv
