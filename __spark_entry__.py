@@ -1928,6 +1928,23 @@ def q_cdc_snapshot(spark, sf):
                        F.round("o_totalprice", 2).alias("latest_price"))
 
 
+def q_dedup_triangles(spark, sf):
+    """Triangle count on the MinHash candidate graph — the clustering
+    -coefficient numerator (how clique-like near-dup neighborhoods are;
+    high triangle density justifies the star-contraction CC shortcut).
+    Canonical a>b>c orientation means each triangle counts once and the
+    3-way self-join only walks forward edges (no symmetrization blowup)."""
+    docs = load_table(spark, sf, "documents")
+    e = (DD.minhash_lsh_pairs(docs, "doc_id", "text", n=2,
+                              num_hashes=12, bands=4)
+         .select(F.col("doc0").alias("hi"), F.col("doc1").alias("lo")))
+    e1 = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    e2 = e.select(F.col("hi").alias("b"), F.col("lo").alias("c"))
+    e3 = e.select(F.col("hi").alias("a"), F.col("lo").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 def q_split_leakage_safe(spark, sf):
     """Leakage-safe train/val/test assignment: split by DEDUP CLUSTER,
     not by document — near-duplicates can never straddle train and test
@@ -2372,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": q_events_k_anonymity,
         "scd2_orders": q_scd2_orders,
         "split_leakage_safe": q_split_leakage_safe,
+        "dedup_triangles": q_dedup_triangles,
         "events_hour_spine": q_events_hour_spine,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
@@ -3011,6 +3029,12 @@ WITH c AS (
   FROM orders)
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) latest_price
 FROM c WHERE rn = 1 AND o_orderstatus <> 'F'""",
+        "dedup_triangles": f"""
+WITH {_minhash_cte()}
+SELECT CAST(COUNT(*) AS BIGINT) n_triangles
+FROM mh_cand e1
+JOIN mh_cand e2 ON e2.doc0 = e1.doc1
+JOIN mh_cand e3 ON e3.doc0 = e1.doc0 AND e3.doc1 = e2.doc1""",
         "split_leakage_safe": f"""
 WITH RECURSIVE {_minhash_cte()},
 edges AS (
