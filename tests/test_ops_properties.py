@@ -1,0 +1,110 @@
+"""Property-based differential tests for the session-4 operators (CDC,
+checks, novelty) vs naive Python implementations of the same
+definitions."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+slow_ok = settings(max_examples=12, deadline=None,
+                   suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                          HealthCheck.data_too_large])
+
+changelog_strategy = st.lists(
+    st.tuples(st.integers(1, 5),           # key
+              st.integers(1, 40),          # version (may tie across keys)
+              st.sampled_from(["u", "d"]),
+              st.integers(0, 100)),        # payload
+    min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]))
+
+
+@slow_ok
+@given(changelog_strategy)
+def test_cdc_snapshot_matches_naive(spark, log):
+    from casf_spark.operators.cdc import cdc_snapshot
+
+    df = spark.createDataFrame(log, "k long, v long, op string, val long")
+    got = {r.k: (r.v, r.op, r.val)
+           for r in cdc_snapshot(df, ["k"], ["v"], "op").collect()}
+
+    naive: dict[int, tuple] = {}
+    for k, v, op, val in log:
+        if k not in naive or v > naive[k][0]:
+            naive[k] = (v, op, val)
+    expect = {k: t for k, t in naive.items() if t[1] != "d"}
+    assert got == expect
+
+
+@slow_ok
+@given(changelog_strategy)
+def test_scd2_partitions_version_axis(spark, log):
+    """SCD2 intervals: per key, exactly one current row; valid_to of each
+    non-current row equals the next version."""
+    from casf_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(log, "k long, v long, op string, val long")
+    rows = scd2_history(df, ["k"], "v").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.v)
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.v
+
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 6),
+              st.one_of(st.none(), st.sampled_from(["a", "b", "z"])),
+              st.one_of(st.none(), st.floats(-5, 15, allow_nan=False))),
+    min_size=1, max_size=30)
+
+
+@slow_ok
+@given(rows_strategy)
+def test_run_checks_matches_naive(spark, rows):
+    from casf_spark.operators import checks as CK
+
+    df = spark.createDataFrame(rows, "id long, cat string, val double")
+    got = {r.check_name: r.n_violations for r in CK.run_checks(df, [
+        CK.not_null("cat"),
+        CK.in_set("cat", ["a", "b"]),
+        CK.in_range("val", 0.0, 10.0),
+        CK.unique("id"),
+    ]).collect()}
+
+    n_null = sum(1 for _, c, _ in rows if c is None)
+    n_set = sum(1 for _, c, _ in rows if c is None or c not in ("a", "b"))
+    n_rng = sum(1 for _, _, v in rows if v is None or v < 0.0 or v > 10.0)
+    from collections import Counter
+    cnt = Counter(i for i, _, _ in rows)
+    n_dup = sum(n for n in cnt.values() if n > 1)
+    assert got == {"not_null(cat)": n_null, "in_set(cat)": n_set,
+                   "in_range(val)": n_rng, "unique(id)": n_dup}
+
+
+def test_novelty_credits_each_gram_exactly_once(spark, sf_dir):
+    """Corpus invariant: sum of per-doc novel grams == number of distinct
+    grams in the whole corpus (every gram is first-seen exactly once)."""
+    from pyspark.sql import functions as F
+
+    from casf_spark.functions import text as TX
+    from casf_spark.operators.dedup import ngram_novelty
+    from casf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "doc_id", "text", n=4)
+    total_novel = out.agg(F.sum("novel")).first()[0]
+
+    toks = docs.select(TX.tokens("text").alias("t"))
+    grams = toks.select(F.explode(F.when(
+        F.size("t") >= 4,
+        F.transform(F.sequence(F.lit(0), F.size("t") - 4),
+                    lambda i: F.array_join(F.slice("t", i + 1, 4), " "))
+    ).otherwise(F.array().cast("array<string>"))).alias("g"))
+    n_distinct = grams.agg(F.count_distinct("g")).first()[0]
+    assert total_novel == n_distinct
