@@ -1928,6 +1928,43 @@ def q_cdc_snapshot(spark, sf):
                        F.round("o_totalprice", 2).alias("latest_price"))
 
 
+def q_customer_rfm(spark, sf):
+    """RFM segmentation (recency / frequency / monetary) with VALUE-based
+    quartile boundaries: one per-customer aggregate, one 1-row exact
+    -percentile aggregate broadcast back, CASE bucketing — no global
+    NTILE sort over the customer table (boundaries-by-percentile is the
+    shape that survives a billion customers; orders_quartiles keeps the
+    global-sort variant)."""
+    o = load_table(spark, sf, "orders")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_dt"),
+                F.count(F.lit(1)).cast("long").alias("f"),
+                F.round(F.sum(F.col("o_totalprice")
+                              .cast("decimal(18,2)")), 2).alias("m")))
+    ref = o.agg(F.max("o_orderdate").alias("ref_dt"))
+    per = (per.crossJoin(F.broadcast(ref))
+           .withColumn("r", F.datediff("ref_dt", "last_dt").cast("long"))
+           .drop("ref_dt", "last_dt"))
+    bounds = per.agg(
+        *[F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"b_{c}")
+          for c in ("r", "f", "m")])
+
+    def bucket(c, rev=False):
+        b = F.col(f"b_{c}")
+        q = (F.when(F.col(c) <= b[0], 1)
+             .when(F.col(c) <= b[1], 2)
+             .when(F.col(c) <= b[2], 3).otherwise(4))
+        return (5 - q if rev else q).alias(f"{c}_q")
+
+    out = (per.crossJoin(F.broadcast(bounds))
+           .select("o_custkey", "r", "f", "m",
+                   # low recency-days = BEST -> invert to 4
+                   bucket("r", rev=True), bucket("f"), bucket("m")))
+    return out.select(
+        "o_custkey", "r", "f", "m", "r_q", "f_q", "m_q",
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"))
+
+
 def q_dedup_triangles(spark, sf):
     """Triangle count on the MinHash candidate graph — the clustering
     -coefficient numerator (how clique-like near-dup neighborhoods are;
@@ -2390,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": q_scd2_orders,
         "split_leakage_safe": q_split_leakage_safe,
         "dedup_triangles": q_dedup_triangles,
+        "customer_rfm": q_customer_rfm,
         "events_hour_spine": q_events_hour_spine,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
@@ -3029,6 +3067,31 @@ WITH c AS (
   FROM orders)
 SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) latest_price
 FROM c WHERE rn = 1 AND o_orderstatus <> 'F'""",
+        "customer_rfm": """
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) last_dt,
+         CAST(COUNT(*) AS BIGINT) f,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) m
+  FROM orders GROUP BY 1),
+ref AS (SELECT MAX(o_orderdate) ref_dt FROM orders),
+pr AS (SELECT o_custkey,
+              CAST(date_diff('day', last_dt, ref_dt) AS BIGINT) r, f, m
+       FROM per, ref),
+b AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) br,
+             quantile_cont(f, [0.25, 0.5, 0.75]) bf,
+             quantile_cont(m, [0.25, 0.5, 0.75]) bm
+      FROM pr),
+q AS (SELECT o_custkey, r, f, m,
+  CAST(5 - (CASE WHEN r <= br[1] THEN 1 WHEN r <= br[2] THEN 2
+                 WHEN r <= br[3] THEN 3 ELSE 4 END) AS INT) r_q,
+  CAST(CASE WHEN f <= bf[1] THEN 1 WHEN f <= bf[2] THEN 2
+            WHEN f <= bf[3] THEN 3 ELSE 4 END AS INT) f_q,
+  CAST(CASE WHEN m <= bm[1] THEN 1 WHEN m <= bm[2] THEN 2
+            WHEN m <= bm[3] THEN 3 ELSE 4 END AS INT) m_q
+  FROM pr, b)
+SELECT o_custkey, r, f, m, r_q, f_q, m_q,
+       concat_ws('-', r_q, f_q, m_q) AS segment
+FROM q""",
         "dedup_triangles": f"""
 WITH {_minhash_cte()}
 SELECT CAST(COUNT(*) AS BIGINT) n_triangles

@@ -38,6 +38,7 @@ PRODUCT_WHITELIST = {
     "q22_idle_customers",    # scalar-AVG threshold (1 row)
     "text_zipf",             # 1-row corpus-total broadcast
     "doc_lang_source_lift",  # 1-row corpus-total broadcast
+    "customer_rfm",          # 1-row ref-date + quartile-bounds broadcasts
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -48,7 +49,11 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
-SP_CAP_OVERRIDES = {"data_quality_checks": 3}
+SP_CAP_OVERRIDES = {"data_quality_checks": 3,
+                    # ref-date agg + percentile-bounds agg + the bounds
+                    # re-aggregation after the ref-date broadcast join —
+                    # all 1-row scalar aggregates feeding CASE bucketing
+                    "customer_rfm": 3}
 
 
 @pytest.fixture(scope="module")
