@@ -25,7 +25,7 @@ from casf_spark.multimodal import binary as MM
 from casf_spark.operators import curation as CU
 from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
-from casf_spark.operators.linalg import power_iteration
+from casf_spark.operators.linalg import power_iteration, power_iteration_report
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
@@ -1161,9 +1161,29 @@ def q_text_winnow(spark, sf):
 
 
 def q_ann_ivf(spark, sf):
+    """IVF (seeded Spark-ML KMeans quantizer) recall assertion — the
+    oracle-checkable form of the quantizer query. The KMeans bucket
+    assignment cannot be stated in SQL, but its QUALITY CONTRACT can:
+    recall@10 against exact brute force must clear a deterministic floor
+    (0.45; measured 0.60 at sf0.01 with 2/8 buckets probed, pytest floor
+    in test_ivf). Emits one row the DuckDB oracle states exactly, so a
+    quantizer regression (bad seed plumbing, wrong probe count, broken
+    bucket join) flips the hash. The raw top-k rows remain available via
+    ``ann_ivf_det`` (oracle-checked md5-quantizer twin) and
+    ``similarity.ivf_topk`` itself."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries_df, k=10, n_centroids=8, n_probes=2)
+    ivf = SIM.ivf_topk(emb, queries_df, k=10, n_centroids=8, n_probes=2)
+    bf = SIM.brute_force_topk(emb, queries_df, k=10)
+    hit = (ivf.select("query_id", "neighbor_id")
+           .join(bf.select("query_id", "neighbor_id"),
+                 ["query_id", "neighbor_id"]))
+    return (hit.agg(F.count(F.lit(1)).alias("n_hit"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("n_truth")))
+            .select(F.lit("ivf_recall_at_10").alias("metric"),
+                    F.col("n_truth").cast("long").alias("n_truth"),
+                    (F.col("n_hit") >= F.col("n_truth") * F.lit(0.45))
+                    .alias("recall_ge_floor")))
 
 
 def q_text_split(spark, sf):
@@ -1272,27 +1292,49 @@ def q_sample_stratified(spark, sf):
 
 
 def q_pack_greedy(spark, sf):
-    """True first-fit sequence packing (no bin overflow) — rows-only:
-    the greedy scan is sequential per id-chunk (applyInPandas), not
-    SQL-expressible; budget/coverage properties are pytest-pinned
-    (test_curation)."""
+    """True first-fit sequence packing (no bin overflow), oracle-checkable
+    contract form: the greedy scan is sequential per id-chunk
+    (applyInPandas) and its bin ids are not SQL-expressible, but its
+    guarantees are — every doc packed exactly once (n_packed == corpus
+    COUNT(*), statable by the oracle) and no multi-doc bin over budget.
+    A packing bug (doc dropped/duplicated, budget ignored) flips the
+    hash; exact bin assignments stay pytest-pinned (test_curation)."""
     docs = load_table(spark, sf, "documents")
     t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     TX.token_count("text").cast("long").alias("n_tokens"))
-    return CU.pack_greedy_chunks(t, "doc_id", "n_tokens",
-                                 budget=512, chunk=64)
+    packed = CU.pack_greedy_chunks(t, "doc_id", "n_tokens",
+                                   budget=512, chunk=64)
+    per_bin = (packed.groupBy("bin")
+               .agg(F.sum("n_tok").alias("tot"),
+                    F.count(F.lit(1)).alias("n_docs_in_bin")))
+    bins_ok = per_bin.agg(
+        F.min((F.col("tot") <= F.lit(512))
+              | (F.col("n_docs_in_bin") == 1)).alias("no_overflow"))
+    return (packed.agg(F.count(F.lit(1)).cast("long").alias("n_packed"),
+                       F.countDistinct("doc").cast("long").alias("n_docs"))
+            .crossJoin(bins_ok)
+            .select(F.lit("pack_greedy_contract").alias("metric"),
+                    "n_packed", "n_docs", "no_overflow"))
 
 
 def q_events_approx_distinct(spark, sf):
-    """Sketch-based distinct users per event type (HyperLogLog++,
-    rsd=5%) next to the exact count — rows-only: sketch estimates are
-    engine-specific; the relative-error bound is pytest-pinned
-    (test_skew). At 100 TB the sketch is the default path: fixed-size
-    state, one pass, no distinct shuffle."""
+    """Sketch-based distinct users per event type (HyperLogLog++, rsd=5%)
+    checked against the exact count IN the query — oracle-checkable
+    contract form: the estimate itself is engine-specific, but
+    ``|approx - exact| <= 15% * exact`` is a statable invariant (3x the
+    requested rsd; the point estimate measures <2% off at sf0.01), so
+    the DuckDB twin emits the exact count and TRUE. A broken sketch
+    (wrong column, wrong rsd plumbing, merge bug) flips the hash. At
+    100 TB the sketch is the default path: fixed-size state, one pass,
+    no distinct shuffle."""
     ev = load_table(spark, sf, "events")
     return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
-                 F.countDistinct("user_id").alias("exact_users")))
+            .agg(F.approx_count_distinct("user_id", 0.05).alias("approx"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= F.col("exact_users") * F.lit(0.15))
+                    .alias("within_bound")))
 
 
 def q_dedup_exact(spark, sf):
@@ -1365,12 +1407,26 @@ def q_ann_lsh_multiprobe(spark, sf):
 
 
 def q_ann_ivf_pq(spark, sf):
-    """IVF-PQ: product-quantized codes + ADC scoring + exact re-rank
-    (rows-only: numpy encoder/scorer via mapInPandas; recall + determinism
-    pinned in test_ivf)."""
+    """IVF-PQ (product-quantized codes + ADC scoring + exact re-rank)
+    recall contract — same oracle-checkable shape as q_ann_ivf: the numpy
+    encoder/scorer has no SQL twin, but recall@10 vs exact brute force
+    clearing a deterministic floor does (0.3 = the test_ivf pin; measured
+    0.43 at sf0.01 with 4/8 probes + 4x re-rank). An encoder/ADC/re-rank
+    regression flips the hash; exact rows + determinism stay pinned in
+    test_ivf."""
     emb = load_table(spark, sf, "embeddings")
-    return SIM.ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10), k=10,
-                           n_probes=4, rerank=4)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    pq = SIM.ivf_pq_topk(emb, queries_df, k=10, n_probes=4, rerank=4)
+    bf = SIM.brute_force_topk(emb, queries_df, k=10)
+    hit = (pq.select("query_id", "neighbor_id")
+           .join(bf.select("query_id", "neighbor_id"),
+                 ["query_id", "neighbor_id"]))
+    return (hit.agg(F.count(F.lit(1)).alias("n_hit"))
+            .crossJoin(bf.agg(F.count(F.lit(1)).alias("n_truth")))
+            .select(F.lit("ivf_pq_recall_at_10").alias("metric"),
+                    F.col("n_truth").cast("long").alias("n_truth"),
+                    (F.col("n_hit") >= F.col("n_truth") * F.lit(0.3))
+                    .alias("recall_ge_floor")))
 
 
 def q_multimodal_meta(spark, sf):
@@ -1386,11 +1442,27 @@ def q_multimodal_features(spark, sf):
 def q_multimodal_rgb(spark, sf):
     """REAL image decode path (raw rgb24, numpy — no external decoder):
     synthesized rasters -> per-channel means + Rec.601 brightness via
-    Arrow-batched mapInPandas (rows-only: byte-level raster math has no
-    SQL twin; exactness pinned in test_multimodal)."""
+    Arrow-batched mapInPandas. Oracle-checkable contract form: byte-level
+    raster math has no SQL twin, but the per-image invariants do — one
+    output row per document (the oracle enumerates doc_ids, catching any
+    decode drop), declared raster dims, channel means in [0, 255], and
+    brightness consistent with the Rec.601 combination of the decoded
+    means (a real differential between two decode outputs). Exact pixel
+    math stays pinned in test_multimodal."""
     docs = load_table(spark, sf, "documents")
     imgs = MM.synthesize_rgb_payload(docs, "doc_id", width=8, height=8)
-    return MM.decode_rgb_features(imgs, 8, 8)
+    feats = MM.decode_rgb_features(imgs, 8, 8)
+    rec601 = (F.lit(0.299) * F.col("mean_r") + F.lit(0.587) * F.col("mean_g")
+              + F.lit(0.114) * F.col("mean_b"))
+    in_range = (
+        (F.col("mean_r") >= 0) & (F.col("mean_r") <= 255)
+        & (F.col("mean_g") >= 0) & (F.col("mean_g") <= 255)
+        & (F.col("mean_b") >= 0) & (F.col("mean_b") <= 255))
+    return feats.select(
+        "doc_id", "width", "height",
+        in_range.alias("means_in_range"),
+        (F.abs(F.col("brightness") - rec601) < F.lit(1e-6))
+        .alias("brightness_consistent"))
 
 
 def q_tfidf_terms(spark, sf):
@@ -1900,16 +1972,26 @@ def q_events_sketch_rollup(spark, sf):
     """MERGEABLE distinct sketches (DataSketches HLL): per-day user
     sketches built once, then re-aggregated to per-type totals by sketch
     UNION — the 100 TB pattern approx_count_distinct can't do:
-    pre-aggregate daily partitions incrementally, answer coarser
-    rollups later without touching raw data. Rows-only: sketch
-    estimates are engine-specific."""
+    pre-aggregate daily partitions incrementally, answer coarser rollups
+    later without touching raw data. Oracle-checkable contract form: the
+    union-merged estimate must land within 10% of the exact per-type
+    distinct count (DataSketches lgK=12 measures <2% off at sf0.01), so
+    the DuckDB twin states n_days, the exact count, and TRUE; a merge
+    bug (unioning the wrong key, losing a day's sketch) flips the hash."""
     ev = load_table(spark, sf, "events")
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    return (daily.groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
-                 F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("approx_users")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                   F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (merged.join(exact, "event_type")
+            .select("event_type", "n_days", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= F.col("exact_users") * F.lit(0.10))
+                    .alias("within_bound")))
 
 
 def q_cdc_snapshot(spark, sf):
@@ -2157,16 +2239,24 @@ def q_orders_price_position(spark, sf):
 def q_multimodal_pcm(spark, sf):
     """REAL audio decode path (raw s16le PCM, numpy — no external
     decoder): synthesized waveforms -> duration / RMS / peak /
-    zero-crossing rate via Arrow-batched mapInPandas (rows-only:
-    sample-level DSP has no SQL twin; exactness pinned in
-    test_multimodal)."""
+    zero-crossing rate via Arrow-batched mapInPandas. Oracle-checkable
+    contract form: sample-level DSP has no SQL twin, but the per-payload
+    invariants do — one row per document (oracle enumerates doc_ids; a
+    dropped or double-decoded payload flips the hash), the exact sample
+    count and duration (1600 samples @ 16 kHz = 0.1 s, statable in SQL),
+    and the DSP identities 0 < rms <= peak < 1 and zcr in [0, 1] (the
+    0.5-amplitude sine + noise fixture guarantees a nonzero signal).
+    Exact waveform math stays pinned in test_multimodal."""
     docs = load_table(spark, sf, "documents")
     pcm = MM.synthesize_pcm_payload(docs, "doc_id", n_samples=1600)
     feats = MM.decode_pcm_features(pcm)
-    return feats.select("doc_id", "n_samples",
-                        F.round("duration_sec", 6).alias("duration_sec"),
-                        F.round("rms", 6).alias("rms"),
-                        F.round("zero_crossing_rate", 6).alias("zcr"))
+    return feats.select(
+        "doc_id", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        ((F.col("rms") > 0) & (F.col("rms") <= F.col("peak"))
+         & (F.col("peak") < 1)).alias("amplitude_ok"),
+        ((F.col("zero_crossing_rate") >= 0)
+         & (F.col("zero_crossing_rate") <= 1)).alias("zcr_in_unit"))
 
 
 def q_dedup_cross_source(spark, sf):
@@ -2284,12 +2374,15 @@ def q_events_mad_outliers(spark, sf):
 
 def q_embedding_power_iter(spark, sf):
     """Dominant principal direction of the embedding corpus via 8 rounds
-    of distributed power iteration (operators.linalg.power_iteration) —
-    iterative matvec with a D-dim driver state, the KMeans coordinator
-    pattern. Rows-only: 8 chained float reductions cannot be replayed
-    bit-stably in a SQL oracle."""
+    of power iteration against the one-pass tree-reduced Gram
+    (operators.linalg). Oracle-checkable contract form: the chained
+    float reductions cannot be replayed bit-stably in SQL, but the
+    eigenpair invariants can — see linalg.power_iteration_report (row
+    count through the Gram pass, unit norm, Rayleigh quotient >= mean
+    eigenvalue, residual convergence). Exact loadings stay pinned
+    against numpy eigh in test_linalg."""
     emb = load_table(spark, sf, "embeddings")
-    return power_iteration(emb, "embedding", n_iter=8, dim=64)
+    return power_iteration_report(emb, "embedding", n_iter=8, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -2305,7 +2398,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # cosine engine (reference parity, SURVEY §2.2-2.4 + §7 A/B)
+        # --- driver-window note: the driver's correctness harness checks
+        # the FIRST 50 entries of this dict. Round-4 rotation: rounds 1-3
+        # drove 74 of the 137 names green; this window is exactly the
+        # never-driver-checked backlog (49 of 63, in their round-3 order)
+        # plus ann_ivf, upgraded this round from rows-only to an
+        # oracle-checked recall-contract row. The 14 overflow names sit
+        # immediately after the window to head round 5; the thrice-green
+        # cosine/text/dedup/events core rotates behind them.
+        "tfidf_terms": q_tfidf_terms,
+        "bm25_rank": q_bm25_rank,
+        "knn_classify": q_knn_classify,
+        "mixture_resample": q_mixture_resample,
+        "budget_select": q_budget_select,
+        "dedup_spans": q_dedup_spans,
+        "curation_funnel": q_curation_funnel,
+        "dedup_incremental": q_dedup_incremental,
+        "vocab_coverage": q_vocab_coverage,
+        "unigram_logprob": q_unigram_logprob,
+        "embedding_outliers": q_embedding_outliers,
+        "events_moving_avg": q_events_moving_avg,
+        "dedup_collision": q_dedup_collision,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "users_view_and_purchase": q_users_view_and_purchase,
+        "orders_quartiles": q_orders_quartiles,
+        "events_corr": q_events_corr,
+        "events_value_hist": q_events_value_hist,
+        "ann_ivf_pq": q_ann_ivf_pq,  # recall-contract row (oracle-checked)
+        "temperature_resample": q_temperature_resample,
+        "doc_cosine_tfidf": q_doc_cosine_tfidf,
+        "multimodal_rgb": q_multimodal_rgb,  # decode-contract rows (oracle-checked)
+        "sample_per_source": q_sample_per_source,
+        "bigram_logprob": q_bigram_logprob,
+        "embedding_norms": q_embedding_norms,
+        "dedup_degrees": q_dedup_degrees,
+        "pack_greedy": q_pack_greedy,  # packing-contract row (oracle-checked)
+        "events_approx_distinct": q_events_approx_distinct,  # bound-contract (oracle-checked)
+        "events_grouping_sets": q_events_grouping_sets,
+        "text_zipf": q_text_zipf,
+        "doc_lang_source_lift": q_doc_lang_source_lift,
+        "events_gap_stats": q_events_gap_stats,
+        "customer_running_spend": q_customer_running_spend,
+        "events_mad_outliers": q_events_mad_outliers,
+        "embedding_power_iter": q_embedding_power_iter,  # eigen-contract row (oracle-checked)
+        "events_sketch_rollup": q_events_sketch_rollup,  # bound-contract (oracle-checked)
+        "events_session_window": q_events_session_window,
+        "events_json_variant": q_events_json_variant,
+        "events_forward_fill": q_events_forward_fill,
+        "dedup_cross_source": q_dedup_cross_source,
+        "text_ttr": q_text_ttr,
+        "multimodal_pcm": q_multimodal_pcm,  # decode-contract rows (oracle-checked)
+        "events_click_purchase_days": q_events_click_purchase_days,
+        "orders_price_position": q_orders_price_position,
+        "orders_yoy_growth": q_orders_yoy_growth,
+        "events_unpivot": q_events_unpivot,
+        "text_novelty": q_text_novelty,
+        "customer_order_counts_right": q_customer_order_counts_right,
+        "ann_ivf": q_ann_ivf,  # recall-contract row (oracle-checked)
+        # ---- end of driver 50-query window ----
+        # round-5 window head: the 14 never-driver-checked overflow names
+        "data_quality_checks": q_data_quality_checks,
+        "cdc_snapshot": q_cdc_snapshot,
+        "events_k_anonymity": q_events_k_anonymity,
+        "scd2_orders": q_scd2_orders,
+        "split_leakage_safe": q_split_leakage_safe,
+        "dedup_triangles": q_dedup_triangles,
+        "customer_rfm": q_customer_rfm,
+        "events_hour_spine": q_events_hour_spine,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_stats": q_text_token_stats,
+        "text_split": q_text_split,
+        "ann_lsh_mp": q_ann_lsh_multiprobe,
+        "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
+        "users_click_not_purchase": q_users_click_not_purchase,
+        # --- driver-green rounds 1-3: cosine engine (reference parity,
+        # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
         "cosine_bucketed": q_cosine_bucketed,
         "cosine_via_sql": q_cosine_via_sql,
@@ -2320,14 +2488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cosine": q_doc_cosine,
         "doc_cosine_lsh": q_doc_cosine_lsh,
         "doc_cosine_cjk": q_doc_cosine_cjk,
-        # --- driver-window note: the driver's correctness harness checks
-        # the FIRST 50 entries of this dict. Ordering is deliberate:
-        # cosine core (14 incl. CJK) + text/curation/dedup/ann extensions
-        # (23) + events (13) = 50; the TPC-H relational shapes
-        # (driver-green in round 2) and the pytest-covered simple shapes
-        # (text_split/fingerprint/token_stats, ann_lsh_mp,
-        # multimodal_features, users_click_not_purchase,
-        # customers_no_orders) rotate behind the window.
         # text analysis + curation (§7 phase C/D)
         "text_term_counts": q_text_term_counts,
         "text_quality": q_text_quality,
@@ -2351,7 +2511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (phase D)
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,  # rows-only (seeded Spark-ML KMeans quantizer)
         "ann_ivf_det": q_ann_ivf_det,
         # multimodal plumbing (phase D)
         "multimodal_meta": q_multimodal_meta,
@@ -2369,72 +2528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_zscore": q_events_zscore,
         "events_percentiles": q_events_percentiles,
-        # ---- end of driver 50-query window ----
-        # round-3 additions (oracle-checked locally; rotate into the window
-        # next round once the events family is re-confirmed driver-green)
-        "tfidf_terms": q_tfidf_terms,
-        "bm25_rank": q_bm25_rank,
-        "knn_classify": q_knn_classify,
-        "mixture_resample": q_mixture_resample,
-        "budget_select": q_budget_select,
-        "dedup_spans": q_dedup_spans,
-        "curation_funnel": q_curation_funnel,
-        "dedup_incremental": q_dedup_incremental,
-        "vocab_coverage": q_vocab_coverage,
-        "unigram_logprob": q_unigram_logprob,
-        "embedding_outliers": q_embedding_outliers,
-        "events_moving_avg": q_events_moving_avg,
-        "dedup_collision": q_dedup_collision,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "users_view_and_purchase": q_users_view_and_purchase,
-        "orders_quartiles": q_orders_quartiles,
-        "events_corr": q_events_corr,
-        "events_value_hist": q_events_value_hist,
-        "ann_ivf_pq": q_ann_ivf_pq,  # rows-only (numpy ADC via mapInPandas)
-        "temperature_resample": q_temperature_resample,
-        "doc_cosine_tfidf": q_doc_cosine_tfidf,
-        "multimodal_rgb": q_multimodal_rgb,  # rows-only (raster math)
-        "sample_per_source": q_sample_per_source,
-        "bigram_logprob": q_bigram_logprob,
-        "embedding_norms": q_embedding_norms,
-        "dedup_degrees": q_dedup_degrees,
-        "pack_greedy": q_pack_greedy,  # rows-only (sequential scan per chunk)
-        "events_approx_distinct": q_events_approx_distinct,  # rows-only (HLL)
-        "events_grouping_sets": q_events_grouping_sets,
-        "text_zipf": q_text_zipf,
-        "doc_lang_source_lift": q_doc_lang_source_lift,
-        "events_gap_stats": q_events_gap_stats,
-        "customer_running_spend": q_customer_running_spend,
-        "events_mad_outliers": q_events_mad_outliers,
-        "embedding_power_iter": q_embedding_power_iter,  # rows-only (iterative)
-        "events_sketch_rollup": q_events_sketch_rollup,  # rows-only (sketches)
-        "events_session_window": q_events_session_window,
-        "events_json_variant": q_events_json_variant,
-        "events_forward_fill": q_events_forward_fill,
-        "dedup_cross_source": q_dedup_cross_source,
-        "text_ttr": q_text_ttr,
-        "multimodal_pcm": q_multimodal_pcm,  # rows-only (sample-level DSP)
-        "events_click_purchase_days": q_events_click_purchase_days,
-        "orders_price_position": q_orders_price_position,
-        "orders_yoy_growth": q_orders_yoy_growth,
-        "events_unpivot": q_events_unpivot,
-        "text_novelty": q_text_novelty,
-        "customer_order_counts_right": q_customer_order_counts_right,
-        "data_quality_checks": q_data_quality_checks,
-        "cdc_snapshot": q_cdc_snapshot,
-        "events_k_anonymity": q_events_k_anonymity,
-        "scd2_orders": q_scd2_orders,
-        "split_leakage_safe": q_split_leakage_safe,
-        "dedup_triangles": q_dedup_triangles,
-        "customer_rfm": q_customer_rfm,
-        "events_hour_spine": q_events_hour_spine,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_stats": q_text_token_stats,
-        "text_split": q_text_split,
-        "ann_lsh_mp": q_ann_lsh_multiprobe,
-        "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
-        "users_click_not_purchase": q_users_click_not_purchase,
         "customers_no_orders": q_customers_no_orders,
         # relational operator coverage (scans/filters/joins/aggs/sort/limit/
         # window/json)
@@ -3786,6 +3879,45 @@ GROUP BY 2""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": emb_pairs_sql,
         "ann_topk": ann_topk_sql,
+        # Contract-row oracles (round 4): for engine-specific outputs
+        # (KMeans/PQ quantizers, HLL sketches, greedy packing, chained
+        # float reductions, byte-level decode) the QUERY emits its
+        # data-derived counts plus asserted invariants, and the oracle
+        # states those exactly — a regression on either side flips the
+        # hash. See each q_* docstring for why the invariant is
+        # deterministic.
+        "ann_ivf": """
+SELECT 'ivf_recall_at_10' AS metric,
+       10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_truth,
+       TRUE AS recall_ge_floor""",
+        "ann_ivf_pq": """
+SELECT 'ivf_pq_recall_at_10' AS metric,
+       10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_truth,
+       TRUE AS recall_ge_floor""",
+        "events_approx_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type""",
+        "events_sketch_rollup": """
+SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound
+FROM events GROUP BY event_type""",
+        "pack_greedy": """
+SELECT 'pack_greedy_contract' AS metric,
+       COUNT(*) AS n_packed, COUNT(*) AS n_docs, TRUE AS no_overflow
+FROM documents""",
+        "embedding_power_iter": """
+SELECT 'power_iter_top1' AS metric, 64 AS dim,
+       (SELECT COUNT(*) FROM embeddings) AS n_rows,
+       TRUE AS unit_norm, TRUE AS lambda_ge_mean, TRUE AS resid_bounded""",
+        "multimodal_rgb": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 8 AS width, 8 AS height,
+       TRUE AS means_in_range, TRUE AS brightness_consistent
+FROM documents""",
+        "multimodal_pcm": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 1600 AS n_samples,
+       0.1 AS duration_sec, TRUE AS amplitude_ok, TRUE AS zcr_in_unit
+FROM documents""",
         "ann_ivf_det": """
 WITH cent AS (
   SELECT vec_id cid, embedding cemb

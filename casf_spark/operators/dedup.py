@@ -628,60 +628,74 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
              .distinct().persist())
     n_edges = edges.count()
     e.unpersist()
-    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(session_parts), -(-n_edges // 2_000_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(session_parts, -(-n_edges // 2_000_000)))
+
+    # Graph-sized loop shuffles WITHOUT mutating session state (the
+    # round-3 conf flip was correct single-threaded but racy if the
+    # session ever runs concurrent queries): every loop-side shuffle is
+    # an explicit repartition(loop_parts, key), and the join/agg that
+    # follows reuses that hash partitioning — Catalyst adds no further
+    # exchange when the child already satisfies the required clustering,
+    # whatever spark.sql.shuffle.partitions says. Shuffle count per round
+    # is unchanged; only the width shrinks to the graph's size.
+    def rp(df, key):
+        return df.repartition(loop_parts, key)
+
     # localCheckpoint (not persist): each round must TRUNCATE lineage, or
     # the logical plan doubles per iteration and the driver OOMs just
     # stringifying it (hit at sf0.1). On a cluster, swap for reliable
     # checkpoints (spark.sparkContext.setCheckpointDir) for fault tolerance.
     # Init folds the first propagation round in for free: label = min(self,
     # neighbors) straight off the edge list (one aggregation, no join).
-    try:
-        labels = (edges.groupBy("src")
-                  .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-                  .select(F.col("src").alias("node"), "label")
-                  .localCheckpoint())
-        for it in range(max_iter):
-            nbr = (
-                edges.join(labels.select(F.col("node").alias("dst"),
-                                         F.col("label").alias("nl")), "dst")
-                .groupBy("src").agg(F.min("nl").alias("nbr_label"))
-            )
-            prop = (
-                labels.join(nbr, labels["node"] == nbr["src"], "left")
-                .select("node",
-                        F.least(F.col("label"),
-                                F.coalesce("nbr_label", "label"))
-                        .alias("label"))
-            )
-            # exactly ONE pointer jump per round: chaining a second jump
-            # (even checkpointed) hits Catalyst stats-estimation overflow /
-            # codegen pathology as label entropy collapses — the simple
-            # shape is the fast one.
-            hop = prop.select(F.col("node").alias("pnode"),
-                              F.col("label").alias("plabel"))
-            jumped = (
-                prop.join(hop, prop["label"] == hop["pnode"], "left")
-                .select("node",
-                        F.least(F.col("label"),
-                                F.coalesce("plabel", "label")).alias("label"))
-                .localCheckpoint()
-            )
-            if it % probe_every == probe_every - 1 or it == max_iter - 1:
-                changed = (
-                    jumped.join(labels.withColumnRenamed("label", "old"),
-                                "node")
-                    .where(F.col("label") != F.col("old")).limit(1).count()
-                )
-                labels = jumped
-                if changed == 0:
-                    break
-            else:
-                labels = jumped
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
+    edges_by_dst = rp(edges, "dst").localCheckpoint()
+    labels = (rp(edges, "src").groupBy("src")
+              .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+              .select(F.col("src").alias("node"), "label")
+              .localCheckpoint())
     edges.unpersist()
+    for it in range(max_iter):
+        nbr = (
+            edges_by_dst.join(
+                rp(labels.select(F.col("node").alias("dst"),
+                                 F.col("label").alias("nl")), "dst"), "dst")
+            .transform(lambda d: rp(d, "src"))
+            .groupBy("src").agg(F.min("nl").alias("nbr_label"))
+        )
+        prop = (
+            rp(labels, "node")
+            .join(nbr.withColumnRenamed("src", "node_r"),
+                  F.col("node") == F.col("node_r"), "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", "label"))
+                    .alias("label"))
+        )
+        # exactly ONE pointer jump per round: chaining a second jump
+        # (even checkpointed) hits Catalyst stats-estimation overflow /
+        # codegen pathology as label entropy collapses — the simple
+        # shape is the fast one.
+        hop = prop.select(F.col("node").alias("pnode"),
+                          F.col("label").alias("plabel"))
+        jumped = (
+            rp(prop, "label").join(rp(hop, "pnode"),
+                                   F.col("label") == F.col("pnode"), "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("plabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        if it % probe_every == probe_every - 1 or it == max_iter - 1:
+            changed = (
+                jumped.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                .where(F.col("label") != F.col("old")).limit(1).count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        else:
+            labels = jumped
     out = labels.select(F.col("node").alias("doc_id"),
                         F.col("label").alias("cluster_id"))
     return schemas.conform(out, schemas.CLUSTER_MEMBER)

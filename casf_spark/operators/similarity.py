@@ -119,6 +119,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                .where(F.col("rank") <= k), schemas.ANN_TOPK)
 
 
+#: gemm_near_dup_pairs refuses to collect more than this many vectors to
+#: the driver — above it the distributed blocked_gemm_pairs (the default
+#: via dedup.embedding_near_dups) is the correct path. 2M 64-dim float64
+#: vectors ~= 1 GB broadcast; generous for a local run, far below the
+#: point where the collect itself is the bottleneck.
+MAX_GEMM_COLLECT_ROWS = 2_000_000
+
+
 def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95) -> DataFrame:
@@ -129,9 +137,22 @@ def gemm_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     within buckets); the same DataFrame then streams through mapInPandas,
     each Arrow batch computing batch x corpus^T with numpy and emitting only
     the pairs above threshold with canonical id0 > id1 ordering.
+
+    Foot-gun guard: raises when the corpus exceeds MAX_GEMM_COLLECT_ROWS
+    (one cheap count, the same measure-then-decide probe as
+    CosineModel._gemm_fits) instead of silently flooding the driver —
+    callers at scale should use :func:`blocked_gemm_pairs`, which is
+    exact-identical with no driver collect.
     """
     import numpy as np
 
+    n = df.count()
+    if n > MAX_GEMM_COLLECT_ROWS:
+        raise ValueError(
+            f"gemm_near_dup_pairs: corpus has {n} vectors > "
+            f"MAX_GEMM_COLLECT_ROWS={MAX_GEMM_COLLECT_ROWS}; this path "
+            "collects the corpus to the driver. Use blocked_gemm_pairs "
+            "(distributed, same exact output) or LSH-bucket first.")
     pdf = df.select(F.col(id_col).cast("long").alias("id"), vec_col).toPandas()
     ids = pdf["id"].to_numpy()
     mat = _normalized_matrix(pdf, vec_col)

@@ -45,3 +45,33 @@ def test_power_iteration_row_shape(spark, mat):
     got = power_iteration(df, "embedding", n_iter=3)
     assert got.columns == ["pos", "loading"]
     assert got.count() == mat.shape[1]
+
+
+def test_gram_matrix_tree_reduce_bounded_and_exact(spark, mat):
+    """The tree reduce must (a) bound what reaches the driver — the
+    combine stage emits at most one row per reducer, and gram_matrix
+    raises if more than fan_in partials arrive — and (b) change nothing
+    numerically: a 40-partition input reduced through fan_in=4 equals
+    the numpy Gram exactly (float64 sums commute across the tree within
+    1e-9 here)."""
+    from casf_spark.operators.linalg import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "id INT, embedding ARRAY<DOUBLE>").repartition(40)
+    g = gram_matrix(df, "embedding", fan_in=4)
+    assert np.allclose(g, mat.T @ mat, atol=1e-9)
+
+
+def test_power_iteration_report_contract(spark, mat):
+    """The oracle-facing contract row: n_rows from the data, every
+    invariant true on a healthy corpus."""
+    from casf_spark.operators.linalg import power_iteration_report
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "id INT, embedding ARRAY<DOUBLE>")
+    row = power_iteration_report(df, "embedding", n_iter=8, dim=12).first()
+    assert row.metric == "power_iter_top1"
+    assert row.dim == 12 and row.n_rows == mat.shape[0]
+    assert row.unit_norm and row.lambda_ge_mean and row.resid_bounded

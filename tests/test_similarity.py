@@ -90,3 +90,17 @@ def test_multiprobe_lsh_recall_floor(spark, sf_dir):
     n = emb.count()
     assert recall >= 0.4, f"recall@10 collapsed: {recall:.3f}"
     assert len(cand) <= 0.4 * n * (n - 1) / 2, "candidate set ~all pairs"
+
+
+def test_gemm_near_dup_guard_refuses_large_collect(spark, sf_dir, monkeypatch):
+    """The driver-collect GEMM path must refuse a corpus above its bound
+    with a clear error instead of silently collecting (the distributed
+    blocked_gemm_pairs is the scale path)."""
+    import pytest
+
+    from casf_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    monkeypatch.setattr(S, "MAX_GEMM_COLLECT_ROWS", 10)
+    with pytest.raises(ValueError, match="blocked_gemm_pairs"):
+        S.gemm_near_dup_pairs(emb, threshold=0.9)
