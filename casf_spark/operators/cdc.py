@@ -26,10 +26,15 @@ def cdc_snapshot(changelog: DataFrame, key_cols: Sequence[str],
                  delete_op: str = "d") -> DataFrame:
     """Latest-change-wins snapshot.
 
-    ``version_cols`` is the total-order tiebreak (e.g. commit ts +
-    sequence); ``op_col`` holds the operation, ``delete_op`` marking
-    deletes. Returns the surviving rows (all changelog columns, minus
-    nothing — callers project).
+    ``version_cols`` MUST be a total order per key (e.g. commit ts +
+    sequence) — the winner under ties is the struct-max over the whole
+    row, i.e. arbitrary-but-deterministic column ordering, which is
+    rarely what a changelog means. ``op_col`` holds the operation,
+    ``delete_op`` marking deletes; a NULL op is treated as an upsert
+    (Debezium-style changelogs use NULL/absent op for snapshot reads —
+    and the naive ``op != delete_op`` filter would NULL-out such rows
+    and silently drop them). Returns the surviving rows (all changelog
+    columns — callers project).
     """
     key_cols = list(key_cols)
     ver = F.struct(*[F.col(c) for c in version_cols])
@@ -39,7 +44,8 @@ def cdc_snapshot(changelog: DataFrame, key_cols: Sequence[str],
     latest = (changelog.groupBy(*key_cols)
               .agg(F.max(payload).alias("_w"))
               .select(F.col("_w._row.*")))
-    return latest.where(F.col(op_col) != delete_op)
+    return latest.where(
+        F.coalesce(F.col(op_col) != delete_op, F.lit(True)))
 
 
 def scd2_history(changelog: DataFrame, key_cols: Sequence[str],

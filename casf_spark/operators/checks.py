@@ -81,7 +81,10 @@ def _violation(c: Check) -> Column:
 
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Evaluate all checks -> (check_name, n_violations), fused as
-    described in the module docstring."""
+    described in the module docstring. Raises on an empty check list —
+    silently returning nothing would read as 'all checks passed'."""
+    if not checks:
+        raise ValueError("run_checks: no checks declared")
     row_level = [c for c in checks if c.kind in
                  ("not_null", "in_set", "in_range", "expr")]
     parts: list[DataFrame] = []

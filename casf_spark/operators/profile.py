@@ -62,15 +62,22 @@ def materialize_with_metrics(df: DataFrame, metrics: dict[str, "F.Column"],
     ``metrics`` maps names to aggregate Columns (e.g. ``F.count(F.lit(1))``,
     ``F.sum(F.col("x").isNull().cast("long"))``). Returns the observed
     values as a dict.
+
+    ``fmt`` applies only when ``path`` is given; a ``path=None`` noop
+    materialization has no output format by definition. Raises on an
+    empty metrics dict (the Observation API needs at least one aggregate,
+    and a metric-less call is almost certainly a bug at the call site).
     """
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError("materialize_with_metrics: no metrics declared")
     obs = Observation()
     named = [m.alias(k) for k, m in metrics.items()]
     observed = df.observe(obs, named[0], *named[1:])
-    w = observed.write.mode("overwrite").format(fmt)
+    w = observed.write.mode("overwrite")
     if path is None:
         w.format("noop").save()
     else:
-        w.save(path)
+        w.format(fmt).save(path)
     return obs.get

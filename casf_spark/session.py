@@ -67,6 +67,21 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    reused = SparkSession.getActiveSession() is not None
     spark = builder.getOrCreate()
+    if reused:
+        # getOrCreate against a live session silently ignores JVM-launch
+        # options (code cache, huge-method compile) — the fix for the
+        # measured interpreted-plan slowdown above. Warn so an embedded
+        # bench/test run knows its timings may be pessimistic.
+        import warnings
+
+        applied = spark.conf.get("spark.driver.extraJavaOptions", "")
+        if "ReservedCodeCacheSize" not in applied:
+            warnings.warn(
+                "get_spark: reusing an existing SparkSession — the "
+                "code-cache/JIT driver JVM options were NOT applied; "
+                "heavy fused plans may run interpreted (see session.py).",
+                RuntimeWarning, stacklevel=2)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -64,15 +64,32 @@ def compact_parquet(spark: SparkSession, in_path: str, out_path: str,
 
 def _zvalue(cols: list, mins: list, maxs: list, bits: int):
     """Interleaved-bit Morton code over min/max-normalized columns (all
-    Column arithmetic — JVM-side, no UDF). ``bits`` per column."""
+    Column arithmetic — JVM-side, no UDF). ``bits`` per column.
+
+    Keys must be numeric with a non-NULL min/max (i.e. at least one
+    non-NULL value per column) — anything else raises here with the
+    offending column named, instead of surfacing as a TypeError deep in
+    the arithmetic. NULL key values sort into bucket 0 (the low edge)
+    explicitly: Spark's least/greatest IGNORE nulls, which would
+    otherwise silently send NULLs to the TOP bucket."""
     from pyspark.sql import functions as F
 
     n = len(cols)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder: column {c!r} is all-NULL (no min/max); "
+                "drop it from zorder_by or filter NULLs first")
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            raise TypeError(
+                f"zorder: column {c!r} has non-numeric bounds "
+                f"({type(lo).__name__}); z-ordering needs numeric keys — "
+                "cast dates/strings to a numeric surrogate first")
         rng = (hi - lo) or 1
         q = F.floor((F.col(c).cast("double") - F.lit(float(lo)))
                     / F.lit(float(rng)) * ((1 << bits) - 1)).cast("long")
+        q = F.coalesce(q, F.lit(0))  # NULL keys -> low bucket, explicitly
         scaled.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))))
     z = F.lit(0).cast("long")
     for b in range(bits):

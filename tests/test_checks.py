@@ -62,3 +62,13 @@ def test_row_level_checks_fuse_into_one_scan(spark):
     ])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_empty_check_list_raises(spark):
+    """An empty declaration must fail loudly — an empty result would read
+    as 'all checks passed'."""
+    import pytest
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no checks declared"):
+        CK.run_checks(df, [])

@@ -158,3 +158,16 @@ def test_scd2_history_intervals(spark):
     assert rows[(1, 10)] == (10, 20, False)
     assert rows[(1, 20)] == (20, None, True)
     assert rows[(2, 5)] == (5, None, True)
+
+
+def test_cdc_snapshot_null_op_is_upsert(spark):
+    """Debezium-style NULL ops (snapshot reads) must survive as upserts,
+    not be NULL-filtered away by op != delete_op."""
+    from casf_spark.operators.cdc import cdc_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 1, "x", None), (2, 1, "y", "u"), (2, 2, "z", "d")],
+        "k INT, v INT, payload STRING, op STRING")
+    got = {r.k: r.payload
+           for r in cdc_snapshot(log, ["k"], ["v"], "op").collect()}
+    assert got == {1: "x"}  # k=2's latest change is a delete

@@ -105,3 +105,40 @@ def test_zorder_bounds_every_dimension(spark, tmp_path):
     assert spans(zod, 1) < 120
     # content preserved
     assert spark.read.parquet(zod).count() == 40000
+
+
+def test_zorder_all_null_column_raises(spark, tmp_path):
+    import pytest
+
+    from casf_spark.sources.maintenance import zorder_parquet
+
+    src = str(tmp_path / "nulls_in")
+    spark.sql("SELECT id AS a, CAST(NULL AS DOUBLE) AS b FROM range(10)") \
+        .write.parquet(src)
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_parquet(spark, src, str(tmp_path / "out"), ["a", "b"])
+
+
+def test_zorder_non_numeric_column_raises(spark, tmp_path):
+    import pytest
+
+    from casf_spark.sources.maintenance import zorder_parquet
+
+    src = str(tmp_path / "str_in")
+    spark.sql("SELECT id AS a, CAST(id AS STRING) AS s FROM range(10)") \
+        .write.parquet(src)
+    with pytest.raises(TypeError, match="non-numeric"):
+        zorder_parquet(spark, src, str(tmp_path / "out2"), ["a", "s"])
+
+
+def test_zorder_null_values_land_in_low_bucket(spark, tmp_path):
+    """Rows with a NULL key must cluster at the LOW edge explicitly (the
+    naive least/greatest arithmetic silently sent them to the top)."""
+    from casf_spark.sources.maintenance import zorder_parquet
+
+    src = str(tmp_path / "mixed_in")
+    spark.sql("SELECT id AS a, CASE WHEN id = 3 THEN NULL ELSE id END AS b "
+              "FROM range(100)").write.parquet(src)
+    out = zorder_parquet(spark, src, str(tmp_path / "out3"), ["a", "b"],
+                         target_file_bytes=2000)
+    assert out.count() == 100

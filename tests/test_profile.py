@@ -41,3 +41,26 @@ def test_materialize_with_metrics_single_job(spark, tmp_path):
     assert got == {"n_rows": 1000, "n_null_v": 100, "max_id": 999}
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 1000
+
+
+def test_materialize_with_metrics_empty_metrics_raises(spark):
+    import pytest
+
+    from casf_spark.operators.profile import materialize_with_metrics
+
+    with pytest.raises(ValueError, match="no metrics declared"):
+        materialize_with_metrics(spark.range(3), {})
+
+
+def test_materialize_with_metrics_fmt_applies_to_path(spark, tmp_path):
+    """fmt is honored when a path is given (json here, not the parquet
+    default) and ignored for the noop materialization."""
+    from pyspark.sql import functions as F
+
+    from casf_spark.operators.profile import materialize_with_metrics
+
+    out = str(tmp_path / "m_json")
+    got = materialize_with_metrics(
+        spark.range(5), {"n": F.count(F.lit(1))}, path=out, fmt="json")
+    assert got["n"] == 5
+    assert spark.read.json(out).count() == 5
