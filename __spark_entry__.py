@@ -836,6 +836,56 @@ def q_window_top_orders(spark, sf):
                     F.round("o_totalprice", 2).alias("total_price"), "rn"))
 
 
+def q_window_first_last(spark, sf):
+    """first_value / nth_value / last_value over full-partition row
+    frames (SURVEY §2.9 window breadth): per customer, the first order
+    date, the SECOND order's priority (NULL for single-order customers —
+    the nth_value semantics), and the newest order's price, all from ONE
+    window pass ordered by (o_orderdate, o_orderkey) — a total order, so
+    both engines agree exactly. One row per customer via row_number=1."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (orders
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("first_date",
+                        F.date_format(F.first("o_orderdate").over(wfull),
+                                      "yyyy-MM-dd"))
+            .withColumn("second_priority",
+                        F.nth_value("o_orderpriority", 2).over(wfull))
+            .withColumn("last_price",
+                        F.round(F.last("o_totalprice").over(wfull), 2))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "first_date", "second_priority",
+                    "last_price"))
+
+
+def q_events_running_distinct(spark, sf):
+    """Windowed DISTINCT count — running number of distinct event types
+    each user has ever used, per active day. Spark has no
+    count_distinct-over-window; the scale-correct pattern is
+    first-occurrence flags: min(first day) per (user, type) — one
+    aggregation — then a cumulative SUM window over per-day new-type
+    counts. State per user is a counter, not a set (collect_set-over-
+    window would carry the whole set through every frame at 100 TB)."""
+    ev = load_table(spark, sf, "events")
+    days = (ev.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    firsts = (ev.groupBy("user_id", "event_type")
+              .agg(F.min(F.to_date("ts")).alias("day")))
+    per_day = (firsts.groupBy("user_id", "day")
+               .agg(F.count(F.lit(1)).alias("n_new")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (days.join(per_day, ["user_id", "day"], "left")
+            .withColumn("distinct_types_so_far",
+                        F.sum(F.coalesce("n_new", F.lit(0))).over(w))
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("distinct_types_so_far").cast("long")
+                    .alias("distinct_types_so_far")))
+
+
 def q_events_hourly(spark, sf):
     ev = load_table(spark, sf, "events")
     return (EV.tumbling_counts(ev, "1 hour")
@@ -1435,8 +1485,21 @@ def q_multimodal_meta(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    """Binary-payload feature extraction (Arrow mapInPandas), contract
+    form: the Python-side byte walk emits n_bytes, which the DuckDB twin
+    recomputes independently as octet_length(encode(text)) — a real
+    cross-engine differential on the payload plumbing (UTF-8 encode,
+    bytes across the Arrow boundary, per-row decode) — plus statable
+    invariants on the remaining features (first_byte defined iff the
+    payload is non-empty and in [0, 255]; byte_sum_mod in [0, 997))."""
     docs = load_table(spark, sf, "documents")
-    return MM.extract_features(MM.with_payload(docs, "doc_id", "text"))
+    feats = MM.extract_features(MM.with_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id", "n_bytes",
+        (F.when(F.col("n_bytes") == 0, F.col("first_byte").isNull())
+         .otherwise(F.col("first_byte").between(0, 255)))
+        .alias("first_byte_ok"),
+        F.col("byte_sum_mod").between(0, 996).alias("byte_sum_ok"))
 
 
 def q_multimodal_rgb(spark, sf):
@@ -2470,8 +2533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_split": q_text_split,
         "ann_lsh_mp": q_ann_lsh_multiprobe,
-        "multimodal_features": q_multimodal_features,  # rows-only (mapInPandas)
+        "multimodal_features": q_multimodal_features,  # byte-contract (oracle-checked)
         "users_click_not_purchase": q_users_click_not_purchase,
+        # round-4 additions (window breadth, SURVEY §2.9) — queue for the
+        # round-5 window behind the overflow names
+        "window_first_last": q_window_first_last,
+        "events_running_distinct": q_events_running_distinct,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -3978,5 +4045,36 @@ SELECT CAST(doc_id AS BIGINT) doc_id,
        lower(hex(encode(substr(text, 1, 4)))) header_hex,
        'application/octet-stream' mime
 FROM documents""",
-        # multimodal_features: no oracle — mapInPandas stub, rows-only check
+        # multimodal_features contract: DuckDB recomputes the UTF-8 byte
+        # length independently (cross-engine differential on the payload
+        # plumbing); the Python-only features are asserted via invariants.
+        "multimodal_features": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       TRUE AS first_byte_ok, TRUE AS byte_sum_ok
+FROM documents""",
+        "window_first_last": """
+SELECT o_custkey,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+       nth_value(o_orderpriority, 2) OVER w AS second_priority,
+       ROUND(last_value(o_totalprice) OVER w, 2) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) = 1""",
+        "events_running_distinct": """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+firsts AS (
+  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY user_id, event_type),
+per_day AS (
+  SELECT user_id, day, COUNT(*) AS n_new FROM firsts GROUP BY user_id, day)
+SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+       SUM(COALESCE(p.n_new, 0)) OVER (
+         PARTITION BY d.user_id ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS distinct_types_so_far
+FROM days d LEFT JOIN per_day p USING (user_id, day)""",
     }

@@ -39,13 +39,22 @@ PRODUCT_WHITELIST = {
     "text_zipf",             # 1-row corpus-total broadcast
     "doc_lang_source_lift",  # 1-row corpus-total broadcast
     "customer_rfm",          # 1-row ref-date + quartile-bounds broadcasts
+    # contract-row queries (round 4): 1-row x 1-row crossJoin combining
+    # the measured count with the ground-truth count before the assert
+    "ann_ivf",
+    "ann_ivf_pq",
+    "pack_greedy",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
 #: scalar aggregates feeding the same plan)
 TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     # 1-row total agg + rank window over the 30-row top cut
-                    "text_zipf"}
+                    "text_zipf",
+                    # contract rows: n_hit agg + n_truth agg (both 1-row)
+                    "ann_ivf", "ann_ivf_pq",
+                    # n_packed/n_docs agg + per-bin-invariant agg
+                    "pack_greedy"}
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
