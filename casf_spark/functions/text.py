@@ -160,7 +160,8 @@ def _series_pandas_udf(fn, return_type: str):
     return pandas_udf(return_type)(fn)
 
 
-def dict_tokenizer(vocab, max_word_len: int | None = None):
+def dict_tokenizer(vocab, max_word_len: int | None = None,
+                   stopwords=None):
     """Dictionary-based CJK segmentation with NO external dependency:
     forward maximum matching (FMM) over a caller-supplied vocabulary, as an
     Arrow-batched pandas_udf (Column -> Column(array<string>)).
@@ -172,6 +173,14 @@ def dict_tokenizer(vocab, max_word_len: int | None = None):
     word fall out as single characters (the FMM convention). Deterministic
     — same vocab, same split.
 
+    ``stopwords`` mirrors ansj's ``StopRecognition.insertStopWords``
+    (KeyWordsDemo.scala:31-43): the filter applies to the SEGMENTED
+    result, after matching — so a stopword that is also a vocab word is
+    segmented as a unit and then dropped, exactly as
+    ``ToAnalysis.parse(...).recognition(stopper)`` behaves. Punctuation
+    needs no entry: the run pattern already passes only CJK/latin/digit
+    chars (the demo's commented-out ``insertStopNatures("w")``).
+
     The vocab set ships inside the UDF closure (serialized once per task);
     for dictionaries beyond a few hundred thousand entries, distribute the
     file to executors and load lazily instead.
@@ -179,6 +188,7 @@ def dict_tokenizer(vocab, max_word_len: int | None = None):
     import re
 
     words = frozenset(w for w in vocab if w)
+    stops = frozenset(stopwords or ())
     maxlen = max_word_len or (max(map(len, words)) if words else 1)
     # \uXXXX escapes parse identically in Python re and Java regex, so the
     # shared CJK_RUN_PATTERN constant is reused verbatim
@@ -206,6 +216,8 @@ def dict_tokenizer(vocab, max_word_len: int | None = None):
                 toks.append(s)
             else:
                 toks.extend(_fmm(s))
+        if stops:
+            toks = [w for w in toks if w not in stops]
         return toks
 
     def segment(texts):

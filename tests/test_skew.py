@@ -70,3 +70,75 @@ def test_sketch_rollup_merge_matches_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for t, n in exact.items():
         assert got[t].exact_users == n and got[t].within_bound, (t, got[t], n)
+
+
+def _hot_matrix(spark, nv=400, hot_every=2):
+    """Adversarial matrix: one coordinate ('hot') appears in 1/hot_every
+    of all vectors at LOW relative value (0.05 of the vector max); 50
+    moderate coords shared by nv/50 vectors each; one unique max-setting
+    coord per vector."""
+    rows = []
+    for v in range(nv):
+        rows.append((f"v{v:04d}", f"c{v % 50}", 6.0))
+        rows.append((f"v{v:04d}", f"u{v}", 10.0))
+        if v % hot_every == 0:
+            rows.append((f"v{v:04d}", "hot", 0.5))
+    return spark.createDataFrame(rows, "y string, x string, value double")
+
+
+def test_hot_coordinate_pair_join_bounded_by_omit(spark):
+    """The documented hot-coordinate hazard (matrix/analyse._factor_pairs:
+    a coord present in 50% of vectors makes the pair self-join quadratic
+    in its document frequency), exercised: the hot coord alone
+    contributes C(200,2)=19900 of 21300 pairs; omit_ratio=0.1 removes
+    the low-relative-value hot cells at the SOURCE, bounding the join to
+    the 1400 pairs the moderate coords produce — a 15x cut measured as
+    exact row counts, not a heuristic."""
+    from casf_spark import CosineAnalyser
+
+    df = _hot_matrix(spark)
+    base = CosineAnalyser(axis="y").fit(df, persist=False)
+    filt = CosineAnalyser(axis="y", omit_ratio=0.1).fit(df, persist=False)
+    c_pairs = 50 * (8 * 7 // 2)       # 50 coords x C(8,2)
+    hot_pairs = 200 * 199 // 2        # C(200,2)
+    assert base.factor_pairs.count() == hot_pairs + c_pairs
+    assert filt.factor_pairs.count() == c_pairs
+
+
+def test_aqe_skew_split_on_hot_coordinate_join(spark):
+    """With omit_ratio unavailable (hot cells carry REAL signal), the
+    mitigation is AQE skew-join splitting. Pin that it actually engages
+    on the pair self-join shape: thresholds lowered to test scale, the
+    hot coordinate's partition splits (skew=true in the final adaptive
+    plan) and the join result is exactly the expected pair count."""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "2KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _hot_matrix(spark, nv=4000)
+        left = df.select(F.col("x").alias("coord"),
+                         F.col("y").alias("vector0"))
+        right = df.select(F.col("x").alias("coord"),
+                          F.col("y").alias("vector1"))
+        pairs = (left.join(right, "coord")
+                 .where(F.col("vector0") > F.col("vector1")))
+        hot = 2000 * 1999 // 2
+        mod = 50 * (80 * 79 // 2)
+        # count through the SAME DataFrame whose plan we inspect —
+        # .count() builds a fresh QueryExecution and the first one would
+        # never finalize (isFinalPlan=false, no skew markers)
+        agg = pairs.groupBy().count()
+        assert agg.collect()[0][0] == hot + mod
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

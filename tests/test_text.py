@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -196,3 +198,77 @@ def test_dict_tokenizer_fmm(spark):
     m = TX.term_counts(df, "doc_id", "text", stopwords=None, tokenizer=seg)
     counts = {(r.y, r.x): r.value for r in m.collect()}
     assert counts[("1", "北京")] == 1.0 and counts[("2", "天气")] == 1.0
+
+
+REF_DATA = "/root/reference/src/test/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference fixture tree not present")
+def test_dict_tokenizer_on_reference_articles(spark):
+    """Segment the reference demo's ACTUAL fixture sentences
+    (KeyWordsDemo.scala:19-27 reads these three articles + the stop-word
+    table) with dict_tokenizer + the stopwords option that mirrors ansj's
+    StopRecognition (filter applied to the segmented result), and pin
+    hand-counted term triples for the opening sentence.
+
+    Hand count for 国家的希望在青年，民族的未来在青年。 with the vocab
+    below: 国家 希望 青年 民族 未来 青年 — 的/在 fall out as single
+    chars and are dropped by the stop table (both appear in
+    中文停用词表.txt); ，。 never enter (non-CJK codepoints)."""
+    import pathlib
+
+    stop_tbl = {w.strip() for w in pathlib.Path(
+        REF_DATA, "中文停用词表.txt").read_text("utf-8").splitlines()
+        if w.strip()}
+    assert {"的", "在"} <= stop_tbl  # the hand count below relies on these
+
+    vocab = ["国家", "希望", "青年", "民族", "未来", "理想", "本领",
+             "担当", "前途", "时代", "中国"]
+    seg = TX.dict_tokenizer(vocab, stopwords=stop_tbl)
+
+    first_line = pathlib.Path(
+        REF_DATA, "不辜负党的期望人民期待民族重托.txt"
+    ).read_text("utf-8").strip().splitlines()[0].strip()
+    assert first_line.startswith("国家的希望在青年")
+
+    sent = first_line.split("。")[0] + "。"  # 国家的希望在青年，民族的未来在青年。
+    df = spark.createDataFrame([(1, sent)], "doc_id long, text string")
+    toks = df.select(seg(F.col("text")).alias("t")).first().t
+    from collections import Counter
+
+    assert Counter(toks) == {"青年": 2, "国家": 1, "希望": 1,
+                             "民族": 1, "未来": 1}
+
+    # end-to-end triples through term_counts (the MatrixElement(x, y,
+    # value) shape of KeyWordsDemo.scala:55-62): article id, term, count
+    m = TX.term_counts(df.select(F.lit("article1").alias("doc_id"), "text"),
+                       "doc_id", "text", stopwords=None, tokenizer=seg)
+    triples = {(r.y, r.x): r.value for r in m.collect()}
+    assert triples[("article1", "青年")] == 2.0
+    assert triples[("article1", "民族")] == 1.0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference fixture tree not present")
+def test_reference_articles_full_pipeline_stopwords_absent(spark):
+    """All three fixture articles through segmentation with the real stop
+    table: no stopword survives in any output token list (the
+    StopRecognition contract), and every article yields terms."""
+    import pathlib
+
+    stop_tbl = {w.strip() for w in pathlib.Path(
+        REF_DATA, "中文停用词表.txt").read_text("utf-8").splitlines()
+        if w.strip()}
+    vocab = ["国家", "希望", "青年", "民族", "未来", "时代", "中国",
+             "信息", "强国", "道路", "复兴", "信心", "志向", "人民"]
+    seg = TX.dict_tokenizer(vocab, stopwords=stop_tbl)
+    arts = [p for p in pathlib.Path(REF_DATA).iterdir()
+            if p.name != "中文停用词表.txt"]
+    assert len(arts) == 3
+    rows = [(p.stem, p.read_text("utf-8")) for p in arts]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = df.select("doc_id", seg(F.col("text")).alias("toks")).collect()
+    for r in out:
+        assert len(r.toks) > 0
+        assert not (set(r.toks) & stop_tbl), sorted(set(r.toks) & stop_tbl)[:5]
