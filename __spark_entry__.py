@@ -2343,6 +2343,56 @@ def q_dedup_cross_source(spark, sf):
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
 
 
+def q_text_chunks(spark, sf):
+    """Training-prep chunking: each document split into overlapping token
+    windows (size 32, stride 24 — 8-token overlap so no boundary context
+    is lost), emitted as (doc_id, chunk_id, n_tokens, chunk_text). The
+    window expansion is pure array HOFs (sequence + slice + array_join:
+    no explode of per-token rows, no Python) and SHUFFLE-FREE — chunking
+    a 100 TB corpus is a map-only pass whose output feeds packing /
+    tokenization downstream. Chunk count per doc = ceil((n - overlap) /
+    stride) for n > 0, mirrored exactly in the SQL twin."""
+    docs = load_table(spark, sf, "documents")
+    size, stride = 32, 24
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    n_chunks = F.ceil((n - F.lit(size - stride)) / F.lit(stride)) \
+        .cast("int")
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(toks, i * stride + 1, size).alias("ctoks")))
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_id:int,ctoks:array<string>>>"))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.explode(chunks).alias("c"))
+            .select("doc_id",
+                    F.col("c.chunk_id").cast("long").alias("chunk_id"),
+                    F.size("c.ctoks").cast("long").alias("n_tokens"),
+                    F.array_join("c.ctoks", " ").alias("chunk_text")))
+
+
+def q_train_shards(spark, sf):
+    """Sharded training-order assignment — the write layout for shuffled
+    training data: every doc gets (shard, position-in-shard) from a
+    SEEDED md5 hash, so the global order is reproducible, re-runnable,
+    and engine-independent. Two-level on purpose: shard = hash mod 8
+    (one hash shuffle), position = row_number within the shard — there
+    is NO global-order window (a single-partition sort is the classic
+    100 TB scale-killer; within-shard windows parallelize per shard)."""
+    docs = load_table(spark, sf, "documents")
+    seed = "epoch0"
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                       F.lit(seed)))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        h.alias("h"), shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
 def q_text_ttr(spark, sf):
     """Lexical diversity (type-token ratio) per document: distinct over
     total tokens, a shuffle-free projection (array HOFs, no explode)."""
@@ -2539,6 +2589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 window behind the overflow names
         "window_first_last": q_window_first_last,
         "events_running_distinct": q_events_running_distinct,
+        "text_chunks": q_text_chunks,
+        "train_shards": q_train_shards,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4077,4 +4129,25 @@ SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS distinct_types_so_far
 FROM days d LEFT JOIN per_day p USING (user_id, day)""",
+        "text_chunks": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
+p AS (SELECT doc_id, a,
+             GREATEST(CAST(CEIL((len(a) - 8) / 24.0) AS INT), 1) nc
+      FROM t WHERE len(a) > 0)
+, e AS (SELECT doc_id, a, unnest(range(nc)) AS i FROM p)
+SELECT doc_id, CAST(i AS BIGINT) chunk_id,
+       CAST(len(a[i*24+1 : i*24+32]) AS BIGINT) n_tokens,
+       array_to_string(a[i*24+1 : i*24+32], ' ') chunk_text
+FROM e""",
+        "train_shards": """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '#epoch0') h
+  FROM documents)
+SELECT doc_id,
+       CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8
+         ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h""",
     }

@@ -127,14 +127,28 @@ def main() -> None:
     total = sum(v for v in timings.values() if v > 0)
     timings = {n: timings[n] for n in BENCH_QUERIES if n in timings}
 
-    print(json.dumps({
+    payload = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs,
         "sf": sf,
-    }))
+    }
+    # The driver truncates the captured stdout tail (~2000 chars), which
+    # cuts the per-query map to ~70 of 139 entries — persist the FULL
+    # timing map to a round-stamped file so it stays auditable.
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   "BENCH_full.json"))
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=False)
+    except OSError as e:
+        print(f"# full-timings write failed: {e}", file=sys.stderr)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
