@@ -2147,6 +2147,51 @@ def q_split_leakage_safe(spark, sf):
     return out.select("doc_id", "cluster_id", "split")
 
 
+def q_orders_merge_upsert(spark, sf):
+    """Warehouse MERGE (operators.cdc.merge_upsert): a derived changeset
+    — price bump for every 10th order (updates) and re-keyed copies of
+    every 100th (inserts) — merged into orders with whole-row-replace
+    semantics via the one-shuffle union + struct-argmax plan (no
+    full-outer join). Output: the affected slice of the merged table,
+    so both update-wins and insert-appears are hash-checked."""
+    from casf_spark.operators.cdc import merge_upsert
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("price"))
+    updates = (o.where(F.col("o_orderkey") % 10 == 0)
+               .withColumn("price", F.round(F.col("price") + 1.0, 2)))
+    inserts = (o.where(F.col("o_orderkey") % 100 == 0)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.lit(10_000_000)))
+    merged = merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.where((F.col("o_orderkey") % 10 == 0)
+                        | (F.col("o_orderkey") >= 10_000_000))
+
+
+def q_events_approx_percentiles(spark, sf):
+    """approx_percentile rank-error contract, oracle-checkable: the
+    t-digest/GK estimate itself is engine-specific, but its RANK
+    guarantee is statable — the fraction of values at or below the
+    approximate p50 must sit in [0.45, 0.55] (accuracy 10000 bounds rank
+    error at 1e-4; the contract allows 5%). The query computes the
+    fraction against the raw data itself, per event type; the oracle
+    states n and TRUE. This is the sketch-percentile analogue of the
+    HLL bound contract (q_events_approx_distinct)."""
+    ev = load_table(spark, sf, "events")
+    ap = (ev.groupBy("event_type")
+          .agg(F.approx_percentile("value", F.lit(0.5), F.lit(10000))
+               .alias("ap50"),
+               F.count(F.lit(1)).alias("n")))
+    j = ev.join(F.broadcast(ap), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.max("n").alias("nmax"),
+                 (F.sum((F.col("value") <= F.col("ap50")).cast("long"))
+                  / F.max("n")).alias("frac"))
+            .select("event_type", F.col("nmax").cast("long").alias("n"),
+                    F.col("frac").between(0.45, 0.55)
+                    .alias("rank_error_ok")))
+
+
 def q_scd2_orders(spark, sf):
     """SCD Type-2 validity intervals (operators.cdc.scd2_history): each
     customer's order stream becomes [valid_from, valid_to) effective
@@ -2591,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_distinct": q_events_running_distinct,
         "text_chunks": q_text_chunks,
         "train_shards": q_train_shards,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "events_approx_percentiles": q_events_approx_percentiles,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4150,4 +4197,26 @@ SELECT doc_id,
          PARTITION BY CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8
          ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM h""",
+        "orders_merge_upsert": """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) price FROM orders),
+src AS (
+  SELECT o_orderkey, o_custkey, ROUND(price + 1.0, 2) price
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, price
+  FROM base WHERE o_orderkey % 100 = 0),
+tagged AS (
+  SELECT *, 0 AS prio FROM base
+  UNION ALL SELECT *, 1 AS prio FROM src),
+merged AS (
+  SELECT o_orderkey, o_custkey, price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY prio DESC) rn
+    FROM tagged) WHERE rn = 1)
+SELECT * FROM merged
+WHERE o_orderkey % 10 = 0 OR o_orderkey >= 10000000""",
+        "events_approx_percentiles": """
+SELECT event_type, COUNT(*) AS n, TRUE AS rank_error_ok
+FROM events GROUP BY event_type""",
     }

@@ -70,3 +70,38 @@ def scd2_history(changelog: DataFrame, key_cols: Sequence[str],
             .withColumn("valid_from", F.col(version_col))
             .withColumn("valid_to", F.lead(version_col).over(w))
             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 key_cols: Sequence[str]) -> DataFrame:
+    """Warehouse MERGE (WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT) with whole-row-replace semantics, as ONE shuffle.
+
+    The textbook implementation is a full-outer join (two shuffled
+    inputs, join state proportional to both sides). Spark-first rewrite:
+    union the two sides with a priority tag and take the per-key
+    struct-argmax — source rows (priority 1) beat target rows (priority
+    0), keys only in one side pass through. One hash shuffle of the
+    concatenated input, map-side combined, no join operator at all; the
+    aggregation state per key is a single row, so skewed keys cost what
+    a count would. Swap the final write for ``MERGE INTO`` on
+    Delta/Iceberg and the plan body is identical.
+
+    Columns must be unionable by name. Deterministic when (key) is
+    unique per side (the MERGE precondition); duplicate source keys fall
+    back to struct-max order, same caveat as :func:`cdc_snapshot`.
+    """
+    key_cols = list(key_cols)
+    cols = target.columns
+    if set(cols) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert: column sets differ: {sorted(cols)} vs "
+            f"{sorted(source.columns)}")
+    tagged = (target.select(*cols).withColumn("_prio", F.lit(0))
+              .unionByName(source.select(*cols).withColumn("_prio",
+                                                           F.lit(1))))
+    payload = F.struct(F.col("_prio").alias("_p"),
+                       F.struct(*[F.col(c) for c in cols]).alias("_row"))
+    return (tagged.groupBy(*key_cols)
+            .agg(F.max(payload).alias("_w"))
+            .select(F.col("_w._row.*")))

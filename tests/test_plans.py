@@ -250,3 +250,35 @@ def test_sql_path_matrix_prepartition(spark, sf_dir):
     keys = re.findall(r"hashpartitioning\(((?:[^()]|\([^)]*\))*)\)", plan)
     assert keys, plan
     assert not any("vector#" in k and "coord#" in k for k in keys), keys
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """At 100 TB the cheapest rows are the ones never read: Spark's
+    runtime bloom-filter injection builds a filter from the selective
+    dimension side and applies it to the fact scan before the shuffle.
+    Pin that the engine actually injects it for the canonical
+    selective-dim ⋈ fact shape (thresholds lowered to test scale — the
+    defaults require a 10 GB application side)."""
+    conf = spark.conf
+    keys = ("spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set(keys[0], "true")
+        conf.set(keys[1], "1KB")
+        # broadcast joins skip runtime filters (already a build-side
+        # lookup); force the shuffled-join path the feature targets
+        conf.set(keys[2], "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+                .where(F.col("s_nationkey") == 7))
+        j = li.join(supp, li.l_suppkey == supp.s_suppkey).groupBy(
+            "s_nationkey").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, \
+            plan[:1200]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
