@@ -240,3 +240,32 @@ def test_ops_demo_runs(spark, sf_dir):
         runpy.run_path("examples/ops_demo.py", run_name="__main__")
     finally:
         sys.argv = argv
+
+
+def test_training_prep_demo_runs(spark, sf_dir):
+    """examples/training_prep.py (curate -> chunk -> pack -> shard ->
+    observed write) executes end to end."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["training_prep.py", sf_dir]
+    try:
+        runpy.run_path("examples/training_prep.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """Format breadth: ORC write/read round-trips the region table with
+    schema and values intact (ORC ships in the Spark distribution; the
+    engine is format-agnostic wherever `spark.read` is)."""
+    from casf_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
