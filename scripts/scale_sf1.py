@@ -56,20 +56,46 @@ COPIES = 10
 #: did not, the dense semantics would be broken.
 QUERIES = ["cosine_sparse", "doc_cosine_lsh", "dedup_minhash",
            "dedup_clusters", "dedup_exact", "text_novelty", "ann_topk",
-           "cosine_topk"]
+           "cosine_topk",
+           # relational + events shapes (coherent key shifts across
+           # lineitem/orders/customer and events copies)
+           "q1_pricing_summary", "q18_large_orders", "customer_rfm",
+           "events_hourly", "events_sessions", "events_running_distinct"]
 QUADRATIC_BY_DESIGN = {"cosine_topk"}
+
+OFF_ORDER, OFF_CUST = 10_000_000, 1_000_000
+OFF_EVENT, OFF_USER = 1_000_000_000, 10_000_000
 
 
 def generate(spark) -> None:
     os.makedirs(OUT, exist_ok=True)
-    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("k"))
+    copies = spark.range(COPIES).select(F.col("id").cast("long").alias("k"))
 
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     (li.crossJoin(copies)
        .withColumn("l_suppkey", F.col("l_suppkey") + F.col("k") * 1000)
        .withColumn("l_partkey", F.col("l_partkey") + F.col("k") * 20000)
+       .withColumn("l_orderkey",
+                   F.col("l_orderkey") + F.col("k") * OFF_ORDER)
        .drop("k")
        .write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet"))
+
+    (spark.read.parquet(f"{SF01}/orders.parquet").crossJoin(copies)
+       .withColumn("o_orderkey", F.col("o_orderkey") + F.col("k") * OFF_ORDER)
+       .withColumn("o_custkey", F.col("o_custkey") + F.col("k") * OFF_CUST)
+       .drop("k")
+       .write.mode("overwrite").parquet(f"{OUT}/orders.parquet"))
+
+    (spark.read.parquet(f"{SF01}/customer.parquet").crossJoin(copies)
+       .withColumn("c_custkey", F.col("c_custkey") + F.col("k") * OFF_CUST)
+       .drop("k")
+       .write.mode("overwrite").parquet(f"{OUT}/customer.parquet"))
+
+    (spark.read.parquet(f"{SF01}/events.parquet").crossJoin(copies)
+       .withColumn("event_id", F.col("event_id") + F.col("k") * OFF_EVENT)
+       .withColumn("user_id", F.col("user_id") + F.col("k") * OFF_USER)
+       .drop("k")
+       .write.mode("overwrite").parquet(f"{OUT}/events.parquet"))
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     words = F.split(F.col("text"), r"\s+")

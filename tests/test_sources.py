@@ -269,3 +269,18 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, src.collect()))
+
+
+def test_csv_round_trip_with_schema(spark, sf_dir, tmp_path):
+    """CSV write/read with an explicit schema round-trips the nation
+    table (header on, explicit schema so types survive — schema
+    inference is a scan you don't pay twice at scale)."""
+    from casf_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(src.schema).option("header", True).csv(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
