@@ -2438,6 +2438,19 @@ def q_train_shards(spark, sf):
             .select("doc_id", "shard", "pos"))
 
 
+def q_text_heavy_hitters(spark, sf):
+    """Exact corpus heavy hitters (operators.sketches.frequent_items):
+    tokens making up >= 1% of all token occurrences, found via
+    batch-local candidate pruning + exact recount — the vocabulary never
+    shuffles, only candidate occurrences do. Output is exact, so the
+    oracle is a plain GROUP BY/HAVING over the exploded tokens."""
+    from casf_spark.operators.sketches import frequent_items
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    return (frequent_items(toks, "token", theta=0.01)
+            .select(F.col("item").alias("token"), "cnt"))
+
+
 def q_text_ttr(spark, sf):
     """Lexical diversity (type-token ratio) per document: distinct over
     total tokens, a shuffle-free projection (array HOFs, no explode)."""
@@ -2638,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
+        "text_heavy_hitters": q_text_heavy_hitters,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4219,4 +4233,10 @@ WHERE o_orderkey % 10 = 0 OR o_orderkey >= 10000000""",
         "events_approx_percentiles": """
 SELECT event_type, COUNT(*) AS n, TRUE AS rank_error_ok
 FROM events GROUP BY event_type""",
+        "text_heavy_hitters": f"""
+WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT COUNT(*) n FROM t)
+SELECT token, COUNT(*) AS cnt
+FROM t GROUP BY token
+HAVING COUNT(*) >= CEIL(0.01 * (SELECT n FROM tot))""",
     }

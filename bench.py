@@ -91,6 +91,13 @@ def main() -> None:
     # needs ~5 executions to fully promote these methods.
     heavy = [n for n in BENCH_QUERIES
              if n.startswith("cosine_") or n.startswith("doc_cosine")]
+    # cosine_predict first: the slow JIT state (BASELINE.md "Residual
+    # predict bimodality") is entered by a stochastic deopt event and is
+    # sticky for the process — measured [3.56, 3.87, 14.42] in a process
+    # that ran ONLY predict. Sampling it before any other timed query
+    # minimizes the chance the process has flipped by the time it's
+    # measured.
+    heavy.sort(key=lambda n: n != "cosine_predict")
     for _ in range(3):
         for name in heavy:
             try:
