@@ -2451,6 +2451,18 @@ def q_text_heavy_hitters(spark, sf):
             .select(F.col("item").alias("token"), "cnt"))
 
 
+def q_lang_top_tokens(spark, sf):
+    """Per-language exact heavy hitters (sketches.grouped_frequent_items):
+    tokens making up >= 2% of each language slice's occurrences — the
+    mixture-audit question ('what dominates each slice') answered
+    exactly, with only candidate occurrences shuffling."""
+    from casf_spark.operators.sketches import grouped_frequent_items
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(TX.tokens("text")).alias("token"))
+    return (grouped_frequent_items(toks, "lang", "token", theta=0.02)
+            .select("lang", F.col("item").alias("token"), "cnt"))
+
+
 def q_text_ttr(spark, sf):
     """Lexical diversity (type-token ratio) per document: distinct over
     total tokens, a shuffle-free projection (array HOFs, no explode)."""
@@ -2652,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
         "text_heavy_hitters": q_text_heavy_hitters,
+        "lang_top_tokens": q_lang_top_tokens,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4239,4 +4252,11 @@ tot AS (SELECT COUNT(*) n FROM t)
 SELECT token, COUNT(*) AS cnt
 FROM t GROUP BY token
 HAVING COUNT(*) >= CEIL(0.01 * (SELECT n FROM tot))""",
+        "lang_top_tokens": f"""
+WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT lang, COUNT(*) n FROM t GROUP BY lang)
+SELECT t.lang, token, COUNT(*) AS cnt
+FROM t JOIN tot USING (lang)
+GROUP BY t.lang, token, tot.n
+HAVING COUNT(*) >= CEIL(0.02 * tot.n)""",
     }

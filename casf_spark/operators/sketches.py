@@ -69,3 +69,51 @@ def frequent_items(items: DataFrame, item_col: str,
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") >= F.lit(min_count))
             .select(F.col("item"), F.col("cnt").cast("long").alias("cnt")))
+
+
+def grouped_frequent_items(items: DataFrame, group_col: str,
+                           item_col: str, theta: float) -> DataFrame:
+    """Per-group exact heavy hitters: for each group, the items whose
+    within-group frequency is >= theta * N_group — the mixture-audit
+    shape ("which tokens dominate each language/source slice") at the
+    same cost profile as :func:`frequent_items`.
+
+    Pass 1 prunes per (batch x group): an item theta-heavy in a group
+    globally must be theta-heavy in that group's slice of at least one
+    batch (the pigeonhole argument applied within the group), so the
+    per-batch groupby('group').value_counts() survivors are a superset.
+    Pass 2 joins candidates back on (group, item) — a broadcast when the
+    candidate set is small, which it is for any Zipfian corpus — and
+    recounts exactly against each group's own total (computed in the
+    same aggregation pass, no separate count per group).
+    """
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(f"grouped_frequent_items: theta must be in "
+                         f"(0, 1], got {theta}")
+    src = items.select(F.col(group_col).alias("grp"),
+                       F.col(item_col).alias("item"))
+
+    def batch_heavy(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf.groupby("grp")["item"].value_counts()
+            gn = pdf.groupby("grp")["item"].size()
+            keep = vc[vc >= theta * gn.reindex(
+                vc.index.get_level_values("grp")).to_numpy()]
+            if len(keep):
+                out = keep.index.to_frame(index=False)
+                yield out[["grp", "item"]]
+
+    totals = src.groupBy("grp").agg(F.count(F.lit(1)).alias("grp_n"))
+    cand = (src.mapInPandas(batch_heavy, "grp string, item string")
+            .distinct())
+    counted = (src.join(F.broadcast(cand), ["grp", "item"])
+               .groupBy("grp", "item")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    return (counted.join(F.broadcast(totals), "grp")
+            .where(F.col("cnt") >= F.ceil(F.col("grp_n") * F.lit(theta)))
+            .select(F.col("grp").alias(group_col),
+                    F.col("item"), F.col("cnt").cast("long").alias("cnt")))

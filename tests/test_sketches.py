@@ -39,3 +39,17 @@ def test_heavy_hitters_threshold_boundary(spark):
     df = spark.createDataFrame([(x,) for x in rows], "item string")
     got = {r.item for r in frequent_items(df, "item", 0.1).collect()}
     assert got == {"x"}
+
+
+def test_grouped_heavy_hitters_matches_naive(spark):
+    """Per-group pruning + recount against the per-group full groupBy."""
+    from casf_spark.operators.sketches import grouped_frequent_items
+
+    rows = ([("en", "hot")] * 60 + [("en", f"t{i}") for i in range(40)]
+            + [("de", "der")] * 30 + [("de", "hot")] * 5
+            + [("de", f"d{i}") for i in range(65)])
+    df = spark.createDataFrame(rows, "g string, item string").repartition(6)
+    got = {(r.g, r.item): r.cnt for r in
+           grouped_frequent_items(df, "g", "item", 0.2).collect()}
+    # en: N=100 -> >=20: hot(60). de: N=100 -> >=20: der(30); hot only 5.
+    assert got == {("en", "hot"): 60, ("de", "der"): 30}
