@@ -2438,6 +2438,31 @@ def q_train_shards(spark, sf):
             .select("doc_id", "shard", "pos"))
 
 
+def q_dedup_edit_distance(spark, sf):
+    """Character-level near-dup: MinHash-banding candidates rescored
+    with EXACT Levenshtein distance (F.levenshtein — JVM-side, no UDF)
+    and normalized edit similarity. Token-level candidates + char-level
+    exactness is the practical two-stage: all-pairs Levenshtein is
+    O(n²·len²) and can never run at corpus scale, but rescoring the
+    sub-quadratic candidate set costs ~nothing and catches what shingle
+    Jaccard blurs (reorderings score low, small in-place edits score
+    high). Oracle: DuckDB's levenshtein() over the same md5-derived
+    candidate pairs."""
+    docs = load_table(spark, sf, "documents")
+    cand = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                n=2, num_hashes=12, bands=4)
+    t0 = docs.select(F.col("doc_id").cast("long").alias("doc0"),
+                     F.col("text").alias("t0"))
+    t1 = docs.select(F.col("doc_id").cast("long").alias("doc1"),
+                     F.col("text").alias("t1"))
+    lev = F.levenshtein("t0", "t1")
+    sim = F.lit(1.0) - lev / F.greatest(F.length("t0"), F.length("t1"))
+    return (cand.join(t0, "doc0").join(t1, "doc1")
+            .select("doc0", "doc1",
+                    lev.cast("long").alias("edit_dist"),
+                    F.round(sim, 6).alias("edit_sim")))
+
+
 def q_text_heavy_hitters(spark, sf):
     """Exact corpus heavy hitters (operators.sketches.frequent_items):
     tokens making up >= 1% of all token occurrences, found via
@@ -2665,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_percentiles": q_events_approx_percentiles,
         "text_heavy_hitters": q_text_heavy_hitters,
         "lang_top_tokens": q_lang_top_tokens,
+        "dedup_edit_distance": q_dedup_edit_distance,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4259,4 +4285,13 @@ SELECT t.lang, token, COUNT(*) AS cnt
 FROM t JOIN tot USING (lang)
 GROUP BY t.lang, token, tot.n
 HAVING COUNT(*) >= CEIL(0.02 * tot.n)""",
+        "dedup_edit_distance": f"""
+WITH {_minhash_cte()}
+SELECT doc0, doc1,
+       CAST(levenshtein(d0.text, d1.text) AS BIGINT) AS edit_dist,
+       ROUND(1.0 - levenshtein(d0.text, d1.text)
+             / GREATEST(length(d0.text), length(d1.text)), 6) AS edit_sim
+FROM mh_cand
+JOIN documents d0 ON CAST(d0.doc_id AS BIGINT) = doc0
+JOIN documents d1 ON CAST(d1.doc_id AS BIGINT) = doc1""",
     }
