@@ -1,5 +1,7 @@
-from casf_spark.operators import (curation, dedup, joins, pipeline, profile,
-                                  relevance, sampling, similarity, skew)
+from casf_spark.operators import (cdc, checks, curation, dedup, joins,
+                                  linalg, pipeline, profile, relevance,
+                                  sampling, similarity, sketches, skew)
 
-__all__ = ["curation", "dedup", "joins", "pipeline", "profile", "relevance",
-           "sampling", "similarity", "skew"]
+__all__ = ["cdc", "checks", "curation", "dedup", "joins", "linalg",
+           "pipeline", "profile", "relevance", "sampling", "similarity",
+           "sketches", "skew"]
