@@ -25,9 +25,40 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # every oracle-checked query + the rows-only mapInPandas one
 BENCH_QUERIES = list(entrymod.queries().keys())
 
+#: queries measured in a DEDICATED subprocess JVM. cosine_predict's slow
+#: JIT state is a stochastic sticky deopt (BASELINE.md "Residual predict
+#: bimodality"): once a process flips, best-of-N cannot recover, and the
+#: flip can strike even when predict is warmed+timed first (measured 10.1 s
+#: in one such run vs 3.5 s standalone). A fresh JVM per measurement gives
+#: the number a dedicated production job actually sees; every other query
+#: is stable in-suite and stays in-process. Set SPARK_GRAFT_BENCH_ONLY to
+#: run the subprocess leg; empty ISOLATE (or a failed subprocess) falls
+#: back to in-process timing.
+ISOLATE = ("cosine_predict",)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _run_isolated(names: list[str]) -> dict[str, float]:
+    """Time ``names`` in a fresh subprocess JVM (own warm, best-of-N);
+    returns {} on any failure so the caller falls back in-process."""
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(names))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=600)
+        line = out.stdout.strip().splitlines()[-1]
+        return {k: float(v)
+                for k, v in _json.loads(line)["queries"].items()}
+    except Exception as e:  # noqa: BLE001 — any failure -> fallback
+        print(f"# isolated leg failed ({e}); falling back in-process",
+              file=sys.stderr)
+        return {}
 
 
 def main() -> None:
@@ -36,6 +67,8 @@ def main() -> None:
         sf = float(sf_label)
     except ValueError:
         sf = sf_label
+    only = [n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+            if n]
     spark = get_spark("casf_bench")
 
     # Warm-up: run the whole suite once at sf0.001 (untimed). Generated
@@ -79,6 +112,26 @@ def main() -> None:
                 break  # sub-second shapes: jitter, not instability
         timings[name] = best
 
+    if only:
+        # subprocess leg: own 3-pass warm at SF_DIR, then best-of-N
+        for _ in range(3):
+            for name in only:
+                try:
+                    materialize(qs[name](spark, SF_DIR))
+                except Exception:
+                    pass
+            spark.catalog.clearCache()
+        for name in only:
+            time_query(name)
+        print(json.dumps({"metric": "isolated_leg_sec",
+                          "value": round(sum(timings.values()), 3),
+                          "unit": "sec", "queries": timings, "sf": sf}))
+        return
+
+    for name, t in _run_isolated([n for n in ISOLATE
+                                  if n in BENCH_QUERIES]).items():
+        timings[name] = t
+
     # PHASE 1 — the heavy cosine family, timed in a near-pristine JVM.
     # The biggest fused plans (predict/topk) are JIT-fragile: in a JVM
     # that has executed the other ~130 plans first they occasionally lock
@@ -106,7 +159,8 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
     for name in heavy:
-        time_query(name)
+        if name not in timings:  # isolated-leg names are already measured
+            time_query(name)
 
     # PHASE 2 — everything else, after a full-suite warm at sf0.001.
     # Generated classes are keyed by plan shape, not data size, so the

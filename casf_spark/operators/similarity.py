@@ -272,7 +272,8 @@ def blocked_gemm_pairs(df: DataFrame, id_col: str = "vec_id",
 
 
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
-                         num_planes: int = 8, seed: int = 42) -> DataFrame:
+                         num_planes: int = 8, seed: int = 42,
+                         dims: int | None = None) -> DataFrame:
     """Sign-bit LSH signature: bucket = sum over planes of sign-bit << p.
 
     Plane p's component for dimension d is the deterministic integer
@@ -297,8 +298,11 @@ def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
                            F.lit(0.0), lambda acc, x: acc + x)
 
     # infer dims from schema metadata is unavailable for array<float>; the
-    # caller's data has fixed width — sample one row (tiny driver action).
-    dims = len(df.select(vec_col).first()[0])
+    # caller's data has fixed width — pass ``dims`` to skip the probe, or
+    # sample one row (a tiny driver action, but one Spark job per call —
+    # callers building many signature tables should pass it).
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     bucket = None
     for p in range(num_planes):
         bit = F.when(plane_dot(p, dims) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
