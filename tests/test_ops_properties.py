@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 slow_ok = settings(max_examples=12, deadline=None,
                    suppress_health_check=[HealthCheck.function_scoped_fixture,
@@ -108,3 +109,102 @@ def test_novelty_credits_each_gram_exactly_once(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))).alias("g"))
     n_distinct = grams.agg(F.count_distinct("g")).first()[0]
     assert total_novel == n_distinct
+
+
+merge_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(1, 8), st.integers(0, 99)),
+             min_size=0, max_size=12, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(1, 12), st.integers(100, 199)),
+             min_size=0, max_size=12, unique_by=lambda t: t[0]))
+
+
+@slow_ok
+@given(merge_strategy)
+def test_merge_upsert_matches_dict_semantics(spark, tgt_src):
+    """MERGE == dict update: target dict updated by source dict, any key
+    sets, any overlap."""
+    from casf_spark.operators.cdc import merge_upsert
+
+    tgt, src = tgt_src
+    t = spark.createDataFrame(tgt or [(None, None)], "k long, v long") \
+        .where(F.col("k").isNotNull())
+    s = spark.createDataFrame(src or [(None, None)], "k long, v long") \
+        .where(F.col("k").isNotNull())
+    got = {r.k: r.v for r in merge_upsert(t, s, ["k"]).collect()}
+    want = dict(tgt)
+    want.update(dict(src))
+    assert got == want
+
+
+chunk_docs_strategy = st.lists(
+    st.tuples(st.integers(0, 30),
+              st.lists(st.sampled_from("abc de fgh ij klm nop".split()),
+                       min_size=0, max_size=80)),
+    min_size=1, max_size=8, unique_by=lambda t: t[0])
+
+
+@slow_ok
+@given(chunk_docs_strategy)
+def test_text_chunks_cover_every_token_in_order(spark, docs):
+    """Chunking invariants for any doc lengths: every token of every doc
+    appears in some chunk at its original relative order; chunk 0 starts
+    at token 1; consecutive chunks overlap by size-stride tokens (except
+    a possibly-short final chunk); no chunk exceeds the window size."""
+    import __spark_entry__ as E
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run the same chunker the query uses, on this synthetic frame
+    orig_load = E.load_table
+    try:
+        E.load_table = lambda _s, _sf, _n: df
+        out = E.q_text_chunks(spark, "unused").collect()
+    finally:
+        E.load_table = orig_load
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ") \
+            if r.chunk_text else []
+    for i, toks in docs:
+        chunks = by_doc.get(i, {})
+        if not toks:
+            assert chunks == {} or list(chunks.values()) == [[]]
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt = []
+        for c in range(len(chunks)):
+            ch = chunks[c]
+            assert len(ch) <= 32
+            start = c * 24
+            assert ch == toks[start:start + 32]
+            rebuilt = rebuilt[:start] + ch
+        assert rebuilt == toks
+
+
+@slow_ok
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                unique=True))
+def test_train_shards_bijection_and_determinism(spark, ids):
+    """Shard assignment invariants: every doc exactly once, positions
+    within each shard are 1..n_shard with no gaps, and a re-run is
+    bit-identical (seeded)."""
+    import __spark_entry__ as E
+
+    df = spark.createDataFrame([(i, "t") for i in ids],
+                               "doc_id long, text string")
+    orig_load = E.load_table
+    try:
+        E.load_table = lambda _s, _sf, _n: df
+        a = E.q_train_shards(spark, "unused").collect()
+        b = E.q_train_shards(spark, "unused").collect()
+    finally:
+        E.load_table = orig_load
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r.doc_id for r in a) == sorted(ids)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
