@@ -2438,6 +2438,28 @@ def q_train_shards(spark, sf):
             .select("doc_id", "shard", "pos"))
 
 
+def q_embedding_standardize(spark, sf):
+    """Per-dimension standardization (z-scoring) of the embedding corpus
+    — the prep step before distance work when dimensions have uneven
+    scales. One posexplode -> per-dim mean/stddev aggregation (64 rows)
+    -> broadcast join back: the stats side is dimension-sized regardless
+    of corpus size, and the corpus-side pass is map-only after the
+    broadcast. Emitted exploded (vec_id, dim, z) so the DuckDB twin
+    (unnest WITH ORDINALITY + the same sample-stddev) hash-checks every
+    standardized cell. Zero-variance dims map to z=0 explicitly."""
+    emb = load_table(spark, sf, "embeddings")
+    cells = emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       F.posexplode("embedding").alias("dim", "x"))
+    stats = (cells.groupBy("dim")
+             .agg(F.avg("x").alias("mu"),
+                  F.stddev_samp("x").alias("sigma")))
+    z = F.when((F.col("sigma").isNull()) | (F.col("sigma") == 0), F.lit(0.0)) \
+        .otherwise((F.col("x") - F.col("mu")) / F.col("sigma"))
+    return (cells.join(F.broadcast(stats), "dim")
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    F.round(z, 6).alias("z")))
+
+
 def q_dedup_edit_distance(spark, sf):
     """Character-level near-dup: MinHash-banding candidates rescored
     with EXACT Levenshtein distance (F.levenshtein — JVM-side, no UDF)
@@ -2691,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": q_text_heavy_hitters,
         "lang_top_tokens": q_lang_top_tokens,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "embedding_standardize": q_embedding_standardize,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -4294,4 +4317,16 @@ SELECT doc0, doc1,
 FROM mh_cand
 JOIN documents d0 ON CAST(d0.doc_id AS BIGINT) = doc0
 JOIN documents d1 ON CAST(d1.doc_id AS BIGINT) = doc1""",
+        "embedding_standardize": """
+WITH cells AS (
+  SELECT CAST(vec_id AS BIGINT) vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+stats AS (
+  SELECT dim, AVG(x) mu, STDDEV_SAMP(x) sigma FROM cells GROUP BY dim)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       ROUND(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                  ELSE (x - mu) / sigma END, 6) AS z
+FROM cells JOIN stats USING (dim)""",
     }
