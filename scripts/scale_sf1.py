@@ -46,14 +46,17 @@ import __spark_entry__ as entrymod
 from casf_spark.session import get_spark
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: COPIES x sf0.1 (10 -> sf1). Override via SPARK_GRAFT_SCALE_COPIES for
+#: e.g. a 30-copy sf3 stretch; the output dir is named accordingly.
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scale", "sf1")
-COPIES = 10
+                   ".scale", f"sf{COPIES / 10:g}")
 
 #: queries with an explicit linear / sub-linear scale claim (SCALE.md),
 #: plus cosine_topk as the labeled quadratic-by-semantics control: dense
 #: all-pairs top-k MUST grow ~100x in pair volume at 10x vectors — if it
 #: did not, the dense semantics would be broken.
+_Q_ENV = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
 QUERIES = ["cosine_sparse", "doc_cosine_lsh", "dedup_minhash",
            "dedup_clusters", "dedup_exact", "text_novelty", "ann_topk",
            "cosine_topk",
@@ -61,6 +64,8 @@ QUERIES = ["cosine_sparse", "doc_cosine_lsh", "dedup_minhash",
            # lineitem/orders/customer and events copies)
            "q1_pricing_summary", "q18_large_orders", "customer_rfm",
            "events_hourly", "events_sessions", "events_running_distinct"]
+if _Q_ENV:
+    QUERIES = [q for q in _Q_ENV.split(",") if q]
 QUADRATIC_BY_DESIGN = {"cosine_topk"}
 
 OFF_ORDER, OFF_CUST = 10_000_000, 1_000_000
