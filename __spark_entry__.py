@@ -1071,8 +1071,14 @@ def q_orders_quartiles(spark, sf):
     return (o.select(F.ntile(4).over(w).alias("quartile"), "o_totalprice")
             .groupBy("quartile")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 # exact decimal sum, then an explicit double on the wire:
+                 # Spark SUM(decimal(18,2)) widens to decimal(28,2), DuckDB
+                 # to decimal(38,2) — emitting the decimal leaks engine
+                 # precision metadata into the output schema (r4 driver
+                 # hash-fail); both engines cast the identical decimal to
+                 # the identical IEEE double.
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                         2).alias("total"),
+                         2).cast("double").alias("total"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
 
@@ -2106,7 +2112,12 @@ def q_customer_rfm(spark, sf):
                    # low recency-days = BEST -> invert to 4
                    bucket("r", rev=True), bucket("f"), bucket("m")))
     return out.select(
-        "o_custkey", "r", "f", "m", "r_q", "f_q", "m_q",
+        "o_custkey", "r", "f",
+        # bucketing above runs on the exact decimal; the wire column is an
+        # explicit double so Spark's decimal(29,2) vs DuckDB's
+        # decimal(38,2) SUM-widening metadata never reaches the output
+        F.col("m").cast("double").alias("m"),
+        "r_q", "f_q", "m_q",
         F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"))
 
 
@@ -2153,19 +2164,31 @@ def q_orders_merge_upsert(spark, sf):
     every 100th (inserts) — merged into orders with whole-row-replace
     semantics via the one-shuffle union + struct-argmax plan (no
     full-outer join). Output: the affected slice of the merged table,
-    so both update-wins and insert-appears are hash-checked."""
+    so both update-wins and insert-appears are hash-checked.
+
+    The insert offset is DERIVED from the data (next 10M multiple past
+    max(o_orderkey), one broadcast scalar) rather than a fixed +10M: the
+    synthetic sf1/sf3 generators shift real keys by k*10M per copy, so a
+    fixed offset would collide inserts with copy k+1's real keys and
+    silently overwrite unrelated rows."""
     from casf_spark.operators.cdc import merge_upsert
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey",
         F.round("o_totalprice", 2).alias("price"))
+    off = o.agg(((F.floor(F.max("o_orderkey") / F.lit(10_000_000)) + 1)
+                 * F.lit(10_000_000)).cast("long").alias("ins_off"))
     updates = (o.where(F.col("o_orderkey") % 10 == 0)
                .withColumn("price", F.round(F.col("price") + 1.0, 2)))
     inserts = (o.where(F.col("o_orderkey") % 100 == 0)
+               .crossJoin(F.broadcast(off))
                .withColumn("o_orderkey",
-                           F.col("o_orderkey") + F.lit(10_000_000)))
+                           F.col("o_orderkey") + F.col("ins_off"))
+               .drop("ins_off"))
     merged = merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
-    return merged.where((F.col("o_orderkey") % 10 == 0)
-                        | (F.col("o_orderkey") >= 10_000_000))
+    return (merged.crossJoin(F.broadcast(off))
+            .where((F.col("o_orderkey") % 10 == 0)
+                   | (F.col("o_orderkey") >= F.col("ins_off")))
+            .drop("ins_off"))
 
 
 def q_events_approx_percentiles(spark, sf):
@@ -2291,8 +2314,13 @@ def q_orders_yoy_growth(spark, sf):
     the aggregate-then-window time-series shape."""
     o = load_table(spark, sf, "orders")
     yearly = (o.groupBy(F.year("o_orderdate").alias("yr"), "o_orderpriority")
+              # exact decimal sum, double on the wire: a decimal revenue
+              # makes the lag-ratio chain decimal(38,6) in Spark but DOUBLE
+              # in DuckDB (r4 driver hash-fail) — run the window math in
+              # IEEE double on both engines instead.
               .agg(F.round(F.sum(F.col("o_totalprice")
-                                 .cast("decimal(18,2)")), 2).alias("revenue")))
+                                 .cast("decimal(18,2)")), 2)
+                   .cast("double").alias("revenue")))
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
     prev = F.lag("revenue").over(w)
     return yearly.select(
@@ -2626,16 +2654,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
+# Round-5 driver window (the driver's correctness harness checks the FIRST
+# 50 entries of queries()). Composition, per the round-4 verdict:
+#   * 24 names never driver-checked in rounds 1-4: the 14 documented
+#     overflow names + the 10 round-4 additions;
+#   * the 3 round-4 hash-fails (Spark<->DuckDB output-type divergence,
+#     fixed this round by emitting explicit double/bigint on both sides);
+#   * 23 re-confirmations: every name whose only driver-green row is
+#     round 3 (oldest single-green cohort).
+# With this window, every one of the 147 names has been driver-checked at
+# least once across rounds 1-5, and every non-window name is green in a
+# round >= 3 or multi-green.
+_ROUND5_WINDOW = [
+    # -- 14 overflow names (queued since round 4)
+    "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
+    "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
+    "events_hour_spine", "text_fingerprint", "text_token_stats",
+    "text_split", "ann_lsh_mp", "multimodal_features",
+    "users_click_not_purchase",
+    # -- 10 round-4 additions, never windowed
+    "window_first_last", "events_running_distinct", "text_chunks",
+    "train_shards", "orders_merge_upsert", "events_approx_percentiles",
+    "text_heavy_hitters", "lang_top_tokens", "dedup_edit_distance",
+    "embedding_standardize",
+    # -- the 3 round-4 hash-fails, re-presented after the type fix
+    "orders_quartiles", "events_json_variant", "orders_yoy_growth",
+    # -- 23 round-3-single-green re-confirmations
+    "ann_ivf_det", "ann_lsh", "ann_topk", "decontaminate",
+    "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_winnow",
+    "doc_cosine_cjk", "multimodal_meta", "pack_bins", "pii_redact",
+    "pipeline_curate", "sample_stratified", "text_lang_id",
+    "text_line_dedup", "text_quality", "text_repetition",
+    "text_term_counts", "text_winnow",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver-window note: the driver's correctness harness checks
-        # the FIRST 50 entries of this dict. Round-4 rotation: rounds 1-3
-        # drove 74 of the 137 names green; this window is exactly the
-        # never-driver-checked backlog (49 of 63, in their round-3 order)
-        # plus ann_ivf, upgraded this round from rows-only to an
-        # oracle-checked recall-contract row. The 14 overflow names sit
-        # immediately after the window to head round 5; the thrice-green
-        # cosine/text/dedup/events core rotates behind them.
+    base = {
+        # (registration order below is the round-4 layout; the actual
+        # driver-facing order is _ROUND5_WINDOW first — see the reorder at
+        # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
         "knn_classify": q_knn_classify,
@@ -2797,6 +2856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
+    assert len(_ROUND5_WINDOW) == 50
+    missing = [n for n in _ROUND5_WINDOW if n not in base]
+    assert not missing, f"window names absent from registry: {missing}"
+    out = {n: base[n] for n in _ROUND5_WINDOW}
+    out.update((n, f) for n, f in base.items() if n not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3354,7 +3419,7 @@ WITH q AS (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
              quartile, o_totalprice
            FROM orders)
 SELECT CAST(quartile AS INT) quartile, CAST(COUNT(*) AS BIGINT) n,
-  ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) total,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) total,
   ROUND(MIN(o_totalprice), 2) lo, ROUND(MAX(o_totalprice), 2) hi
 FROM q GROUP BY 1""",
         "events_corr": """
@@ -3424,7 +3489,7 @@ q AS (SELECT o_custkey, r, f, m,
   CAST(CASE WHEN m <= bm[1] THEN 1 WHEN m <= bm[2] THEN 2
             WHEN m <= bm[3] THEN 3 ELSE 4 END AS INT) m_q
   FROM pr, b)
-SELECT o_custkey, r, f, m, r_q, f_q, m_q,
+SELECT o_custkey, r, f, CAST(m AS DOUBLE) m, r_q, f_q, m_q,
        concat_ws('-', r_q, f_q, m_q) AS segment
 FROM q""",
         "dedup_triangles": f"""
@@ -3541,7 +3606,8 @@ FROM dg JOIN fst USING (gh) GROUP BY 1""",
         "orders_yoy_growth": """
 WITH yearly AS (
   SELECT EXTRACT(year FROM o_orderdate) yr, o_orderpriority,
-         ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) revenue
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           revenue
   FROM orders GROUP BY 1, 2)
 SELECT CAST(yr AS INT) yr, o_orderpriority, revenue,
        ROUND((revenue - LAG(revenue) OVER w)
@@ -3602,7 +3668,8 @@ SELECT event_id, user_id,
 FROM events""",
         "events_json_variant": """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) sum_k,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
          avg_k,
        CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) n_with_k
@@ -4247,10 +4314,10 @@ firsts AS (
 per_day AS (
   SELECT user_id, day, COUNT(*) AS n_new FROM firsts GROUP BY user_id, day)
 SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
-       SUM(COALESCE(p.n_new, 0)) OVER (
+       CAST(SUM(COALESCE(p.n_new, 0)) OVER (
          PARTITION BY d.user_id ORDER BY d.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       AS distinct_types_so_far
+       AS BIGINT) AS distinct_types_so_far
 FROM days d LEFT JOIN per_day p USING (user_id, day)""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
@@ -4276,12 +4343,15 @@ FROM h""",
         "orders_merge_upsert": """
 WITH base AS (
   SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) price FROM orders),
+off AS (
+  SELECT CAST((FLOOR(MAX(o_orderkey) / 10000000) + 1) * 10000000 AS BIGINT)
+    ins_off FROM base),
 src AS (
   SELECT o_orderkey, o_custkey, ROUND(price + 1.0, 2) price
   FROM base WHERE o_orderkey % 10 = 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, price
-  FROM base WHERE o_orderkey % 100 = 0),
+  SELECT b.o_orderkey + o.ins_off, b.o_custkey, b.price
+  FROM base b, off o WHERE b.o_orderkey % 100 = 0),
 tagged AS (
   SELECT *, 0 AS prio FROM base
   UNION ALL SELECT *, 1 AS prio FROM src),
@@ -4290,8 +4360,8 @@ merged AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
                                  ORDER BY prio DESC) rn
     FROM tagged) WHERE rn = 1)
-SELECT * FROM merged
-WHERE o_orderkey % 10 = 0 OR o_orderkey >= 10000000""",
+SELECT m.* FROM merged m, off o
+WHERE m.o_orderkey % 10 = 0 OR m.o_orderkey >= o.ins_off""",
         "events_approx_percentiles": """
 SELECT event_type, COUNT(*) AS n, TRUE AS rank_error_ok
 FROM events GROUP BY event_type""",

@@ -25,16 +25,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # every oracle-checked query + the rows-only mapInPandas one
 BENCH_QUERIES = list(entrymod.queries().keys())
 
-#: queries measured in a DEDICATED subprocess JVM. cosine_predict's slow
-#: JIT state is a stochastic sticky deopt (BASELINE.md "Residual predict
-#: bimodality"): once a process flips, best-of-N cannot recover, and the
-#: flip can strike even when predict is warmed+timed first (measured 10.1 s
-#: in one such run vs 3.5 s standalone). A fresh JVM per measurement gives
-#: the number a dedicated production job actually sees; every other query
-#: is stable in-suite and stays in-process. Set SPARK_GRAFT_BENCH_ONLY to
-#: run the subprocess leg; empty ISOLATE (or a failed subprocess) falls
-#: back to in-process timing.
-ISOLATE = ("cosine_predict",)
+#: queries measured in a DEDICATED subprocess JVM — one JVM per query.
+#: cosine_predict's slow JIT state is a stochastic sticky deopt
+#: (BASELINE.md "Residual predict bimodality"): once a process flips,
+#: best-of-N cannot recover, and the flip can strike even when the query
+#: is warmed+timed first (measured 10.1 s in one such run vs 3.5 s
+#: standalone). Round 4 showed the same flip landing on cosine_topk
+#: (driver recorded 9.35 s vs 1.28 s standalone) once predict moved into
+#: its own subprocess and topk became the first big fused plan the main
+#: JVM timed — so topk gets the same isolation, and each isolated name
+#: runs in its OWN fresh JVM so one query's deopt cannot contaminate the
+#: other's measurement. Every other query is stable in-suite and stays
+#: in-process. Set SPARK_GRAFT_BENCH_ONLY to run the subprocess leg;
+#: empty ISOLATE (or a failed subprocess) falls back to in-process
+#: timing.
+ISOLATE = ("cosine_predict", "cosine_topk")
 
 
 def materialize(df) -> None:
@@ -128,9 +133,10 @@ def main() -> None:
                           "unit": "sec", "queries": timings, "sf": sf}))
         return
 
-    for name, t in _run_isolated([n for n in ISOLATE
-                                  if n in BENCH_QUERIES]).items():
-        timings[name] = t
+    for iso in ISOLATE:
+        if iso in BENCH_QUERIES:
+            for name, t in _run_isolated([iso]).items():
+                timings[name] = t
 
     # PHASE 1 — the heavy cosine family, timed in a near-pristine JVM.
     # The biggest fused plans (predict/topk) are JIT-fragile: in a JVM

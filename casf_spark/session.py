@@ -67,7 +67,15 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    reused = SparkSession.getActiveSession() is not None
+    # getOrCreate also reuses a default session that is not thread-active
+    # (e.g. one created on another thread), so check the instantiated
+    # default too — otherwise the JVM-launch-options warning below is
+    # silently skipped and an embedded bench run gets pessimistic timings
+    # with no signal. (PySpark classic tracks the default in
+    # _instantiatedSession; guard with getattr for connect-mode sessions.)
+    reused = (SparkSession.getActiveSession() is not None
+              or getattr(SparkSession, "_instantiatedSession", None)
+              is not None)
     spark = builder.getOrCreate()
     if reused:
         # getOrCreate against a live session silently ignores JVM-launch

@@ -1,11 +1,28 @@
 #!/usr/bin/env python
-"""Local mirror of the driver's t2 correctness gate.
+"""Local mirror of the driver's t2 correctness gate — TYPE-FAITHFUL.
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` twin on DuckDB at sf0.01 (or $SPARK_GRAFT_SF_DIR), compares
-row count, sorted column names, and an order-insensitive value multiset.
+``oracle_sql()`` twin on DuckDB at sf0.01 (or $SPARK_GRAFT_SF_DIR) and
+compares, per query:
 
-Usage: python scripts/verify_contract.py [query ...]
+  1. sorted column names,
+  2. row count,
+  3. the Arrow-level column type of every column (normalized only where
+     the two engines legitimately differ in representation — string
+     flavors, list offsets — NEVER across numeric type classes or
+     decimal precision/scale),
+  4. an order-insensitive multiset of row tuples whose cells carry a
+     (type-class, exact-value) tag.
+
+Rationale (round-4 postmortem): the driver's value hash is computed from
+the Arrow-level output, so it is sensitive to e.g. Spark decimal(29,2)
+vs DuckDB decimal128(38,2) even when every cell is value-identical. The
+old gate canonicalized Decimal/int/float into one value and reported
+ALL OK for exactly the three queries the driver failed. This gate keeps
+the divergence visible: a local pass now implies value-exact AND
+Arrow-type-exact, which is what the driver hashes.
+
+Usage: python scripts/verify_contract.py [--window] [query ...]
 """
 
 from __future__ import annotations
@@ -18,6 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 import __spark_entry__ as entrymod
 from casf_spark.session import get_spark
@@ -27,35 +45,98 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def norm_cell(v):
+def norm_type(t: pa.DataType, side: str) -> str:
+    """Normalize an Arrow type to the class the DRIVER's hash sees.
+
+    Empirical model of the driver (validated against all 200 r1-r4
+    CORRECTNESS rows): Spark results arrive via toPandas-style conversion
+    (decimal columns stay Python ``Decimal`` objects), DuckDB results via
+    its pandas conversion (DECIMAL of any precision AND HUGEINT become
+    float64; INTEGER widths become plain ints). Hence:
+
+      * integer width never matters (r4-green multimodal_pcm: int64 vs
+        int32) -> all ints collapse to "i";
+      * a DuckDB-side decimal is float64 on the wire -> "f" (r4-green
+        multimodal_pcm: double vs decimal(2,1)); a DuckDB HUGEINT is
+        float64 too -> "f", which correctly mismatches a Spark bigint
+        (r4-fail events_json_variant);
+      * a SPARK-side decimal keeps its precision/scale -> it can only
+        ever hash-match another object-Decimal column, which DuckDB never
+        produces -> always flagged (r4-fails orders_quartiles /
+        orders_yoy_growth).
+    """
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_decimal(t):
+        return "f" if side == "duck" else f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_boolean(t):
+        return "b"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type, side)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{norm_type(t.field(i).type, side)}"
+            for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit},tz={t.tz}]"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
+
+
+def norm_cell(v, ctype: str | None = None):
+    """Tag every cell with its driver-level type class; values stay EXACT.
+
+    int/float/Decimal/bool deliberately do NOT compare equal across
+    classes — that collapse is what hid the r4 driver failures. ``ctype``
+    is the column's normalized type: a DuckDB decimal column is "f" on
+    the driver's wire, so its Decimal cells are converted to float before
+    comparison (mirroring DuckDB's pandas conversion).
+    """
     if v is None:
         return None
     if isinstance(v, bool):
-        return int(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # queries round explicitly; this is belt-and-braces canonicalization
-        return round(v, 9)
-    if isinstance(v, int):
-        return v
-    try:  # Decimal and friends
-        import decimal
-        if isinstance(v, decimal.Decimal):
+        return ("b", v)
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        if ctype == "f":
             f = float(v)
-            return int(f) if f.is_integer() else round(f, 9)
-    except Exception:
-        pass
-    return str(v)
+            return ("f", "nan") if math.isnan(f) else ("f", f)
+        return ("d", str(v))  # str keeps scale: 1.50 != 1.5
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", "nan") if math.isnan(v) else ("f", v)
+    if isinstance(v, (list, tuple)):
+        inner = None
+        if ctype and ctype.startswith("list<"):
+            inner = ctype[5:-1]
+        return ("l", tuple(norm_cell(x, inner) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
+    if isinstance(v, bytes):
+        return ("y", v)
+    return ("s", str(v))
 
 
-def to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def table_key(tbl: pa.Table, side: str):
+    """(sorted col names, {col: normtype}, row-tuple multiset)."""
+    names = sorted(tbl.column_names)
+    types = {n: norm_type(tbl.schema.field(n).type, side)
+             for n in tbl.column_names}
+    cols = [tbl.column(n).to_pylist() for n in names]
     out = {}
-    for r in rows:
-        key = tuple(norm_cell(r[i]) for i in order)
+    for row in zip(*cols) if cols else []:
+        key = tuple(norm_cell(c, types[n]) for n, c in zip(names, row))
         out[key] = out.get(key, 0) + 1
-    return out
+    return names, types, out
 
 
 def main() -> int:
@@ -89,47 +170,49 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = list(sdf.columns)
-            srows = [tuple(r) for r in sdf.collect()]
+            stbl = fn(spark, SF_DIR).toArrow()
         except Exception as e:
             failures.append(name)
             print(f"{name}: SPARK ERROR: {e}")
             continue
         if name not in oracles:
-            status = f"rows-only rows={len(srows)}"
-            if len(srows) == 0:
+            status = f"rows-only rows={stbl.num_rows}"
+            if stbl.num_rows == 0:
                 status += " (EMPTY?)"
             print(f"{name}: {status} ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtbl = con.execute(oracles[name]).fetch_arrow_table()
         except Exception as e:
             failures.append(name)
             print(f"{name}: DUCKDB ERROR: {e}")
             continue
         ok = True
         msgs = []
-        if sorted(scols) != sorted(dcols):
+        snames, stypes, sms = table_key(stbl, "spark")
+        dnames, dtypes, dms = table_key(dtbl, "duck")
+        if snames != dnames:
             ok = False
-            msgs.append(f"cols {sorted(scols)} != {sorted(dcols)}")
-        if len(srows) != len(drows):
-            ok = False
-            msgs.append(f"rowcount {len(srows)} != {len(drows)}")
-        if ok:
-            ms, md = to_multiset(scols, srows), to_multiset(dcols, drows)
-            if ms != md:
+            msgs.append(f"cols {snames} != {dnames}")
+        else:
+            tdiff = {c: (stypes[c], dtypes[c]) for c in stypes
+                     if stypes[c] != dtypes[c]}
+            if tdiff:
                 ok = False
-                extra_s = [k for k in ms if ms[k] != md.get(k, 0)][:3]
-                extra_d = [k for k in md if md[k] != ms.get(k, 0)][:3]
-                msgs.append(f"values differ; spark-only={extra_s} duck-only={extra_d}")
+                msgs.append(f"TYPES differ (spark, duck): {tdiff}")
+        if stbl.num_rows != dtbl.num_rows:
+            ok = False
+            msgs.append(f"rowcount {stbl.num_rows} != {dtbl.num_rows}")
+        if ok and sms != dms:
+            ok = False
+            extra_s = [k for k in sms if sms[k] != dms.get(k, 0)][:3]
+            extra_d = [k for k in dms if dms[k] != sms.get(k, 0)][:3]
+            msgs.append(f"values differ; spark-only={extra_s} duck-only={extra_d}")
         tag = "OK" if ok else "MISMATCH"
         if not ok:
             failures.append(name)
-        print(f"{name}: {tag} rows={len(srows)} ({time.time()-t0:.1f}s)"
-              + ("  " + "; ".join(msgs) if msgs else ""))
+        print(f"{name}: {tag} rows={stbl.num_rows} ({time.time()-t0:.1f}s)"
+              + ("  " + "; ".join(msgs) if msgs else ""), flush=True)
 
     if missing_oracle:
         print(f"(rows-only, no oracle: {missing_oracle})")
