@@ -1451,15 +1451,17 @@ def q_ann_topk(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    # dims=64 (TESTDATA.md embedding width): skips the one-row probe job
     return SIM.lsh_candidates(load_table(spark, sf, "embeddings"),
-                              num_planes=8, seed=42)
+                              num_planes=8, seed=42, dims=64)
 
 
 def q_ann_lsh_multiprobe(spark, sf):
     """3-table multi-probe LSH: per-table miss probability p compounds to
     p^3, closing most of the recall gap to brute force (SCALE.md table)."""
     return SIM.lsh_candidates_multiprobe(load_table(spark, sf, "embeddings"),
-                                         num_planes=8, seeds=(42, 43, 44))
+                                         num_planes=8, seeds=(42, 43, 44),
+                                         dims=64)
 
 
 def q_ann_ivf_pq(spark, sf):

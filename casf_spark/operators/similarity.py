@@ -314,14 +314,15 @@ def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
 
 def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", num_planes: int = 8,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, dims: int | None = None) -> DataFrame:
     """Candidate pairs sharing an LSH bucket, with exact cosine re-rank.
 
     Output (id0, id1, cos_sim). Recall is tunable via num_planes (fewer
     planes = bigger buckets = higher recall, more compute). For multi-probe
     recall, run with several seeds and union.
     """
-    sig = hyperplane_signature(df, id_col, vec_col, num_planes, seed)
+    sig = hyperplane_signature(df, id_col, vec_col, num_planes, seed,
+                               dims=dims)
     a = sig.select(F.col("id").alias("id0"), F.col("v").alias("v0"), "bucket")
     b = sig.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
     out = (
@@ -336,7 +337,8 @@ def lsh_candidates(df: DataFrame, id_col: str = "vec_id",
 def lsh_candidates_multiprobe(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               num_planes: int = 8,
-                              seeds: tuple[int, ...] = (42, 43, 44)) -> DataFrame:
+                              seeds: tuple[int, ...] = (42, 43, 44),
+                              dims: int | None = None) -> DataFrame:
     """Multi-probe LSH: union candidate pairs over several independent
     hyperplane tables, dedup on the pair key.
 
@@ -348,9 +350,12 @@ def lsh_candidates_multiprobe(df: DataFrame, id_col: str = "vec_id",
     1 table = the baseline recall, 3 tables close most of the gap to
     brute force at ~3x the candidate volume.
     """
+    if dims is None:
+        # one probe job for the whole family instead of one per seed table
+        dims = len(df.select(vec_col).first()[0])
     out = None
     for s in seeds:
-        c = lsh_candidates(df, id_col, vec_col, num_planes, s)
+        c = lsh_candidates(df, id_col, vec_col, num_planes, s, dims=dims)
         out = c if out is None else out.unionByName(c)
     return schemas.conform(out.distinct(), schemas.COSINE_PAIR)
 

@@ -44,6 +44,11 @@ PRODUCT_WHITELIST = {
     "ann_ivf",
     "ann_ivf_pq",
     "pack_greedy",
+    # 1-row data-derived insert-offset scalar (next 10M multiple past
+    # max(o_orderkey)) broadcast into the changeset build and the output
+    # filter — replaces the fixed +10M offset that collided with the
+    # synthetic sf1/sf3 key-shifted copies
+    "orders_merge_upsert",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -54,7 +59,10 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     # contract rows: n_hit agg + n_truth agg (both 1-row)
                     "ann_ivf", "ann_ivf_pq",
                     # n_packed/n_docs agg + per-bin-invariant agg
-                    "pack_greedy"}
+                    "pack_greedy",
+                    # the insert-offset scalar agg feeds two consumers
+                    # (changeset build + output filter) -> planned twice
+                    "orders_merge_upsert"}
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
