@@ -2448,6 +2448,19 @@ def q_text_chunks(spark, sf):
                     F.array_join("c.ctoks", " ").alias("chunk_text")))
 
 
+def q_text_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators.curation.content_defined_chunks):
+    chunk boundaries drawn where md5(token) % 16 == 0, so an upstream
+    edit redraws only the chunks up to the next boundary and every later
+    chunk stays byte-identical for downstream dedup/caching — the
+    property the fixed-stride q_text_chunks deliberately lacks. Pure
+    array-HOF map-only pass (boundary filter + per-chunk slice; the only
+    explode is per-CHUNK); the md5 boundary predicate reuses the proven
+    engine-portable idiom so the SQL twin is cell-exact."""
+    docs = load_table(spark, sf, "documents")
+    return CU.content_defined_chunks(docs, "doc_id", "text", divisor=16)
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2768,6 +2781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": q_window_first_last,
         "events_running_distinct": q_events_running_distinct,
         "text_chunks": q_text_chunks,
+        # round-5 addition — queued for the round-6 driver window
+        "text_cdc_chunks": q_text_cdc_chunks,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4321,6 +4336,26 @@ SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS BIGINT) AS distinct_types_so_far
 FROM days d LEFT JOIN per_day p USING (user_id, day)""",
+        "text_cdc_chunks": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
+p AS (SELECT doc_id, a, len(a) n FROM t WHERE len(a) > 0),
+e AS (SELECT doc_id, a, n,
+        list_filter(range(1, n + 1),
+                    i -> CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
+                         % 16 = 0) ends0
+      FROM p),
+e2 AS (SELECT doc_id, a,
+         CASE WHEN len(ends0) = 0 OR ends0[-1] <> n
+              THEN list_append(ends0, n) ELSE ends0 END ends
+       FROM e),
+c AS (SELECT doc_id, a, ends, unnest(range(len(ends))) i FROM e2)
+SELECT doc_id, CAST(i AS BIGINT) chunk_id,
+       CAST(ends[i + 1] - (CASE WHEN i = 0 THEN 0 ELSE ends[i] END)
+            AS BIGINT) n_tokens,
+       array_to_string(
+         a[(CASE WHEN i = 0 THEN 0 ELSE ends[i] END) + 1 : ends[i + 1]],
+         ' ') chunk_text
+FROM c""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

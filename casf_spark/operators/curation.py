@@ -55,6 +55,7 @@ __all__ = [
     "temperature_resample",
     "budget_select",
     "curation_funnel",
+    "content_defined_chunks",
     "PII_PATTERNS",
 ]
 
@@ -434,3 +435,80 @@ def stratified_sample(df: DataFrame, key: Column | str, strata_col: str,
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     return df.where(hash_fraction(key) < rate)
+
+
+def content_defined_chunks(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           divisor: int = 16) -> DataFrame:
+    """Content-defined chunking: boundaries chosen by a token hash, not a
+    fixed stride — the dedup-friendly chunker.
+
+    A token ENDS a chunk when ``md5(token) % divisor == 0`` (expected
+    chunk length = ``divisor`` tokens); the final partial chunk is always
+    emitted. Because boundaries depend only on LOCAL content, an edit to
+    one part of a document only redraws the chunks up to the first
+    boundary after the edit — every later chunk is byte-identical and so
+    dedups/caches across document versions. Fixed-stride windows
+    (``q_text_chunks``) lose that property: one inserted token shifts
+    every subsequent chunk. This is the standard rolling-hash/CDC idea
+    (Rabin fingerprint chunking as in LBFS, Muthitacharoen et al. 2001,
+    SOSP; window of 1 token here — a k-token rolling window changes only
+    the boundary predicate, not the plan shape).
+
+    Output: (``id_col``, chunk_id, n_tokens, chunk_text), chunk_id
+    0-based in document order. Docs with zero tokens emit nothing.
+
+    Scale notes (100 TB bar): pure array HOFs per document — one
+    tokenize, one hash pass, one per-chunk slice pass; the only explode
+    is per-CHUNK (not per-token). SHUFFLE-FREE map-only plan; the
+    boundary predicate reuses the engine-portable md5 idiom
+    (functions.hashing.md5_long) so the DuckDB twin is cell-exact.
+
+    Implementation constraint that shapes the code: Spark higher-order
+    functions are interpreted and re-evaluate any non-trivial expression
+    referenced INSIDE a lambda body once per element — an
+    ``element_at(<filter-expr>, i)`` body turns O(tokens) into
+    O(chunks x tokens) md5 work (measured 9 s for 500 sf0.01 docs).
+    Hence the staged selects below: every lambda body only touches
+    lambda variables and column ATTRIBUTES (O(1) lookups), and each
+    array is computed exactly once per row. CollapseProject keeps the
+    stages separate because each non-cheap alias is referenced more
+    than once downstream.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = _tokens(text_col)
+    d = (df.where(F.size(toks) > 0)
+           .select(F.col(id_col).cast("long").alias(id_col),
+                   toks.alias("_toks")))
+    # one md5 pass: position i where token i ends a chunk, else 0
+    tcol = F.col("_toks")
+    marked = F.zip_with(
+        tcol, F.sequence(F.lit(1), F.size(tcol)),
+        lambda t, i: F.when(md5_long(t) % divisor == 0, i)
+                      .otherwise(F.lit(0)))
+    d = d.select(id_col, "_toks",
+                 F.array_remove(marked, 0).alias("_ends0"))
+    # always close the final chunk at n (attribute refs only — cheap)
+    e0, n = F.col("_ends0"), F.size(tcol)
+    d = d.select(
+        id_col, "_toks",
+        F.when((F.size(e0) == 0) | (F.element_at(e0, -1) != n),
+               F.concat(e0, F.array(n))).otherwise(e0).alias("_ends"))
+    # (start_offset, end) per chunk: starts = 0 ++ ends[:-1]
+    ecol = F.col("_ends")
+    se = F.zip_with(
+        F.concat(F.array(F.lit(0)), F.slice(ecol, 1, F.size(ecol) - 1)),
+        ecol,
+        lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    d = d.select(id_col, "_toks", se.alias("_se"))
+    chunks = F.transform(
+        F.col("_se"),
+        lambda p, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(tcol, p["s"] + 1, p["e"] - p["s"]).alias("ctoks")))
+    return (d.select(id_col, F.explode(chunks).alias("c"))
+            .select(id_col,
+                    F.col("c.chunk_id").alias("chunk_id"),
+                    F.size("c.ctoks").cast("long").alias("n_tokens"),
+                    F.array_join("c.ctoks", " ").alias("chunk_text")))

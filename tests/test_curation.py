@@ -306,3 +306,44 @@ def test_temperature_resample_flattens_toward_uniform(spark, sf_dir):
         if (h >> 30) / float(1 << 30) < rate:
             want.add(r["doc_id"])
     assert got == want
+
+
+def test_content_defined_chunks_edit_stability(spark):
+    """The CDC property fixed-stride chunking lacks: an edit near the
+    front of a document leaves every chunk after the next boundary
+    byte-identical, and chunks reassemble to the exact token stream."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    edited = "INSERTED WORDS HERE " + base
+    docs = spark.createDataFrame([(1, base), (2, edited)],
+                                 "doc_id long, text string")
+    out = CU.content_defined_chunks(docs, "doc_id", "text", divisor=4)
+    rows = out.orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    # chunks reassemble exactly
+    assert " ".join(by_doc[1]) == base.lower()
+    assert " ".join(by_doc[2]) == edited.lower()
+    # n_tokens matches the chunk text
+    assert all(r["n_tokens"] == len(r["chunk_text"].split())
+               for r in rows)
+    # suffix stability: after the first shared boundary, the chunk
+    # streams are identical (compare as suffix sets of chunk_text)
+    tail1, tail2 = by_doc[1][1:], by_doc[2][1:]
+    k = min(len(tail1), len(tail2))
+    assert k >= 1 and by_doc[1][-k:] == by_doc[2][-k:]
+
+
+def test_content_defined_chunks_empty_and_boundaryless(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "zz yy xx")],
+        "doc_id long, text string")
+    out = CU.content_defined_chunks(docs, "doc_id", "text", divisor=1 << 60)
+    rows = out.collect()
+    # empty docs emit nothing; a boundaryless doc emits ONE final chunk
+    assert {r["doc_id"] for r in rows} == {3}
+    assert len(rows) == 1 and rows[0]["chunk_id"] == 0
+    assert rows[0]["chunk_text"] == "zz yy xx"
