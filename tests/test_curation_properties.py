@@ -110,3 +110,36 @@ def test_tfidf_matches_naive(spark, docs):
             tf = ws.count(w)
             want = round(tf * (math.log((n + 1) / (dfreq[w] + 1)) + 1), 6)
             assert got[(i, w)] == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+             min_size=0, max_size=30),
+    min_size=1, max_size=10),
+    divisor=st.sampled_from([2, 4, 8]))
+def test_content_defined_chunks_matches_naive(spark, docs, divisor):
+    """content_defined_chunks == a naive Python CDC over the same md5
+    boundary rule, cell-exact (ids, chunk order, counts, text)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in CU.content_defined_chunks(
+            df, "doc_id", "text", divisor=divisor).collect())
+
+    def boundary(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) \
+            % divisor == 0
+
+    want = []
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        chunk, cid = [], 0
+        for j, w in enumerate(ws):
+            chunk.append(w)
+            if boundary(w) or j == len(ws) - 1:
+                want.append((i, cid, len(chunk), " ".join(chunk)))
+                chunk, cid = [], cid + 1
+    assert got == sorted(want)
