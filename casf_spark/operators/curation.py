@@ -439,13 +439,18 @@ def stratified_sample(df: DataFrame, key: Column | str, strata_col: str,
 
 def content_defined_chunks(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
-                           divisor: int = 16) -> DataFrame:
+                           divisor: int = 16,
+                           window: int = 1) -> DataFrame:
     """Content-defined chunking: boundaries chosen by a token hash, not a
     fixed stride — the dedup-friendly chunker.
 
-    A token ENDS a chunk when ``md5(token) % divisor == 0`` (expected
-    chunk length = ``divisor`` tokens); the final partial chunk is always
-    emitted. Because boundaries depend only on LOCAL content, an edit to
+    A token ENDS a chunk when the md5 of the ``window`` tokens ending at
+    it (space-joined) is ``% divisor == 0`` (expected chunk length =
+    ``divisor`` tokens); the final partial chunk is always emitted.
+    ``window=1`` hashes single tokens; larger windows make boundaries
+    depend on k-token context (fewer pathological boundary storms when
+    one common token happens to hash to 0), at O(window) extra work per
+    token and an edit blast radius of ``window - 1`` extra boundaries. Because boundaries depend only on LOCAL content, an edit to
     one part of a document only redraws the chunks up to the first
     boundary after the edit — every later chunk is byte-identical and so
     dedups/caches across document versions. Fixed-stride windows
@@ -481,11 +486,21 @@ def content_defined_chunks(df: DataFrame, id_col: str = "doc_id",
     d = (df.where(F.size(toks) > 0)
            .select(F.col(id_col).cast("long").alias(id_col),
                    toks.alias("_toks")))
-    # one md5 pass: position i where token i ends a chunk, else 0
+    # one md5 pass: position i where token i ends a chunk, else 0.
+    # window=1 hashes the lambda token directly; window>1 hashes the
+    # k-gram ending at i — slice/concat touch only the _toks ATTRIBUTE,
+    # so per-element cost is O(window), never a re-evaluated array expr.
     tcol = F.col("_toks")
+    if window <= 1:
+        def _bound(t, i):
+            return md5_long(t)
+    else:
+        def _bound(t, i):
+            lo = F.greatest(i - window + 1, F.lit(1))
+            return md5_long(F.concat_ws(" ", F.slice(tcol, lo, i - lo + 1)))
     marked = F.zip_with(
         tcol, F.sequence(F.lit(1), F.size(tcol)),
-        lambda t, i: F.when(md5_long(t) % divisor == 0, i)
+        lambda t, i: F.when(_bound(t, i) % divisor == 0, i)
                       .otherwise(F.lit(0)))
     d = d.select(id_col, "_toks",
                  F.array_remove(marked, 0).alias("_ends0"))

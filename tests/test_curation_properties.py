@@ -143,3 +143,35 @@ def test_content_defined_chunks_matches_naive(spark, docs, divisor):
                 want.append((i, cid, len(chunk), " ".join(chunk)))
                 chunk, cid = [], cid + 1
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=25),
+    min_size=1, max_size=8),
+    window=st.sampled_from([2, 3]))
+def test_content_defined_chunks_windowed_matches_naive(spark, docs, window):
+    """window>1 hashes the k-gram ending at each token; same contract."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in CU.content_defined_chunks(
+            df, "doc_id", "text", divisor=4, window=window).collect())
+
+    def boundary(ws, j):
+        gram = " ".join(ws[max(0, j - window + 1):j + 1])
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % 4 == 0
+
+    want = []
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        chunk, cid = [], 0
+        for j, w in enumerate(ws):
+            chunk.append(w)
+            if boundary(ws, j) or j == len(ws) - 1:
+                want.append((i, cid, len(chunk), " ".join(chunk)))
+                chunk, cid = [], cid + 1
+    assert got == sorted(want)
