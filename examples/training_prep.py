@@ -15,7 +15,12 @@ consumes. Composes the round-4 operators end to end at test scale:
    metrics observed in the same job (operators.profile
    .materialize_with_metrics — no second scan of the output).
 
-Run: python examples/training_prep.py [sf_dir] [out_dir]
+Run: python examples/training_prep.py [sf_dir] [out_dir] [chunker]
+
+``chunker`` is ``stride`` (default: overlapping fixed windows) or
+``cdc`` (content-defined boundaries, operators.curation
+.content_defined_chunks — edits upstream don't shift later chunks, so
+re-prepping a revised corpus re-uses cached/deduped chunks).
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
         prefix="training_prep_")
+    chunker = sys.argv[3] if len(sys.argv) > 3 else "stride"
     spark = get_spark("training_prep")
     docs = load_table(spark, sf_dir, "documents")
 
@@ -52,7 +58,15 @@ def main() -> None:
                .join(docs.select(F.col("doc_id").cast("long")
                                  .alias("doc_id"), "text"), "doc_id"))
 
-    # 2. chunk: overlapping token windows, map-only
+    # 2. chunk: map-only either way — fixed-stride overlapping windows,
+    # or content-defined boundaries (chunker == "cdc")
+    if chunker == "cdc":
+        chunks = (CU.content_defined_chunks(
+                      curated, "doc_id", "text", divisor=STRIDE)
+                  .join(curated.select(F.col("doc_id").cast("long")
+                                       .alias("doc_id"), "split"),
+                        "doc_id"))
+        return _pack_shard_write(spark, chunks, out_dir)
     toks = TX.tokens("text")
     n = F.size(toks)
     n_chunks = F.ceil((n - F.lit(CHUNK - STRIDE)) / F.lit(STRIDE)).cast("int")
@@ -70,6 +84,10 @@ def main() -> None:
                       F.size("c.ctoks").cast("long").alias("n_tokens"),
                       F.array_join("c.ctoks", " ").alias("chunk_text")))
 
+    return _pack_shard_write(spark, chunks, out_dir)
+
+
+def _pack_shard_write(spark, chunks, out_dir) -> None:
     # 3. pack chunks into token-budget bins (keyed by a dense chunk id)
     keyed = chunks.withColumn("cid", F.col("doc_id") * 1000
                               + F.col("chunk_id"))
