@@ -46,6 +46,31 @@ _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 # tokens list per document (DuckDB twin of functions.text.tokens)
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+# content-defined chunks per document (DuckDB twin of
+# operators.curation.content_defined_chunks, divisor 16): boundary where
+# md5(token) % 16 == 0, final partial chunk always closed at n. Shared by
+# the text_cdc_chunks contract and the dedup_chunks rollup.
+_CDC_CHUNKS_CTE = f"""t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
+p AS (SELECT doc_id, a, len(a) n FROM t WHERE len(a) > 0),
+e AS (SELECT doc_id, a, n,
+        list_filter(range(1, n + 1),
+                    i -> CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
+                         % 16 = 0) ends0
+      FROM p),
+e2 AS (SELECT doc_id, a,
+         CASE WHEN len(ends0) = 0 OR ends0[-1] <> n
+              THEN list_append(ends0, n) ELSE ends0 END ends
+       FROM e),
+c AS (SELECT doc_id, a, ends, unnest(range(len(ends))) i FROM e2),
+cdc_chunks AS (
+  SELECT doc_id, CAST(i AS BIGINT) chunk_id,
+         CAST(ends[i + 1] - (CASE WHEN i = 0 THEN 0 ELSE ends[i] END)
+              AS BIGINT) n_tokens,
+         array_to_string(
+           a[(CASE WHEN i = 0 THEN 0 ELSE ends[i] END) + 1 : ends[i + 1]],
+           ' ') chunk_text
+  FROM c)"""
+
 _ELEM_SUPPLIER = """
 elem AS (
   SELECT CAST(l_suppkey AS VARCHAR) vector, CAST(l_partkey AS VARCHAR) coord,
@@ -2461,6 +2486,39 @@ def q_text_cdc_chunks(spark, sf):
     return CU.content_defined_chunks(docs, "doc_id", "text", divisor=16)
 
 
+def q_dedup_chunks(spark, sf):
+    """Sub-document (chunk-level) dedup report: content-defined chunks
+    hashed and first-occurrence-attributed, rolled up per document —
+    (doc_id, n_chunks, n_dup_chunks, dup_token_ratio). Doc-level dedup
+    misses boilerplate REPEATED INSIDE otherwise-distinct documents
+    (headers, licenses, navigation); chunk-level hashing over
+    content-defined boundaries catches it, and the CDC property means a
+    re-crawled page re-hashes to the same chunks. First occurrence =
+    lexicographically smallest (doc_id, chunk_id) per chunk hash, so the
+    report is deterministic and engine-independent.
+
+    Plan: map-only chunker -> one shuffle on chunk hash (first-occurrence
+    argmin via min(struct)) -> one shuffle on doc_id for the rollup. Both
+    shuffles carry one row per CHUNK, never per token."""
+    docs = load_table(spark, sf, "documents")
+    ch = CU.content_defined_chunks(docs, "doc_id", "text", divisor=16)
+    keyed = ch.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("h"))
+    first = (keyed.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "chunk_id")).alias("k")))
+    flagged = (keyed.join(first, "h")
+               .select("doc_id", "n_tokens",
+                       ((F.col("k.doc_id") != F.col("doc_id"))
+                        | (F.col("k.chunk_id") != F.col("chunk_id")))
+                       .cast("int").alias("is_dup")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+                 F.round(F.sum(F.col("is_dup") * F.col("n_tokens"))
+                         / F.sum("n_tokens"), 6)
+                 .alias("dup_token_ratio")))
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2781,8 +2839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": q_window_first_last,
         "events_running_distinct": q_events_running_distinct,
         "text_chunks": q_text_chunks,
-        # round-5 addition — queued for the round-6 driver window
+        # round-5 additions — queued for the round-6 driver window
         "text_cdc_chunks": q_text_cdc_chunks,
+        "dedup_chunks": q_dedup_chunks,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4337,25 +4396,21 @@ SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
        AS BIGINT) AS distinct_types_so_far
 FROM days d LEFT JOIN per_day p USING (user_id, day)""",
         "text_cdc_chunks": f"""
-WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
-p AS (SELECT doc_id, a, len(a) n FROM t WHERE len(a) > 0),
-e AS (SELECT doc_id, a, n,
-        list_filter(range(1, n + 1),
-                    i -> CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
-                         % 16 = 0) ends0
-      FROM p),
-e2 AS (SELECT doc_id, a,
-         CASE WHEN len(ends0) = 0 OR ends0[-1] <> n
-              THEN list_append(ends0, n) ELSE ends0 END ends
-       FROM e),
-c AS (SELECT doc_id, a, ends, unnest(range(len(ends))) i FROM e2)
-SELECT doc_id, CAST(i AS BIGINT) chunk_id,
-       CAST(ends[i + 1] - (CASE WHEN i = 0 THEN 0 ELSE ends[i] END)
-            AS BIGINT) n_tokens,
-       array_to_string(
-         a[(CASE WHEN i = 0 THEN 0 ELSE ends[i] END) + 1 : ends[i + 1]],
-         ' ') chunk_text
-FROM c""",
+WITH {_CDC_CHUNKS_CTE}
+SELECT doc_id, chunk_id, n_tokens, chunk_text FROM cdc_chunks""",
+        "dedup_chunks": f"""
+WITH {_CDC_CHUNKS_CTE},
+ch AS (SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) h
+       FROM cdc_chunks),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                                   ORDER BY doc_id, chunk_id) rn
+      FROM ch)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         n_dup_chunks,
+       ROUND(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 1.0
+             / SUM(n_tokens), 6) dup_token_ratio
+FROM r GROUP BY 1""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,
