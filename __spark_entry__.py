@@ -2497,20 +2497,20 @@ def q_dedup_chunks(spark, sf):
     lexicographically smallest (doc_id, chunk_id) per chunk hash, so the
     report is deterministic and engine-independent.
 
-    Plan: map-only chunker -> one shuffle on chunk hash (first-occurrence
-    argmin via min(struct)) -> one shuffle on doc_id for the rollup. Both
-    shuffles carry one row per CHUNK, never per token."""
+    Plan: map-only chunker -> row_number window partitioned by chunk
+    hash (first-occurrence flag; hash groups are tiny, so the per-group
+    sort is O(dups)) -> one rollup shuffle on doc_id. Exactly TWO
+    chunk-grain exchanges in every size regime — a groupBy+join
+    formulation costs a third exchange once the first-occurrence table
+    outgrows broadcast. Never shuffles per token."""
     docs = load_table(spark, sf, "documents")
     ch = CU.content_defined_chunks(docs, "doc_id", "text", divisor=16)
     keyed = ch.select("doc_id", "chunk_id", "n_tokens",
                       F.md5("chunk_text").alias("h"))
-    first = (keyed.groupBy("h")
-             .agg(F.min(F.struct("doc_id", "chunk_id")).alias("k")))
-    flagged = (keyed.join(first, "h")
-               .select("doc_id", "n_tokens",
-                       ((F.col("k.doc_id") != F.col("doc_id"))
-                        | (F.col("k.chunk_id") != F.col("chunk_id")))
-                       .cast("int").alias("is_dup")))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    flagged = keyed.select(
+        "doc_id", "n_tokens",
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"))
     return (flagged.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
                  F.sum("is_dup").cast("long").alias("n_dup_chunks"),
