@@ -2735,9 +2735,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     fixed this round by emitting explicit double/bigint on both sides);
 #   * 23 re-confirmations: every name whose only driver-green row is
 #     round 3 (oldest single-green cohort).
-# With this window, every one of the 147 names has been driver-checked at
-# least once across rounds 1-5, and every non-window name is green in a
-# round >= 3 or multi-green.
+# With this window, every name registered through round 4 has been
+# driver-checked at least once across rounds 1-5, and every non-window
+# name is green in a round >= 3 or multi-green. The two round-5 additions
+# (text_cdc_chunks, dedup_chunks) queue immediately behind the window to
+# head the round-6 rotation.
 _ROUND5_WINDOW = [
     # -- 14 overflow names (queued since round 4)
     "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
