@@ -339,11 +339,11 @@ def test_content_defined_chunks_edit_stability(spark):
 
 def test_content_defined_chunks_empty_and_boundaryless(spark):
     docs = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "zz yy xx")],
+        [(1, ""), (2, "   "), (3, "zz yy xx"), (4, None)],
         "doc_id long, text string")
     out = CU.content_defined_chunks(docs, "doc_id", "text", divisor=1 << 60)
     rows = out.collect()
-    # empty docs emit nothing; a boundaryless doc emits ONE final chunk
+    # empty/NULL docs emit nothing; a boundaryless doc emits ONE final chunk
     assert {r["doc_id"] for r in rows} == {3}
     assert len(rows) == 1 and rows[0]["chunk_id"] == 0
     assert rows[0]["chunk_text"] == "zz yy xx"
