@@ -49,27 +49,39 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <>
 # content-defined chunks per document (DuckDB twin of
 # operators.curation.content_defined_chunks, divisor 16): boundary where
 # md5(token) % 16 == 0, final partial chunk always closed at n. Shared by
-# the text_cdc_chunks contract and the dedup_chunks rollup.
-_CDC_CHUNKS_CTE = f"""t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
-p AS (SELECT doc_id, a, len(a) n FROM t WHERE len(a) > 0),
-e AS (SELECT doc_id, a, n,
+# the text_cdc_chunks contract, the dedup_chunks rollup, and (instantiated
+# twice with distinct CTE names over different sources) cdc_chunk_reuse.
+
+
+def _cdc_chunks_cte(src: str = "documents", out: str = "cdc_chunks",
+                    pfx: str = "") -> str:
+    """The CDC-chunker CTE chain over relation ``src`` (must expose
+    doc_id + text), emitting chunks as CTE ``out``; ``pfx`` uniquifies
+    the intermediate CTE names so two instantiations can share one
+    WITH clause."""
+    return f"""{pfx}t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM {src}),
+{pfx}p AS (SELECT doc_id, a, len(a) n FROM {pfx}t WHERE len(a) > 0),
+{pfx}e AS (SELECT doc_id, a, n,
         list_filter(range(1, n + 1),
                     i -> CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
                          % 16 = 0) ends0
-      FROM p),
-e2 AS (SELECT doc_id, a,
+      FROM {pfx}p),
+{pfx}e2 AS (SELECT doc_id, a,
          CASE WHEN len(ends0) = 0 OR ends0[-1] <> n
               THEN list_append(ends0, n) ELSE ends0 END ends
-       FROM e),
-c AS (SELECT doc_id, a, ends, unnest(range(len(ends))) i FROM e2),
-cdc_chunks AS (
+       FROM {pfx}e),
+{pfx}c AS (SELECT doc_id, a, ends, unnest(range(len(ends))) i FROM {pfx}e2),
+{out} AS (
   SELECT doc_id, CAST(i AS BIGINT) chunk_id,
          CAST(ends[i + 1] - (CASE WHEN i = 0 THEN 0 ELSE ends[i] END)
               AS BIGINT) n_tokens,
          array_to_string(
            a[(CASE WHEN i = 0 THEN 0 ELSE ends[i] END) + 1 : ends[i + 1]],
            ' ') chunk_text
-  FROM c)"""
+  FROM {pfx}c)"""
+
+
+_CDC_CHUNKS_CTE = _cdc_chunks_cte()
 
 _ELEM_SUPPLIER = """
 elem AS (
@@ -2519,6 +2531,68 @@ def q_dedup_chunks(spark, sf):
                  .alias("dup_token_ratio")))
 
 
+def q_cdc_chunk_reuse(spark, sf):
+    """Cross-version chunk reuse — the end-to-end proof of the CDC
+    property q_text_cdc_chunks claims: edit every document near its head
+    (insert one marker token after the 5th token) and measure how many
+    of the edited version's chunks hash-match a chunk of the original.
+    Because boundaries depend only on local content, the edit redraws
+    chunks only up to the first boundary after the insertion point —
+    every later chunk is byte-identical and reuses the v1 hash (a
+    fixed-stride chunker would re-emit every chunk shifted by one
+    token, reuse ~0). Output per doc: (doc_id, n_chunks_v1, n_chunks_v2,
+    n_reused, reuse_ratio).
+
+    Plan: two map-only chunker passes (original + edited — the edit is
+    itself a shuffle-free array splice), v2 chunk hashes probed against
+    v1's per-doc distinct hash set with one (doc_id, hash)-keyed join,
+    then doc-grain rollups. All exchanges are chunk-grain; nothing is
+    quadratic and nothing leaves the JVM."""
+    docs = load_table(spark, sf, "documents")
+    toks = TX.tokens("text")
+    n, p = F.size(toks), F.least(F.lit(5), F.size(toks))
+    edited = F.concat_ws(
+        " ",
+        F.concat(F.slice(toks, 1, p),
+                 F.array(F.lit("zzedit")),
+                 F.slice(toks, p + 1, F.greatest(n - p, F.lit(0)))))
+    base = docs.where(n > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        edited.alias("etext"))
+    v1 = CU.content_defined_chunks(base, "doc_id", "text", divisor=16)
+    v2 = CU.content_defined_chunks(
+        base.select("doc_id", F.col("etext").alias("text")),
+        "doc_id", "text", divisor=16)
+    h1 = (v1.select("doc_id", F.md5("chunk_text").alias("h"))
+          .distinct().withColumn("hit", F.lit(1)))
+    h2 = v2.select("doc_id", F.md5("chunk_text").alias("h"))
+    agg1 = v1.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks_v1"))
+    agg2 = (h2.join(h1, ["doc_id", "h"], "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks_v2"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("n_reused")))
+    return (agg1.join(agg2, "doc_id")
+            .select("doc_id", "n_chunks_v1", "n_chunks_v2", "n_reused",
+                    F.round(F.col("n_reused") / F.col("n_chunks_v2"), 6)
+                    .alias("reuse_ratio")))
+
+
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic dedup (operators.dedup.semantic_dedup_det):
+    deterministic coarse quantizer (md5-sampled centroids, the
+    ann_ivf_det idiom) buckets the embedding corpus, then near-dups are
+    pruned WITHIN clusters by pairwise cosine >= 0.3, keeping the member
+    with the lowest centroid similarity (the paper's keep rule in
+    pairwise form). The one major LLM-pipeline dedup family MinHash/
+    SimHash/embedding-LSH don't cover: semantically-redundant documents
+    whose surface text differs. Cluster-bucketed, never all-pairs — the
+    oracle-checked twin of the KMeans-quantizer semantic_dedup."""
+    emb = load_table(spark, sf, "embeddings")
+    return DD.semantic_dedup_det(emb, n_clusters=8, threshold=0.3)
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2727,48 +2801,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 driver window (the driver's correctness harness checks the FIRST
-# 50 entries of queries()). Composition, per the round-4 verdict:
-#   * 24 names never driver-checked in rounds 1-4: the 14 documented
-#     overflow names + the 10 round-4 additions;
-#   * the 3 round-4 hash-fails (Spark<->DuckDB output-type divergence,
-#     fixed this round by emitting explicit double/bigint on both sides);
-#   * 23 re-confirmations: every name whose only driver-green row is
-#     round 3 (oldest single-green cohort).
-# With this window, every name registered through round 4 has been
-# driver-checked at least once across rounds 1-5, and every non-window
-# name is green in a round >= 3 or multi-green. The two round-5 additions
-# (text_cdc_chunks, dedup_chunks) queue immediately behind the window to
-# head the round-6 rotation.
-_ROUND5_WINDOW = [
-    # -- 14 overflow names (queued since round 4)
-    "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
-    "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
-    "events_hour_spine", "text_fingerprint", "text_token_stats",
-    "text_split", "ann_lsh_mp", "multimodal_features",
-    "users_click_not_purchase",
-    # -- 10 round-4 additions, never windowed
-    "window_first_last", "events_running_distinct", "text_chunks",
-    "train_shards", "orders_merge_upsert", "events_approx_percentiles",
-    "text_heavy_hitters", "lang_top_tokens", "dedup_edit_distance",
-    "embedding_standardize",
-    # -- the 3 round-4 hash-fails, re-presented after the type fix
-    "orders_quartiles", "events_json_variant", "orders_yoy_growth",
-    # -- 23 round-3-single-green re-confirmations
-    "ann_ivf_det", "ann_lsh", "ann_topk", "decontaminate",
-    "dedup_clusters", "dedup_embedding", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_winnow",
-    "doc_cosine_cjk", "multimodal_meta", "pack_bins", "pii_redact",
-    "pipeline_curate", "sample_stratified", "text_lang_id",
-    "text_line_dedup", "text_quality", "text_repetition",
-    "text_term_counts", "text_winnow",
+# Round-6 driver window (the driver's correctness harness checks the FIRST
+# 50 entries of queries()). Composition, per the round-5 verdict:
+#   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
+#     registered names without a driver-green CORRECTNESS row in r1-r5
+#     (both ALL OK on the type-faithful local gate);
+#   * the 2 round-6 additions (cdc_chunk_reuse, dedup_semantic) — windowed
+#     immediately so no never-checked backlog accumulates;
+#   * re-confirmations, stalest-first by last-green round: all 24 names
+#     whose latest green row is round 2 (the TPC-H relational suite +
+#     window_top_orders + customers_no_orders), then 22 of the 26 names
+#     last green in round 3 (the cosine engine + doc_cosine* + the first
+#     nine events_* shapes). The 4 round-3 leftovers (events_cube,
+#     events_pivot, events_zscore, events_percentiles) head the round-7
+#     re-confirmation queue.
+# With CORRECTNESS_r06 green, every registered name has a driver-green row
+# at least once AND no name's newest green row is older than round 3.
+_ROUND6_WINDOW = [
+    # -- the 2 never-driver-checked round-5 additions
+    "text_cdc_chunks", "dedup_chunks",
+    # -- the 2 round-6 additions
+    "cdc_chunk_reuse", "dedup_semantic",
+    # -- 24 names last green in round 2 (stalest cohort)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
+    "q10_returned_items", "q12_shipmode_priority", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers", "window_top_orders",
+    "customers_no_orders",
+    # -- 22 of the 26 names last green in round 3
+    "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
+    "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
+    "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
+    "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
+    "events_json", "events_asof", "events_interval",
+    "events_distinct_users", "events_profile", "events_rollup",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND5_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND6_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -2841,9 +2918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_last": q_window_first_last,
         "events_running_distinct": q_events_running_distinct,
         "text_chunks": q_text_chunks,
-        # round-5 additions — queued for the round-6 driver window
+        # round-5 additions (driver window round 6)
         "text_cdc_chunks": q_text_cdc_chunks,
         "dedup_chunks": q_dedup_chunks,
+        # round-6 additions (windowed immediately)
+        "cdc_chunk_reuse": q_cdc_chunk_reuse,
+        "dedup_semantic": q_dedup_semantic,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -2934,10 +3014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND5_WINDOW) == 50
-    missing = [n for n in _ROUND5_WINDOW if n not in base]
+    assert len(_ROUND6_WINDOW) == 50
+    missing = [n for n in _ROUND6_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND5_WINDOW}
+    out = {n: base[n] for n in _ROUND6_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
@@ -4413,6 +4493,79 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_chunks,
        ROUND(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) * 1.0
              / SUM(n_tokens), 6) dup_token_ratio
 FROM r GROUP BY 1""",
+        "cdc_chunk_reuse": f"""
+WITH ed AS (
+  SELECT doc_id,
+         array_to_string(
+           a[1:p] || ['zzedit'] || a[p + 1:n], ' ') AS text
+  FROM (SELECT CAST(doc_id AS BIGINT) doc_id, a, len(a) n,
+               LEAST(5, len(a)) p
+        FROM (SELECT doc_id, {_TOKS} a FROM documents))
+  WHERE n > 0),
+{_cdc_chunks_cte('documents', 'v1', 'a_')},
+{_cdc_chunks_cte('ed', 'v2', 'b_')},
+h1 AS (SELECT DISTINCT doc_id, md5(chunk_text) h FROM v1),
+h2 AS (SELECT doc_id, md5(chunk_text) h FROM v2),
+agg1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_chunks_v1
+         FROM v1 GROUP BY 1),
+agg2 AS (
+  SELECT h2.doc_id, CAST(COUNT(*) AS BIGINT) n_chunks_v2,
+         CAST(SUM(CASE WHEN h1.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) n_reused
+  FROM h2 LEFT JOIN h1 ON h2.doc_id = h1.doc_id AND h2.h = h1.h
+  GROUP BY 1)
+SELECT doc_id, n_chunks_v1, n_chunks_v2, n_reused,
+       ROUND(n_reused * 1.0 / n_chunks_v2, 6) reuse_ratio
+FROM agg1 JOIN agg2 USING (doc_id)""",
+        "dedup_semantic": """
+WITH cent AS (
+  SELECT vec_id cid, embedding cemb
+  FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+corp AS (SELECT vec_id id, embedding v FROM embeddings),
+ad AS (
+  SELECT id, v, cid, cemb,
+         ROUND(list_sum(list_transform(range(len(v)),
+               i -> (CAST(v[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE))
+                    * (CAST(v[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE)))),
+               6) d
+  FROM corp CROSS JOIN cent),
+assign AS (
+  SELECT id, v, cid AS cluster,
+         ROUND(
+           list_sum(list_transform(range(len(v)),
+             i -> CAST(v[i+1] AS DOUBLE) * CAST(cemb[i+1] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(v, x -> CAST(x AS DOUBLE)
+                                                   * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(cemb, x -> CAST(x AS DOUBLE)
+                                                        * CAST(x AS DOUBLE))))),
+           6) cent_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) rn
+        FROM ad) WHERE rn = 1),
+edges AS (
+  SELECT id0, CAST(COUNT(*) AS BIGINT) n_dup_neighbors,
+         MAX(cos_sim) max_prior_sim
+  FROM (
+    SELECT a.id id0,
+           ROUND(
+             list_sum(list_transform(range(len(a.v)),
+               i -> CAST(a.v[i+1] AS DOUBLE) * CAST(b.v[i+1] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE)
+                                                       * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE)
+                                                         * CAST(x AS DOUBLE))))),
+             6) cos_sim
+    FROM assign a JOIN assign b USING (cluster)
+    WHERE b.cent_sim < a.cent_sim
+          OR (b.cent_sim = a.cent_sim AND b.id < a.id))
+  WHERE cos_sim >= 0.3 GROUP BY 1)
+SELECT CAST(a.id AS BIGINT) vec_id, CAST(cluster AS BIGINT) AS cluster,
+       cent_sim, e.id0 IS NOT NULL AS is_semantic_dup,
+       COALESCE(e.n_dup_neighbors, 0) n_dup_neighbors,
+       COALESCE(e.max_prior_sim, 0.0) max_prior_sim
+FROM assign a LEFT JOIN edges e ON a.id = e.id0""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

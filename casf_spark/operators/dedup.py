@@ -19,7 +19,7 @@ exactly-matching DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from casf_spark import schemas
@@ -783,3 +783,173 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
                  .cast("long").alias("novel"))
             .withColumn("novelty_frac",
                         F.round(F.col("novel") / F.col("n_grams"), 6)))
+
+
+def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
+                           n_clusters: int) -> DataFrame:
+    """Deterministic coarse clustering shared by the SemDeDup variants:
+    centroids are the ``n_clusters`` corpus vectors with the smallest
+    md5(id) (a deterministic sample — the same quantizer as
+    similarity.ivf_topk_det), each vector assigned to its nearest
+    centroid by squared L2 rounded to 6dp, ties to the smaller centroid
+    id. Returns (id, v, cluster, cent_sim) where cent_sim is the cosine
+    to the assigned centroid rounded to 6dp (SemDeDup's keep-ordering
+    key). Centroids broadcast; the argmin is a per-row window over an
+    ``n_clusters``-row cross join — one corpus-grain exchange."""
+    cent = (df.select(F.col(id_col).cast("long").alias("cid"),
+                      F.col(vec_col).alias("cemb"),
+                      md5_long(F.col(id_col).cast("string")).alias("ck"))
+            .orderBy("ck", "cid").limit(n_clusters).drop("ck"))
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(V.as_double(a), V.as_double(b),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(vec_col).alias("v"))
+    w = Window.partitionBy("id").orderBy("d", "cid")
+    return (base.crossJoin(F.broadcast(cent))
+            .withColumn("d", F.round(sq_dist("v", "cemb"), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "v", F.col("cid").alias("cluster"),
+                    F.round(V.cosine("v", "cemb"), 6).alias("cent_sim")))
+
+
+def semantic_dedup_det(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_clusters: int = 8,
+                       threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540),
+    deterministic-quantizer variant: cluster the embedding corpus with a
+    coarse quantizer, then prune near-duplicates WITHIN clusters only —
+    never all-pairs across the corpus.
+
+    Keep rule (the paper's, in pairwise form): within a cluster, a
+    vector is a semantic duplicate iff some same-cluster neighbor has
+    cosine >= ``threshold`` AND precedes it in keep order — SemDeDup
+    keeps the member with the LOWEST similarity to the cluster centroid
+    (it is the least redundant with the cluster's center of mass), so
+    keep order is ascending (cent_sim, id). Deterministic and
+    engine-independent: every comparison runs on 6dp-rounded values.
+
+    Output: (vec_id, cluster, cent_sim, is_semantic_dup,
+    n_dup_neighbors, max_prior_sim) — one row per corpus vector;
+    ``n_dup_neighbors`` counts the keep-order-prior neighbors within
+    threshold and ``max_prior_sim`` is the strongest of them (0.0 when
+    none, so the column is never null).
+
+    Scale shape (100 TB bar): centroids broadcast (n_clusters rows);
+    ONE corpus shuffle for cluster assignment; the within-cluster pair
+    join shuffles on cluster id and is quadratic only in bucket size —
+    size ``n_clusters`` ~ N / target_bucket so buckets stay bounded and
+    total pair work is N * bucket, linear in the corpus (the same
+    bucket-bounding argument as MinHash banding). The KMeans-quantizer
+    variant (:func:`semantic_dedup`) buys tighter clusters at the cost
+    of SQL-expressibility; this variant is its oracle-checked twin,
+    exactly as ivf_topk_det twins ivf_topk.
+    """
+    assigned = _nearest_det_centroids(emb, id_col, vec_col, n_clusters)
+    a = assigned.select("cluster", F.col("id").alias("id0"),
+                        F.col("v").alias("v0"),
+                        F.col("cent_sim").alias("cs0"))
+    b = assigned.select("cluster", F.col("id").alias("id1"),
+                        F.col("v").alias("v1"),
+                        F.col("cent_sim").alias("cs1"))
+    # prior = keep-order-earlier neighbor: (cent_sim, id) ascending
+    prior = ((F.col("cs1") < F.col("cs0"))
+             | ((F.col("cs1") == F.col("cs0"))
+                & (F.col("id1") < F.col("id0"))))
+    dup_edges = (a.join(b, "cluster")
+                 .where(prior)
+                 .withColumn("cos_sim",
+                             F.round(V.cosine("v0", "v1"), 6))
+                 .where(F.col("cos_sim") >= threshold)
+                 .groupBy("id0")
+                 .agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_dup_neighbors"),
+                      F.max("cos_sim").alias("max_prior_sim")))
+    out = (assigned.join(dup_edges, assigned.id == dup_edges.id0, "left")
+           .select(F.col("id").alias("vec_id"),
+                   F.col("cluster").cast("long").alias("cluster"),
+                   "cent_sim",
+                   F.col("n_dup_neighbors").isNotNull()
+                   .alias("is_semantic_dup"),
+                   F.coalesce("n_dup_neighbors", F.lit(0).cast("long"))
+                   .alias("n_dup_neighbors"),
+                   F.coalesce("max_prior_sim", F.lit(0.0))
+                   .alias("max_prior_sim")))
+    return out
+
+
+def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_clusters: int = 8, threshold: float = 0.3,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup with a seeded KMeans quantizer — the production variant:
+    same keep rule and output schema as :func:`semantic_dedup_det`, but
+    clusters come from ``pyspark.ml.clustering.KMeans`` (tighter buckets
+    -> fewer cross-cluster misses at equal n_clusters). Deterministic
+    for a fixed seed, but the iterative float path has no SQL twin, so
+    correctness is pinned by tests (seed determinism + agreement with
+    the det variant's numpy reference), not a DuckDB oracle.
+
+    Plan: KMeans fit on a corpus sample-free pass (maxIter=8 — the
+    quantizer only buckets), assignment map-only after the tiny model
+    broadcasts, then the identical within-cluster prior-neighbor join
+    as the det variant: one assignment pass + one cluster-keyed pair
+    shuffle, quadratic only in bucket size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=8,
+                   featuresCol="features", predictionCol="cluster"
+                   ).fit(feats)
+    import numpy as np
+    centers = {i: np.asarray(c) for i, c in
+               enumerate(model.clusterCenters())}
+    cent_df = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in centers.items()],
+        "cluster int, cemb array<double>")
+    assigned = (model.transform(feats)
+                .select("id", "v", "cluster")
+                .join(F.broadcast(cent_df), "cluster")
+                .select("id", "v", "cluster",
+                        F.round(V.cosine("v", "cemb"), 6)
+                        .alias("cent_sim")))
+    a = assigned.select("cluster", F.col("id").alias("id0"),
+                        F.col("v").alias("v0"),
+                        F.col("cent_sim").alias("cs0"))
+    b = assigned.select("cluster", F.col("id").alias("id1"),
+                        F.col("v").alias("v1"),
+                        F.col("cent_sim").alias("cs1"))
+    prior = ((F.col("cs1") < F.col("cs0"))
+             | ((F.col("cs1") == F.col("cs0"))
+                & (F.col("id1") < F.col("id0"))))
+    dup_edges = (a.join(b, "cluster")
+                 .where(prior)
+                 .withColumn("cos_sim",
+                             F.round(V.cosine("v0", "v1"), 6))
+                 .where(F.col("cos_sim") >= threshold)
+                 .groupBy("id0")
+                 .agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_dup_neighbors"),
+                      F.max("cos_sim").alias("max_prior_sim")))
+    return (assigned.join(dup_edges, assigned.id == dup_edges.id0, "left")
+            .select(F.col("id").alias("vec_id"),
+                    F.col("cluster").cast("long").alias("cluster"),
+                    "cent_sim",
+                    F.col("n_dup_neighbors").isNotNull()
+                    .alias("is_semantic_dup"),
+                    F.coalesce("n_dup_neighbors", F.lit(0).cast("long"))
+                    .alias("n_dup_neighbors"),
+                    F.coalesce("max_prior_sim", F.lit(0.0))
+                    .alias("max_prior_sim")))

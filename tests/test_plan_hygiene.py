@@ -28,6 +28,7 @@ PRODUCT_WHITELIST = {
     "cosine_topk",       # dense zero-fill path (mods product)
     "cosine_predict",    # inherits top-k's dense path
     "ann_ivf_det",       # centroid table (n_centroids rows) broadcast
+    "dedup_semantic",    # same det-quantizer centroid broadcast (8 rows)
     "tfidf_terms",       # 1-row corpus-count broadcast
     "bm25_rank",         # 1-row corpus stats broadcast
     "vocab_coverage",    # 1-row total broadcast

@@ -1,0 +1,108 @@
+"""SemDeDup-style semantic dedup: det variant vs a numpy reference,
+KMeans variant determinism + keep-rule consistency, synthetic clones."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from casf_spark.operators import dedup as DD
+
+
+def _md5l(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _numpy_semdedup(ids, X, n_clusters, threshold):
+    """Literal transcription of the semantic_dedup_det contract."""
+    order = sorted(range(len(ids)), key=lambda i: (_md5l(str(ids[i])), ids[i]))
+    ck = order[:n_clusters]
+    cids, C = ids[ck], X[ck]
+    d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(2), 6)
+    assign = np.array([
+        min(range(n_clusters), key=lambda j: (d[i, j], cids[j]))
+        for i in range(len(ids))])
+
+    def cos(a, b):
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6)
+
+    cs = np.array([cos(X[i], C[assign[i]]) for i in range(len(ids))])
+    out = {}
+    for i in range(len(ids)):
+        sims = [cos(X[i], X[j]) for j in range(len(ids))
+                if j != i and assign[j] == assign[i]
+                and (cs[j], ids[j]) < (cs[i], ids[i])
+                and cos(X[i], X[j]) >= threshold]
+        out[int(ids[i])] = (int(cids[assign[i]]), cs[i],
+                            bool(sims), len(sims),
+                            max(sims) if sims else 0.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_det_matches_numpy_reference(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ref = _numpy_semdedup(ids, X, n_clusters=8, threshold=0.3)
+
+    got = DD.semantic_dedup_det(emb, n_clusters=8, threshold=0.3).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        cluster, cent_sim, is_dup, ndn, mps = ref[r.vec_id]
+        assert r.cluster == cluster
+        assert r.cent_sim == pytest.approx(cent_sim, abs=1e-9)
+        assert r.is_semantic_dup == is_dup
+        assert r.n_dup_neighbors == ndn
+        assert r.max_prior_sim == pytest.approx(mps, abs=1e-9)
+
+
+def test_det_flags_some_dups(emb):
+    out = DD.semantic_dedup_det(emb, n_clusters=8, threshold=0.3)
+    n_dup = out.where("is_semantic_dup").count()
+    assert 0 < n_dup < out.count()
+
+
+def test_kmeans_variant_deterministic_and_consistent(emb):
+    a = DD.semantic_dedup(emb, n_clusters=8, threshold=0.3, seed=42)
+    b = DD.semantic_dedup(emb, n_clusters=8, threshold=0.3, seed=42)
+    ra = sorted(a.collect())
+    rb = sorted(b.collect())
+    assert ra == rb
+    det = DD.semantic_dedup_det(emb, n_clusters=8, threshold=0.3)
+    assert [(f.name, f.dataType) for f in a.schema] == \
+        [(f.name, f.dataType) for f in det.schema]
+    # keep-rule internal consistency on the output itself
+    for r in ra:
+        if r.is_semantic_dup:
+            assert r.n_dup_neighbors >= 1
+            assert r.max_prior_sim >= 0.3
+        else:
+            assert r.n_dup_neighbors == 0
+            assert r.max_prior_sim == 0.0
+
+
+def test_exact_clones_keep_exactly_one(spark):
+    """Five identical vectors + three orthogonal-ish singles: the clones
+    collapse to one kept representative regardless of clustering."""
+    base = [1.0] + [0.0] * 7
+    rows = [(i, base) for i in range(5)]
+    rows += [(10, [0.0, 1.0] + [0.0] * 6),
+             (11, [0.0, 0.0, 1.0] + [0.0] * 5),
+             (12, [0.0] * 3 + [1.0] + [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = DD.semantic_dedup_det(df, n_clusters=2, threshold=0.9).collect()
+    clones = [r for r in out if r.vec_id < 5]
+    kept = [r for r in clones if not r.is_semantic_dup]
+    assert len(kept) == 1
+    assert all(r.max_prior_sim == pytest.approx(1.0) for r in clones
+               if r.is_semantic_dup)
+    singles = [r for r in out if r.vec_id >= 10]
+    assert all(not r.is_semantic_dup for r in singles)
