@@ -67,29 +67,24 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    # getOrCreate also reuses a default session that is not thread-active
-    # (e.g. one created on another thread), so check the instantiated
-    # default too — otherwise the JVM-launch-options warning below is
-    # silently skipped and an embedded bench run gets pessimistic timings
-    # with no signal. (PySpark classic tracks the default in
-    # _instantiatedSession; guard with getattr for connect-mode sessions.)
-    reused = (SparkSession.getActiveSession() is not None
-              or getattr(SparkSession, "_instantiatedSession", None)
-              is not None)
     spark = builder.getOrCreate()
-    if reused:
-        # getOrCreate against a live session silently ignores JVM-launch
-        # options (code cache, huge-method compile) — the fix for the
-        # measured interpreted-plan slowdown above. Warn so an embedded
-        # bench/test run knows its timings may be pessimistic.
+    # Detect reuse by OUTCOME, not session bookkeeping: getOrCreate against
+    # a live session silently ignores JVM-launch options (code cache,
+    # huge-method compile) — the fix for the measured interpreted-plan
+    # slowdown above. Comparing the session's actual launch options with
+    # what was requested catches every reuse path (active session, default
+    # session created on another thread, connect mode) without touching
+    # private PySpark state, so an embedded bench/test run always gets a
+    # signal that its timings may be pessimistic.
+    applied = spark.conf.get("spark.driver.extraJavaOptions", "")
+    if "ReservedCodeCacheSize" not in applied:
         import warnings
 
-        applied = spark.conf.get("spark.driver.extraJavaOptions", "")
-        if "ReservedCodeCacheSize" not in applied:
-            warnings.warn(
-                "get_spark: reusing an existing SparkSession — the "
-                "code-cache/JIT driver JVM options were NOT applied; "
-                "heavy fused plans may run interpreted (see session.py).",
-                RuntimeWarning, stacklevel=2)
+        warnings.warn(
+            "get_spark: this SparkSession's JVM was not launched with the "
+            "requested code-cache/JIT driver options (an existing session "
+            "was reused); heavy fused plans may run interpreted (see "
+            "session.py).",
+            RuntimeWarning, stacklevel=2)
     spark.sparkContext.setLogLevel("WARN")
     return spark

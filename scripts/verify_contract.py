@@ -91,6 +91,28 @@ def norm_type(t: pa.DataType, side: str) -> str:
     return str(t)
 
 
+def _struct_fields(ctype: str) -> dict[str, str]:
+    """Parse a ``struct<name:type,...>`` normtype into {name: type},
+    splitting only at nesting depth 0 (field types can themselves be
+    ``list<...>`` / ``struct<...>`` containing commas and colons)."""
+    body, fields, depth, start = ctype[7:-1], {}, 0, 0
+    parts = []
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if body:
+        parts.append(body[start:])
+    for p in parts:
+        name, _, ftype = p.partition(":")
+        fields[name] = ftype
+    return fields
+
+
 def norm_cell(v, ctype: str | None = None):
     """Tag every cell with its driver-level type class; values stay EXACT.
 
@@ -120,7 +142,12 @@ def norm_cell(v, ctype: str | None = None):
             inner = ctype[5:-1]
         return ("l", tuple(norm_cell(x, inner) for x in v))
     if isinstance(v, dict):
-        return ("m", tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
+        # a struct cell: thread each field's normalized type down so e.g.
+        # a DuckDB decimal nested in a struct still normalizes to float
+        fields = (_struct_fields(ctype)
+                  if ctype and ctype.startswith("struct<") else {})
+        return ("m", tuple(sorted((k, norm_cell(x, fields.get(k)))
+                                  for k, x in v.items())))
     if isinstance(v, bytes):
         return ("y", v)
     return ("s", str(v))
