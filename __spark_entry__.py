@@ -2593,6 +2593,28 @@ def q_dedup_semantic(spark, sf):
     return DD.semantic_dedup_det(emb, n_clusters=8, threshold=0.3)
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher rule-based quality filter (functions.text.gopher_quality):
+    the published Rae et al. 2021 A1.1 ruleset — word count, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword count — as one shuffle-free map-only
+    projection with a per-rule metric column and the conjunction flag."""
+    docs = load_table(spark, sf, "documents")
+    return TX.gopher_quality(docs, "doc_id", "text")
+
+
+def q_dsir_select(spark, sf):
+    """DSIR-style importance weights (operators.sampling.dsir_logweights):
+    hashed unigram+bigram bucket distributions of a target domain
+    (source='src0') vs the raw pool give every document a log importance
+    weight; gumbel_key makes deterministic Gumbel-top-k selection a
+    downstream sort. Two 256-row bucket aggregates broadcast as the
+    weight table; the corpus pass is one explode + doc rollup."""
+    docs = load_table(spark, sf, "documents")
+    return SP.dsir_logweights(docs, "doc_id", "text",
+                              F.col("source") == "src0", n_buckets=256)
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2806,22 +2828,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 2 round-6 additions (cdc_chunk_reuse, dedup_semantic) — windowed
-#     immediately so no never-checked backlog accumulates;
+#   * the 4 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#     gopher_quality, dsir_select) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 22 of the 26 names
+#     window_top_orders + customers_no_orders), then 20 of the 26 names
 #     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     nine events_* shapes). The 4 round-3 leftovers (events_cube,
-#     events_pivot, events_zscore, events_percentiles) head the round-7
-#     re-confirmation queue.
+#     seven events_* shapes). The 6 round-3 leftovers (events_profile,
+#     events_rollup, events_cube, events_pivot, events_zscore,
+#     events_percentiles) head the round-7 re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 2 round-6 additions
-    "cdc_chunk_reuse", "dedup_semantic",
+    # -- the 4 round-6 additions
+    "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2838,7 +2861,7 @@ _ROUND6_WINDOW = [
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
-    "events_distinct_users", "events_profile", "events_rollup",
+    "events_distinct_users",
 ]
 
 
@@ -2924,6 +2947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions (windowed immediately)
         "cdc_chunk_reuse": q_cdc_chunk_reuse,
         "dedup_semantic": q_dedup_semantic,
+        "gopher_quality": q_gopher_quality,
+        "dsir_select": q_dsir_select,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4566,6 +4591,72 @@ SELECT CAST(a.id AS BIGINT) vec_id, CAST(cluster AS BIGINT) AS cluster,
        COALESCE(e.n_dup_neighbors, 0) n_dup_neighbors,
        COALESCE(e.max_prior_sim, 0.0) max_prior_sim
 FROM assign a LEFT JOIN edges e ON a.id = e.id0""",
+        "gopher_quality": f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') words,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     l -> trim(l) <> '') lines,
+         {_TOKS} low
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) n_words,
+    ROUND(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+          * 1.0 / GREATEST(len(words), 1), 6) mean_word_len,
+    ROUND((length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+          / GREATEST(len(words), 1), 6) symbol_word_ratio,
+    ROUND(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          * 1.0 / GREATEST(len(lines), 1), 6) bullet_line_frac,
+    ROUND(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+          * 1.0 / GREATEST(len(lines), 1), 6) ellipsis_line_frac,
+    ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+          * 1.0 / GREATEST(len(words), 1), 6) alpha_word_frac,
+    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                          'with'], r -> list_contains(low, r)))
+         AS BIGINT) n_required_stopwords
+  FROM w)
+SELECT *,
+       n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND n_required_stopwords >= 2 AS passes_gopher
+FROM m""",
+        "dsir_select": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, source = 'src0' is_target,
+                  {_TOKS} a
+           FROM documents),
+f AS (SELECT doc_id, is_target,
+             list_concat(a, list_transform(range(1, len(a)),
+                                           i -> a[i] || ' ' || a[i + 1])) feats
+      FROM t),
+occ AS (SELECT doc_id, is_target,
+               CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 256 bucket
+        FROM (SELECT doc_id, is_target, unnest(feats) feat FROM f)),
+pool AS (SELECT bucket,
+                SUM(CASE WHEN is_target THEN 1 ELSE 0 END) tc,
+                SUM(CASE WHEN is_target THEN 0 ELSE 1 END) rc
+         FROM occ GROUP BY 1),
+tot AS (SELECT SUM(tc) t_tot, SUM(rc) r_tot FROM pool),
+wts AS (SELECT s.bucket,
+               ROUND(ln((COALESCE(tc, 0) + 1) * 1.0 / (t_tot + 256))
+                   - ln((COALESCE(rc, 0) + 1) * 1.0 / (r_tot + 256)), 6) w
+        FROM (SELECT unnest(range(256)) bucket) s CROSS JOIN tot
+        LEFT JOIN pool ON s.bucket = pool.bucket),
+dc AS (SELECT doc_id, is_target, bucket, COUNT(*) c
+       FROM occ GROUP BY 1, 2, 3),
+pd AS (SELECT doc_id, is_target, CAST(SUM(c) AS BIGINT) n_features,
+              ROUND(SUM(c * w), 6) log_weight
+       FROM dc JOIN wts USING (bucket) GROUP BY 1, 2)
+SELECT doc_id, is_target, n_features, log_weight,
+       ROUND(log_weight - ln(-ln(
+         ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) >> 30) + 0.5) / 1073741824.0)), 6) gumbel_key
+FROM pd""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

@@ -421,3 +421,84 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
            .distinct())
     from casf_spark import schemas
     return schemas.conform(out, schemas.WINNOW_FP)
+
+
+#: the Gopher rule's required English words (Rae et al. 2021, A1.1):
+#: a document must contain at least two of them to pass.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that",
+                         "have", "with")
+
+
+def gopher_exprs(text_col: str) -> dict[str, Column]:
+    """The Gopher quality-rule metric Columns (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1 — the ruleset later reused by
+    RedPajama/Dolma/DataTrove), keyed by output name. All shuffle-free
+    single-pass expressions over whitespace words and newline lines:
+
+      * n_words in [50, 100000]
+      * mean word length in [3, 10]
+      * '#'-or-'...'-to-word ratio <= 0.1
+      * <= 90% of lines start with a bullet (-, *, •)
+      * <= 30% of lines end with '...'
+      * >= 80% of words contain an alphabetic character
+      * at least 2 of :data:`GOPHER_REQUIRED_WORDS` present
+
+    ``passes_gopher`` is the conjunction, computed FROM the rounded
+    ratio columns so the oracle SQL compares bit-identical doubles.
+
+    NULL text counts as empty (0 words / 0 lines, fails the word-count
+    rule) rather than poisoning the metrics via Spark's size(NULL) = -1.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    wdiv = F.greatest(n_words, F.lit(1))
+    total_len = F.aggregate(F.transform(words, F.length), F.lit(0),
+                            lambda acc, x: acc + x)
+    mean_word_len = F.round(total_len.cast("double") / wdiv, 6)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(txt) - F.length(
+        F.replace(txt, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_word_ratio = F.round((n_hash + n_ellipsis) / wdiv, 6)
+    lines = F.filter(F.split(txt, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    ldiv = F.greatest(F.size(lines), F.lit(1))
+    bullet_line_frac = F.round(
+        F.size(F.filter(lines,
+                        lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / ldiv, 6)
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith(F.lit("..."))))
+        / ldiv, 6)
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / wdiv, 6)
+    low = tokens(txt)
+    n_required = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        lambda r: F.array_contains(low, r)))
+    out: dict[str, Column] = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "n_required_stopwords": n_required.cast("long"),
+    }
+    out["passes_gopher"] = (
+        (out["n_words"] >= 50) & (out["n_words"] <= 100_000)
+        & (out["mean_word_len"] >= 3.0) & (out["mean_word_len"] <= 10.0)
+        & (out["symbol_word_ratio"] <= 0.1)
+        & (out["bullet_line_frac"] <= 0.9)
+        & (out["ellipsis_line_frac"] <= 0.3)
+        & (out["alpha_word_frac"] >= 0.8)
+        & (out["n_required_stopwords"] >= 2))
+    return out
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Gopher rule metrics + pass flag (:func:`gopher_exprs`):
+    one narrow map-only projection — no shuffle, no UDF, pushes through
+    the scan like the other quality features."""
+    g = gopher_exprs(text_col)
+    return df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     *[c.alias(n) for n, c in g.items()])

@@ -95,3 +95,88 @@ def sample_per_group(df: DataFrame, key: Column | str, group_col: str,
             .select(F.col("grp").alias(group_col),
                     F.col("_s.kv").alias("key_val"),
                     (F.col("_pos") + 1).cast("int").alias("rank")))
+
+
+def dsir_logweights(df: DataFrame, id_col: str, text_col: str,
+                    is_target: Column, n_buckets: int = 256) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-domain-like its
+    hashed n-gram profile is, so a raw corpus can be resampled toward a
+    small target domain.
+
+    Features are unigrams + bigrams of the regex tokenizer, hashed into
+    ``n_buckets`` buckets with the cross-engine md5 hash
+    (functions.hashing.md5_long % n_buckets). Bucket distributions are
+    estimated with add-1 smoothing over the target rows (``is_target``)
+    and the raw rows (the rest); a document's log importance weight is
+
+        log_w(d) = sum_b c_b(d) * (ln p_target(b) - ln p_raw(b))
+
+    with the per-bucket log-ratio rounded to 6dp BEFORE the weighted sum
+    so both engines sum identical doubles (only association order can
+    differ — error ~1e-13 against a 6dp output rounding).
+
+    Output: (doc_id, is_target, n_features, log_weight, gumbel_key) —
+    one row per document with at least one feature, both pools scored
+    (token-free documents have no evidence and are omitted).
+    ``gumbel_key`` =
+    log_weight - ln(-ln(u)) with u the deterministic
+    :func:`hash_fraction` of the id: sorting descending by it IS
+    Gumbel-top-k sampling from the softmax of the weights, rerun-stable
+    with no RNG state (selection itself is a downstream filter/top-k so
+    callers pick k without recomputing).
+
+    Scale shape (100 TB bar): two bucket-grain aggregates build the
+    ``n_buckets``-row weight table (broadcast); the corpus pass is one
+    feature-grain explode + doc-grain rollup — work linear in total
+    tokens, no all-pairs, no driver loop. The bucket count bounds the
+    weight table, not the corpus, exactly as in the paper's hashed
+    feature design.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    tok = _tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     is_target.alias("is_target"),
+                     F.concat(tok, bigrams).alias("feats"))
+    occ = (base.select("doc_id", "is_target",
+                       F.explode("feats").alias("feat"))
+           .select("doc_id", "is_target",
+                   (md5_long("feat") % n_buckets).alias("bucket")))
+
+    pool = (occ.groupBy("bucket")
+            .agg(F.sum(F.col("is_target").cast("long")).alias("tc"),
+                 F.sum((~F.col("is_target")).cast("long")).alias("rc")))
+    tot = pool.agg(F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot"))
+    spine = (df.sparkSession.range(n_buckets)
+             .select(F.col("id").cast("long").alias("bucket")))
+    weights = (spine.join(F.broadcast(pool), "bucket", "left")
+               .crossJoin(F.broadcast(tot))
+               .select("bucket", F.round(
+                   F.log((F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                         / (F.col("t_tot") + n_buckets))
+                   - F.log((F.coalesce("rc", F.lit(0)) + 1).cast("double")
+                           / (F.col("r_tot") + n_buckets)),
+                   6).alias("w")))
+
+    per_doc = (occ.groupBy("doc_id", "is_target", "bucket")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .join(F.broadcast(weights), "bucket")
+               .groupBy("doc_id", "is_target")
+               .agg(F.sum("c").cast("long").alias("n_features"),
+                    F.round(F.sum(F.col("c") * F.col("w")), 6)
+                    .alias("log_weight")))
+    # u strictly inside (0,1): +0.5 keeps ln(u) and ln(-ln(u)) finite for
+    # every hash value (hash_fraction itself can return exactly 0), and
+    # (h + 0.5) / 2^30 is exact in both engines' doubles.
+    u = ((F.shiftright(md5_long(F.col("doc_id").cast("string")),
+                       HASH_BITS - 30) + F.lit(0.5))
+         / F.lit(float(_BUCKETS)))
+    return per_doc.select(
+        "doc_id", "is_target", "n_features", "log_weight",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+        .alias("gumbel_key"))

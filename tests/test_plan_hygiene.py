@@ -29,6 +29,7 @@ PRODUCT_WHITELIST = {
     "cosine_predict",    # inherits top-k's dense path
     "ann_ivf_det",       # centroid table (n_centroids rows) broadcast
     "dedup_semantic",    # same det-quantizer centroid broadcast (8 rows)
+    "dsir_select",       # 1-row corpus-totals broadcast
     "tfidf_terms",       # 1-row corpus-count broadcast
     "bm25_rank",         # 1-row corpus stats broadcast
     "vocab_coverage",    # 1-row total broadcast

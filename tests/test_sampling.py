@@ -92,3 +92,57 @@ def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
     per_cluster = (out.groupBy("cluster_id")
                    .agg(F.count_distinct("split").alias("k")).collect())
     assert per_cluster and all(r.k == 1 for r in per_cluster)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    """Two vocabularies: target docs speak 'alpha beta gamma', raw docs
+    speak 'delta epsilon zeta'; a few raw docs mix in target vocabulary
+    and should outrank their pure-raw peers."""
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta gamma alpha", True))
+    for i in range(20, 80):
+        rows.append((i, "delta epsilon zeta delta epsilon zeta eta", False))
+    for i in range(80, 90):  # raw docs with target-like content
+        rows.append((i, "alpha beta gamma delta alpha beta gamma", False))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, tgt boolean")
+
+
+def test_dsir_separates_target_like_raw_docs(dsir_corpus):
+    out = SP.dsir_logweights(dsir_corpus, "doc_id", "text",
+                             F.col("tgt"), n_buckets=64).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 90
+    pure_raw = [by_id[i].log_weight for i in range(20, 80)]
+    target_like = [by_id[i].log_weight for i in range(80, 90)]
+    assert min(target_like) > max(pure_raw)
+    # target docs themselves score highest of all
+    tgt = [by_id[i].log_weight for i in range(20)]
+    assert min(tgt) >= min(target_like)
+
+
+def test_dsir_deterministic_and_feature_counts(dsir_corpus):
+    a = sorted(SP.dsir_logweights(dsir_corpus, "doc_id", "text",
+                                  F.col("tgt"), n_buckets=64).collect())
+    b = sorted(SP.dsir_logweights(dsir_corpus, "doc_id", "text",
+                                  F.col("tgt"), n_buckets=64).collect())
+    assert a == b  # rerun-stable incl. gumbel_key (hash-derived, no RNG)
+    for r in a:
+        # unigrams + bigrams of a 7-token doc = 7 + 6
+        assert r.n_features == 13
+        assert r.gumbel_key is not None
+
+
+def test_dsir_empty_docs_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "", False), (3, "gamma", False)],
+        "doc_id long, text string, tgt boolean")
+    out = SP.dsir_logweights(df, "doc_id", "text", F.col("tgt"),
+                             n_buckets=16).collect()
+    assert {r.doc_id for r in out} == {1, 3}

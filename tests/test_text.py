@@ -272,3 +272,45 @@ def test_reference_articles_full_pipeline_stopwords_absent(spark):
     for r in out:
         assert len(r.toks) > 0
         assert not (set(r.toks) & stop_tbl), sorted(set(r.toks) & stop_tbl)[:5]
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_rule_by_rule(spark):
+    from casf_spark.functions.text import gopher_quality
+    good = ("the quick brown fox jumps over the lazy dog and that have "
+            "with be to of runs far " * 3).strip()  # 69 words, all alpha
+    short = "the of and that"                        # fails word count
+    hashy = good + " " + "# " * 30                   # symbol ratio > 0.1
+    bullets = "\n".join(f"- item {i} " + good for i in range(10))
+    numeric = " ".join(["12345"] * 60)               # no alpha, no stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, hashy), (4, bullets), (5, numeric),
+         (6, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1].passes_gopher
+    assert out[1].alpha_word_frac == 1.0
+    assert out[1].n_required_stopwords >= 2
+    assert not out[2].passes_gopher and out[2].n_words < 50
+    assert not out[3].passes_gopher and out[3].symbol_word_ratio > 0.1
+    assert not out[4].passes_gopher and out[4].bullet_line_frac == 1.0
+    assert not out[5].passes_gopher
+    assert out[5].alpha_word_frac == 0.0
+    assert out[5].n_required_stopwords == 0
+    # NULL text counts as empty, never size(NULL) = -1
+    assert out[6].n_words == 0 and not out[6].passes_gopher
+
+
+def test_gopher_ellipsis_lines(spark):
+    from casf_spark.functions.text import gopher_quality
+    base = "the and of that with be to have " * 8
+    text = "\n".join([base + "..."] * 4 + [base] * 6)
+    out = gopher_quality(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id", "text").first()
+    assert out.ellipsis_line_frac == 0.4
+    assert not out.passes_gopher  # 0.4 exceeds the 0.3 ellipsis-line cap
