@@ -2615,6 +2615,18 @@ def q_dsir_select(spark, sf):
                               F.col("source") == "src0", n_buckets=256)
 
 
+def q_dedup_remove_spans(spark, sf):
+    """Exact substring dedup with removal
+    (operators.dedup.remove_duplicated_spans): token positions covered by
+    a cross-document-duplicated word 4-gram are dropped everywhere except
+    the gram's first-occurrence document — the cleanup half of Lee et al.
+    2022 substring dedup (dedup_spans is the detection half). Gram-grain
+    agg + duplicated-set join + map-only array rebuild; the position
+    explode is proportional to duplicated occurrences only."""
+    docs = load_table(spark, sf, "documents")
+    return DD.remove_duplicated_spans(docs, "doc_id", "text", n=4)
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2828,23 +2840,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 4 round-6 additions (cdc_chunk_reuse, dedup_semantic,
-#     gopher_quality, dsir_select) — windowed immediately so no
-#     never-checked backlog accumulates;
+#   * the 5 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#     gopher_quality, dsir_select, dedup_remove_spans) — windowed
+#     immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 20 of the 26 names
+#     window_top_orders + customers_no_orders), then 19 of the 26 names
 #     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     seven events_* shapes). The 6 round-3 leftovers (events_profile,
-#     events_rollup, events_cube, events_pivot, events_zscore,
-#     events_percentiles) head the round-7 re-confirmation queue.
+#     six events_* shapes). The 7 round-3 leftovers (events_distinct_users,
+#     events_profile, events_rollup, events_cube, events_pivot,
+#     events_zscore, events_percentiles) head the round-7
+#     re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 4 round-6 additions
+    # -- the 5 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
+    "dedup_remove_spans",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2861,7 +2875,6 @@ _ROUND6_WINDOW = [
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
-    "events_distinct_users",
 ]
 
 
@@ -2949,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "gopher_quality": q_gopher_quality,
         "dsir_select": q_dsir_select,
+        "dedup_remove_spans": q_dedup_remove_spans,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4657,6 +4671,30 @@ SELECT doc_id, is_target, n_features, log_weight,
          ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                 AS BIGINT) >> 30) + 0.5) / 1073741824.0)), 6) gumbel_key
 FROM pd""",
+        "dedup_remove_spans": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
+p AS (SELECT doc, a, len(a) nn FROM t WHERE len(a) > 0),
+occ AS (
+  SELECT doc, i pos,
+         CAST('0x' || substr(md5(array_to_string(a[i + 1:i + 4], ' ')),
+              1, 15) AS BIGINT) g
+  FROM (SELECT doc, a, unnest(range(nn - 3)) i FROM p WHERE nn >= 4)),
+dup AS (SELECT g, MIN(doc) first_doc
+        FROM occ GROUP BY g HAVING COUNT(DISTINCT doc) >= 2),
+dr AS (SELECT DISTINCT o.doc, o.pos + u.x tp
+       FROM occ o JOIN dup d USING (g)
+       CROSS JOIN unnest(range(4)) AS u(x)
+       WHERE o.doc <> d.first_doc),
+drops AS (SELECT doc, list(tp) dp FROM dr GROUP BY doc)
+SELECT p.doc, CAST(nn AS BIGINT) n_tokens,
+       CAST(COALESCE(len(dp), 0) AS BIGINT) n_removed,
+       ROUND(COALESCE(len(dp), 0) * 1.0 / nn, 6) removed_frac,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(nn),
+                       i -> dp IS NULL OR NOT list_contains(dp, i)),
+           i -> a[i + 1]), ' '), '') cleaned_text
+FROM p LEFT JOIN drops USING (doc)""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

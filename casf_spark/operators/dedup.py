@@ -953,3 +953,62 @@ def semantic_dedup(emb: DataFrame, id_col: str = "vec_id",
                     .alias("n_dup_neighbors"),
                     F.coalesce("max_prior_sim", F.lit(0.0))
                     .alias("max_prior_sim")))
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 4) -> DataFrame:
+    """Exact substring dedup with REMOVAL (the cleanup half of Lee et al.
+    2022 — :func:`cross_doc_spans` is the matching detection half): every
+    token position covered by a word ``n``-gram that also occurs in
+    another document is dropped, EXCEPT in the gram's first-occurrence
+    document (min doc id), which keeps its text verbatim. First-occurrence
+    -wins keeps exactly one copy of every duplicated span in the corpus
+    instead of deleting boilerplate everywhere.
+
+    Output: (doc, n_tokens, n_removed, removed_frac, cleaned_text) — one
+    row per input document; documents shorter than ``n`` tokens pass
+    through unchanged.
+
+    Scale shape: the same gram-grain aggregation + duplicated-set join as
+    cross_doc_spans (position explode proportional to duplicated
+    occurrences only), one doc-grain rollup collecting each doc's drop
+    positions (bounded by its own length), then a map-only rebuild:
+    ``array_except`` over the position sequence is linear per doc (hash
+    set under the hood), and ``element_at`` is O(1) per kept token.
+    Nothing quadratic, nothing driver-side.
+    """
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
+           .select("doc", "pos", md5_long("gram").alias("g")))
+    dup = (occ.groupBy("g")
+           .agg(F.countDistinct("doc").alias("nd"),
+                F.min("doc").alias("first_doc"))
+           .where(F.col("nd") >= 2)
+           .select("g", "first_doc"))
+    drops = (occ.join(dup, "g")
+             .where(F.col("doc") != F.col("first_doc"))
+             .select("doc", F.explode(
+                 F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"))
+             .groupBy("doc")
+             .agg(F.collect_set("tp").alias("drop_pos")))
+    keep = F.array_except(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        F.coalesce("drop_pos", F.array().cast("array<int>")))
+    cleaned = F.transform(keep, lambda i: F.element_at("toks", i + 1))
+    return (tok_df.where(F.size("toks") > 0)
+            .join(drops, "doc", "left")
+            .select("doc",
+                    F.size("toks").cast("long").alias("n_tokens"),
+                    F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long")
+                    .alias("n_removed"),
+                    F.round(F.coalesce(F.size("drop_pos"), F.lit(0))
+                            / F.size("toks"), 6).alias("removed_frac"),
+                    F.array_join(cleaned, " ").alias("cleaned_text")))

@@ -237,3 +237,46 @@ def test_ngram_novelty_first_occurrence_credit(spark):
     assert got[1] == (2, 2, 1.0)
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (5, 4, 0.8)
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans (exact substring dedup with removal)
+# ---------------------------------------------------------------------------
+
+def test_remove_spans_first_occurrence_wins(spark):
+    from casf_spark.operators.dedup import remove_duplicated_spans
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(1, f"one uniq filler {shared} tail1 word1"),
+            (2, f"two other filler {shared} tail2 word2"),
+            (3, f"{shared} three more filler tail3"),
+            (4, "totally unrelated content nothing shared here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc: r for r in
+           remove_duplicated_spans(df, "doc_id", "text", n=4).collect()}
+    # doc 1 is the min doc for every duplicated gram -> untouched
+    assert out[1].n_removed == 0
+    assert out[1].cleaned_text == rows[0][1]
+    # docs 2 and 3 lose the whole shared span, keep their own words
+    for d in (2, 3):
+        assert "alpha" not in out[d].cleaned_text
+        assert "epsilon" not in out[d].cleaned_text
+    assert "two" in out[2].cleaned_text and "tail2" in out[2].cleaned_text
+    assert "three" in out[3].cleaned_text
+    # unique doc untouched
+    assert out[4].n_removed == 0
+    # conservation on every row
+    for r in out.values():
+        kept = len(r.cleaned_text.split()) if r.cleaned_text else 0
+        assert kept == r.n_tokens - r.n_removed
+        assert r.removed_frac == round(r.n_removed / r.n_tokens, 6)
+
+
+def test_remove_spans_short_docs_pass_through(spark):
+    from casf_spark.operators.dedup import remove_duplicated_spans
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    out = {r.doc: r for r in
+           remove_duplicated_spans(df, "doc_id", "text", n=4).collect()}
+    # 3-token docs have no 4-grams: identical but untouched
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    assert out[2].cleaned_text == "a b c"
