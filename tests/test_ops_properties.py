@@ -208,3 +208,62 @@ def test_train_shards_bijection_and_determinism(spark, ids):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights vs a naive Python implementation
+# ---------------------------------------------------------------------------
+
+_dsir_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+dsir_strategy = st.lists(
+    st.tuples(st.lists(_dsir_word, min_size=1, max_size=6),
+              st.booleans()),
+    min_size=2, max_size=12).filter(
+        lambda rows: any(t for _, t in rows) and any(not t for _, t in rows))
+
+
+@slow_ok
+@given(dsir_strategy)
+def test_dsir_matches_naive(spark, rows):
+    """dsir_logweights == the paper's formula computed in pure Python
+    (same md5 bucketing, add-1 smoothing, 6dp-rounded bucket ratios)."""
+    import hashlib
+    import math
+
+    from casf_spark.operators.sampling import dsir_logweights
+
+    B = 16
+
+    def bucket(feat: str) -> int:
+        return int(hashlib.md5(feat.encode()).hexdigest()[:15], 16) % B
+
+    def feats(words):
+        return words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for words, tgt in rows:
+        for f_ in feats(words):
+            d = tc if tgt else rc
+            d[bucket(f_)] = d.get(bucket(f_), 0) + 1
+    t_tot, r_tot = sum(tc.values()), sum(rc.values())
+    w = {b: round(math.log((tc.get(b, 0) + 1) / (t_tot + B))
+                  - math.log((rc.get(b, 0) + 1) / (r_tot + B)), 6)
+         for b in range(B)}
+    expect = {}
+    for i, (words, tgt) in enumerate(rows):
+        fs = feats(words)
+        expect[i] = (tgt, len(fs),
+                     round(sum(w[bucket(f_)] for f_ in fs), 6))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), t) for i, (ws, t) in enumerate(rows)],
+        "doc_id long, text string, tgt boolean")
+    got = dsir_logweights(df, "doc_id", "text", F.col("tgt"),
+                          n_buckets=B).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        tgt, nf, lw = expect[r.doc_id]
+        assert r.is_target == tgt
+        assert r.n_features == nf
+        assert r.log_weight == pytest.approx(lw, abs=2e-6)
