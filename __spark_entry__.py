@@ -1847,6 +1847,32 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def _keep_best_oracle() -> str:
+    """dedup_keep_best: the dedup_clusters closure re-used as a CTE, then
+    per-cluster ranking by (n_tokens desc, doc_id) — rank 1 is kept."""
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+  UNION ALL
+  SELECT doc1, doc0 FROM mh_cand),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk
+       GROUP BY node),
+qual AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+                CAST(len({_TOKS}) AS BIGINT) n_tokens
+         FROM documents),
+r AS (SELECT cl.doc_id, cl.cluster_id, qual.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY qual.n_tokens DESC, cl.doc_id) rn
+      FROM cl JOIN qual USING (doc_id))
+SELECT doc_id, cluster_id, n_tokens, rn = 1 AS keep FROM r
+"""
+
+
 def _doc_cosine_lsh_oracle() -> str:
     """Full-corpus document cosine restricted to MinHash candidates:
     sub-quadratic candidates, exact sparse cosine only for them. Candidate
@@ -2627,6 +2653,23 @@ def q_dedup_remove_spans(spark, sf):
     return DD.remove_duplicated_spans(docs, "doc_id", "text", n=4)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Representative selection after near-dup clustering
+    (operators.dedup.keep_cluster_representative): MinHash star-edge
+    connected components give cluster membership; within each cluster the
+    member with the most tokens (ties to the smaller doc id) is kept, the
+    rest are marked duplicates. One join + one cluster-partitioned window
+    over candidate-bounded groups."""
+    docs = load_table(spark, sf, "documents")
+    edges = DD.minhash_lsh_star_edges(docs, "doc_id", "text",
+                                      n=2, num_hashes=12, bands=4)
+    members = DD.connected_components(edges)
+    qual = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.size(TX.tokens("text")).cast("long")
+                       .alias("n_tokens"))
+    return DD.keep_cluster_representative(members, qual, "n_tokens")
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2840,25 +2883,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 5 round-6 additions (cdc_chunk_reuse, dedup_semantic,
-#     gopher_quality, dsir_select, dedup_remove_spans) — windowed
-#     immediately so no never-checked backlog accumulates;
+#   * the 6 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best)
+#     — windowed immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 19 of the 26 names
+#     window_top_orders + customers_no_orders), then 18 of the 26 names
 #     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     six events_* shapes). The 7 round-3 leftovers (events_distinct_users,
-#     events_profile, events_rollup, events_cube, events_pivot,
-#     events_zscore, events_percentiles) head the round-7
+#     five events_* shapes). The 8 round-3 leftovers (events_interval,
+#     events_distinct_users, events_profile, events_rollup, events_cube,
+#     events_pivot, events_zscore, events_percentiles) head the round-7
 #     re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 5 round-6 additions
+    # -- the 6 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
-    "dedup_remove_spans",
+    "dedup_remove_spans", "dedup_keep_best",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2874,7 +2917,7 @@ _ROUND6_WINDOW = [
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
-    "events_json", "events_asof", "events_interval",
+    "events_json", "events_asof",
 ]
 
 
@@ -2963,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dsir_select": q_dsir_select,
         "dedup_remove_spans": q_dedup_remove_spans,
+        "dedup_keep_best": q_dedup_keep_best,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4382,6 +4426,7 @@ GROUP BY 2""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_clusters": _clusters_oracle(),
+        "dedup_keep_best": _keep_best_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_embedding": emb_pairs_sql,
         "ann_topk": ann_topk_sql,

@@ -1012,3 +1012,30 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                     F.round(F.coalesce(F.size("drop_pos"), F.lit(0))
                             / F.size("toks"), 6).alias("removed_frac"),
                     F.array_join(cleaned, " ").alias("cleaned_text")))
+
+
+def keep_cluster_representative(members: DataFrame, quality: DataFrame,
+                                quality_col: str, id_col: str = "doc_id",
+                                cluster_col: str = "cluster_id"
+                                ) -> DataFrame:
+    """Representative selection after clustering — the step that turns
+    near-dup cluster membership (:func:`connected_components`) into a
+    keep/drop decision: within each cluster, rank members by
+    (``quality_col`` desc, id asc) and keep rank 1. The standard
+    pipeline follow-up to MinHash clustering: drop every duplicate but
+    retain the highest-quality copy, not an arbitrary one.
+
+    Output: (id, cluster, quality, keep) — one row per cluster member.
+
+    Scale shape: one equi-join (members ⋈ quality on id) and one window
+    partitioned by cluster. Cluster sizes are bounded by the candidate
+    generator (banding buckets / star components), so the window's
+    per-partition sort is small everywhere; no global sort, no skew
+    hotspot beyond what the clustering itself produced.
+    """
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.col(quality_col).desc(), F.col(id_col)))
+    return (members.join(quality, id_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .select(id_col, cluster_col, quality_col,
+                    (F.col("_rn") == 1).alias("keep")))

@@ -280,3 +280,22 @@ def test_remove_spans_short_docs_pass_through(spark):
     # 3-token docs have no 4-grams: identical but untouched
     assert out[1].n_removed == 0 and out[2].n_removed == 0
     assert out[2].cleaned_text == "a b c"
+
+
+def test_keep_cluster_representative(spark):
+    from casf_spark.operators.dedup import keep_cluster_representative
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long")
+    qual = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5)],
+        "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in
+           keep_cluster_representative(members, qual, "n_tokens").collect()}
+    assert len(out) == 5
+    # cluster 1: docs 2 and 3 tie on quality -> smaller id wins
+    assert out[2].keep and not out[3].keep and not out[1].keep
+    # cluster 7: tie -> doc 7 wins
+    assert out[7].keep and not out[8].keep
+    # exactly one representative per cluster
+    assert sum(r.keep for r in out.values()) == 2
