@@ -2670,6 +2670,29 @@ def q_dedup_keep_best(spark, sf):
     return DD.keep_cluster_representative(members, qual, "n_tokens")
 
 
+def q_tokens_to_ids(spark, sf):
+    """Vocabulary id mapping (operators.curation.build_vocab +
+    tokenize_to_ids): the 512 most frequent tokens get deterministic ids
+    (count desc, token asc; OOV -> 0) and every document becomes its
+    order-preserving id sequence — the final representation step before
+    training shards. Token-grain count agg + distributed partial top-512
+    + broadcast vocab join + one doc-grain rebuild."""
+    docs = load_table(spark, sf, "documents")
+    vocab = CU.build_vocab(docs, "text", 512)
+    return CU.tokenize_to_ids(docs, "doc_id", "text", vocab)
+
+
+def q_embedding_int8(spark, sf):
+    """Scalar int8 embedding quantization
+    (operators.similarity.quantize_embeddings_int8): symmetric max-abs
+    scale per vector, floor(x/s + 0.5) codes (engine-identical — no
+    ROUND-semantics dependence), per-vector reconstruction error report.
+    Map-only; the 4x storage cut is the point at a 100 TB embedding
+    corpus."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.quantize_embeddings_int8(emb)
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2883,25 +2906,28 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 6 round-6 additions (cdc_chunk_reuse, dedup_semantic,
-#     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best)
-#     — windowed immediately so no never-checked backlog accumulates;
+#   * the 8 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best,
+#     tokens_to_ids, embedding_int8) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 18 of the 26 names
+#     window_top_orders + customers_no_orders), then 16 of the 26 names
 #     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     five events_* shapes). The 8 round-3 leftovers (events_interval,
-#     events_distinct_users, events_profile, events_rollup, events_cube,
-#     events_pivot, events_zscore, events_percentiles) head the round-7
+#     three events_* shapes). The 10 round-3 leftovers (events_json,
+#     events_asof, events_interval, events_distinct_users,
+#     events_profile, events_rollup, events_cube, events_pivot,
+#     events_zscore, events_percentiles) head the round-7
 #     re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 6 round-6 additions
+    # -- the 8 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
-    "dedup_remove_spans", "dedup_keep_best",
+    "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
+    "embedding_int8",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2917,7 +2943,6 @@ _ROUND6_WINDOW = [
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
-    "events_json", "events_asof",
 ]
 
 
@@ -3007,6 +3032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "dedup_remove_spans": q_dedup_remove_spans,
         "dedup_keep_best": q_dedup_keep_best,
+        "tokens_to_ids": q_tokens_to_ids,
+        "embedding_int8": q_embedding_int8,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4740,6 +4767,47 @@ SELECT p.doc, CAST(nn AS BIGINT) n_tokens,
                        i -> dp IS NULL OR NOT list_contains(dp, i)),
            i -> a[i + 1]), ' '), '') cleaned_text
 FROM p LEFT JOIN drops USING (doc)""",
+        "tokens_to_ids": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
+occ AS (SELECT doc_id, generate_subscripts(a, 1) - 1 pos, unnest(a) token
+        FROM t),
+counts AS (SELECT token, COUNT(*) cnt FROM occ GROUP BY 1),
+vocab AS (SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, token) token_id
+          FROM (SELECT * FROM counts ORDER BY cnt DESC, token LIMIT 512)),
+m AS (SELECT o.doc_id, o.pos, COALESCE(v.token_id, 0) tid
+      FROM occ o LEFT JOIN vocab v USING (token))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) n_oov,
+       ROUND(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) oov_frac,
+       array_agg(tid ORDER BY pos) ids
+FROM m GROUP BY doc_id""",
+        "embedding_int8": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) vec_id,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) xs
+           FROM embeddings),
+sc AS (SELECT vec_id, xs,
+              list_max(list_transform(xs, v -> abs(v))) / 127.0 s
+       FROM e),
+cd AS (SELECT vec_id, xs, s,
+              CASE WHEN s > 0
+                   THEN list_transform(xs,
+                        v -> CAST(FLOOR(v / s + 0.5) AS BIGINT))
+                   ELSE list_transform(xs, v -> CAST(0 AS BIGINT))
+              END codes
+       FROM sc)
+SELECT vec_id, CAST(len(xs) AS BIGINT) dims, ROUND(s, 6) scale,
+       ROUND(list_reduce(
+         list_prepend(0.0, list_transform(range(len(xs)),
+           i -> abs(xs[i + 1] - codes[i + 1] * s))),
+         (a, b) -> greatest(a, b)), 6) max_abs_err,
+       ROUND(list_reduce(
+         list_prepend(0.0, list_transform(range(len(xs)),
+           i -> (xs[i + 1] - codes[i + 1] * s)
+                * (xs[i + 1] - codes[i + 1] * s))),
+         (a, b) -> a + b) / len(xs), 6) mse
+FROM cd""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

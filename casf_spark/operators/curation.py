@@ -527,3 +527,65 @@ def content_defined_chunks(df: DataFrame, id_col: str = "doc_id",
                     F.col("c.chunk_id").alias("chunk_id"),
                     F.size("c.ctoks").cast("long").alias("n_tokens"),
                     F.array_join("c.ctoks", " ").alias("chunk_text")))
+
+
+def build_vocab(df: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
+    """Corpus vocabulary for tokenizer-style id mapping: the
+    ``vocab_size`` most frequent regex tokens, ranked by
+    (count desc, token asc) so ids are deterministic across runs and
+    engines. Returns (token, token_id, cnt) with ids 1..vocab_size;
+    id 0 is reserved for out-of-vocabulary tokens.
+
+    Scale shape: one token-grain count aggregation (map-side combined),
+    then a distributed partial top-k (TakeOrdered — no single-partition
+    sort of the full vocabulary); only the final vocab_size-row ranking
+    runs in one small task, which is the size of the OUTPUT, not the
+    corpus.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    counts = (df.select(F.explode(_tokens(text_col)).alias("token"))
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (top.withColumn("token_id",
+                           F.row_number().over(w).cast("long"))
+            .select("token", "token_id", F.col("cnt").cast("long")
+                    .alias("cnt")))
+
+
+def tokenize_to_ids(df: DataFrame, id_col: str, text_col: str,
+                    vocab: DataFrame) -> DataFrame:
+    """Map every document's token stream to vocabulary ids — the final
+    representation step before training shards: OOV tokens map to id 0.
+
+    Output: (doc_id, n_tokens, n_oov, oov_frac, ids) with ``ids`` an
+    ``array<long>`` preserving token order. Documents with no tokens are
+    omitted (they have no sequence to emit).
+
+    Scale shape: token-occurrence explode, one broadcast-friendly join
+    against the vocab (vocab_size rows — always the build side), one
+    doc-grain rebuild aggregation ordered by position. Linear in total
+    tokens; the vocabulary never shuffles with the corpus.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    occ = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     F.posexplode(_tokens(text_col))
+                     .alias("pos", "token")))
+    mapped = (occ.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+              .select("doc_id", "pos",
+                      F.coalesce("token_id", F.lit(0).cast("long"))
+                      .alias("tid")))
+    return (mapped.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum((F.col("tid") == 0).cast("long")).cast("long")
+                 .alias("n_oov"),
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                     lambda s: s["tid"]).alias("ids"))
+            .select("doc_id", "n_tokens", "n_oov",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                    .alias("oov_frac"), "ids"))

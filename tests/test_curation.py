@@ -347,3 +347,32 @@ def test_content_defined_chunks_empty_and_boundaryless(spark):
     assert {r["doc_id"] for r in rows} == {3}
     assert len(rows) == 1 and rows[0]["chunk_id"] == 0
     assert rows[0]["chunk_text"] == "zz yy xx"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary id mapping
+# ---------------------------------------------------------------------------
+
+def test_build_vocab_rank_and_ties(spark):
+    from casf_spark.operators.curation import build_vocab
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc aa bb dd")], "doc_id long, text string")
+    v = {r.token: (r.token_id, r.cnt) for r in
+         build_vocab(df, "text", 3).collect()}
+    assert v == {"aa": (1, 3), "bb": (2, 2), "cc": (3, 1)}  # dd cut; cc<dd tie
+
+
+def test_tokenize_to_ids_order_and_oov(spark):
+    from casf_spark.operators.curation import build_vocab, tokenize_to_ids
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc aa bb dd"), (2, "dd dd aa")],
+        "doc_id long, text string")
+    # corpus counts: aa=4 -> id 1, dd=3 -> id 2, bb=2 -> id 3; cc is OOV
+    vocab = build_vocab(df, "text", 3)
+    out = {r.doc_id: r for r in
+           tokenize_to_ids(df, "doc_id", "text", vocab).collect()}
+    assert list(out[1].ids) == [1, 3, 1, 0, 1, 3, 2]
+    assert out[1].n_oov == 1
+    assert out[1].oov_frac == round(1 / 7, 6)
+    assert list(out[2].ids) == [2, 2, 1]
+    assert out[2].n_oov == 0 and out[2].oov_frac == 0.0

@@ -104,3 +104,29 @@ def test_gemm_near_dup_guard_refuses_large_collect(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "MAX_GEMM_COLLECT_ROWS", 10)
     with pytest.raises(ValueError, match="blocked_gemm_pairs"):
         S.gemm_near_dup_pairs(emb, threshold=0.9)
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    import numpy as np
+    from casf_spark.operators.similarity import quantize_embeddings_int8
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),        # all-zero: scale 0
+            (3, [-2.0, 2.0, 1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    for vid, vec in rows:
+        x = np.array(vec, dtype=np.float64)
+        r = out[vid]
+        assert r.dims == 4
+        if not x.any():
+            assert r.scale == 0.0 and r.max_abs_err == 0.0 and r.mse == 0.0
+            continue
+        s = np.abs(x).max() / 127.0
+        codes = np.floor(x / s + 0.5)
+        assert abs(codes).max() <= 127  # int8-representable
+        err = np.abs(x - codes * s)
+        assert r.scale == round(s, 6)
+        assert r.max_abs_err == round(err.max(), 6)
+        assert r.mse == round(float((err ** 2).mean()), 6)
+        # quantization error bounded by half a step
+        assert r.max_abs_err <= s / 2 + 1e-12
