@@ -277,3 +277,40 @@ def test_near_dedup_stream_against_persistent_index(spark, tmp_path):
                                     out, str(tmp_path / "ckpt"))
     kept = sorted(r.doc for r in spark.read.parquet(out).collect())
     assert kept == [0, 1, 2, 102], kept
+
+
+def test_streaming_quality_filters_equal_batch(spark, sf_dir, tmp_path):
+    """The stateless curation projections (gopher rules, quality
+    features, language ID) run unchanged on a document STREAM and emit
+    exactly the batch result — no watermark, no state, per-micro-batch
+    map-only plans. This is the shape a streaming ingest pipeline uses
+    to score documents on arrival."""
+    from casf_spark.functions.text import (gopher_quality, lang_id,
+                                           quality_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    land = tmp_path / "docs_land"
+    land.mkdir()
+    docs.coalesce(2).write.parquet(str(tmp_path / "src"))
+    for i, p in enumerate((tmp_path / "src").glob("*.parquet")):
+        (land / f"f{i}.parquet").symlink_to(p)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+
+    def scored(df):
+        return (gopher_quality(df, "doc_id", "text")
+                .join(quality_features(df, "doc_id", "text")
+                      .select("doc_id", "stopword_ratio"), "doc_id")
+                .join(lang_id(df, "doc_id", "text")
+                      .select("doc_id", "pred_lang"), "doc_id"))
+
+    q = (scored(stream).writeStream.format("memory")
+         .queryName("t_stream_quality").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_stream_quality")
+    want = scored(docs)
+    assert got.count() == want.count() == docs.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
