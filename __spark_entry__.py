@@ -2693,6 +2693,34 @@ def q_embedding_int8(spark, sf):
     return SIM.quantize_embeddings_int8(emb)
 
 
+def q_orders_snapshot_diff(spark, sf):
+    """Keyed snapshot diff (operators.cdc.snapshot_diff): today's orders
+    vs a derived next-day snapshot (every 97th key removed, every 10th
+    price-bumped, every 100th re-added at a data-derived key offset —
+    the merge_upsert idiom, no fixed constants) labeled added / removed /
+    changed / unchanged with changed column names. One full-outer
+    key-join, then a map-only comparison projection."""
+    from casf_spark.operators.cdc import snapshot_diff
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("ostatus"))
+    off = o.agg(((F.floor(F.max("o_orderkey") / F.lit(10_000_000)) + 1)
+                 * F.lit(10_000_000)).cast("long").alias("ins_off"))
+    survived = (o.where(F.col("o_orderkey") % 97 != 0)
+                .withColumn("price",
+                            F.when(F.col("o_orderkey") % 10 == 0,
+                                   F.round(F.col("price") + 1.0, 2))
+                            .otherwise(F.col("price"))))
+    added = (o.where(F.col("o_orderkey") % 100 == 0)
+             .crossJoin(F.broadcast(off))
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.col("ins_off"))
+             .drop("ins_off"))
+    new = survived.unionByName(added)
+    return snapshot_diff(o, new, ["o_orderkey"], ["price", "ostatus"])
+
+
 def q_train_shards(spark, sf):
     """Sharded training-order assignment — the write layout for shuffled
     training data: every doc gets (shard, position-in-shard) from a
@@ -2906,16 +2934,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 8 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#   * the 9 round-6 additions (cdc_chunk_reuse, dedup_semantic,
 #     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best,
-#     tokens_to_ids, embedding_int8) — windowed immediately so no
-#     never-checked backlog accumulates;
+#     tokens_to_ids, embedding_int8, orders_snapshot_diff) — windowed
+#     immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 16 of the 26 names
+#     window_top_orders + customers_no_orders), then 15 of the 26 names
 #     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     three events_* shapes). The 10 round-3 leftovers (events_json,
-#     events_asof, events_interval, events_distinct_users,
+#     two events_* shapes). The 11 round-3 leftovers (events_sessions,
+#     events_json, events_asof, events_interval, events_distinct_users,
 #     events_profile, events_rollup, events_cube, events_pivot,
 #     events_zscore, events_percentiles) head the round-7
 #     re-confirmation queue.
@@ -2924,10 +2952,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 8 round-6 additions
+    # -- the 9 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
     "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
-    "embedding_int8",
+    "embedding_int8", "orders_snapshot_diff",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2942,7 +2970,7 @@ _ROUND6_WINDOW = [
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
-    "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
+    "doc_cosine_lsh", "events_hourly", "events_sliding",
 ]
 
 
@@ -3034,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "tokens_to_ids": q_tokens_to_ids,
         "embedding_int8": q_embedding_int8,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4808,6 +4837,38 @@ SELECT vec_id, CAST(len(xs) AS BIGINT) dims, ROUND(s, 6) scale,
                 * (xs[i + 1] - codes[i + 1] * s))),
          (a, b) -> a + b) / len(xs), 6) mse
 FROM cd""",
+        "orders_snapshot_diff": """
+WITH o AS (SELECT CAST(o_orderkey AS BIGINT) o_orderkey,
+                  ROUND(o_totalprice, 2) price, o_orderstatus ostatus
+           FROM orders),
+off AS (SELECT CAST((FLOOR(MAX(o_orderkey) / 10000000) + 1) * 10000000
+               AS BIGINT) ins_off FROM o),
+n AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN ROUND(price + 1.0, 2)
+              ELSE price END price,
+         ostatus
+  FROM o WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + ins_off, price, ostatus
+  FROM o CROSS JOIN off WHERE o_orderkey % 100 = 0),
+j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) o_orderkey,
+             o.o_orderkey IS NOT NULL in_o, n.o_orderkey IS NOT NULL in_n,
+             o.price op, n.price np, o.ostatus os, n.ostatus ns
+      FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_o THEN 'added'
+            WHEN NOT in_n THEN 'removed'
+            WHEN (op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)
+              THEN 'changed'
+            ELSE 'unchanged' END status,
+       CASE WHEN in_o AND in_n THEN
+         COALESCE(array_to_string(list_filter(
+           [CASE WHEN os IS DISTINCT FROM ns THEN 'ostatus' END,
+            CASE WHEN op IS DISTINCT FROM np THEN 'price' END],
+           x -> x IS NOT NULL), ','), '')
+       ELSE '' END changed_cols
+FROM j""",
         "text_chunks": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM documents),
 p AS (SELECT doc_id, a,

@@ -105,3 +105,45 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     return (tagged.groupBy(*key_cols)
             .agg(F.max(payload).alias("_w"))
             .select(F.col("_w._row.*")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """Keyed diff between two table snapshots — the audit primitive for
+    "what changed between yesterday's and today's load": every key is
+    labeled ``added`` / ``removed`` / ``changed`` / ``unchanged``, with
+    the changed column names spelled out.
+
+    ``compare_cols`` are compared null-safely (NULL == NULL holds;
+    IS DISTINCT FROM semantics — identical in DuckDB). ``changed_cols``
+    lists the differing columns comma-joined in sorted-name order for
+    ``changed`` rows and is '' otherwise (added/removed rows differ on
+    every column by construction — listing them would be noise), so the
+    output is deterministic and engine-equal.
+
+    Output: (*key_cols, status, changed_cols).
+
+    Scale shape: one full-outer hash join on the key columns — the only
+    shuffle — then a map-only comparison projection. Shuffle width is
+    the union of key sets; nothing else moves.
+    """
+    cols = sorted(compare_cols)
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"_o_{c}") for c in cols],
+                   F.lit(True).alias("_in_o"))
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"_n_{c}") for c in cols],
+                   F.lit(True).alias("_in_n"))
+    j = o.join(n, list(key_cols), "full_outer")
+    changed = F.filter(
+        F.array(*[F.when(~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                         F.lit(c)) for c in cols]),
+        lambda x: x.isNotNull())
+    status = (F.when(F.col("_in_o").isNull(), F.lit("added"))
+              .when(F.col("_in_n").isNull(), F.lit("removed"))
+              .when(F.size(changed) > 0, F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    both = F.col("_in_o").isNotNull() & F.col("_in_n").isNotNull()
+    return j.select(*key_cols, status.alias("status"),
+                    F.when(both, F.array_join(changed, ","))
+                    .otherwise(F.lit("")).alias("changed_cols"))

@@ -72,3 +72,40 @@ def test_empty_check_list_raises(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="no checks declared"):
         CK.run_checks(df, [])
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_labels_and_conservation(spark):
+    from casf_spark.operators.cdc import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, None, "d")],
+        "k long, price double, tag string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),          # unchanged
+         (2, 21.0, "b"),          # price changed
+         (4, None, "e"),          # tag changed; NULL == NULL on price
+         (5, 50.0, "x")],         # added; key 3 removed
+        "k long, price double, tag string")
+    out = {r.k: r for r in
+           snapshot_diff(old, new, ["k"], ["price", "tag"]).collect()}
+    assert out[1].status == "unchanged" and out[1].changed_cols == ""
+    assert out[2].status == "changed" and out[2].changed_cols == "price"
+    assert out[3].status == "removed" and out[3].changed_cols == ""
+    assert out[4].status == "changed" and out[4].changed_cols == "tag"
+    assert out[5].status == "added" and out[5].changed_cols == ""
+    # conservation: every key of either side appears exactly once
+    assert len(out) == 5
+
+
+def test_snapshot_diff_multi_change_sorted(spark):
+    from casf_spark.operators.cdc import snapshot_diff
+    old = spark.createDataFrame([(1, 1.0, "a")],
+                                "k long, zz double, aa string")
+    new = spark.createDataFrame([(1, 2.0, "b")],
+                                "k long, zz double, aa string")
+    r = snapshot_diff(old, new, ["k"], ["zz", "aa"]).first()
+    assert r.status == "changed"
+    assert r.changed_cols == "aa,zz"  # sorted-name order, not arg order

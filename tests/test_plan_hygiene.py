@@ -51,6 +51,9 @@ PRODUCT_WHITELIST = {
     # filter — replaces the fixed +10M offset that collided with the
     # synthetic sf1/sf3 key-shifted copies
     "orders_merge_upsert",
+    # same 1-row derived-offset scalar broadcast into the synthetic
+    # next-day snapshot build
+    "orders_snapshot_diff",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
