@@ -54,16 +54,22 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <>
 
 
 def _cdc_chunks_cte(src: str = "documents", out: str = "cdc_chunks",
-                    pfx: str = "") -> str:
+                    pfx: str = "", win: int = 1) -> str:
     """The CDC-chunker CTE chain over relation ``src`` (must expose
     doc_id + text), emitting chunks as CTE ``out``; ``pfx`` uniquifies
     the intermediate CTE names so two instantiations can share one
-    WITH clause."""
+    WITH clause. ``win`` > 1 hashes the k-token window ending at each
+    position (curation.content_defined_chunks window=k twin)."""
+    if win <= 1:
+        bound = "md5(a[i])"
+    else:
+        bound = (f"md5(array_to_string("
+                 f"a[GREATEST(i - {win} + 1, 1):i], ' '))")
     return f"""{pfx}t AS (SELECT CAST(doc_id AS BIGINT) doc_id, {_TOKS} a FROM {src}),
 {pfx}p AS (SELECT doc_id, a, len(a) n FROM {pfx}t WHERE len(a) > 0),
 {pfx}e AS (SELECT doc_id, a, n,
         list_filter(range(1, n + 1),
-                    i -> CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
+                    i -> CAST('0x' || substr({bound}, 1, 15) AS BIGINT)
                          % 16 = 0) ends0
       FROM {pfx}p),
 {pfx}e2 AS (SELECT doc_id, a,
@@ -2524,6 +2530,19 @@ def q_text_cdc_chunks(spark, sf):
     return CU.content_defined_chunks(docs, "doc_id", "text", divisor=16)
 
 
+def q_text_cdc_chunks_w2(spark, sf):
+    """The k-token rolling-window CDC variant (window=2): a chunk
+    boundary requires md5 of the BIGRAM ending at the position to hit
+    the divisor, so a single common token hashing to 0 cannot cause a
+    corpus-wide boundary storm — boundaries depend on 2-token context.
+    Same shuffle-free staged-array-HOF plan as text_cdc_chunks; this
+    contract closes the last oracle gap (previously only window=1 had a
+    DuckDB twin; the windowed predicate was property-tested only)."""
+    docs = load_table(spark, sf, "documents")
+    return CU.content_defined_chunks(docs, "doc_id", "text",
+                                     divisor=16, window=2)
+
+
 def q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) dedup report: content-defined chunks
     hashed and first-occurrence-attributed, rolled up per document —
@@ -2934,28 +2953,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 9 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#   * the 10 round-6 additions (cdc_chunk_reuse, dedup_semantic,
 #     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best,
-#     tokens_to_ids, embedding_int8, orders_snapshot_diff) — windowed
-#     immediately so no never-checked backlog accumulates;
+#     tokens_to_ids, embedding_int8, orders_snapshot_diff,
+#     text_cdc_chunks_w2) — windowed immediately so no never-checked
+#     backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 15 of the 26 names
-#     last green in round 3 (the cosine engine + doc_cosine* + the first
-#     two events_* shapes). The 11 round-3 leftovers (events_sessions,
-#     events_json, events_asof, events_interval, events_distinct_users,
-#     events_profile, events_rollup, events_cube, events_pivot,
-#     events_zscore, events_percentiles) head the round-7
+#     window_top_orders + customers_no_orders), then 14 of the 26 names
+#     last green in round 3 (the cosine engine + doc_cosine* +
+#     events_hourly). The 12 round-3 leftovers (events_sliding,
+#     events_sessions, events_json, events_asof, events_interval,
+#     events_distinct_users, events_profile, events_rollup, events_cube,
+#     events_pivot, events_zscore, events_percentiles) head the round-7
 #     re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 9 round-6 additions
+    # -- the 10 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
     "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
-    "embedding_int8", "orders_snapshot_diff",
+    "embedding_int8", "orders_snapshot_diff", "text_cdc_chunks_w2",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2970,7 +2990,7 @@ _ROUND6_WINDOW = [
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
-    "doc_cosine_lsh", "events_hourly", "events_sliding",
+    "doc_cosine_lsh", "events_hourly",
 ]
 
 
@@ -3063,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_to_ids": q_tokens_to_ids,
         "embedding_int8": q_embedding_int8,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "text_cdc_chunks_w2": q_text_cdc_chunks_w2,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4619,6 +4640,9 @@ SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
 FROM days d LEFT JOIN per_day p USING (user_id, day)""",
         "text_cdc_chunks": f"""
 WITH {_CDC_CHUNKS_CTE}
+SELECT doc_id, chunk_id, n_tokens, chunk_text FROM cdc_chunks""",
+        "text_cdc_chunks_w2": f"""
+WITH {_cdc_chunks_cte(win=2)}
 SELECT doc_id, chunk_id, n_tokens, chunk_text FROM cdc_chunks""",
         "dedup_chunks": f"""
 WITH {_CDC_CHUNKS_CTE},
