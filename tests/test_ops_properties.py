@@ -267,3 +267,86 @@ def test_dsir_matches_naive(spark, rows):
         assert r.is_target == tgt
         assert r.n_features == nf
         assert r.log_weight == pytest.approx(lw, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a naive dict diff
+# ---------------------------------------------------------------------------
+
+snap_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(1, 8),                 # key
+                       st.one_of(st.none(), st.integers(0, 3)),
+                       st.sampled_from(["a", "b"])),
+             max_size=10, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(1, 8),
+                       st.one_of(st.none(), st.integers(0, 3)),
+                       st.sampled_from(["a", "b"])),
+             max_size=10, unique_by=lambda t: t[0]))
+
+
+@slow_ok
+@given(snap_strategy)
+def test_snapshot_diff_matches_naive(spark, tables):
+    from casf_spark.operators.cdc import snapshot_diff
+    old_rows, new_rows = tables
+    schema = "k long, v long, tag string"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else \
+        spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else \
+        spark.createDataFrame([], schema)
+    od = {k: (v, t) for k, v, t in old_rows}
+    nd = {k: (v, t) for k, v, t in new_rows}
+    expect = {}
+    for k in set(od) | set(nd):
+        if k not in od:
+            expect[k] = ("added", "")
+        elif k not in nd:
+            expect[k] = ("removed", "")
+        else:
+            ch = [name for name, i in (("tag", 1), ("v", 0))
+                  if od[k][i] != nd[k][i]]
+            ch.sort()
+            expect[k] = ("changed" if ch else "unchanged", ",".join(ch))
+    got = {r.k: (r.status, r.changed_cols) for r in
+           snapshot_diff(old, new, ["k"], ["v", "tag"]).collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans vs naive Python
+# ---------------------------------------------------------------------------
+
+spans_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=12),
+    min_size=1, max_size=6)
+
+
+@slow_ok
+@given(spans_strategy)
+def test_remove_spans_matches_naive(spark, docs):
+    from casf_spark.operators.dedup import remove_duplicated_spans
+    N = 3
+    grams = {}  # gram -> set of docs
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - N + 1):
+            grams.setdefault(tuple(toks[i:i + N]), set()).add(d)
+    dup_first = {g: min(ds) for g, ds in grams.items() if len(ds) >= 2}
+    expect = {}
+    for d, toks in enumerate(docs):
+        if not toks:
+            continue
+        drop = set()
+        for i in range(len(toks) - N + 1):
+            g = tuple(toks[i:i + N])
+            if g in dup_first and dup_first[g] != d:
+                drop.update(range(i, i + N))
+        kept = [t for i, t in enumerate(toks) if i not in drop]
+        expect[d] = (len(toks), len(drop), " ".join(kept))
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(docs)],
+        "doc_id long, text string")
+    out = remove_duplicated_spans(df, "doc_id", "text", n=N).collect()
+    got = {r.doc: (r.n_tokens, r.n_removed, r.cleaned_text) for r in out}
+    assert got == expect
+    for r in out:
+        assert r.removed_frac == round(r.n_removed / r.n_tokens, 6)
