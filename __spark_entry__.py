@@ -2543,6 +2543,16 @@ def q_text_cdc_chunks_w2(spark, sf):
                                      divisor=16, window=2)
 
 
+def q_c4_quality(spark, sf):
+    """C4-style line cleanup report (operators.curation.c4_line_filter):
+    the published Raffel et al. 2020 line rules — terminal punctuation,
+    >= 5 words, no 'javascript' — plus the brace / lorem-ipsum document
+    flags and the three-sentence minimum, with the cleaned text
+    re-joined. One shuffle-free array-HOF projection."""
+    docs = load_table(spark, sf, "documents")
+    return CU.c4_line_filter(docs, "doc_id", "text")
+
+
 def q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) dedup report: content-defined chunks
     hashed and first-occurrence-attributed, rolled up per document —
@@ -2953,29 +2963,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 10 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#   * the 11 round-6 additions (cdc_chunk_reuse, dedup_semantic,
 #     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best,
 #     tokens_to_ids, embedding_int8, orders_snapshot_diff,
-#     text_cdc_chunks_w2) — windowed immediately so no never-checked
-#     backlog accumulates;
+#     text_cdc_chunks_w2, c4_quality) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 14 of the 26 names
-#     last green in round 3 (the cosine engine + doc_cosine* +
-#     events_hourly). The 12 round-3 leftovers (events_sliding,
-#     events_sessions, events_json, events_asof, events_interval,
-#     events_distinct_users, events_profile, events_rollup, events_cube,
-#     events_pivot, events_zscore, events_percentiles) head the round-7
+#     window_top_orders + customers_no_orders), then 13 of the 26 names
+#     last green in round 3 (the cosine engine + doc_cosine*). The 13
+#     round-3 leftovers (events_hourly, events_sliding, events_sessions,
+#     events_json, events_asof, events_interval, events_distinct_users,
+#     events_profile, events_rollup, events_cube, events_pivot,
+#     events_zscore, events_percentiles) head the round-7
 #     re-confirmation queue.
 # With CORRECTNESS_r06 green, every registered name has a driver-green row
 # at least once AND no name's newest green row is older than round 3.
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 10 round-6 additions
+    # -- the 11 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
     "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
     "embedding_int8", "orders_snapshot_diff", "text_cdc_chunks_w2",
+    "c4_quality",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -2990,7 +3001,7 @@ _ROUND6_WINDOW = [
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
-    "doc_cosine_lsh", "events_hourly",
+    "doc_cosine_lsh",
 ]
 
 
@@ -3084,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_int8": q_embedding_int8,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_cdc_chunks_w2": q_text_cdc_chunks_w2,
+        "c4_quality": q_c4_quality,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4644,6 +4656,29 @@ SELECT doc_id, chunk_id, n_tokens, chunk_text FROM cdc_chunks""",
         "text_cdc_chunks_w2": f"""
 WITH {_cdc_chunks_cte(win=2)}
 SELECT doc_id, chunk_id, n_tokens, chunk_text FROM cdc_chunks""",
+        "c4_quality": """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, COALESCE(text, '') txt,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\n'),
+                     l -> trim(l) <> '') lines
+  FROM documents),
+k AS (
+  SELECT doc_id, txt, lines,
+         list_filter(lines, l ->
+           regexp_matches(trim(l), '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               x -> x <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) kept
+  FROM w)
+SELECT doc_id, CAST(len(lines) AS BIGINT) n_lines,
+       CAST(len(kept) AS BIGINT) n_kept_lines,
+       ROUND(len(kept) * 1.0 / GREATEST(len(lines), 1), 6) kept_frac,
+       contains(txt, '{') has_brace,
+       contains(lower(txt), 'lorem ipsum') has_lorem_ipsum,
+       NOT contains(txt, '{') AND NOT contains(lower(txt), 'lorem ipsum')
+         AND len(kept) >= 3 AS passes_c4,
+       COALESCE(array_to_string(kept, chr(10)), '') cleaned_text
+FROM k""",
         "dedup_chunks": f"""
 WITH {_CDC_CHUNKS_CTE},
 ch AS (SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) h

@@ -589,3 +589,47 @@ def tokenize_to_ids(df: DataFrame, id_col: str, text_col: str,
             .select("doc_id", "n_tokens", "n_oov",
                     F.round(F.col("n_oov") / F.col("n_tokens"), 6)
                     .alias("oov_frac"), "ids"))
+
+
+def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style line/document cleanup report (Raffel et al. 2020 §2.2 —
+    the public ruleset later reused by mC4/FineWeb): per document,
+
+      * keep only lines ending in terminal punctuation (. ! ? ");
+      * drop lines with fewer than 5 words;
+      * drop lines containing 'javascript' (case-insensitive);
+      * flag documents containing '{' or the phrase 'lorem ipsum';
+      * a document passes when it is unflagged and keeps >= 3 lines
+        (C4's three-sentence minimum).
+
+    Output: (doc_id, n_lines, n_kept_lines, kept_frac, has_brace,
+    has_lorem_ipsum, passes_c4, cleaned_text) — cleaned_text re-joins
+    the kept lines with newlines ('' when none survive). NULL text
+    counts as empty. One shuffle-free array-HOF projection; every rule
+    is a per-line predicate, so the pass parallelizes embarrassingly at
+    any corpus size.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(txt, r"\n"), lambda l: F.trim(l) != F.lit(""))
+
+    def _kept(l):
+        words = F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))
+        return (F.trim(l).rlike(r'[.!?"]$')
+                & (F.size(words) >= 5)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(lines, _kept)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    has_brace = txt.contains("{")
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.round(n_kept / F.greatest(n_lines, F.lit(1)), 6)
+        .alias("kept_frac"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem_ipsum"),
+        (~has_brace & ~has_lorem & (n_kept >= 3)).alias("passes_c4"),
+        F.array_join(kept, "\n").alias("cleaned_text"))

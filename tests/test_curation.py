@@ -376,3 +376,32 @@ def test_tokenize_to_ids_order_and_oov(spark):
     assert out[1].oov_frac == round(1 / 7, 6)
     assert list(out[2].ids) == [2, 2, 1]
     assert out[2].n_oov == 0 and out[2].oov_frac == 0.0
+
+
+def test_c4_line_filter_rules(spark):
+    from casf_spark.operators.curation import c4_line_filter
+    good_line = "this line has enough words and ends properly."
+    doc_ok = "\n".join([good_line] * 3)
+    doc_short_lines = "\n".join(["too short."] * 5)       # < 5 words
+    doc_no_punct = "\n".join(
+        ["this line has five words here ok no punct"] * 4)
+    doc_js = "\n".join([good_line, good_line,
+                        "enable Javascript to view this page."])
+    doc_brace = doc_ok + "\nvar x = { a: 1 };"
+    doc_lorem = doc_ok + "\nLorem Ipsum dolor sit amet filler text here."
+    df = spark.createDataFrame(
+        [(1, doc_ok), (2, doc_short_lines), (3, doc_no_punct),
+         (4, doc_js), (5, doc_brace), (6, doc_lorem), (7, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[1].passes_c4 and out[1].n_kept_lines == 3
+    assert out[1].cleaned_text == doc_ok
+    assert not out[2].passes_c4 and out[2].n_kept_lines == 0
+    assert not out[3].passes_c4 and out[3].n_kept_lines == 0
+    # the javascript line is dropped -> only 2 kept -> fails 3-line rule
+    assert not out[4].passes_c4 and out[4].n_kept_lines == 2
+    assert out[5].has_brace and not out[5].passes_c4
+    assert out[5].n_kept_lines >= 3  # flag, not line filtering, fails it
+    assert out[6].has_lorem_ipsum and not out[6].passes_c4
+    assert not out[7].passes_c4 and out[7].n_lines == 0
+    assert out[7].cleaned_text == ""
