@@ -405,3 +405,24 @@ def test_c4_line_filter_rules(spark):
     assert out[6].has_lorem_ipsum and not out[6].passes_c4
     assert not out[7].passes_c4 and out[7].n_lines == 0
     assert out[7].cleaned_text == ""
+
+
+def test_tokenize_to_ids_round_trip(spark, sf_dir):
+    """Bijectivity on in-vocabulary docs: mapping ids back through the
+    vocab reproduces the exact token stream whenever the doc has no OOV
+    tokens — the property that makes the id corpus a faithful
+    representation, checked on real testdata with a full-size vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    from casf_spark.functions.text import tokens as _tokens
+    # vocab covering every corpus token -> zero OOV anywhere
+    n_vocab = (docs.select(F.explode(_tokens("text")).alias("t"))
+               .select("t").distinct().count())
+    vocab = CU.build_vocab(docs, "text", n_vocab)
+    ids = CU.tokenize_to_ids(docs, "doc_id", "text", vocab)
+    assert ids.where(F.col("n_oov") > 0).count() == 0
+    inv = {r.token_id: r.token for r in vocab.collect()}
+    orig = {r.doc_id: r.toks for r in
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        _tokens("text").alias("toks")).collect()}
+    for r in ids.collect():
+        assert [inv[i] for i in r.ids] == list(orig[r.doc_id])

@@ -106,3 +106,51 @@ def test_exact_clones_keep_exactly_one(spark):
                if r.is_semantic_dup)
     singles = [r for r in out if r.vec_id >= 10]
     assert all(not r.is_semantic_dup for r in singles)
+
+
+def test_det_second_parameter_point_matches_numpy(emb):
+    """The operator is parameterized; pin a second (n_clusters,
+    threshold) point against the same numpy reference so the contract
+    is not an artifact of the registered query's 8/0.3 choice."""
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    import numpy as np
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ref = _numpy_semdedup(ids, X, n_clusters=4, threshold=0.5)
+    got = DD.semantic_dedup_det(emb, n_clusters=4, threshold=0.5).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        cluster, cent_sim, is_dup, ndn, mps = ref[r.vec_id]
+        assert (r.cluster, r.is_semantic_dup, r.n_dup_neighbors) == \
+            (cluster, is_dup, ndn)
+        assert r.max_prior_sim == pytest.approx(mps, abs=1e-9)
+
+
+def test_dominant_cluster_skew_correctness(spark):
+    """Adversarial skew: 90% of vectors are tight near-clones, so one
+    cluster dominates. The within-cluster pair join is quadratic in that
+    bucket (the documented scaling knob is n_clusters), but CORRECTNESS
+    must hold: exactly one keeper among the clones, singles untouched."""
+    import numpy as np
+    rng_base = [1.0] * 4 + [0.0] * 4
+    rows = []
+    for i in range(90):  # near-clones: tiny deterministic perturbation
+        v = list(rng_base)
+        v[7] = ((i * 7) % 5) * 1e-4
+        rows.append((i, [float(x) for x in v]))
+    for j in range(10):  # orthogonal-ish singles
+        v = [0.0] * 8
+        v[j % 4 + 4] = 1.0
+        rows.append((100 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = DD.semantic_dedup_det(df, n_clusters=3, threshold=0.999).collect()
+    clones = [r for r in out if r.vec_id < 90]
+    clone_clusters = {r.cluster for r in clones}
+    # the clones all land in one cluster and keep exactly one per cluster
+    keepers = [r for r in clones if not r.is_semantic_dup]
+    assert len(keepers) == len(clone_clusters)
+    assert sum(r.n_dup_neighbors for r in clones) > 0
+    for r in clones:
+        if r.is_semantic_dup:
+            assert r.max_prior_sim >= 0.999
