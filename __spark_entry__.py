@@ -2553,6 +2553,17 @@ def q_c4_quality(spark, sf):
     return CU.c4_line_filter(docs, "doc_id", "text")
 
 
+def q_dedup_containment(spark, sf):
+    """Asymmetric shingle containment (operators.dedup.containment_pairs,
+    Broder's measure): directed pairs where >= 80% of the source doc's
+    3-gram shingles appear in the destination — catches short-quoted-in-
+    long relationships that symmetric Jaccard's union denominator
+    drowns. Same shingle self-join shape as dedup_ngram_jaccard."""
+    docs = load_table(spark, sf, "documents")
+    return DD.containment_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.8)
+
+
 def q_dedup_chunks(spark, sf):
     """Sub-document (chunk-level) dedup report: content-defined chunks
     hashed and first-occurrence-attributed, rolled up per document —
@@ -2963,16 +2974,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * the 2 round-5 additions (text_cdc_chunks, dedup_chunks) — the only
 #     registered names without a driver-green CORRECTNESS row in r1-r5
 #     (both ALL OK on the type-faithful local gate);
-#   * the 11 round-6 additions (cdc_chunk_reuse, dedup_semantic,
+#   * the 12 round-6 additions (cdc_chunk_reuse, dedup_semantic,
 #     gopher_quality, dsir_select, dedup_remove_spans, dedup_keep_best,
 #     tokens_to_ids, embedding_int8, orders_snapshot_diff,
-#     text_cdc_chunks_w2, c4_quality) — windowed immediately so no
-#     never-checked backlog accumulates;
+#     text_cdc_chunks_w2, c4_quality, dedup_containment) — windowed
+#     immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
-#     window_top_orders + customers_no_orders), then 13 of the 26 names
-#     last green in round 3 (the cosine engine + doc_cosine*). The 13
-#     round-3 leftovers (events_hourly, events_sliding, events_sessions,
+#     window_top_orders + customers_no_orders), then 12 of the 26 names
+#     last green in round 3 (the cosine engine + doc_cosine +
+#     doc_cosine_cjk... the non-events cohort). The 14 round-3 leftovers
+#     (doc_cosine_lsh, events_hourly, events_sliding, events_sessions,
 #     events_json, events_asof, events_interval, events_distinct_users,
 #     events_profile, events_rollup, events_cube, events_pivot,
 #     events_zscore, events_percentiles) head the round-7
@@ -2982,11 +2994,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND6_WINDOW = [
     # -- the 2 never-driver-checked round-5 additions
     "text_cdc_chunks", "dedup_chunks",
-    # -- the 11 round-6 additions
+    # -- the 12 round-6 additions
     "cdc_chunk_reuse", "dedup_semantic", "gopher_quality", "dsir_select",
     "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
     "embedding_int8", "orders_snapshot_diff", "text_cdc_chunks_w2",
-    "c4_quality",
+    "c4_quality", "dedup_containment",
     # -- 24 names last green in round 2 (stalest cohort)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q18_large_orders",
@@ -3001,7 +3013,6 @@ _ROUND6_WINDOW = [
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
-    "doc_cosine_lsh",
 ]
 
 
@@ -3096,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "text_cdc_chunks_w2": q_text_cdc_chunks_w2,
         "c4_quality": q_c4_quality,
+        "dedup_containment": q_dedup_containment,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4679,6 +4691,27 @@ SELECT doc_id, CAST(len(lines) AS BIGINT) n_lines,
          AND len(kept) >= 3 AS passes_c4,
        COALESCE(array_to_string(kept, chr(10)), '') cleaned_text
 FROM k""",
+        "dedup_containment": """
+WITH
+toklist AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), t -> t <> '') a FROM documents),
+toks AS (SELECT CAST(doc_id AS BIGINT) doc, generate_subscripts(a, 1) pos,
+                unnest(a) w
+         FROM toklist),
+sh AS (
+  SELECT DISTINCT t1.doc, t1.w || ' ' || t2.w || ' ' || t3.w AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t1.doc = t3.doc AND t3.pos = t1.pos + 2),
+sizes AS (SELECT doc, COUNT(*) n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc src_doc, b.doc dst_doc, COUNT(*) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+  GROUP BY 1, 2)
+SELECT i.src_doc, i.dst_doc, CAST(i.n_common AS BIGINT) n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / s.n_sh, 6) containment
+FROM inter i JOIN sizes s ON s.doc = i.src_doc
+WHERE ROUND(CAST(i.n_common AS DOUBLE) / s.n_sh, 6) >= 0.8""",
         "dedup_chunks": f"""
 WITH {_CDC_CHUNKS_CTE},
 ch AS (SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) h

@@ -1026,3 +1026,38 @@ def keep_cluster_representative(members: DataFrame, quality: DataFrame,
             .withColumn("_rn", F.row_number().over(w))
             .select(id_col, cluster_col, quality_col,
                     (F.col("_rn") == 1).alias("keep")))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Asymmetric shingle containment C(src→dst) = |src ∩ dst| / |src| —
+    the near-dup family member symmetric Jaccard misses: a short
+    document quoted or excerpted inside a long one has containment ≈ 1
+    while Jaccard stays tiny (the union is dominated by the long doc).
+    Broder's containment measure, the standard complement to resemblance.
+
+    Output: (src_doc, dst_doc, n_common, containment) — DIRECTED pairs,
+    both directions when both clear ``threshold``; src_doc != dst_doc.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — shingle
+    self-join on 60-bit hashed shingles (pairs form only where sets
+    intersect), per-doc size table joined back. Hot boilerplate shingles
+    skew exactly the same way and take the same mitigations.
+    """
+    sh = _shingles(df, id_col, text_col, n).select(
+        "doc", md5_long("shingle").alias("sh"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("src_doc"), "sh")
+    b = sh.select(F.col("doc").alias("dst_doc"), "sh")
+    inter = (a.join(b, "sh")
+             .where(F.col("src_doc") != F.col("dst_doc"))
+             .groupBy("src_doc", "dst_doc")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    src_sz = sizes.select(F.col("doc").alias("src_doc"),
+                          F.col("n_sh").alias("n_src"))
+    return (inter.join(src_sz, "src_doc")
+            .select("src_doc", "dst_doc",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.round(F.col("n_common").cast("double")
+                            / F.col("n_src"), 6).alias("containment"))
+            .where(F.col("containment") >= threshold))

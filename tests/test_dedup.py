@@ -299,3 +299,26 @@ def test_keep_cluster_representative(spark):
     assert out[7].keep and not out[8].keep
     # exactly one representative per cluster
     assert sum(r.keep for r in out.values()) == 2
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    (short -> long) = 1.0 while Jaccard stays below any useful
+    threshold — the case the asymmetric measure exists for."""
+    from casf_spark.operators.dedup import (containment_pairs,
+                                            ngram_jaccard_pairs)
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}"),
+         (3, "nothing shared here at all friends")],
+        "doc_id long, text string")
+    cont = {(r.src_doc, r.dst_doc): r.containment for r in
+            containment_pairs(df, "doc_id", "text", n=3,
+                              threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0          # short fully inside long
+    assert (2, 1) not in cont           # long not contained in short
+    assert not any(3 in k for k in cont)
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                              threshold=0.5).collect()
+    assert not jac                      # Jaccard misses the quote entirely
