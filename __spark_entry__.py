@@ -2982,8 +2982,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * re-confirmations, stalest-first by last-green round: all 24 names
 #     whose latest green row is round 2 (the TPC-H relational suite +
 #     window_top_orders + customers_no_orders), then 12 of the 26 names
-#     last green in round 3 (the cosine engine + doc_cosine +
-#     doc_cosine_cjk... the non-events cohort). The 14 round-3 leftovers
+#     last green in round 3 (the cosine engine + doc_cosine; NOT
+#     doc_cosine_cjk, which re-greened in the round-5 window). The 14
+#     round-3 leftovers
 #     (doc_cosine_lsh, events_hourly, events_sliding, events_sessions,
 #     events_json, events_asof, events_interval, events_distinct_users,
 #     events_profile, events_rollup, events_cube, events_pivot,
@@ -3009,7 +3010,8 @@ _ROUND6_WINDOW = [
     "q19_disjunctive_revenue", "q20_excess_suppliers",
     "q21_waiting_supplier", "q22_idle_customers", "window_top_orders",
     "customers_no_orders",
-    # -- 22 of the 26 names last green in round 3
+    # -- 12 of the 26 names last green in round 3 (the cosine engine +
+    #    doc_cosine; the 14 leftovers head the round-7 queue)
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
@@ -4800,9 +4802,10 @@ SELECT CAST(a.id AS BIGINT) vec_id, CAST(cluster AS BIGINT) AS cluster,
 FROM assign a LEFT JOIN edges e ON a.id = e.id0""",
         "gopher_quality": f"""
 WITH w AS (
-  SELECT CAST(doc_id AS BIGINT) doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') words,
-         list_filter(regexp_split_to_array(text, '\\n'),
+  SELECT CAST(doc_id AS BIGINT) doc_id, COALESCE(text, '') txt,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\n'),
                      l -> trim(l) <> '') lines,
          {_TOKS} low
   FROM documents),
@@ -4811,8 +4814,8 @@ m AS (
     CAST(len(words) AS BIGINT) n_words,
     ROUND(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
           * 1.0 / GREATEST(len(words), 1), 6) mean_word_len,
-    ROUND((length(text) - length(replace(text, '#', ''))
-           + (length(text) - length(replace(text, '...', ''))) / 3)
+    ROUND((length(txt) - length(replace(txt, '#', ''))
+           + (length(txt) - length(replace(txt, '...', ''))) / 3)
           / GREATEST(len(words), 1), 6) symbol_word_ratio,
     ROUND(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
           * 1.0 / GREATEST(len(lines), 1), 6) bullet_line_frac,
@@ -4834,7 +4837,8 @@ SELECT *,
        AND n_required_stopwords >= 2 AS passes_gopher
 FROM m""",
         "dsir_select": f"""
-WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id, source = 'src0' is_target,
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+                  COALESCE(source = 'src0', FALSE) is_target,
                   {_TOKS} a
            FROM documents),
 f AS (SELECT doc_id, is_target,

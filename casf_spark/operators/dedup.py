@@ -1013,6 +1013,11 @@ def keep_cluster_representative(members: DataFrame, quality: DataFrame,
     retain the highest-quality copy, not an arbitrary one.
 
     Output: (id, cluster, quality, keep) — one row per cluster member.
+    Members with no row in ``quality`` are NOT dropped: they stay in the
+    output with NULL quality, ranked after every scored member (a
+    silently-vanished member would neither be kept nor be marked a
+    duplicate, so a downstream "drop the keep=False rows" pass would let
+    the near-dup survive dedup unnoticed).
 
     Scale shape: one equi-join (members ⋈ quality on id) and one window
     partitioned by cluster. Cluster sizes are bounded by the candidate
@@ -1021,8 +1026,8 @@ def keep_cluster_representative(members: DataFrame, quality: DataFrame,
     hotspot beyond what the clustering itself produced.
     """
     w = (Window.partitionBy(cluster_col)
-         .orderBy(F.col(quality_col).desc(), F.col(id_col)))
-    return (members.join(quality, id_col)
+         .orderBy(F.col(quality_col).desc_nulls_last(), F.col(id_col)))
+    return (members.join(quality, id_col, "left")
             .withColumn("_rn", F.row_number().over(w))
             .select(id_col, cluster_col, quality_col,
                     (F.col("_rn") == 1).alias("keep")))

@@ -140,8 +140,12 @@ def dsir_logweights(df: DataFrame, id_col: str, text_col: str,
         F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
         F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
+    # NULL predicate results (e.g. source == 'src0' on a NULL source)
+    # count as RAW, not as a third pool: without the coalesce the
+    # boolean-sum aggregates below would drop such rows from BOTH pool
+    # counts while the SQL twin's CASE..ELSE counts them as raw.
     base = df.select(F.col(id_col).cast("long").alias("doc_id"),
-                     is_target.alias("is_target"),
+                     F.coalesce(is_target, F.lit(False)).alias("is_target"),
                      F.concat(tok, bigrams).alias("feats"))
     occ = (base.select("doc_id", "is_target",
                        F.explode("feats").alias("feat"))

@@ -322,3 +322,19 @@ def test_containment_catches_quote_jaccard_misses(spark):
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
                               threshold=0.5).collect()
     assert not jac                      # Jaccard misses the quote entirely
+
+
+def test_keep_cluster_representative_missing_quality_fails_safe(spark):
+    """A member absent from the quality table must still appear (NULL
+    quality, ranked last) — silently dropping it would let the near-dup
+    survive a downstream 'remove keep=False' pass."""
+    from casf_spark.operators.dedup import keep_cluster_representative
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    qual = spark.createDataFrame(
+        [(1, 10), (2, 30)], "doc_id long, n_tokens long")  # doc 3 missing
+    out = {r.doc_id: r for r in
+           keep_cluster_representative(members, qual, "n_tokens").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].keep and not out[1].keep
+    assert not out[3].keep and out[3].n_tokens is None
