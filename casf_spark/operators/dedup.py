@@ -794,8 +794,13 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
     centroid by squared L2 rounded to 6dp, ties to the smaller centroid
     id. Returns (id, v, cluster, cent_sim) where cent_sim is the cosine
     to the assigned centroid rounded to 6dp (SemDeDup's keep-ordering
-    key). Centroids broadcast; the argmin is a per-row window over an
-    ``n_clusters``-row cross join — one corpus-grain exchange."""
+    key). Centroids broadcast; the argmin is a ``min(struct(d, cid,
+    ...))`` hash aggregation over the ``n_clusters``-row cross join —
+    map-side combine reduces each partition to one row per id BEFORE the
+    exchange, vs the old row_number window's full corpus×n_clusters sort
+    exchange. Tie order is identical: struct comparison is lexicographic
+    (d, then cid — unique), the same (d, cid) ordering the window used;
+    cemb/v ride along without ever participating in the comparison."""
     cent = (df.select(F.col(id_col).cast("long").alias("cid"),
                       F.col(vec_col).alias("cemb"),
                       md5_long(F.col(id_col).cast("string")).alias("ck"))
@@ -809,14 +814,15 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
 
     base = df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(vec_col).alias("v"))
-    w = Window.partitionBy("id").orderBy("d", "cid")
     return (base.crossJoin(F.broadcast(cent))
             .withColumn("d", F.round(sq_dist("v", "cemb"), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "v", V.norm("v").alias("nrm"),
-                    F.col("cid").alias("cluster"),
-                    F.round(V.cosine("v", "cemb"), 6).alias("cent_sim")))
+            .groupBy("id")
+            .agg(F.min(F.struct("d", "cid", "cemb", "v")).alias("b"))
+            .select("id", F.col("b.v").alias("v"),
+                    V.norm("b.v").alias("nrm"),
+                    F.col("b.cid").alias("cluster"),
+                    F.round(V.cosine("b.v", "b.cemb"), 6)
+                    .alias("cent_sim")))
 
 
 def _semdedup_rollup(assigned: DataFrame, threshold: float) -> DataFrame:

@@ -477,12 +477,16 @@ def ivf_topk_det(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     corp = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
                          F.col(vec_col).alias("cv"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy("d", "cid")
+    # corpus-grain argmin as a min(struct) hash agg, not a row_number
+    # window: map-side combine collapses the n_centroids-per-vector rows
+    # before the exchange; tie order (d, cid) is unchanged (struct
+    # comparison is lexicographic and cid is unique).
     assigned = (corp.crossJoin(F.broadcast(cent))
                 .withColumn("d", F.round(sq_dist("cv", "cemb"), 6))
-                .withColumn("rn", F.row_number().over(w_assign))
-                .where(F.col("rn") == 1)
-                .select("neighbor_id", "cv", F.col("cid").alias("bucket")))
+                .groupBy("neighbor_id")
+                .agg(F.min(F.struct("d", "cid", "cv")).alias("b"))
+                .select("neighbor_id", F.col("b.cv").alias("cv"),
+                        F.col("b.cid").alias("bucket")))
     q = queries.select(F.col(id_col).cast("long").alias("query_id"),
                        F.col(vec_col).alias("qv"))
     w_probe = Window.partitionBy("query_id").orderBy("d", "cid")

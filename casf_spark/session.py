@@ -71,12 +71,16 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
     # Detect reuse by OUTCOME, not session bookkeeping: getOrCreate against
     # a live session silently ignores JVM-launch options (code cache,
     # huge-method compile) — the fix for the measured interpreted-plan
-    # slowdown above. Comparing the session's actual launch options with
-    # what was requested catches every reuse path (active session, default
-    # session created on another thread, connect mode) without touching
-    # private PySpark state, so an embedded bench/test run always gets a
-    # signal that its timings may be pessimistic.
-    applied = spark.conf.get("spark.driver.extraJavaOptions", "")
+    # slowdown above. Read the LAUNCH-time value from the SparkContext conf:
+    # the session conf is mutated on reuse (applyModifiableSettings copies
+    # the requested extraJavaOptions string into it even though the JVM was
+    # launched without it), so spark.conf.get would always report the
+    # requested options and never fire. The SparkContext conf is frozen at
+    # JVM launch and reflects what the process actually runs with, so an
+    # embedded bench/test run always gets a signal that its timings may be
+    # pessimistic.
+    applied = spark.sparkContext.getConf().get(
+        "spark.driver.extraJavaOptions", "")
     if "ReservedCodeCacheSize" not in applied:
         import warnings
 

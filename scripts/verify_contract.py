@@ -98,9 +98,13 @@ def _struct_fields(ctype: str) -> dict[str, str]:
     body, fields, depth, start = ctype[7:-1], {}, 0, 0
     parts = []
     for i, ch in enumerate(body):
-        if ch == "<":
+        # '[' ']' too: norm_type emits bracketed types containing commas
+        # (timestamp[us,tz=...]) — without tracking them a struct field of
+        # timestamp type would split at the bracket comma and mis-assign
+        # the sibling fields' ctypes.
+        if ch in "<[":
             depth += 1
-        elif ch == ">":
+        elif ch in ">]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(body[start:i])
@@ -216,6 +220,21 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        # DRIVER-FAITHFULNESS (round-6 postmortem): the driver's pandas
+        # canonicalizer sort_values/hashes every output column and throws
+        # "unhashable type" on list/struct/map cells — it can NEVER pass a
+        # nested top-level column. This gate's own multiset canon handles
+        # them fine, which is exactly how tokens_to_ids shipped green
+        # locally and red at the driver. Fail structurally first.
+        nested = [f.name for f in stbl.schema
+                  if (pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                      or pa.types.is_struct(f.type) or pa.types.is_map(f.type))]
+        if nested:
+            ok = False
+            msgs.append(
+                f"NESTED top-level column(s) {nested}: the driver's pandas "
+                "canon cannot sort/hash array cells — emit a joined string "
+                "(array_join) or explode instead")
         snames, stypes, sms = table_key(stbl, "spark")
         dnames, dtypes, dms = table_key(dtbl, "duck")
         if snames != dnames:
