@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions import text as TX
 
-__all__ = ["dedup_stream_against_index", "near_dedup_stream_against_index"]
+__all__ = ["dedup_stream_against_index", "near_dedup_stream_against_index",
+           "near_dedup_replay_batches"]
 
 
 def _index_nonempty(index_dir: str) -> bool:
@@ -84,6 +85,79 @@ def dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_sec)
+
+
+def near_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n: int = 2, num_hashes: int = 12,
+                              bands: int = 4, seed: int = 42) -> DataFrame:
+    """BATCH TWIN of :func:`near_dedup_stream_against_index`: replay the
+    exact per-micro-batch sink semantics over an explicit ordered list of
+    ``(batch_id, docs_df)`` pairs with plain DataFrames instead of the
+    parquet index/checkpoint machinery, and return the final corpus end
+    state — (doc, batch_id, fp) for every surviving document.
+
+    This is the driver-visible contract row for the streaming operator:
+    the foreachBatch pipeline itself writes side state to disk (index +
+    checkpoint dirs), which is not hermetic for an oracle harness that
+    re-runs queries, so the END STATE is pinned here and
+    tests/test_streaming.py asserts the real availableNow stream produces
+    exactly this output on the same batch split.
+
+    Rules replayed verbatim from the sink (see ``sink`` above):
+      * within-batch exact dedup: min (doc, text) struct per content
+        fingerprint;
+      * history drop: any band bucket already in the index (keepers of
+        all PRIOR batches only);
+      * within-batch star rule: drop docs sharing a bucket with a
+        smaller exact-surviving doc id — computed over exact survivors
+        BEFORE history drops, exactly like the sink's ``bmin``;
+      * survivors' buckets (and only theirs) extend the index.
+
+    Scale shape is the sink's: history buckets are only ever joined
+    against the current batch's bucket set, and the per-batch loop is
+    over MICRO-BATCHES (a bounded, small count), not data.
+    """
+    from casf_spark.operators.dedup import _band_buckets
+
+    index: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for batch_id, batch_df in sorted(batches, key=lambda p: p[0]):
+        base = batch_df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("text"),
+            TX.fingerprint(text_col).alias("fp"))
+        keep = (base.groupBy("fp")
+                .agg(F.min(F.struct("doc", "text")).alias("_w"))
+                .select("fp", F.col("_w.doc").alias("doc"),
+                        F.col("_w.text").alias("text")))
+        nb = _band_buckets(keep.select("doc", "text"), "doc", "text",
+                           n, num_hashes, bands, seed).localCheckpoint()
+        drop = None
+        if index is not None:
+            hit = (index.join(
+                F.broadcast(nb.select("band", "bucket").distinct()),
+                ["band", "bucket"]).select("band", "bucket").distinct())
+            drop = (nb.join(F.broadcast(hit), ["band", "bucket"])
+                    .select("doc").distinct())
+        bmin = nb.groupBy("band", "bucket").agg(F.min("doc").alias("mn"))
+        intra = (nb.join(bmin, ["band", "bucket"])
+                 .where(F.col("doc") > F.col("mn"))
+                 .select("doc").distinct())
+        drop = intra if drop is None else drop.unionByName(intra).distinct()
+        keep = (keep.join(F.broadcast(drop), "doc", "left_anti")
+                .localCheckpoint())
+        outs.append(keep.select(
+            "doc", F.lit(batch_id).cast("long").alias("batch_id"), "fp"))
+        kept_buckets = (nb.join(F.broadcast(keep.select("doc")), "doc")
+                        .select("band", "bucket"))
+        index = (kept_buckets if index is None
+                 else index.unionByName(kept_buckets))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,

@@ -45,15 +45,21 @@ class UserLifetimeStats(StatefulProcessor):
             n, total, mx = 0, 0.0, float("-inf")
         for pdf in rows:
             if len(pdf):
+                # NULL-clean: count every row, but fold only non-NULL
+                # values — a NaN must never poison the max (Python's
+                # max(-inf, nan) is order-dependent) and SQL SUM/MAX
+                # skip NULLs, which the batch twin mirrors.
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-                mx = max(mx, float(pdf["value"].max()))
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    total += float(vals.sum())
+                    mx = max(mx, float(vals.max()))
         self._state.update((n, float(total), float(mx)))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [round(total, 6)],
-            "max_value": [round(mx, 6)],
+            "max_value": [None if mx == float("-inf") else round(mx, 6)],
         })
 
     def close(self) -> None:
@@ -102,16 +108,41 @@ def user_lifetime_stats(events: DataFrame, api: str = "auto") -> DataFrame:
         for pdf in pdfs:
             if len(pdf):
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-                mx = max(mx, float(pdf["value"].max()))
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    total += float(vals.sum())
+                    mx = max(mx, float(vals.max()))
         state.update((n, float(total), float(mx)))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [round(total, 6)],
-            "max_value": [round(mx, 6)],
+            "max_value": [None if mx == float("-inf") else round(mx, 6)],
         })
 
     return (src.groupBy("user_id")
             .applyInPandasWithState(fold, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def user_lifetime_stats_batch(events: DataFrame) -> DataFrame:
+    """BATCH TWIN of :func:`user_lifetime_stats`'s END STATE: the lifetime
+    per-user (count, sum, max) a fully-drained stream converges to — one
+    hash aggregation. This is the driver-visible contract row for the
+    stateful operator (the streaming run itself needs a state store and
+    Update-mode sink the oracle harness can't replay);
+    tests/test_stateful_lifetime.py asserts the real multi-batch stream's
+    final emission per key equals this, including on NULL-bearing input.
+
+    NULL contract (mirrors the processor): n_events counts every row;
+    total_value folds only non-NULL values (0.0 when none — pandas
+    sum-of-empty); max_value is NULL when a user never saw a non-NULL
+    value.
+    """
+    from pyspark.sql import functions as F
+
+    return (events.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6)
+                 .alias("total_value"),
+                 F.round(F.max("value"), 6).alias("max_value")))

@@ -19,7 +19,8 @@ import __spark_entry__ as E
 #: queries over `documents` whose semantics must survive NULL text /
 #: NULL source identically on both engines
 NULL_SENSITIVE = ["gopher_quality", "dsir_select", "c4_quality",
-                  "text_cdc_chunks", "dedup_exact"]
+                  "text_cdc_chunks", "dedup_exact",
+                  "stream_near_dedup_state"]
 
 ROWS = [
     (1, "the quick brown fox and that have with be to of goes on",
@@ -41,12 +42,12 @@ def null_sf(tmp_path_factory):
     return str(tmp)
 
 
-@pytest.mark.parametrize("name", NULL_SENSITIVE)
-def test_engines_agree_on_null_data(spark, null_sf, name):
-    sdf = E.queries()[name](spark, null_sf).toPandas()
+def _compare_engines(spark, sf, name, tables):
+    sdf = E.queries()[name](spark, sf).toPandas()
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"'{null_sf}/documents.parquet'")
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf}/{t}.parquet'")
     odf = con.execute(E.oracle_sql()[name]).df()
     cols = sorted(sdf.columns)
     assert cols == sorted(odf.columns)
@@ -62,3 +63,63 @@ def test_engines_agree_on_null_data(spark, null_sf, name):
         else:
             assert (sv.astype(str).values == ov.astype(str).values).all(), \
                 f"{name}.{c}"
+    return s
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_engines_agree_on_null_data(spark, null_sf, name):
+    _compare_engines(spark, null_sf, name, ["documents"])
+
+
+@pytest.fixture(scope="module")
+def zero_vec_sf(tmp_path_factory):
+    """Embeddings with a ZERO vector (vec_id 3) — the cross-engine
+    divergence class the round-6 advice flagged: an unguarded cosine
+    division yields NaN/NULL in SQL where V.cosine returns 0.0. The
+    shipped testdata has no zero vectors, so the driver gate cannot
+    catch it."""
+    tmp = tmp_path_factory.mktemp("zero_emb")
+    vecs = [(0, [1.0, 0.0, 2.0, 0.5]),
+            (1, [1.0, 0.1, 2.0, 0.5]),   # near-dup of 0
+            (2, [-1.0, 3.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+            (4, [0.5, 0.5, 0.5, 0.5]),
+            (5, [2.0, 0.0, 4.0, 1.0])]   # colinear with 0
+    pd.DataFrame(vecs, columns=["vec_id", "embedding"]).to_parquet(
+        tmp / "embeddings.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", ["dedup_semantic", "dedup_semantic_32"])
+def test_semantic_dedup_engines_agree_on_zero_vector(spark, zero_vec_sf,
+                                                     name):
+    s = _compare_engines(spark, zero_vec_sf, name, ["embeddings"])
+    # the zero vector must appear with cent_sim exactly 0.0 (not NaN/NULL)
+    z = s[s["vec_id"] == 3]
+    assert len(z) == 1 and float(z["cent_sim"].iloc[0]) == 0.0
+
+
+@pytest.fixture(scope="module")
+def null_events_sf(tmp_path_factory):
+    """Events with NULL values — pins the stream_lifetime_state NULL
+    contract (count all rows; sum/max fold only non-NULL; all-NULL key
+    emits max_value NULL) on both engines."""
+    tmp = tmp_path_factory.mktemp("null_events")
+    vals = [(1, 10.0), (1, None), (2, None), (2, None), (3, 0.25),
+            (3, -1.5), (1, 2.0)]
+    rows = [(i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+             u, "click", v, "{}") for i, (u, v) in enumerate(vals)]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                "value", "props"]).to_parquet(
+        tmp / "events.parquet")
+    return str(tmp)
+
+
+def test_lifetime_state_engines_agree_on_null_values(spark, null_events_sf):
+    s = _compare_engines(spark, null_events_sf, "stream_lifetime_state",
+                         ["events"])
+    u2 = s[s["user_id"] == 2]
+    assert len(u2) == 1
+    assert int(u2["n_events"].iloc[0]) == 2
+    assert float(u2["total_value"].iloc[0]) == 0.0
+    assert u2["max_value"].isna().all()

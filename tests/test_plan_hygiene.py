@@ -29,6 +29,7 @@ PRODUCT_WHITELIST = {
     "cosine_predict",    # inherits top-k's dense path
     "ann_ivf_det",       # centroid table (n_centroids rows) broadcast
     "dedup_semantic",    # same det-quantizer centroid broadcast (8 rows)
+    "dedup_semantic_32",  # the scaled contract point (32-row broadcast)
     "dsir_select",       # 1-row corpus-totals broadcast
     "tfidf_terms",       # 1-row corpus-count broadcast
     "bm25_rank",         # 1-row corpus stats broadcast
@@ -107,3 +108,22 @@ def test_single_partition_exchanges_bounded(plans):
         if c > cap:
             over[n] = c
     assert not over, over
+
+
+def test_centroid_argmin_is_aggregation_not_window(spark, sf_dir):
+    """The deterministic-quantizer assignment (_nearest_det_centroids /
+    ivf_topk_det's corpus side) must plan as a min(struct) aggregation
+    WITH a partial (map-side) combine before the exchange — not as a
+    row_number window, which exchanged all n_clusters x N wide rows
+    (embedding arrays included) to sort them corpus-grain. A struct
+    containing array fields is not hash-aggregatable, so Spark plans
+    SortAggregate — fine: the partial_min still collapses each partition
+    to <= one row per id BEFORE the shuffle, which is the 8x (and wider)
+    exchange-volume cut the round-6 verdict asked for."""
+    from casf_spark.operators.dedup import _nearest_det_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _nearest_det_centroids(emb, "vec_id", "embedding", 8) \
+        ._jdf.queryExecution().executedPlan().toString().split("\n\n")[0]
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan

@@ -41,6 +41,43 @@ def test_lifetime_stats_accumulate_across_batches(spark, tmp_path):
     assert rows[(3, 1)] == (7.0, 7.0)
 
 
+def test_lifetime_stream_end_state_equals_batch_twin(spark, tmp_path):
+    """The stream's FINAL per-key emission (the lifetime a drained stream
+    converges to) equals user_lifetime_stats_batch — the
+    stream_lifetime_state contract query's engine — including on a batch
+    carrying NULL values: n_events counts every row, total/max fold only
+    non-NULL values, and a key that never saw a non-NULL value emits
+    max_value NULL (never -inf, never NaN)."""
+    from casf_spark.streaming.stateful import (user_lifetime_stats,
+                                               user_lifetime_stats_batch)
+
+    schema = "user_id long, value double"
+    batches = [[(1, 1.5), (2, None), (1, 2.25)],
+               [(1, None), (2, None), (3, 4.0)],
+               [(3, 0.5), (1, 9.75)]]
+    land = _landing(spark, tmp_path, batches, schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(land))
+    q = (user_lifetime_stats(stream).writeStream.format("memory")
+         .queryName("t_lifetime_end").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # Update mode re-emits a key per batch that touches it; the lifetime
+    # end state per key is the emission with the highest n_events.
+    final = {}
+    for r in spark.sql("SELECT * FROM t_lifetime_end").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value, r.max_value)
+
+    all_rows = [r for b in batches for r in b]
+    twin = {r.user_id: (r.n_events, r.total_value, r.max_value)
+            for r in user_lifetime_stats_batch(
+                spark.createDataFrame(all_rows, schema)).collect()}
+    assert final == twin
+    # user 2 never saw a non-NULL value: counted rows, 0.0 total, NULL max
+    assert twin[2] == (2, 0.0, None)
+
+
 def test_lifetime_stats_batch_of_one_key_shapes(spark, tmp_path):
     """Explicit api='apply' path is well-formed on a single batch."""
     from casf_spark.streaming.stateful import user_lifetime_stats

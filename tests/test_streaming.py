@@ -279,6 +279,42 @@ def test_near_dedup_stream_against_persistent_index(spark, tmp_path):
     assert kept == [0, 1, 2, 102], kept
 
 
+def test_near_dedup_stream_end_state_equals_replay_twin(spark, tmp_path):
+    """The REAL availableNow foreachBatch near-dedup stream and the batch
+    twin (near_dedup_replay_batches — the stream_near_dedup_state
+    contract query's engine) produce the identical end state on the same
+    two-batch split: same survivors, same batch attribution, same
+    fingerprints. This is the cross-check that makes the driver-visible
+    batch-twin row pin the streaming operator, not just itself."""
+    from casf_spark.streaming.curation import (
+        near_dedup_replay_batches, near_dedup_stream_against_index)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = next(p for p in (tmp_path / f"s{i}").glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    out = str(tmp_path / "kept")
+    near_dedup_stream_against_index(stream, str(tmp_path / "bb_index"),
+                                    out, str(tmp_path / "ckpt"))
+    streamed = {(r.doc, r._batch_id, r.fp)
+                for r in spark.read.parquet(out)
+                .select("doc", "_batch_id", "fp").collect()}
+
+    twin = {(r.doc, r.batch_id, r.fp)
+            for r in near_dedup_replay_batches([(0, b0), (1, b1)]).collect()}
+    assert streamed == twin
+    assert len(twin) > 0
+
+
 def test_streaming_quality_filters_equal_batch(spark, sf_dir, tmp_path):
     """The stateless curation projections (gopher rules, quality
     features, language ID) run unchanged on a document STREAM and emit

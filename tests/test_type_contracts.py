@@ -135,6 +135,18 @@ def test_every_query_type_exact(spark, sf_dir, duck):
         except Exception as e:  # noqa: BLE001 — report, don't abort sweep
             problems.append(f"{name}: spark build failed: {e}")
             continue
+        # round-6 postmortem (tokens_to_ids): the driver's pandas canon
+        # sort_values/hashes every output column and throws "unhashable
+        # type" on list/struct/map cells — an oracle-backed query may
+        # NEVER emit a nested top-level column. Join arrays to strings
+        # (array_join) or explode to rows instead.
+        nested = {c: t for c, t in stypes.items()
+                  if t.startswith(("list<", "struct<"))}
+        if nested:
+            problems.append(
+                f"{name}: nested top-level column(s) {nested} — the "
+                "driver canon cannot hash array/struct cells")
+            continue
         try:
             rows = duck.execute("DESCRIBE " + oracles[name]).fetchall()
             dtypes = {r[0]: duck_class(r[1]) for r in rows}
