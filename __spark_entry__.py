@@ -2792,10 +2792,14 @@ def q_dedup_semantic_32(spark, sf):
     comes from scaling n_clusters with the corpus (constant expected
     bucket size), and the operator must stay oracle-exact when the
     quantizer is 4x finer and the prune threshold moves. Same
-    deterministic md5-sampled quantizer; only the parameters differ from
-    dedup_semantic (8/0.3)."""
+    deterministic md5-sampled quantizer; assignment pinned to the
+    Arrow-batched GEMM strategy (the large-k scale path), so the driver
+    gate checks that BLAS assignment agrees with the SQL flat argmin
+    cell-for-cell at 6dp — dedup_semantic (8/0.3) covers the expr
+    strategy."""
     emb = load_table(spark, sf, "embeddings")
-    return DD.semantic_dedup_det(emb, n_clusters=32, threshold=0.5)
+    return DD.semantic_dedup_det(emb, n_clusters=32, threshold=0.5,
+                                 assign="gemm")
 
 
 def q_stream_near_dedup_state(spark, sf):

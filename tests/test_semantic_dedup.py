@@ -154,3 +154,41 @@ def test_dominant_cluster_skew_correctness(spark):
     for r in clones:
         if r.is_semantic_dup:
             assert r.max_prior_sim >= 0.999
+
+
+def test_gemm_assignment_equals_expr_assignment(spark):
+    """The two physical assignment strategies (Column-expression argmin
+    vs Arrow-batched BLAS GEMM) are the SAME operator: identical
+    6dp-rounded (cluster, cent_sim) and identical downstream dedup
+    verdicts, on real testdata AND on adversarial inputs (zero vector,
+    exact centroid hits that force rounded-distance ties)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for df, k in ((emb, 16), (emb, 64)):
+        a = {r.vec_id: (r.cluster, r.cent_sim, r.is_semantic_dup,
+                        r.n_dup_neighbors, r.max_prior_sim)
+             for r in DD.semantic_dedup_det(df, n_clusters=k,
+                                            threshold=0.5,
+                                            assign="expr").collect()}
+        b = {r.vec_id: (r.cluster, r.cent_sim, r.is_semantic_dup,
+                        r.n_dup_neighbors, r.max_prior_sim)
+             for r in DD.semantic_dedup_det(df, n_clusters=k,
+                                            threshold=0.5,
+                                            assign="gemm").collect()}
+        assert a == b
+
+    # adversarial: a zero vector plus duplicated centroid-candidates
+    # (equal distance 0 to their own centroid; ties must break equally)
+    rows = [(0, [1.0, 0.0, 2.0, 0.5]),
+            (1, [1.0, 0.0, 2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-1.0, 3.0, 0.0, 0.0]),
+            (4, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for k in (2, 4):
+        a = sorted(DD.semantic_dedup_det(
+            df, n_clusters=k, threshold=0.3, assign="expr").collect())
+        g = sorted(DD.semantic_dedup_det(
+            df, n_clusters=k, threshold=0.3, assign="gemm").collect())
+        assert a == g
+        z = next(r for r in g if r.vec_id == 2)
+        assert z.cent_sim == 0.0
