@@ -2832,6 +2832,36 @@ def q_stream_lifetime_state(spark, sf):
     return user_lifetime_stats_batch(load_table(spark, sf, "events"))
 
 
+def q_embedding_winsorize(spark, sf):
+    """Per-dimension winsorization (operators.similarity
+    .winsorize_embeddings): each dimension's cells clipped into that
+    dimension's exact [p05, p95] band — robust outlier taming before
+    distance work. Emitted exploded (vec_id, dim, clipped, was_clipped)
+    so the oracle hash-checks every cell; the bounds table is
+    dimension-sized (corpus-independent) and broadcasts, the clip is
+    map-only."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.winsorize_embeddings(emb, lo=0.05, hi=0.95)
+
+
+def q_doc_len_lang_quantile(spark, sf):
+    """Per-language quantile length cut (operators.curation
+    .group_quantile_flag): flag documents in the bottom quartile of
+    token count WITHIN their language — the per-group thresholding
+    FineWeb-style pipelines use because length/quality distributions
+    differ across languages. One bounded group aggregation broadcast
+    back + a map-only comparison against the 6dp-rounded threshold
+    (round-before-compare keeps the flag engine-identical)."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_tokens"))
+    return CU.group_quantile_flag(d, "lang", "n_tokens", q=0.25,
+                                  flag_col="below_p25")
+
+
 def q_gopher_quality(spark, sf):
     """Gopher rule-based quality filter (functions.text.gopher_quality):
     the published Rae et al. 2021 A1.1 ruleset — word count, mean word
@@ -3157,25 +3187,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * tokens_to_ids — round 6's only red row (the driver's pandas canon
 #     cannot sort array cells); re-windowed with the fixed scalar
 #     projection (ids_str = array_join), which MUST go green this round;
-#   * the 3 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
-#     stream_lifetime_state) — windowed immediately so no never-checked
-#     backlog accumulates;
+#   * the 5 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
+#     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile)
+#     — windowed immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 14 names
 #     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 32 of the 47 names last green in round 4
-#     (registration order). The 15 round-4 leftovers
-#     (customer_running_spend, events_mad_outliers, embedding_power_iter,
-#     events_sketch_rollup, events_session_window, events_forward_fill,
-#     dedup_cross_source, text_ttr, multimodal_pcm,
-#     events_click_purchase_days, orders_price_position, events_unpivot,
-#     text_novelty, customer_order_counts_right, ann_ivf) head the
-#     round-8 re-confirmation queue.
+#     suite), then the FIRST 30 of the 47 names last green in round 4
+#     (registration order). The 17 round-4 leftovers
+#     (doc_lang_source_lift, events_gap_stats, customer_running_spend,
+#     events_mad_outliers, embedding_power_iter, events_sketch_rollup,
+#     events_session_window, events_forward_fill, dedup_cross_source,
+#     text_ttr, multimodal_pcm, events_click_purchase_days,
+#     orders_price_position, events_unpivot, text_novelty,
+#     customer_order_counts_right, ann_ivf) head the round-8
+#     re-confirmation queue.
 # With CORRECTNESS_r07 green, every name's newest green row is round 4+.
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 3 round-7 additions
+    # -- the 5 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
+    "embedding_winsorize", "doc_len_lang_quantile",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3191,7 +3223,6 @@ _ROUND7_WINDOW = [
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
     "bigram_logprob", "embedding_norms", "dedup_degrees", "pack_greedy",
     "events_approx_distinct", "events_grouping_sets", "text_zipf",
-    "doc_lang_source_lift", "events_gap_stats",
 ]
 
 
@@ -3291,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_32": q_dedup_semantic_32,
         "stream_near_dedup_state": q_stream_near_dedup_state,
         "stream_lifetime_state": q_stream_lifetime_state,
+        "embedding_winsorize": q_embedding_winsorize,
+        "doc_len_lang_quantile": q_doc_len_lang_quantile,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5186,4 +5219,32 @@ SELECT vec_id, CAST(dim AS INT) AS dim,
        ROUND(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
                   ELSE (x - mu) / sigma END, 6) AS z
 FROM cells JOIN stats USING (dim)""",
+        "embedding_winsorize": """
+WITH cells AS (
+  SELECT CAST(vec_id AS BIGINT) vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+bounds AS (
+  SELECT dim, ROUND(quantile_cont(x, 0.05), 6) b_lo,
+              ROUND(quantile_cont(x, 0.95), 6) b_hi
+  FROM cells GROUP BY dim)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       ROUND(LEAST(GREATEST(x, b_lo), b_hi), 6) AS clipped,
+       (x < b_lo OR x > b_hi) AS was_clipped
+FROM cells JOIN bounds USING (dim)""",
+        "doc_len_lang_quantile": f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, COALESCE(lang, '') lang,
+         CAST(len(list_filter(regexp_split_to_array(
+                lower(COALESCE(text, '')), '[^a-z0-9]+'),
+              t -> t <> '')) AS BIGINT) n_tokens
+  FROM documents),
+st AS (SELECT lang,
+              ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.25), 6)
+                q_threshold
+       FROM d GROUP BY 1)
+SELECT d.lang, d.doc_id, d.n_tokens, st.q_threshold,
+       d.n_tokens < st.q_threshold AS below_p25
+FROM d JOIN st USING (lang)""",
     }

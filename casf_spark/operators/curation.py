@@ -633,3 +633,31 @@ def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         has_lorem.alias("has_lorem_ipsum"),
         (~has_brace & ~has_lorem & (n_kept >= 3)).alias("passes_c4"),
         F.array_join(kept, "\n").alias("cleaned_text"))
+
+
+def group_quantile_flag(df: DataFrame, group_col: str, score_col: str,
+                        q: float = 0.25,
+                        flag_col: str = "below_q") -> DataFrame:
+    """Per-group quantile thresholding — the curation primitive behind
+    per-language length/quality cuts (a fixed global threshold is wrong
+    when score distributions differ by language/source: FineWeb-style
+    pipelines cut per language): every row is flagged against ITS
+    group's exact ``q``-quantile of ``score_col``.
+
+    Appends two columns: the group's threshold (``q_threshold``, rounded
+    to 6dp) and ``flag_col`` = score < threshold — the comparison runs
+    against the ROUNDED threshold so both engines of an oracle pair
+    evaluate the identical boolean.
+
+    Scale shape: one group aggregation whose output is GROUP-cardinality
+    rows (languages/sources — bounded), broadcast back, then a map-only
+    comparison. The exact percentile sorts only within each group's
+    aggregation buffer; at extreme per-group cardinality swap
+    F.percentile for percentile_approx with a pinned accuracy — the plan
+    shape is unchanged.
+    """
+    stats = (df.groupBy(group_col)
+             .agg(F.round(F.percentile(score_col, F.lit(q)), 6)
+                  .alias("q_threshold")))
+    return (df.join(F.broadcast(stats), group_col)
+            .withColumn(flag_col, F.col(score_col) < F.col("q_threshold")))

@@ -692,3 +692,38 @@ def quantize_embeddings_int8(emb: DataFrame, id_col: str = "vec_id",
                        * (v - c.cast("double") * F.col("s"))),
             F.lit(0.0), lambda acc, e: acc + e) / F.size("xs"), 6)
         .alias("mse"))
+
+
+def winsorize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-dimension winsorization (robust clipping) of an embedding
+    corpus — the outlier-taming prep step before distance work when a few
+    extreme activations would otherwise dominate every dot product: each
+    dimension's values are clipped into that dimension's [q_lo, q_hi]
+    exact-percentile band.
+
+    Output is EXPLODED per cell — (vec_id, dim, clipped, was_clipped) with
+    ``clipped`` rounded to 6dp and the comparison run against the
+    6dp-rounded bounds on both engines (round-before-compare keeps the
+    boolean engine-identical) — so an oracle can hash-check every cell.
+
+    Scale shape: one posexplode -> per-dimension percentile aggregation
+    (output = dimension count rows, corpus-size-independent) -> broadcast
+    join back -> map-only clip. Exact percentiles sort only WITHIN each
+    dimension's aggregation buffer; at true 100 TB scale swap
+    F.percentile for percentile_approx with a pinned accuracy and the
+    plan shape is unchanged.
+    """
+    cells = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.posexplode(V.as_double(vec_col)).alias("dim", "x"))
+    bounds = (cells.groupBy("dim")
+              .agg(F.round(F.percentile("x", F.lit(lo)), 6).alias("b_lo"),
+                   F.round(F.percentile("x", F.lit(hi)), 6).alias("b_hi")))
+    return (cells.join(F.broadcast(bounds), "dim")
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    F.round(F.least(F.greatest("x", F.col("b_lo")),
+                                    F.col("b_hi")), 6).alias("clipped"),
+                    ((F.col("x") < F.col("b_lo"))
+                     | (F.col("x") > F.col("b_hi"))).alias("was_clipped")))

@@ -426,3 +426,22 @@ def test_tokenize_to_ids_round_trip(spark, sf_dir):
                         _tokens("text").alias("toks")).collect()}
     for r in ids.collect():
         assert [inv[i] for i in r.ids] == list(orig[r.doc_id])
+
+
+def test_group_quantile_flag_thresholds_per_group(spark):
+    """Each group is cut at ITS OWN exact quantile: identical scores land
+    on different sides of the flag depending on their group's
+    distribution, and the threshold equals the textbook interpolated
+    percentile."""
+    from casf_spark.operators.curation import group_quantile_flag
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 4, 8])] \
+         + [("b", 10 + i, float(v)) for i, v in enumerate([100, 200, 400, 800])]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    out = {r.id: (r.q_threshold, r.below_q)
+           for r in group_quantile_flag(df, "g", "score", q=0.25).collect()}
+    # p25 of [1,2,4,8] = 1.75; of [100,200,400,800] = 175.0
+    assert out[0] == (1.75, True) and out[1] == (1.75, False)
+    assert out[10] == (175.0, True) and out[11] == (175.0, False)
+    # a score of 4 is ABOVE a's cut but a score of 150 is BELOW b's
+    assert not out[2][1] and out[10][1]

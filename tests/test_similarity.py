@@ -130,3 +130,24 @@ def test_quantize_embeddings_int8_roundtrip(spark):
         assert r.mse == round(float((err ** 2).mean()), 6)
         # quantization error bounded by half a step
         assert r.max_abs_err <= s / 2 + 1e-12
+
+
+def test_winsorize_clips_to_per_dimension_bands(spark):
+    """Winsorization clips each dimension independently at its exact
+    percentile band; inliers pass through unchanged, outliers land
+    exactly ON the band edge, and the flag marks only true outliers."""
+    from casf_spark.operators.similarity import winsorize_embeddings
+
+    # dim 0: one huge outlier among uniform values; dim 1: all equal
+    rows = [(i, [1.0 if i < 9 else 1000.0, 5.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_id, r.dim): (r.clipped, r.was_clipped)
+           for r in winsorize_embeddings(df, lo=0.1, hi=0.9).collect()}
+    # dim 1 is constant: bounds collapse to 5.0, nothing clips
+    for i in range(10):
+        assert out[(i, 1)] == (5.0, False)
+    # dim 0: p90 of [1.0 x9, 1000.0] = 1.0 + 0.9*... interpolated between
+    # sorted[8]=1.0 and sorted[9]=1000.0 at g=0.1 -> 100.9
+    assert out[(9, 0)] == (100.9, True)      # outlier clipped to the edge
+    assert out[(0, 0)][1] is False           # inliers untouched
+    assert out[(0, 0)][0] == 1.0
