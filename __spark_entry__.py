@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from casf_spark.functions import text as TX
-from casf_spark.functions.hashing import MIX_PRIME, minhash_sql_exprs
+from casf_spark.functions.hashing import (MIX_PRIME, minhash_band_plan,
+                                          minhash_sql_exprs)
 from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.multimodal import binary as MM
 from casf_spark.operators import curation as CU
@@ -2862,6 +2863,28 @@ def q_doc_len_lang_quantile(spark, sf):
                                   flag_col="below_p25")
 
 
+def q_embedding_prep(spark, sf):
+    """Fused embedding-prep chain (operators.similarity
+    .embedding_prep_report): winsorize -> z-score over clipped values ->
+    per-vector int8 quantization, per-cell output so every intermediate
+    hash-checks. Two dimension-grain stats aggregations (broadcast back)
+    + one vector-grain scale aggregation; all else map-only. z is rounded
+    6dp BEFORE the max/division so both engines quantize identical
+    doubles."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.embedding_prep_report(emb, lo=0.05, hi=0.95)
+
+
+def q_minhash_band_plan(spark, sf):
+    """Analytic MinHash banding design surface (functions.hashing
+    .minhash_band_plan): the candidate-detection S-curve
+    P(s) = 1-(1-s^r)^b and inflection threshold s* = (1/b)^(1/r) for the
+    repo's standard (num_hashes=12, bands=4) config — the design tool
+    for sizing a corpus-scale dedup run. Data-free, one row per grid
+    point."""
+    return minhash_band_plan(spark, num_hashes=12, bands=4, step=0.05)
+
+
 def q_gopher_quality(spark, sf):
     """Gopher rule-based quality filter (functions.text.gopher_quality):
     the published Rae et al. 2021 A1.1 ruleset — word count, mean word
@@ -3187,27 +3210,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * tokens_to_ids — round 6's only red row (the driver's pandas canon
 #     cannot sort array cells); re-windowed with the fixed scalar
 #     projection (ids_str = array_join), which MUST go green this round;
-#   * the 5 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
-#     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile)
-#     — windowed immediately so no never-checked backlog accumulates;
+#   * the 7 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
+#     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile,
+#     embedding_prep, minhash_band_plan) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 14 names
 #     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 30 of the 47 names last green in round 4
-#     (registration order). The 17 round-4 leftovers
-#     (doc_lang_source_lift, events_gap_stats, customer_running_spend,
-#     events_mad_outliers, embedding_power_iter, events_sketch_rollup,
-#     events_session_window, events_forward_fill, dedup_cross_source,
-#     text_ttr, multimodal_pcm, events_click_purchase_days,
-#     orders_price_position, events_unpivot, text_novelty,
-#     customer_order_counts_right, ann_ivf) head the round-8
-#     re-confirmation queue.
+#     suite), then the FIRST 28 of the 47 names last green in round 4
+#     (registration order). The 19 round-4 leftovers
+#     (text_zipf, events_grouping_sets, doc_lang_source_lift,
+#     events_gap_stats, customer_running_spend, events_mad_outliers,
+#     embedding_power_iter, events_sketch_rollup, events_session_window,
+#     events_forward_fill, dedup_cross_source, text_ttr, multimodal_pcm,
+#     events_click_purchase_days, orders_price_position, events_unpivot,
+#     text_novelty, customer_order_counts_right, ann_ivf) head the
+#     round-8 re-confirmation queue.
 # With CORRECTNESS_r07 green, every name's newest green row is round 4+.
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 5 round-7 additions
+    # -- the 7 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
-    "embedding_winsorize", "doc_len_lang_quantile",
+    "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
+    "minhash_band_plan",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3222,7 +3247,7 @@ _ROUND7_WINDOW = [
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
     "bigram_logprob", "embedding_norms", "dedup_degrees", "pack_greedy",
-    "events_approx_distinct", "events_grouping_sets", "text_zipf",
+    "events_approx_distinct",
 ]
 
 
@@ -3324,6 +3349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lifetime_state": q_stream_lifetime_state,
         "embedding_winsorize": q_embedding_winsorize,
         "doc_len_lang_quantile": q_doc_len_lang_quantile,
+        "embedding_prep": q_embedding_prep,
+        "minhash_band_plan": q_minhash_band_plan,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5233,6 +5260,35 @@ SELECT vec_id, CAST(dim AS INT) AS dim,
        ROUND(LEAST(GREATEST(x, b_lo), b_hi), 6) AS clipped,
        (x < b_lo OR x > b_hi) AS was_clipped
 FROM cells JOIN bounds USING (dim)""",
+        "embedding_prep": """
+WITH cells AS (
+  SELECT CAST(vec_id AS BIGINT) vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+bounds AS (
+  SELECT dim, ROUND(quantile_cont(x, 0.05), 6) b_lo,
+              ROUND(quantile_cont(x, 0.95), 6) b_hi
+  FROM cells GROUP BY dim),
+cl AS (SELECT vec_id, dim, ROUND(LEAST(GREATEST(x, b_lo), b_hi), 6) c
+       FROM cells JOIN bounds USING (dim)),
+st AS (SELECT dim, AVG(c) mu, STDDEV_SAMP(c) sigma FROM cl GROUP BY dim),
+zt AS (SELECT vec_id, dim,
+              ROUND(CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                         ELSE (c - mu) / sigma END, 6) z
+       FROM cl JOIN st USING (dim)),
+sc AS (SELECT vec_id, MAX(ABS(z)) / 127.0 s FROM zt GROUP BY vec_id)
+SELECT zt.vec_id, CAST(dim AS INT) AS dim, z,
+       CAST(CASE WHEN s > 0 THEN FLOOR(z / s + 0.5) ELSE 0 END
+            AS BIGINT) AS code,
+       ROUND(s, 6) AS scale
+FROM zt JOIN sc USING (vec_id)""",
+        "minhash_band_plan": """
+SELECT ROUND(i * 0.05, 6) AS s,
+       ROUND(1.0 - POWER(1.0 - POWER(ROUND(i * 0.05, 6), 3.0), 4.0), 6)
+         AS p_detect,
+       ROUND(POWER(0.25, 1.0 / 3.0), 6) AS s_star
+FROM generate_series(1, 19) t(i)""",
         "doc_len_lang_quantile": f"""
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) doc_id, COALESCE(lang, '') lang,

@@ -61,3 +61,34 @@ def minhash_sql_exprs(hash_sql: str, num_hashes: int, seed: int = 42) -> list[st
         f"(({a} * (({hash_sql}) % {MIX_PRIME}) + {b}) % {MIX_PRIME})"
         for a, b in _lcg_params(num_hashes, seed)
     ]
+
+
+def minhash_band_plan(spark, num_hashes: int = 12, bands: int = 4,
+                      step: float = 0.05):
+    """Analytic MinHash-LSH banding design surface: for signature length
+    ``num_hashes`` split into ``bands`` bands of r = num_hashes/bands
+    rows, the probability a pair with true Jaccard similarity s becomes
+    a candidate is P(s) = 1 - (1 - s^r)^b (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets ch. 3). Emits the S-curve on a grid plus
+    the threshold similarity s* = (1/b)^(1/r) where the curve inflects —
+    the design tool for picking (num_hashes, bands) before a corpus-scale
+    dedup run.
+
+    Output: (s, p_detect, s_star) — all rounded to 6dp; data-free (one
+    generated row per grid point), engine-parity via identical POW
+    arithmetic on the identically-rounded grid.
+    """
+    from pyspark.sql import functions as F
+
+    r = num_hashes // bands
+    n_steps = int(round(1.0 / step)) - 1
+    s_star = F.round(F.pow(F.lit(1.0 / bands), F.lit(1.0 / r)), 6)
+    return (spark.range(1, n_steps + 1)
+            .select(F.round(F.col("id") * F.lit(step), 6).alias("s"))
+            .select("s",
+                    F.round(F.lit(1.0)
+                            - F.pow(F.lit(1.0)
+                                    - F.pow(F.col("s"), F.lit(float(r))),
+                                    F.lit(float(bands))), 6)
+                    .alias("p_detect"),
+                    s_star.alias("s_star")))

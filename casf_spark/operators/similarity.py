@@ -727,3 +727,45 @@ def winsorize_embeddings(emb: DataFrame, id_col: str = "vec_id",
                                     F.col("b_hi")), 6).alias("clipped"),
                     ((F.col("x") < F.col("b_lo"))
                      | (F.col("x") > F.col("b_hi"))).alias("was_clipped")))
+
+
+def embedding_prep_report(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """The full embedding-prep chain a training pipeline runs before
+    distance work, fused into one contract: per-dimension winsorization
+    (:func:`winsorize_embeddings`) -> per-dimension z-scoring over the
+    CLIPPED values -> per-vector symmetric int8 quantization of the
+    standardized cells. Output is per cell — (vec_id, dim, z, code,
+    scale) — so an oracle hash-checks every intermediate.
+
+    Float-parity discipline (cross-engine): the clip compares against
+    6dp-rounded bounds; z is rounded to 6dp BEFORE the per-vector max
+    and the code division, so both engines quantize the identical
+    doubles (round-before-compare); codes use floor(z/s + 0.5), no
+    ROUND-semantics dependence.
+
+    Scale shape: two dimension-grain aggregations (bounds, then
+    mu/sigma — both emit dimension-count rows and broadcast back) and
+    one vector-grain aggregation for the scales; every other step is
+    map-only. The exact percentiles/stddev partial-aggregate, so each
+    exchange carries combiner output, not raw cells.
+    """
+    cells = winsorize_embeddings(emb, id_col, vec_col, lo, hi) \
+        .select("vec_id", "dim", F.col("clipped").alias("c"))
+    stats = (cells.groupBy("dim")
+             .agg(F.avg("c").alias("mu"),
+                  F.stddev_samp("c").alias("sigma")))
+    z = F.when(F.col("sigma").isNull() | (F.col("sigma") == 0), F.lit(0.0)) \
+        .otherwise((F.col("c") - F.col("mu")) / F.col("sigma"))
+    zc = (cells.join(F.broadcast(stats), "dim")
+          .select("vec_id", "dim", F.round(z, 6).alias("z")))
+    scales = (zc.groupBy("vec_id")
+              .agg((F.max(F.abs("z")) / F.lit(127.0)).alias("s")))
+    code = F.when(F.col("s") > 0,
+                  F.floor(F.col("z") / F.col("s") + 0.5)) \
+        .otherwise(F.lit(0)).cast("long")
+    return (zc.join(scales, "vec_id")
+            .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                    "z", code.alias("code"),
+                    F.round("s", 6).alias("scale")))
