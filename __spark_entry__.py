@@ -1850,14 +1850,39 @@ WHERE (k.batch = 0 AND k.doc IN (SELECT doc FROM keep0))
    OR (k.batch = 1 AND k.doc IN (SELECT doc FROM keep1))"""
 
 
-def _semdedup_oracle(n_clusters: int, threshold: float) -> str:
+def _vsql_sqd(a: str, b: str) -> str:
+    """DuckDB squared-L2 between two list columns (cast-to-double cells —
+    the exact expression V-side sq_dist evaluates)."""
+    return (f"list_sum(list_transform(range(len({a})), "
+            f"i -> (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE)) "
+            f"* (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))))")
+
+
+def _vsql_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(len({a})), "
+            f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))")
+
+
+def _vsql_norm(a: str) -> str:
+    return (f"SQRT(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _semdedup_oracle(n_clusters: int, threshold: float,
+                     n_super: int | None = None) -> str:
     """SemDeDup (semantic_dedup_det) twin, parameterized so multiple
     (n_clusters, threshold) contract points share one SQL body: md5-ordered
     deterministic centroids, rounded-argmin assignment (ties to the smaller
     centroid id), within-cluster keep-order-prior neighbor rollup. Both
-    cosine divisions are zero-norm guarded to mirror V.cosine's 0.0."""
-    return f"""
-WITH cent AS (
+    cosine divisions are zero-norm guarded to mirror V.cosine's 0.0.
+
+    With ``n_super`` set, the assignment is the TWO-LEVEL routing rule
+    (assign="two_level"): routers = the first n_super centroids in md5
+    order, each centroid argmins over routers, each vector argmins over
+    routers-with-members then over that group's centroids — every argmin
+    the same rounded-6dp smaller-id-tie rule as the Spark side."""
+    if n_super is None:
+        assign_ctes = f"""cent AS (
   SELECT vec_id cid, embedding cemb
   FROM embeddings
   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
@@ -1866,10 +1891,7 @@ WITH cent AS (
 corp AS (SELECT vec_id id, embedding v FROM embeddings),
 ad AS (
   SELECT id, v, cid, cemb,
-         ROUND(list_sum(list_transform(range(len(v)),
-               i -> (CAST(v[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE))
-                    * (CAST(v[i+1] AS DOUBLE) - CAST(cemb[i+1] AS DOUBLE)))),
-               6) d
+         ROUND({_vsql_sqd('v', 'cemb')}, 6) d
   FROM corp CROSS JOIN cent),
 assign AS (
   -- zero-norm guard mirrors V.cosine (Spark returns 0.0, never NaN/NULL)
@@ -1877,17 +1899,51 @@ assign AS (
          ROUND(CASE WHEN nv > 0 AND nc > 0 THEN dp / (nv * nc)
                     ELSE 0.0 END, 6) cent_sim
   FROM (SELECT *,
-               list_sum(list_transform(range(len(v)),
-                 i -> CAST(v[i+1] AS DOUBLE) * CAST(cemb[i+1] AS DOUBLE)))
-                 dp,
-               SQRT(list_sum(list_transform(v, x -> CAST(x AS DOUBLE)
-                                                    * CAST(x AS DOUBLE))))
-                 nv,
-               SQRT(list_sum(list_transform(cemb, x -> CAST(x AS DOUBLE)
-                                                       * CAST(x AS DOUBLE))))
-                 nc,
+               {_vsql_dot('v', 'cemb')} dp,
+               {_vsql_norm('v')} nv,
+               {_vsql_norm('cemb')} nc,
                ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) rn
-        FROM ad) WHERE rn = 1),
+        FROM ad) WHERE rn = 1)"""
+    else:
+        assign_ctes = f"""centk AS (
+  SELECT vec_id cid, embedding cemb,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+              AS BIGINT) ck
+  FROM embeddings ORDER BY ck, vec_id LIMIT {n_clusters}),
+sup AS (SELECT cid sid, cemb semb FROM centk ORDER BY ck, cid
+        LIMIT {n_super}),
+cgrp AS (
+  SELECT cid, cemb, sid FROM (
+    SELECT c.cid, c.cemb, s.sid,
+           ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
+             ROUND({_vsql_sqd('c.cemb', 's.semb')}, 6), s.sid) rn
+    FROM centk c CROSS JOIN sup s) WHERE rn = 1),
+-- vectors route only among routers that HAVE members (a rounded-zero
+-- distance can merge two routers, leaving one group empty)
+act AS (SELECT s.sid, s.semb FROM sup s
+        WHERE s.sid IN (SELECT DISTINCT sid FROM cgrp)),
+corp AS (SELECT vec_id id, embedding v FROM embeddings),
+vroute AS (
+  SELECT id, v, sid FROM (
+    SELECT t.id, t.v, a.sid,
+           ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY
+             ROUND({_vsql_sqd('t.v', 'a.semb')}, 6), a.sid) rn
+    FROM corp t CROSS JOIN act a) WHERE rn = 1),
+assign AS (
+  SELECT id, v, cid AS cluster,
+         ROUND(CASE WHEN nv > 0 AND nc > 0 THEN dp / (nv * nc)
+                    ELSE 0.0 END, 6) cent_sim
+  FROM (
+    SELECT r.id, r.v, g.cid,
+           ROUND({_vsql_sqd('r.v', 'g.cemb')}, 6) d,
+           {_vsql_dot('r.v', 'g.cemb')} dp,
+           {_vsql_norm('r.v')} nv,
+           {_vsql_norm('g.cemb')} nc,
+           ROW_NUMBER() OVER (PARTITION BY r.id ORDER BY
+             ROUND({_vsql_sqd('r.v', 'g.cemb')}, 6), g.cid) rn
+    FROM vroute r JOIN cgrp g USING (sid)) WHERE rn = 1)"""
+    return f"""
+WITH {assign_ctes},
 edges AS (
   SELECT id0, CAST(COUNT(*) AS BIGINT) n_dup_neighbors,
          MAX(cos_sim) max_prior_sim
@@ -2803,6 +2859,22 @@ def q_dedup_semantic_32(spark, sf):
                                  assign="gemm")
 
 
+def q_dedup_semantic_2l(spark, sf):
+    """SemDeDup with TWO-LEVEL hierarchical assignment
+    (semantic_dedup_det(assign="two_level")): the first ceil(sqrt(k))
+    md5-ordered centroids act as routers; vectors argmin over routers
+    then only within the routed group — ~N·2·sqrt(k) assignment FLOPs
+    instead of N·k, the standard coarse-quantizer trick when the cluster
+    count scales with a 100 TB corpus. A DEFINED approximate
+    partitioning (every argmin is the rounded-6dp smaller-id-tie rule),
+    so the DuckDB twin replays it exactly in two chained argmin CTEs;
+    with n_super = n_clusters it degenerates to flat assignment
+    (differential-tested)."""
+    emb = load_table(spark, sf, "embeddings")
+    return DD.semantic_dedup_det(emb, n_clusters=32, threshold=0.3,
+                                 assign="two_level")
+
+
 def q_stream_near_dedup_state(spark, sf):
     """Streaming near-dedup END STATE (streaming.curation
     .near_dedup_replay_batches — the batch twin of
@@ -3210,29 +3282,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * tokens_to_ids — round 6's only red row (the driver's pandas canon
 #     cannot sort array cells); re-windowed with the fixed scalar
 #     projection (ids_str = array_join), which MUST go green this round;
-#   * the 7 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
+#   * the 8 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
 #     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile,
-#     embedding_prep, minhash_band_plan) — windowed immediately so no
-#     never-checked backlog accumulates;
+#     embedding_prep, minhash_band_plan, dedup_semantic_2l) — windowed
+#     immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 14 names
 #     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 28 of the 47 names last green in round 4
-#     (registration order). The 19 round-4 leftovers
-#     (text_zipf, events_grouping_sets, doc_lang_source_lift,
-#     events_gap_stats, customer_running_spend, events_mad_outliers,
-#     embedding_power_iter, events_sketch_rollup, events_session_window,
-#     events_forward_fill, dedup_cross_source, text_ttr, multimodal_pcm,
-#     events_click_purchase_days, orders_price_position, events_unpivot,
-#     text_novelty, customer_order_counts_right, ann_ivf) head the
-#     round-8 re-confirmation queue.
+#     suite), then the FIRST 27 of the 47 names last green in round 4
+#     (registration order). The 20 round-4 leftovers
+#     (events_approx_distinct, text_zipf, events_grouping_sets,
+#     doc_lang_source_lift, events_gap_stats, customer_running_spend,
+#     events_mad_outliers, embedding_power_iter, events_sketch_rollup,
+#     events_session_window, events_forward_fill, dedup_cross_source,
+#     text_ttr, multimodal_pcm, events_click_purchase_days,
+#     orders_price_position, events_unpivot, text_novelty,
+#     customer_order_counts_right, ann_ivf) head the round-8
+#     re-confirmation queue.
 # With CORRECTNESS_r07 green, every name's newest green row is round 4+.
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 7 round-7 additions
+    # -- the 8 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
-    "minhash_band_plan",
+    "minhash_band_plan", "dedup_semantic_2l",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3247,7 +3320,6 @@ _ROUND7_WINDOW = [
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
     "bigram_logprob", "embedding_norms", "dedup_degrees", "pack_greedy",
-    "events_approx_distinct",
 ]
 
 
@@ -3351,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_lang_quantile": q_doc_len_lang_quantile,
         "embedding_prep": q_embedding_prep,
         "minhash_band_plan": q_minhash_band_plan,
+        "dedup_semantic_2l": q_dedup_semantic_2l,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -4994,6 +5067,8 @@ SELECT doc_id, n_chunks_v1, n_chunks_v2, n_reused,
 FROM agg1 JOIN agg2 USING (doc_id)""",
         "dedup_semantic": _semdedup_oracle(n_clusters=8, threshold=0.3),
         "dedup_semantic_32": _semdedup_oracle(n_clusters=32, threshold=0.5),
+        "dedup_semantic_2l": _semdedup_oracle(n_clusters=32, threshold=0.3,
+                                              n_super=6),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),
         "stream_lifetime_state": """
 SELECT CAST(user_id AS BIGINT) user_id,

@@ -793,7 +793,8 @@ MAX_DET_CENTROIDS = 65_536
 
 def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
                            n_clusters: int,
-                           method: str = "auto") -> DataFrame:
+                           method: str = "auto",
+                           n_super: int | None = None) -> DataFrame:
     """Deterministic coarse clustering shared by the SemDeDup variants:
     centroids are the ``n_clusters`` corpus vectors with the smallest
     md5(id) (a deterministic sample — the same quantizer as
@@ -831,6 +832,23 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
 
     ``method="auto"`` picks gemm once the centroid count makes the HOF
     constant dominate (k >= 64), expr below it.
+
+    ``two_level`` is the THIRD strategy, and the only approximate one:
+    hierarchical routing that cuts assignment FLOPs from N·k to
+    ~N·2·sqrt(k) once k is large (at k = 65536 that is 512 distances
+    per vector instead of 65536 — the standard coarse-quantizer trick
+    when the cluster count scales with a 100 TB corpus). The ``n_super``
+    (default ceil(sqrt(k))) centroids FIRST in the md5 order act as
+    routers: each centroid joins its nearest router's group, each
+    vector routes to its nearest router (N·s distances) and then
+    argmins only within that group (N·k/s expected). Every argmin is
+    the same rounded-6dp, smaller-id-tie rule, so the partitioning is
+    DEFINED (deterministic, oracle-expressible in two chained argmin
+    CTEs), just not identical to flat argmin: a vector near a group
+    boundary may land in a neighboring cluster. With
+    n_super = n_clusters every centroid routes to itself and two_level
+    degenerates to exactly the flat assignment (differential test pins
+    this identity).
     """
     if n_clusters > MAX_DET_CENTROIDS:
         raise ValueError(
@@ -845,6 +863,86 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
             .orderBy("ck", "cid").limit(n_clusters).drop("ck"))
     base = df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(vec_col).alias("v"))
+
+    if method == "two_level":
+        import numpy as np
+        import pandas as pd
+
+        s = n_super or int(np.ceil(np.sqrt(n_clusters)))
+        # collect WITH the md5 key: the routers are the first s centroids
+        # in the same (ck, cid) order that selected the centroids
+        cpd = (df.select(F.col(id_col).cast("long").alias("cid"),
+                         F.col(vec_col).alias("cemb"),
+                         md5_long(F.col(id_col).cast("string")).alias("ck"))
+               .orderBy("ck", "cid").limit(n_clusters).toPandas())
+        sup = cpd.sort_values(["ck", "cid"]).head(s).sort_values("cid")
+        sids = sup["cid"].to_numpy()
+        S = np.array([np.asarray(x, dtype=np.float64) for x in sup["cemb"]])
+        s_sq = (S * S).sum(axis=1)
+        cpd = cpd.sort_values("cid")
+        cids = cpd["cid"].to_numpy()
+        C = np.array([np.asarray(x, dtype=np.float64) for x in cpd["cemb"]])
+        c_sq = (C * C).sum(axis=1)
+        c_nrm = np.sqrt(c_sq)
+        # centroid -> router group: rounded argmin, tie to smaller sid
+        # (routers are sid-sorted so argmin's first-win IS the tie rule)
+        dc = np.round(c_sq[:, None] - 2.0 * (C @ S.T) + s_sq[None, :], 6)
+        c_group = dc.argmin(axis=1)  # router INDEX per centroid
+        members = [np.nonzero(c_group == g)[0] for g in range(len(sids))]
+        # vectors route only among routers that HAVE members: a router
+        # normally owns at least itself (d=0), but two routers whose
+        # rounded distance collides at 0 merge into the smaller sid's
+        # group, leaving the larger's empty — routing to it would strand
+        # vectors. Restricting the router set keeps the rule total and
+        # is what the oracle expresses (vroute joins DISTINCT cgrp sids).
+        nonempty = np.array([g for g in range(len(sids))
+                             if members[g].size > 0])
+        sids, S, s_sq = sids[nonempty], S[nonempty], s_sq[nonempty]
+        members = [members[g] for g in nonempty]
+
+        def assign2(batches):
+            for pdf in batches:
+                V_ = np.array([np.asarray(x, dtype=np.float64)
+                               for x in pdf["v"]])
+                v_sq = (V_ * V_).sum(axis=1)
+                v_nrm = np.sqrt(v_sq)
+                # route: rounded argmin over routers, tie smaller sid
+                dv = np.round(v_sq[:, None] - 2.0 * (V_ @ S.T)
+                              + s_sq[None, :], 6)
+                route = dv.argmin(axis=1)
+                n = len(V_)
+                out_cid = np.empty(n, dtype=np.int64)
+                out_sim = np.empty(n, dtype=np.float64)
+                for g in range(len(sids)):
+                    rows = np.nonzero(route == g)[0]
+                    mem = members[g]
+                    if rows.size == 0:
+                        continue
+                    Vg = V_[rows]
+                    dots = Vg @ C[mem].T
+                    dg = np.round((Vg * Vg).sum(axis=1)[:, None]
+                                  - 2.0 * dots + c_sq[mem][None, :], 6)
+                    jj = dg.argmin(axis=1)  # mem is cid-sorted: tie OK
+                    best = dots[np.arange(rows.size), jj]
+                    denom = v_nrm[rows] * c_nrm[mem][jj]
+                    sim = np.where(
+                        denom > 0.0,
+                        np.round(best / np.where(denom > 0.0, denom, 1.0),
+                                 6), 0.0)
+                    out_cid[rows] = cids[mem][jj]
+                    out_sim[rows] = sim
+                yield pd.DataFrame({
+                    "id": pdf["id"].to_numpy(),
+                    "v": list(V_),
+                    "nrm": v_nrm,
+                    "cluster": out_cid,
+                    "cent_sim": out_sim,
+                })
+
+        return base.mapInPandas(
+            assign2,
+            schema=("id long, v array<double>, nrm double, "
+                    "cluster long, cent_sim double"))
 
     if method == "gemm":
         import numpy as np
@@ -951,7 +1049,8 @@ def semantic_dedup_det(emb: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        n_clusters: int = 8,
                        threshold: float = 0.3,
-                       assign: str = "auto") -> DataFrame:
+                       assign: str = "auto",
+                       n_super: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540),
     deterministic-quantizer variant: cluster the embedding corpus with a
     coarse quantizer, then prune near-duplicates WITHIN clusters only —
@@ -983,11 +1082,13 @@ def semantic_dedup_det(emb: DataFrame, id_col: str = "vec_id",
 
     ``assign`` selects the centroid-assignment strategy (see
     :func:`_nearest_det_centroids`): ``expr`` Column expressions,
-    ``gemm`` Arrow-batched BLAS (the large-k scale path), ``auto``
-    by centroid count. Identical 6dp-rounded output either way.
+    ``gemm`` Arrow-batched BLAS (the large-k scale path), ``two_level``
+    hierarchical routing (approximate, ~N·2·sqrt(k) FLOPs), ``auto`` by
+    centroid count. expr/gemm produce identical 6dp-rounded output;
+    two_level is its own defined partitioning.
     """
     assigned = _nearest_det_centroids(emb, id_col, vec_col, n_clusters,
-                                      method=assign)
+                                      method=assign, n_super=n_super)
     return _semdedup_rollup(assigned, threshold)
 
 

