@@ -1695,6 +1695,21 @@ def q_embedding_norms(spark, sf):
                  F.round(F.avg("nrm"), 6).alias("avg_norm")))
 
 
+def q_dedup_pagerank(spark, sf):
+    """Fixed-iteration PageRank over the MinHash candidate graph
+    (operators.dedup.pagerank_iterations): document centrality in the
+    near-dup graph — high-rank nodes are the hub documents (templates,
+    mirrored boilerplate) whose canonical-choice matters most. The
+    iterative-algorithm shape done Spark-first: each of the 3 iterations
+    is one edge⋈rank join + one keyed aggregation; ranks round to 6dp
+    BETWEEN iterations so the DuckDB twin's chained CTEs replay the
+    identical doubles."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+    return DD.pagerank_iterations(pairs, n_iter=3, damping=0.85)
+
+
 def q_dedup_degrees(spark, sf):
     """Degree distribution of the MinHash candidate graph — the dedup-
     graph health report (a heavy tail here means hot buckets; feeds the
@@ -2017,6 +2032,37 @@ SELECT f.doc,
 FROM fp f LEFT JOIN exact e ON e.doc = f.doc
 LEFT JOIN near nr ON nr.doc = f.doc
 WHERE f.source = '{batch}'"""
+
+
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """dedup_pagerank twin: the MinHash candidate graph symmetrized,
+    then ``n_iter`` chained rank CTEs — each mirrors the Spark iteration
+    exactly (per-edge contributions rounded 6dp, inflow rounded 6dp,
+    final rank rounded 6dp) so the chained doubles are engine-identical."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""it{i} AS (
+  SELECT d.src AS doc_id,
+         ROUND(ROUND((1.0 - {damping}) / n.n, 6)
+               + {damping} * ROUND(COALESCE(c.inflow, 0.0), 6), 6) rank
+  FROM deg d CROSS JOIN n
+  LEFT JOIN (SELECT e.dst, SUM(ROUND(r.rank / g.degree, 6)) inflow
+             FROM edges e JOIN {prev} r ON r.doc_id = e.src
+             JOIN deg g ON g.src = e.src GROUP BY 1) c ON c.dst = d.src)""")
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH {_minhash_cte()},
+edges AS (SELECT doc0 src, doc1 dst FROM mh_cand
+          UNION ALL SELECT doc1, doc0 FROM mh_cand),
+deg AS (SELECT src, COUNT(*) degree FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) n FROM deg),
+r0 AS (SELECT src AS doc_id, ROUND(1.0 / n.n, 6) rank
+       FROM deg CROSS JOIN n),
+{its_sql}
+SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree, {prev}.rank
+FROM deg d JOIN {prev} ON {prev}.doc_id = d.src"""
 
 
 def _clusters_oracle() -> str:
@@ -3282,30 +3328,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * tokens_to_ids — round 6's only red row (the driver's pandas canon
 #     cannot sort array cells); re-windowed with the fixed scalar
 #     projection (ids_str = array_join), which MUST go green this round;
-#   * the 8 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
+#   * the 9 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
 #     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile,
-#     embedding_prep, minhash_band_plan, dedup_semantic_2l) — windowed
-#     immediately so no never-checked backlog accumulates;
+#     embedding_prep, minhash_band_plan, dedup_semantic_2l,
+#     dedup_pagerank) — windowed immediately so no never-checked backlog
+#     accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 14 names
 #     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 27 of the 47 names last green in round 4
-#     (registration order). The 20 round-4 leftovers
-#     (events_approx_distinct, text_zipf, events_grouping_sets,
-#     doc_lang_source_lift, events_gap_stats, customer_running_spend,
-#     events_mad_outliers, embedding_power_iter, events_sketch_rollup,
-#     events_session_window, events_forward_fill, dedup_cross_source,
-#     text_ttr, multimodal_pcm, events_click_purchase_days,
-#     orders_price_position, events_unpivot, text_novelty,
-#     customer_order_counts_right, ann_ivf) head the round-8
-#     re-confirmation queue.
+#     suite), then the FIRST 26 of the 47 names last green in round 4
+#     (registration order). The 21 round-4 leftovers
+#     (pack_greedy, events_approx_distinct, text_zipf,
+#     events_grouping_sets, doc_lang_source_lift, events_gap_stats,
+#     customer_running_spend, events_mad_outliers, embedding_power_iter,
+#     events_sketch_rollup, events_session_window, events_forward_fill,
+#     dedup_cross_source, text_ttr, multimodal_pcm,
+#     events_click_purchase_days, orders_price_position, events_unpivot,
+#     text_novelty, customer_order_counts_right, ann_ivf) head the
+#     round-8 re-confirmation queue.
 # With CORRECTNESS_r07 green, every name's newest green row is round 4+.
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 8 round-7 additions
+    # -- the 9 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
-    "minhash_band_plan", "dedup_semantic_2l",
+    "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3319,7 +3366,7 @@ _ROUND7_WINDOW = [
     "events_retention", "users_view_and_purchase", "events_corr",
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
-    "bigram_logprob", "embedding_norms", "dedup_degrees", "pack_greedy",
+    "bigram_logprob", "embedding_norms", "dedup_degrees",
 ]
 
 
@@ -3424,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_prep": q_embedding_prep,
         "minhash_band_plan": q_minhash_band_plan,
         "dedup_semantic_2l": q_dedup_semantic_2l,
+        "dedup_pagerank": q_dedup_pagerank,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5069,6 +5117,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "dedup_semantic_32": _semdedup_oracle(n_clusters=32, threshold=0.5),
         "dedup_semantic_2l": _semdedup_oracle(n_clusters=32, threshold=0.3,
                                               n_super=6),
+        "dedup_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),
         "stream_lifetime_state": """
 SELECT CAST(user_id AS BIGINT) user_id,

@@ -338,3 +338,37 @@ def test_keep_cluster_representative_missing_quality_fails_safe(spark):
     assert set(out) == {1, 2, 3}
     assert out[2].keep and not out[1].keep
     assert not out[3].keep and out[3].n_tokens is None
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """3-iteration PageRank on a hand-built graph equals the numpy power
+    iteration computed with the SAME per-step 6dp rounding (the
+    engine-parity discipline), and the structural facts hold: the hub of
+    a star graph outranks every leaf, ranks are positive, and the
+    teleport floor (1-d)/N is respected."""
+    import numpy as np
+
+    # star (0 center; 1,2,3 leaves) plus a detached pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (10, 11)], "doc0 long, doc1 long")
+    got = {r.doc_id: (r.degree, r.rank)
+           for r in DD.pagerank_iterations(pairs, n_iter=3,
+                                           damping=0.85).collect()}
+
+    nodes = [0, 1, 2, 3, 10, 11]
+    deg = {0: 3, 1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+    edges = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0),
+             (10, 11), (11, 10)]
+    n = len(nodes)
+    rank = {v: round(1.0 / n, 6) for v in nodes}
+    base = round(0.15 / n, 6)
+    for _ in range(3):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += round(rank[s] / deg[s], 6)
+        rank = {v: round(base + 0.85 * round(inflow[v], 6), 6)
+                for v in nodes}
+    for v in nodes:
+        assert got[v] == (deg[v], rank[v]), (v, got[v], rank[v])
+    assert got[0][1] > got[1][1]          # hub outranks leaves
+    assert all(r > 0 for _, r in got.values())
