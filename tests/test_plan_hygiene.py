@@ -55,6 +55,9 @@ PRODUCT_WHITELIST = {
     # same 1-row derived-offset scalar broadcast into the synthetic
     # next-day snapshot build
     "orders_snapshot_diff",
+    # 1-row node-count scalar broadcast into the teleport term of the
+    # final rank projection (earlier iterations are checkpoint-truncated)
+    "dedup_pagerank",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
