@@ -1701,9 +1701,10 @@ def q_dedup_pagerank(spark, sf):
     near-dup graph — high-rank nodes are the hub documents (templates,
     mirrored boilerplate) whose canonical-choice matters most. The
     iterative-algorithm shape done Spark-first: each of the 3 iterations
-    is one edge⋈rank join + one keyed aggregation; ranks round to 6dp
-    BETWEEN iterations so the DuckDB twin's chained CTEs replay the
-    identical doubles."""
+    is one edge⋈rank join + one keyed aggregation; the recurrence runs
+    in INTEGER micro-units (order-independent sums — float sums of
+    rounded terms drifted 1e-6 on a hub at sf0.1) so the DuckDB twin's
+    chained CTEs replay identical values at any scale."""
     docs = load_table(spark, sf, "documents")
     pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
                                  n=2, num_hashes=12, bands=4)
@@ -2036,18 +2037,27 @@ WHERE f.source = '{batch}'"""
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
     """dedup_pagerank twin: the MinHash candidate graph symmetrized,
-    then ``n_iter`` chained rank CTEs — each mirrors the Spark iteration
-    exactly (per-edge contributions rounded 6dp, inflow rounded 6dp,
-    final rank rounded 6dp) so the chained doubles are engine-identical."""
+    then ``n_iter`` chained rank CTEs in INTEGER MICRO-UNITS mirroring
+    the Spark recurrence exactly — integer SUMs are order-independent,
+    so the engines' different aggregation orders can never drift (the
+    float-sum-of-rounded-terms variant diverged by 1e-6 on one hub at
+    sf0.1). The float literals are injected from the same python
+    doubles Spark's F.lit carries, so each single multiply/divide is
+    bit-equal."""
+    scale_u = 1_000_000
+    teleport_u = repr((1.0 - damping) * scale_u)
     its = []
     prev = "r0"
     for i in range(1, n_iter + 1):
         its.append(f"""it{i} AS (
   SELECT d.src AS doc_id,
-         ROUND(ROUND((1.0 - {damping}) / n.n, 6)
-               + {damping} * ROUND(COALESCE(c.inflow, 0.0), 6), 6) rank
+         CAST(FLOOR({teleport_u} / n.n + 0.5) AS BIGINT)
+           + CAST(FLOOR({damping!r} * COALESCE(c.inflow_u, 0) + 0.5)
+                  AS BIGINT) rank_u
   FROM deg d CROSS JOIN n
-  LEFT JOIN (SELECT e.dst, SUM(ROUND(r.rank / g.degree, 6)) inflow
+  LEFT JOIN (SELECT e.dst,
+                    SUM(CAST(FLOOR(r.rank_u / g.degree + 0.5) AS BIGINT))
+                      inflow_u
              FROM edges e JOIN {prev} r ON r.doc_id = e.src
              JOIN deg g ON g.src = e.src GROUP BY 1) c ON c.dst = d.src)""")
         prev = f"it{i}"
@@ -2058,10 +2068,12 @@ edges AS (SELECT doc0 src, doc1 dst FROM mh_cand
           UNION ALL SELECT doc1, doc0 FROM mh_cand),
 deg AS (SELECT src, COUNT(*) degree FROM edges GROUP BY 1),
 n AS (SELECT COUNT(*) n FROM deg),
-r0 AS (SELECT src AS doc_id, ROUND(1.0 / n.n, 6) rank
+r0 AS (SELECT src AS doc_id,
+              CAST(FLOOR({float(scale_u)!r} / n.n + 0.5) AS BIGINT) rank_u
        FROM deg CROSS JOIN n),
 {its_sql}
-SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree, {prev}.rank
+SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree,
+       ROUND({prev}.rank_u / {float(scale_u)!r}, 6) rank
 FROM deg d JOIN {prev} ON {prev}.doc_id = d.src"""
 
 

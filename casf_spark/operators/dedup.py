@@ -1275,16 +1275,23 @@ def pagerank_iterations(pairs: DataFrame, n_iter: int = 3,
     on the same key, AQE-coalesced, no driver-side loop over DATA (the
     Python loop is over ITERATIONS, a bounded constant).
 
-    Determinism/oracle contract: ranks are ROUNDED TO 6DP BETWEEN
-    iterations on both engines, so the chained float sums can never
-    drift apart; a fixed n_iter (not convergence-tested) keeps the twin
-    replayable as n_iter chained CTEs. Uniform init 1/N over the nodes
-    appearing in ``pairs``; undirected = both edge orientations;
-    isolated nodes don't appear (degree >= 1 by construction, so there
-    are no dangling-mass corrections).
+    Determinism/oracle contract: the whole recurrence runs in INTEGER
+    micro-units (rank_u = rank * 1e6 as BIGINT, per-edge contributions
+    floor(rank_u/degree + 0.5)) — an integer SUM is order-independent,
+    so the two engines' different aggregation orders can NEVER drift,
+    unlike a float sum of rounded terms (a 6dp-rounding variant
+    hash-matched at sf0.01 but diverged by 1e-6 on one hub at sf0.1 —
+    exactly the boundary class integer fixed-point eliminates). The
+    only float ops left are single multiplications/divisions of
+    integer-valued doubles, which are IEEE-identical across engines. A
+    fixed n_iter (not convergence-tested) keeps the twin replayable as
+    n_iter chained CTEs. Uniform init 1/N over the nodes appearing in
+    ``pairs``; undirected = both edge orientations; isolated nodes
+    don't appear (degree >= 1 by construction, so there are no
+    dangling-mass corrections).
 
     Output: (doc_id, degree, rank) — rank after ``n_iter`` iterations,
-    6dp.
+    micro-units / 1e6 (exact 6dp).
     """
     edges = (pairs.select(F.col(id0).cast("long").alias("src"),
                           F.col(id1).cast("long").alias("dst"))
@@ -1301,22 +1308,30 @@ def pagerank_iterations(pairs: DataFrame, n_iter: int = 3,
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     nodes = deg.select(F.col("src").alias("doc_id"), "degree")
     n_total = nodes.agg(F.count(F.lit(1)).alias("n"))
+    scale_u = 1_000_000
     ranks = (nodes.crossJoin(F.broadcast(n_total))
              .select("doc_id",
-                     F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")))
-    base = F.round((F.lit(1.0) - F.lit(damping)) / F.col("n"), 6)
+                     F.floor(F.lit(float(scale_u)) / F.col("n") + 0.5)
+                     .cast("long").alias("rank_u")))
+    # both engines evaluate these literals from the identical python
+    # double, so the single float multiply/divide per term is bit-equal
+    teleport_u = (1.0 - damping) * scale_u
+    base_u = F.floor(F.lit(teleport_u) / F.col("n") + 0.5).cast("long")
     for i in range(n_iter):
         contrib = (edges.join(ranks, edges.src == ranks.doc_id)
                    .join(deg, "src")
                    .groupBy("dst")
-                   .agg(F.sum(F.round(F.col("rank") / F.col("degree"), 6))
-                        .alias("inflow")))
+                   .agg(F.sum(F.floor(F.col("rank_u") / F.col("degree")
+                                      + 0.5).cast("long"))
+                        .alias("inflow_u")))
         ranks = (nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
                  .crossJoin(F.broadcast(n_total))
                  .select("doc_id",
-                         F.round(base + F.lit(damping)
-                                 * F.round(F.coalesce("inflow", F.lit(0.0)),
-                                           6), 6).alias("rank")))
+                         (base_u
+                          + F.floor(F.lit(damping)
+                                    * F.coalesce("inflow_u", F.lit(0))
+                                    + 0.5).cast("long"))
+                         .alias("rank_u")))
         if i < n_iter - 1:
             # truncate between iterations — the textbook iterative-Spark
             # rule: without it each iteration's plan nests the previous
@@ -1324,4 +1339,5 @@ def pagerank_iterations(pairs: DataFrame, n_iter: int = 3,
             ranks = ranks.localCheckpoint()
     return (nodes.join(ranks, "doc_id")
             .select("doc_id", F.col("degree").cast("long").alias("degree"),
-                    "rank"))
+                    F.round(F.col("rank_u") / F.lit(float(scale_u)), 6)
+                    .alias("rank")))

@@ -340,13 +340,14 @@ def test_keep_cluster_representative_missing_quality_fails_safe(spark):
     assert not out[3].keep and out[3].n_tokens is None
 
 
-def test_pagerank_matches_numpy_reference(spark):
-    """3-iteration PageRank on a hand-built graph equals the numpy power
-    iteration computed with the SAME per-step 6dp rounding (the
-    engine-parity discipline), and the structural facts hold: the hub of
-    a star graph outranks every leaf, ranks are positive, and the
-    teleport floor (1-d)/N is respected."""
-    import numpy as np
+def test_pagerank_matches_reference_recurrence(spark):
+    """3-iteration PageRank on a hand-built graph equals the reference
+    recurrence computed by hand in the SAME integer micro-units (the
+    fixed-point engine-parity discipline: integer sums are
+    order-independent, so no float drift is possible), and the
+    structural facts hold: the hub of a star graph outranks every leaf
+    and ranks are positive."""
+    import math
 
     # star (0 center; 1,2,3 leaves) plus a detached pair (10, 11)
     pairs = spark.createDataFrame(
@@ -360,15 +361,18 @@ def test_pagerank_matches_numpy_reference(spark):
     edges = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0),
              (10, 11), (11, 10)]
     n = len(nodes)
-    rank = {v: round(1.0 / n, 6) for v in nodes}
-    base = round(0.15 / n, 6)
+    scale_u = 1_000_000
+    teleport_u = (1.0 - 0.85) * scale_u
+    rank_u = {v: math.floor(float(scale_u) / n + 0.5) for v in nodes}
     for _ in range(3):
-        inflow = {v: 0.0 for v in nodes}
+        inflow = {v: 0 for v in nodes}
         for s, d in edges:
-            inflow[d] += round(rank[s] / deg[s], 6)
-        rank = {v: round(base + 0.85 * round(inflow[v], 6), 6)
-                for v in nodes}
+            inflow[d] += math.floor(rank_u[s] / deg[s] + 0.5)
+        rank_u = {v: (math.floor(teleport_u / n + 0.5)
+                      + math.floor(0.85 * inflow[v] + 0.5))
+                  for v in nodes}
     for v in nodes:
-        assert got[v] == (deg[v], rank[v]), (v, got[v], rank[v])
+        want = (deg[v], round(rank_u[v] / float(scale_u), 6))
+        assert got[v] == want, (v, got[v], want)
     assert got[0][1] > got[1][1]          # hub outranks leaves
     assert all(r > 0 for _, r in got.values())
