@@ -90,13 +90,26 @@ def zero_vec_sf(tmp_path_factory):
     return str(tmp)
 
 
-@pytest.mark.parametrize("name", ["dedup_semantic", "dedup_semantic_32"])
+@pytest.mark.parametrize("name", ["dedup_semantic", "dedup_semantic_32",
+                                  "dedup_semantic_2l"])
 def test_semantic_dedup_engines_agree_on_zero_vector(spark, zero_vec_sf,
                                                      name):
     s = _compare_engines(spark, zero_vec_sf, name, ["embeddings"])
     # the zero vector must appear with cent_sim exactly 0.0 (not NaN/NULL)
     z = s[s["vec_id"] == 3]
     assert len(z) == 1 and float(z["cent_sim"].iloc[0]) == 0.0
+
+
+@pytest.mark.parametrize("name", ["embedding_winsorize", "embedding_prep",
+                                  "embedding_int8"])
+def test_embedding_prep_engines_agree_on_zero_vector(spark, zero_vec_sf,
+                                                     name):
+    """The prep/quantization chain on a corpus containing an all-zero
+    vector: constant dimensions collapse their percentile bands, the
+    zero vector's scale is 0 with all-zero codes, and no NaN/NULL leaks
+    from any division on either engine."""
+    s = _compare_engines(spark, zero_vec_sf, name, ["embeddings"])
+    assert not s.isna().any().any()
 
 
 @pytest.fixture(scope="module")
