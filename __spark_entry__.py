@@ -1695,6 +1695,49 @@ def q_embedding_norms(spark, sf):
                  F.round(F.avg("nrm"), 6).alias("avg_norm")))
 
 
+def q_pipeline_curate_v2(spark, sf):
+    """Composed curation pipeline v2 — the round-6/7 operators chained
+    the way a production corpus pass runs them: Gopher rules + C4 line
+    rules + per-language bottom-quartile length cut + exact-fingerprint
+    dedup + MinHash near-dup (bucket-shares-a-smaller-doc rule), one
+    verdict row per document with the per-stage flags and the final
+    keep. All five stages join on doc_id — one shuffle key end-to-end —
+    and the ORACLE is assembled from the per-stage oracle bodies as CTE
+    subqueries, so the composition can never drift from the stage
+    contracts."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text") \
+        .select("doc_id", "passes_gopher")
+    c = CU.c4_line_filter(docs, "doc_id", "text") \
+        .select("doc_id", "passes_c4")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_tokens"))
+    q = CU.group_quantile_flag(d, "lang", "n_tokens", q=0.25,
+                               flag_col="below_p25") \
+        .select("doc_id", "below_p25")
+    keepers = DD.dedup_exact(docs, "doc_id", "text") \
+        .select("doc_id", F.lit(True).alias("_kept"))
+    near = (DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+            .select(F.col("doc0").alias("doc_id")).distinct()
+            .withColumn("_near", F.lit(True)))
+    out = (g.join(c, "doc_id").join(q, "doc_id")
+           .join(keepers, "doc_id", "left")
+           .join(near, "doc_id", "left"))
+    is_exact_dup = F.col("_kept").isNull()
+    is_near_dup = F.col("_near").isNotNull()
+    return out.select(
+        "doc_id", "passes_gopher", "passes_c4", "below_p25",
+        is_exact_dup.alias("is_exact_dup"),
+        is_near_dup.alias("is_near_dup"),
+        (F.col("passes_gopher") & F.col("passes_c4")
+         & ~F.col("below_p25") & ~is_exact_dup & ~is_near_dup)
+        .alias("keep"))
+
+
 def q_dedup_pagerank(spark, sf):
     """Fixed-iteration PageRank over the MinHash candidate graph
     (operators.dedup.pagerank_iterations): document centrality in the
@@ -3340,16 +3383,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * tokens_to_ids — round 6's only red row (the driver's pandas canon
 #     cannot sort array cells); re-windowed with the fixed scalar
 #     projection (ids_str = array_join), which MUST go green this round;
-#   * the 9 round-7 additions (dedup_semantic_32, stream_near_dedup_state,
-#     stream_lifetime_state, embedding_winsorize, doc_len_lang_quantile,
-#     embedding_prep, minhash_band_plan, dedup_semantic_2l,
-#     dedup_pagerank) — windowed immediately so no never-checked backlog
-#     accumulates;
+#   * the 10 round-7 additions (dedup_semantic_32,
+#     stream_near_dedup_state, stream_lifetime_state,
+#     embedding_winsorize, doc_len_lang_quantile, embedding_prep,
+#     minhash_band_plan, dedup_semantic_2l, dedup_pagerank,
+#     pipeline_curate_v2) — windowed immediately so no never-checked
+#     backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 14 names
 #     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 26 of the 47 names last green in round 4
-#     (registration order). The 21 round-4 leftovers
-#     (pack_greedy, events_approx_distinct, text_zipf,
+#     suite), then the FIRST 25 of the 47 names last green in round 4
+#     (registration order). The 22 round-4 leftovers
+#     (dedup_degrees, pack_greedy, events_approx_distinct, text_zipf,
 #     events_grouping_sets, doc_lang_source_lift, events_gap_stats,
 #     customer_running_spend, events_mad_outliers, embedding_power_iter,
 #     events_sketch_rollup, events_session_window, events_forward_fill,
@@ -3361,10 +3405,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 9 round-7 additions
+    # -- the 10 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
     "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
+    "pipeline_curate_v2",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3378,7 +3423,7 @@ _ROUND7_WINDOW = [
     "events_retention", "users_view_and_purchase", "events_corr",
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
-    "bigram_logprob", "embedding_norms", "dedup_degrees",
+    "bigram_logprob", "embedding_norms",
 ]
 
 
@@ -3484,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_plan": q_minhash_band_plan,
         "dedup_semantic_2l": q_dedup_semantic_2l,
         "dedup_pagerank": q_dedup_pagerank,
+        "pipeline_curate_v2": q_pipeline_curate_v2,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -3734,7 +3780,7 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') window_start, event_type,
        CAST(COUNT(*) AS BIGINT) n_events
 FROM wins GROUP BY 1, 2"""
 
-    return {
+    out = {
         "cosine_sparse": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
         "cosine_bucketed": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
         "cosine_via_sql": _cosine_sql(_ELEM_SUPPLIER, sparse=True),
@@ -5440,3 +5486,21 @@ SELECT d.lang, d.doc_id, d.n_tokens, st.q_threshold,
        d.n_tokens < st.q_threshold AS below_p25
 FROM d JOIN st USING (lang)""",
     }
+    # capstone: the composed curation pipeline reuses the PROVEN oracle
+    # bodies above as CTE subqueries, so the composition can never drift
+    # from the per-stage contracts
+    out["pipeline_curate_v2"] = f"""
+WITH g AS ({out['gopher_quality']}),
+c AS ({out['c4_quality']}),
+q AS ({out['doc_len_lang_quantile']}),
+e AS ({out['dedup_exact']}),
+nd AS (WITH {_minhash_cte()} SELECT DISTINCT doc0 FROM mh_cand)
+SELECT g.doc_id, g.passes_gopher, c.passes_c4, q.below_p25,
+       e.doc_id IS NULL AS is_exact_dup,
+       nd.doc0 IS NOT NULL AS is_near_dup,
+       (g.passes_gopher AND c.passes_c4 AND NOT q.below_p25
+        AND e.doc_id IS NOT NULL AND nd.doc0 IS NULL) AS keep
+FROM g JOIN c USING (doc_id) JOIN q USING (doc_id)
+LEFT JOIN e ON e.doc_id = g.doc_id
+LEFT JOIN nd ON nd.doc0 = g.doc_id"""
+    return out
