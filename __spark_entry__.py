@@ -1695,6 +1695,20 @@ def q_embedding_norms(spark, sf):
                  F.round(F.avg("nrm"), 6).alias("avg_norm")))
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE merge learning (operators.curation
+    .learn_bpe_merges, Sennrich et al. 2016): 8 exact merge steps over
+    the corpus — per step one map-side-combined pair-count aggregation,
+    a 1-row argmax broadcast, and a map-only literal replace on the
+    marker-string representation (string replace is greedy
+    non-overlapping on both engines, which IS BPE's within-sequence
+    rule). Output: the learned merge table (step, lsym, rsym,
+    pair_count) — the tokenizer-training artifact. Iterative-Spark
+    shape: corpus strings checkpoint between steps."""
+    docs = load_table(spark, sf, "documents")
+    return CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=8)
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -2076,6 +2090,37 @@ SELECT f.doc,
 FROM fp f LEFT JOIN exact e ON e.doc = f.doc
 LEFT JOIN near nr ON nr.doc = f.doc
 WHERE f.source = '{batch}'"""
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """bpe_merges twin: the identical chained merge stages — marker
+    strings, pair counts from regexp re-extraction, 1-row argmax
+    (count desc, lsym, rsym), literal replace — generated per step."""
+    toks = ("list_filter(regexp_split_to_array(lower(COALESCE(text, '')), "
+            "'[^a-z0-9]+'), t -> t <> '')")
+    parts = [f"""s0 AS (
+  SELECT CAST(doc_id AS BIGINT) doc,
+         CASE WHEN len(a) > 0
+              THEN '<' || array_to_string(a, '><') || '>'
+              ELSE '' END s
+  FROM (SELECT doc_id, {toks} a FROM documents))"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""t{i} AS (
+  SELECT doc, regexp_extract_all(s, '<([^>]*)>', 1) a FROM s{i - 1}),
+p{i} AS (
+  SELECT a[j + 1] lsym, a[j + 2] rsym, COUNT(*) c
+  FROM t{i}, unnest(range(len(a) - 1)) u(j) GROUP BY 1, 2),
+m{i} AS (SELECT lsym, rsym, CAST(c AS BIGINT) pair_count FROM p{i}
+         ORDER BY c DESC, lsym, rsym LIMIT 1)""")
+        if i < n_merges:
+            parts.append(f"""s{i} AS (
+  SELECT doc, replace(s, '<' || lsym || '><' || rsym || '>',
+                      '<' || lsym || '+' || rsym || '>') s
+  FROM s{i - 1} CROSS JOIN m{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) step, lsym, rsym, pair_count FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
@@ -3405,11 +3450,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 10 round-7 additions
+    # -- the 11 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
     "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
-    "pipeline_curate_v2",
+    "pipeline_curate_v2", "bpe_merges",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3423,7 +3468,7 @@ _ROUND7_WINDOW = [
     "events_retention", "users_view_and_purchase", "events_corr",
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
-    "bigram_logprob", "embedding_norms",
+    "bigram_logprob",
 ]
 
 
@@ -3530,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_2l": q_dedup_semantic_2l,
         "dedup_pagerank": q_dedup_pagerank,
         "pipeline_curate_v2": q_pipeline_curate_v2,
+        "bpe_merges": q_bpe_merges,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5176,6 +5222,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "dedup_semantic_2l": _semdedup_oracle(n_clusters=32, threshold=0.3,
                                               n_super=6),
         "dedup_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
+        "bpe_merges": _bpe_oracle(n_merges=8),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),
         "stream_lifetime_state": """
 SELECT CAST(user_id AS BIGINT) user_id,

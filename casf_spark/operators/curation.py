@@ -661,3 +661,80 @@ def group_quantile_flag(df: DataFrame, group_col: str, score_col: str,
                   .alias("q_threshold")))
     return (df.join(F.broadcast(stats), group_col)
             .withColumn(flag_col, F.col(score_col) < F.col("q_threshold")))
+
+
+def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
+                     n_merges: int = 8) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) — the
+    canonical LLM tokenizer-training loop, word-token grain: repeatedly
+    count adjacent symbol pairs across the corpus, pick the most
+    frequent (ties: lexicographic), fuse it everywhere, repeat. Returns
+    the learned merge table (step, lsym, rsym, pair_count) — the
+    artifact a tokenizer ships.
+
+    Representation: each document is a marker string ``<tok><tok>...``
+    (tokens are [a-z0-9]+, fused symbols join with '+', so '<' '>' '+'
+    never collide). Applying a merge is one literal ``replace('<l><r>',
+    '<l+r>')`` — string replace is greedy non-overlapping left-to-right
+    on BOTH engines (probed: '<a><a><a><a>' -> '<a+a><a+a>'), which IS
+    BPE's within-sequence merge rule, and pair re-extraction is one
+    regexp_extract_all. Fully deterministic; the DuckDB twin replays the
+    identical chained stages.
+
+    Scale shape (the iterative-Spark rules, same as
+    pagerank_iterations): per merge step, ONE pair-count aggregation
+    (map-side combined — the pair vocabulary, not the corpus, crosses
+    the wire), a 1-row argmax broadcast back, and a map-only replace;
+    the corpus string column localCheckpoints between steps so plans
+    never nest. n_merges corpus passes is the honest cost of exact BPE —
+    production trainers batch several merges per pass at a small
+    exactness cost; this operator is the exact reference.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    s = (df.select(F.col(id_col).cast("long").alias("doc"),
+                   F.when(F.size(toks) > 0,
+                          F.concat(F.lit("<"),
+                                   F.array_join(toks, "><"),
+                                   F.lit(">")))
+                   .otherwise(F.lit("")).alias("s"))
+         .localCheckpoint())
+    merges = []
+    for step in range(1, n_merges + 1):
+        # materialize the re-extracted symbol array as a COLUMN before
+        # the sliding transform: referencing the regexp_extract_all
+        # expression inside the lambda re-runs the regex once per
+        # element — O(len^2) per doc (the _shingles lesson; measured
+        # 42 s -> ~8 s for the 8-step loop at sf0.1)
+        t = s.select(
+            F.regexp_extract_all("s", F.lit("<([^>]*)>"), 1).alias("a"))
+        a = F.col("a")
+        pairs = (t.select(F.explode(
+            F.when(F.size(a) >= 2,
+                   F.transform(F.sequence(F.lit(0), F.size(a) - 2),
+                               lambda i: F.struct(
+                                   F.element_at(a, i + 1).alias("lsym"),
+                                   F.element_at(a, i + 2).alias("rsym"))))
+            .otherwise(F.array().cast(
+                "array<struct<lsym:string,rsym:string>>"))).alias("p"))
+            .select("p.lsym", "p.rsym"))
+        best = (pairs.groupBy("lsym", "rsym")
+                .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "lsym", "rsym")
+                .limit(1)
+                .localCheckpoint())
+        merges.append(best.select(F.lit(step).cast("long").alias("step"),
+                                  "lsym", "rsym", "pair_count"))
+        pat = F.concat(F.lit("<"), F.col("lsym"), F.lit("><"),
+                       F.col("rsym"), F.lit(">"))
+        rep = F.concat(F.lit("<"), F.col("lsym"), F.lit("+"),
+                       F.col("rsym"), F.lit(">"))
+        if step < n_merges:
+            s = (s.crossJoin(F.broadcast(best))
+                 .select("doc", F.replace("s", pat, rep).alias("s"))
+                 .localCheckpoint())
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

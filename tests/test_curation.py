@@ -445,3 +445,28 @@ def test_group_quantile_flag_thresholds_per_group(spark):
     assert out[10] == (175.0, True) and out[11] == (175.0, False)
     # a score of 4 is ABOVE a's cut but a score of 150 is BELOW b's
     assert not out[2][1] and out[10][1]
+
+
+def test_bpe_merges_hand_computed(spark):
+    """BPE on a tiny corpus equals the merge sequence computed by hand,
+    including the greedy within-sequence rule (an already-fused symbol
+    is unavailable to the overlapping pair) and lexicographic
+    tie-breaking."""
+    from casf_spark.operators.curation import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),     # 3x(a,b), 2x(b,a)
+         (2, "a b c"),           # 1x(a,b), 1x(b,c)
+         (3, "c c c")],          # 2x(c,c) -> greedy fuses ONE pair
+        "doc_id long, text string")
+    got = [(r.step, r.lsym, r.rsym, r.pair_count)
+           for r in learn_bpe_merges(docs, "doc_id", "text", n_merges=3)
+           .orderBy("step").collect()]
+    # step 1: (a,b) x4 wins. doc1 -> [a+b a+b a+b], doc2 -> [a+b c]
+    # step 2: pairs now (a+b,a+b) x2, (a+b,c) x1, (c,c) x2 ->
+    #         tie at 2 between (a+b,a+b) and (c,c); 'a+b' < 'c' wins
+    # step 3: doc1 -> [a+b+a+b a+b] -> remaining (a+b+a+b, a+b) x1,
+    #         (a+b,c) x1, (c,c) x2 -> (c,c) wins
+    assert got == [(1, "a", "b", 4),
+                   (2, "a+b", "a+b", 2),
+                   (3, "c", "c", 2)], got
