@@ -1709,6 +1709,18 @@ def q_bpe_merges(spark, sf):
     return CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=8)
 
 
+def q_bpe_encode(spark, sf):
+    """BPE encoding with the corpus-learned merges (operators.curation
+    .bpe_encode): the merge table (8 rows — a bounded driver side input)
+    chains into a SINGLE map-only projection of literal replaces, so
+    encoding costs one corpus pass regardless of merge count — the
+    apply side of the tokenizer pair. Output: per-doc merged symbol
+    sequence (space-joined, scalar)."""
+    docs = load_table(spark, sf, "documents")
+    merges = CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=8)
+    return CU.bpe_encode(docs, "doc_id", "text", merges)
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -2092,10 +2104,12 @@ LEFT JOIN near nr ON nr.doc = f.doc
 WHERE f.source = '{batch}'"""
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_oracle(n_merges: int = 8, encode: bool = False) -> str:
     """bpe_merges twin: the identical chained merge stages — marker
     strings, pair counts from regexp re-extraction, 1-row argmax
-    (count desc, lsym, rsym), literal replace — generated per step."""
+    (count desc, lsym, rsym), literal replace — generated per step.
+    With ``encode=True``, emits the fully-merged per-document symbol
+    sequence instead of the merge table (the bpe_encode twin)."""
     toks = ("list_filter(regexp_split_to_array(lower(COALESCE(text, '')), "
             "'[^a-z0-9]+'), t -> t <> '')")
     parts = [f"""s0 AS (
@@ -2112,15 +2126,23 @@ p{i} AS (
   FROM t{i}, unnest(range(len(a) - 1)) u(j) GROUP BY 1, 2),
 m{i} AS (SELECT lsym, rsym, CAST(c AS BIGINT) pair_count FROM p{i}
          ORDER BY c DESC, lsym, rsym LIMIT 1)""")
-        if i < n_merges:
+        if i < n_merges or encode:
             parts.append(f"""s{i} AS (
   SELECT doc, replace(s, '<' || lsym || '><' || rsym || '>',
                       '<' || lsym || '+' || rsym || '>') s
   FROM s{i - 1} CROSS JOIN m{i})""")
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS BIGINT) step, lsym, rsym, pair_count FROM m{i}"
-        for i in range(1, n_merges + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    if encode:
+        tail = f"""SELECT doc AS doc_id,
+       CAST(len(a) AS BIGINT) n_symbols,
+       array_to_string(a, ' ') symbols_str
+FROM (SELECT doc, regexp_extract_all(s, '<([^>]*)>', 1) a
+      FROM s{n_merges})"""
+    else:
+        tail = "\nUNION ALL\n".join(
+            f"SELECT CAST({i} AS BIGINT) step, lsym, rsym, pair_count "
+            f"FROM m{i}"
+            for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
@@ -3450,11 +3472,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 11 round-7 additions
+    # -- the 12 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
     "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
-    "pipeline_curate_v2", "bpe_merges",
+    "pipeline_curate_v2", "bpe_merges", "bpe_encode",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3468,7 +3490,6 @@ _ROUND7_WINDOW = [
     "events_retention", "users_view_and_purchase", "events_corr",
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
     "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
-    "bigram_logprob",
 ]
 
 
@@ -3576,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": q_dedup_pagerank,
         "pipeline_curate_v2": q_pipeline_curate_v2,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5223,6 +5245,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
                                               n_super=6),
         "dedup_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "bpe_merges": _bpe_oracle(n_merges=8),
+        "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),
         "stream_lifetime_state": """
 SELECT CAST(user_id AS BIGINT) user_id,

@@ -738,3 +738,35 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges_df: DataFrame) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`learn_bpe_merges`) to the
+    corpus — the ENCODE side of the tokenizer pair. The merge table is a
+    bounded driver-side side input (n_merges rows, the same contract as
+    IVF codebooks): each merge becomes one literal string replace on the
+    marker representation, chained in step order into a SINGLE map-only
+    projection — encoding costs one corpus pass regardless of n_merges,
+    no shuffle at all.
+
+    Output: (doc_id, n_symbols, symbols_str) — the post-merge symbol
+    sequence space-joined (scalar, oracle-hashable).
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    rows = merges_df.orderBy("step").collect()  # n_merges rows — bounded
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    s = F.when(F.size(toks) > 0,
+               F.concat(F.lit("<"), F.array_join(toks, "><"), F.lit(">"))
+               ).otherwise(F.lit(""))
+    for r in rows:
+        s = F.replace(s, F.lit(f"<{r.lsym}><{r.rsym}>"),
+                      F.lit(f"<{r.lsym}+{r.rsym}>"))
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     s.alias("s"))
+    a = F.regexp_extract_all("s", F.lit("<([^>]*)>"), 1)
+    return (base.select("doc_id", a.alias("a"))
+            .select("doc_id",
+                    F.size("a").cast("long").alias("n_symbols"),
+                    F.array_join("a", " ").alias("symbols_str")))

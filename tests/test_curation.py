@@ -470,3 +470,28 @@ def test_bpe_merges_hand_computed(spark):
     assert got == [(1, "a", "b", 4),
                    (2, "a+b", "a+b", 2),
                    (3, "c", "c", 2)], got
+
+
+def test_bpe_encode_roundtrip_and_conservation(spark):
+    """Encoding with the learned merges: symbol counts only ever shrink
+    (each merge fuses two symbols into one), splitting every symbol back
+    on '+' reconstructs the original token stream exactly, and a doc
+    with no tokens encodes to the empty sequence."""
+    from casf_spark.operators.curation import bpe_encode, learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "c c c"), (4, None)],
+        "doc_id long, text string")
+    merges = learn_bpe_merges(docs, "doc_id", "text", n_merges=3)
+    enc = {r.doc_id: (r.n_symbols, r.symbols_str)
+           for r in bpe_encode(docs, "doc_id", "text", merges).collect()}
+    # doc1: a b a b a b -> a+b x3 -> a+b+a+b, a+b
+    assert enc[1] == (2, "a+b+a+b a+b")
+    assert enc[2] == (2, "a+b c")
+    assert enc[3] == (2, "c+c c")
+    assert enc[4] == (0, "")
+    # conservation: '+'-splitting reconstructs the original tokens
+    for doc_id, text in [(1, "a b a b a b"), (2, "a b c"), (3, "c c c")]:
+        rebuilt = " ".join(s.replace("+", " ")
+                           for s in enc[doc_id][1].split())
+        assert rebuilt == text
