@@ -1695,6 +1695,20 @@ def q_embedding_norms(spark, sf):
                  F.round(F.avg("nrm"), 6).alias("avg_norm")))
 
 
+def q_minhash_eval(spark, sf):
+    """Measured MinHash-banding quality (operators.dedup
+    .minhash_eval_report): recall/precision of the candidate generator
+    vs EXACT n-gram Jaccard ground truth on a bounded deterministic
+    100-doc sample — the measurement companion to minhash_band_plan's
+    analytic prediction, and how a dedup config is validated before a
+    100 TB run. Ground truth is all-pairs within the SAMPLE only
+    (O(sample²) bounded), never corpus-scale."""
+    docs = load_table(spark, sf, "documents")
+    return DD.minhash_eval_report(docs, "doc_id", "text", n=2,
+                                  num_hashes=12, bands=4,
+                                  threshold=0.5, sample_size=100)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE merge learning (operators.curation
     .learn_bpe_merges, Sennrich et al. 2016): 8 exact merge steps over
@@ -2102,6 +2116,68 @@ SELECT f.doc,
 FROM fp f LEFT JOIN exact e ON e.doc = f.doc
 LEFT JOIN near nr ON nr.doc = f.doc
 WHERE f.source = '{batch}'"""
+
+
+def _minhash_eval_oracle(threshold: float = 0.5,
+                         sample_size: int = 100) -> str:
+    """minhash_eval twin: md5-smallest sample, exact 2-gram Jaccard
+    ground truth within it, the same banding candidates over it, and the
+    one-row recall/precision rollup with vacuous-1.0 guards."""
+    hash_sql = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    exprs = minhash_sql_exprs(hash_sql, 12)
+    mins = ",\n         ".join(
+        f"MIN({e}) AS mh_{i}" for i, e in enumerate(exprs))
+    bands = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * 3 + r} AS VARCHAR)" for r in range(3))
+        bands.append(f"SELECT doc, {b} AS band, {cols} AS bucket FROM sig")
+    bands_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH samp AS (
+  SELECT CAST(doc_id AS BIGINT) doc, text
+  FROM documents
+  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT), doc_id
+  LIMIT {sample_size}),
+t AS (SELECT doc, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9]+'), x -> x <> '') a FROM samp),
+toks AS (SELECT doc, generate_subscripts(a, 1) pos, unnest(a) w FROM t),
+sh AS (SELECT DISTINCT t1.doc, t1.w || ' ' || t2.w AS shingle
+       FROM toks t1 JOIN toks t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1),
+sizes AS (SELECT doc, COUNT(*) n_sh FROM sh GROUP BY doc),
+inter AS (SELECT a.doc doc0, b.doc doc1, COUNT(*) ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc > b.doc
+          GROUP BY 1, 2),
+truth AS (
+  SELECT doc0, doc1 FROM inter
+  JOIN sizes s0 ON s0.doc = inter.doc0
+  JOIN sizes s1 ON s1.doc = inter.doc1
+  WHERE ROUND(CAST(ni AS DOUBLE) / (s0.n_sh + s1.n_sh - ni), 6)
+        >= {threshold}),
+sig AS (SELECT doc,
+         {mins}
+        FROM sh GROUP BY doc),
+bands AS ({bands_sql}),
+cand AS (SELECT DISTINCT a.doc doc0, b.doc doc1
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc > b.doc),
+j AS (SELECT COALESCE(t.doc0, c.doc0) doc0,
+             CASE WHEN t.doc0 IS NOT NULL THEN 1 ELSE 0 END it,
+             CASE WHEN c.doc0 IS NOT NULL THEN 1 ELSE 0 END ic
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.doc0 = c.doc0 AND t.doc1 = c.doc1)
+SELECT CAST(COALESCE(SUM(it), 0) AS BIGINT) n_truth,
+       CAST(COALESCE(SUM(ic), 0) AS BIGINT) n_detected,
+       CAST(COALESCE(SUM(it * ic), 0) AS BIGINT) n_hit,
+       ROUND(CASE WHEN SUM(it) > 0
+                  THEN SUM(it * ic) * 1.0 / SUM(it) ELSE 1.0 END, 6)
+         recall,
+       ROUND(CASE WHEN SUM(ic) > 0
+                  THEN SUM(it * ic) * 1.0 / SUM(ic) ELSE 1.0 END, 6)
+         candidate_precision
+FROM j"""
 
 
 def _bpe_oracle(n_merges: int = 8, encode: bool = False) -> str:
@@ -3472,11 +3548,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND7_WINDOW = [
     # -- round 6's red row, fixed (scalar ids_str projection)
     "tokens_to_ids",
-    # -- the 12 round-7 additions
+    # -- the 13 round-7 additions
     "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
     "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
     "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
-    "pipeline_curate_v2", "bpe_merges", "bpe_encode",
+    "pipeline_curate_v2", "bpe_merges", "bpe_encode", "minhash_eval",
     # -- the 14 names last green in round 3 (stalest cohort)
     "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
     "events_json", "events_asof", "events_interval",
@@ -3489,7 +3565,7 @@ _ROUND7_WINDOW = [
     "events_moving_avg", "dedup_collision", "events_funnel",
     "events_retention", "users_view_and_purchase", "events_corr",
     "events_value_hist", "ann_ivf_pq", "temperature_resample",
-    "doc_cosine_tfidf", "multimodal_rgb", "sample_per_source",
+    "doc_cosine_tfidf", "multimodal_rgb",
 ]
 
 
@@ -3598,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_v2": q_pipeline_curate_v2,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "minhash_eval": q_minhash_eval,
         "train_shards": q_train_shards,
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_approx_percentiles": q_events_approx_percentiles,
@@ -5246,6 +5323,8 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "dedup_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
+        "minhash_eval": _minhash_eval_oracle(threshold=0.5,
+                                             sample_size=100),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),
         "stream_lifetime_state": """
 SELECT CAST(user_id AS BIGINT) user_id,

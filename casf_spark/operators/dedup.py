@@ -1341,3 +1341,55 @@ def pagerank_iterations(pairs: DataFrame, n_iter: int = 3,
             .select("doc_id", F.col("degree").cast("long").alias("degree"),
                     F.round(F.col("rank_u") / F.lit(float(scale_u)), 6)
                     .alias("rank")))
+
+
+def minhash_eval_report(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5,
+                        sample_size: int = 100,
+                        seed: int = 42) -> DataFrame:
+    """Measured MinHash-banding quality — recall/precision of the
+    candidate generator against EXACT n-gram Jaccard ground truth on a
+    bounded deterministic sample (the ``sample_size`` docs with the
+    smallest md5(id), the same sampling idiom as the det quantizers).
+    This is how a dedup configuration is validated before a 100 TB run:
+    the analytic S-curve (:func:`minhash_band_plan
+    <casf_spark.functions.hashing.minhash_band_plan>`) predicts, this
+    measures.
+
+    Ground truth is all-pairs WITHIN THE SAMPLE only — O(sample²)
+    bounded work, never corpus-scale — and the candidate set is the
+    banding pairs over the same sample with the same shingle size.
+
+    Output (one row): n_truth (pairs with exact Jaccard >= threshold),
+    n_detected (banding candidates), n_hit (their intersection),
+    recall = hit/truth and candidate_precision = hit/detected (both 1.0
+    when their denominator is 0 — vacuously perfect), rounded 6dp.
+    """
+    sample = (df.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.col(text_col).alias("text"),
+                        md5_long(F.col(id_col).cast("string")).alias("k"))
+              .orderBy("k", "doc_id").limit(sample_size).drop("k"))
+    truth = (ngram_jaccard_pairs(sample, "doc_id", "text", n=n,
+                                 threshold=threshold)
+             .select("doc0", "doc1", F.lit(1).alias("in_truth")))
+    cand = (minhash_lsh_pairs(sample, "doc_id", "text", n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              seed=seed)
+            .select("doc0", "doc1", F.lit(1).alias("in_cand")))
+    j = truth.join(cand, ["doc0", "doc1"], "full")
+    agg = j.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long")
+        .alias("n_truth"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).cast("long")
+        .alias("n_detected"),
+        F.coalesce(F.sum(F.col("in_truth") * F.col("in_cand")), F.lit(0))
+        .cast("long").alias("n_hit"))
+    return agg.select(
+        "n_truth", "n_detected", "n_hit",
+        F.round(F.when(F.col("n_truth") > 0,
+                       F.col("n_hit") / F.col("n_truth"))
+                .otherwise(F.lit(1.0)), 6).alias("recall"),
+        F.round(F.when(F.col("n_detected") > 0,
+                       F.col("n_hit") / F.col("n_detected"))
+                .otherwise(F.lit(1.0)), 6).alias("candidate_precision"))
