@@ -659,7 +659,13 @@ def group_quantile_flag(df: DataFrame, group_col: str, score_col: str,
     stats = (df.groupBy(group_col)
              .agg(F.round(F.percentile(score_col, F.lit(q)), 6)
                   .alias("q_threshold")))
-    return (df.join(F.broadcast(stats), group_col)
+    # null-safe join: a NULL group is a real group (groupBy emits a stats
+    # row for it) — a plain equi-join would silently drop every NULL-group
+    # row, contradicting "every row is flagged against ITS group"
+    g2 = "__gq_group"
+    return (df.join(F.broadcast(stats.withColumnRenamed(group_col, g2)),
+                    F.col(group_col).eqNullSafe(F.col(g2)))
+            .drop(g2)
             .withColumn(flag_col, F.col(score_col) < F.col("q_threshold")))
 
 
@@ -701,6 +707,7 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
                    .otherwise(F.lit("")).alias("s"))
          .localCheckpoint())
     merges = []
+    empty_schema = ("step long, lsym string, rsym string, pair_count long")
     for step in range(1, n_merges + 1):
         # materialize the re-extracted symbol array as a COLUMN before
         # the sliding transform: referencing the regexp_extract_all
@@ -724,6 +731,13 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
                 .orderBy(F.desc("pair_count"), "lsym", "rsym")
                 .limit(1)
                 .localCheckpoint())
+        if best.isEmpty():
+            # pairs exhausted before n_merges steps (tiny corpus): the
+            # argmax is empty, so fusing would crossJoin the corpus with
+            # zero rows and wipe it — stop the loop instead. The DuckDB
+            # twin mirrors this with LEFT JOIN ON TRUE + COALESCE (its
+            # later m{i} CTEs stay empty, contributing no merge rows).
+            break
         merges.append(best.select(F.lit(step).cast("long").alias("step"),
                                   "lsym", "rsym", "pair_count"))
         pat = F.concat(F.lit("<"), F.col("lsym"), F.lit("><"),
@@ -734,6 +748,8 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
             s = (s.crossJoin(F.broadcast(best))
                  .select("doc", F.replace("s", pat, rep).alias("s"))
                  .localCheckpoint())
+    if not merges:
+        return df.sparkSession.createDataFrame([], empty_schema)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

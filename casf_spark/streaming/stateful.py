@@ -134,15 +134,20 @@ def user_lifetime_stats_batch(events: DataFrame) -> DataFrame:
     tests/test_stateful_lifetime.py asserts the real multi-batch stream's
     final emission per key equals this, including on NULL-bearing input.
 
-    NULL contract (mirrors the processor): n_events counts every row;
-    total_value folds only non-NULL values (0.0 when none — pandas
-    sum-of-empty); max_value is NULL when a user never saw a non-NULL
-    value.
+    NULL/NaN contract (mirrors the processor, whose pandas ``dropna``
+    removes BOTH): n_events counts every row; total_value/max_value fold
+    only non-NULL, non-NaN values (0.0 total when none); max_value is
+    NULL when a user never saw a foldable value. Without the explicit
+    NaN mask here, SQL SUM/MAX would skip only NULL — and Spark's MAX
+    orders NaN above every number — so one NaN would silently split the
+    stream from its twin.
     """
     from pyspark.sql import functions as F
 
+    v = F.when(F.col("value").isNotNull() & ~F.isnan("value"),
+               F.col("value"))
     return (events.groupBy(F.col("user_id").cast("long").alias("user_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-                 F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6)
+                 F.round(F.coalesce(F.sum(v), F.lit(0.0)), 6)
                  .alias("total_value"),
-                 F.round(F.max("value"), 6).alias("max_value")))
+                 F.round(F.max(v), 6).alias("max_value")))

@@ -72,6 +72,34 @@ def test_engines_agree_on_null_data(spark, null_sf, name):
 
 
 @pytest.fixture(scope="module")
+def tiny_bpe_sf(tmp_path_factory):
+    """Corpus that exhausts adjacent pairs after ONE merge (doc1 fuses to
+    a single symbol, doc2 has one token, doc3 is NULL) while the
+    registered BPE queries ask for 8 — the empty-argmax class: a cross
+    join against the empty argmax would wipe the corpus on either
+    engine (Spark breaks the loop; the oracle LEFT JOINs ON TRUE)."""
+    tmp = tmp_path_factory.mktemp("tiny_bpe")
+    pd.DataFrame([(1, "a b"), (2, "c"), (3, None)],
+                 columns=["doc_id", "text"]).to_parquet(
+        tmp / "documents.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", ["bpe_merges", "bpe_encode"])
+def test_bpe_engines_agree_when_pairs_exhaust_early(spark, tiny_bpe_sf,
+                                                    name):
+    s = _compare_engines(spark, tiny_bpe_sf, name, ["documents"])
+    if name == "bpe_merges":
+        # only (a,b) is learnable; steps 2..8 have an empty argmax
+        assert len(s) == 1
+        assert list(s.iloc[0][["lsym", "rsym"]]) == ["a", "b"]
+    else:
+        # every document survives the encode — the pre-fix oracle
+        # returned ZERO rows here
+        assert len(s) == 3
+
+
+@pytest.fixture(scope="module")
 def zero_vec_sf(tmp_path_factory):
     """Embeddings with a ZERO vector (vec_id 3) — the cross-engine
     divergence class the round-6 advice flagged: an unguarded cosine

@@ -52,9 +52,13 @@ def test_lifetime_stream_end_state_equals_batch_twin(spark, tmp_path):
                                                user_lifetime_stats_batch)
 
     schema = "user_id long, value double"
-    batches = [[(1, 1.5), (2, None), (1, 2.25)],
-               [(1, None), (2, None), (3, 4.0)],
-               [(3, 0.5), (1, 9.75)]]
+    # user 4 sees ONLY NaN + NULL: the pinned contract treats NaN exactly
+    # like NULL (counted in n_events, never folded into sum/max), so the
+    # processor's dropna, the batch twin's isnan mask, and the DuckDB
+    # oracle's CASE WHEN NOT isnan all agree
+    batches = [[(1, 1.5), (2, None), (1, 2.25), (4, float("nan"))],
+               [(1, None), (2, None), (3, 4.0), (1, float("nan"))],
+               [(3, 0.5), (1, 9.75), (4, None)]]
     land = _landing(spark, tmp_path, batches, schema)
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(land))
@@ -76,6 +80,10 @@ def test_lifetime_stream_end_state_equals_batch_twin(spark, tmp_path):
     assert final == twin
     # user 2 never saw a non-NULL value: counted rows, 0.0 total, NULL max
     assert twin[2] == (2, 0.0, None)
+    # user 4 saw only NaN/NULL: same shape — NaN never poisons max or sum
+    assert twin[4] == (2, 0.0, None)
+    # user 1's NaN row is counted but not folded
+    assert twin[1] == (5, 13.5, 9.75)
 
 
 def test_lifetime_stats_batch_of_one_key_shapes(spark, tmp_path):

@@ -141,7 +141,8 @@ def test_every_query_type_exact(spark, sf_dir, duck):
         # NEVER emit a nested top-level column. Join arrays to strings
         # (array_join) or explode to rows instead.
         nested = {c: t for c, t in stypes.items()
-                  if t.startswith(("list<", "struct<"))}
+                  if t.startswith(("list<", "large_list<", "struct<",
+                                   "map<"))}
         if nested:
             problems.append(
                 f"{name}: nested top-level column(s) {nested} — the "
