@@ -1596,6 +1596,28 @@ def q_bm25_rank(spark, sf):
                         top_n=15)
 
 
+def q_retrieval_rrf(spark, sf):
+    """Hybrid retrieval with reciprocal-rank fusion (operators.relevance
+    .rrf_fuse, Cormack et al. 2009): the lexical leg is BM25 top-50 for
+    a 3-term query (relevance.bm25_rank), the vector leg is exact cosine
+    top-50 neighbors of vec 0 (similarity.brute_force_topk, GEMM path);
+    RRF fuses the two rank lists with k=60 — the calibration-free
+    combiner every production lexical+vector retrieval stack uses.
+    Integer nano-unit reciprocal terms keep the fused score
+    engine-stable. Both legs are bounded top-Ns, so fusion moves 100
+    rows regardless of corpus size."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = RV.bm25_rank(docs, ["spark", "table", "hash"], "doc_id", "text",
+                       top_n=50)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc"))
+    lex_r = lex.select(F.col("doc").alias("item_id"),
+                       F.row_number().over(wl).alias("rank"))
+    sem = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
+    sem_r = sem.select(F.col("neighbor_id").alias("item_id"), "rank")
+    return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
+
+
 def q_knn_classify(spark, sf):
     """kNN majority-vote label prediction over embeddings (k=10 exact
     cosine neighbors via the partial-top-k GEMM path)."""
@@ -3205,6 +3227,120 @@ def q_doc_len_lang_quantile(spark, sf):
                                   flag_col="below_p25")
 
 
+def q_adversarial_contract(spark, sf):
+    """Driver-visible NULL/zero-vector adversarial contract (round-7
+    verdict item 2): the shipped testdata has no NULL text/lang and no
+    zero-norm embedding, so the oracle gate structurally cannot see the
+    NULL-handling divergence class that bit in rounds 6 (NULL
+    propagation) and 7 (zero-norm cosine). This query CONSTRUCTS the
+    adversarial rows in-query — doc -1 (NULL text + NULL lang), doc -2
+    (empty text + empty lang), doc -3 (stopword text + NULL lang), and
+    vec -1 (an all-zero embedding whose dimension is taken from the
+    corpus) — unions them onto the parquet tables with identical
+    literals in the DuckDB twin, then runs the NULL-sensitive operators
+    over the union: gopher metrics (functions.text.gopher_exprs — NULL
+    text counts as empty), per-group quantile flagging with NULL lang as
+    a REAL group (operators.curation.group_quantile_flag's null-safe
+    join — before the round-8 fix these rows silently vanished), and
+    guarded norm/cosine (functions.vectors.cosine returns 0.0 on zero
+    norm, never NaN).
+
+    Output is long-format (kind, item_id, metric, value): per-
+    adversarial-row metrics plus whole-corpus checksums (sum of word
+    counts, flagged count, group count incl. the NULL group, vector
+    count, integer-micro-unit cell sum) so the parquet input provably
+    flows through both engines. The cell checksum folds each cell to
+    integer micro-units BEFORE summing — integer sums are order-
+    independent, so engine aggregation order can never drift it."""
+    from casf_spark.functions import vectors as V
+
+    def _mrow(metric, value):
+        return F.struct(F.lit(metric).alias("metric"),
+                        value.cast("double").alias("value"))
+
+    docs = (load_table(spark, sf, "documents")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text", "lang"))
+    adv = spark.createDataFrame(
+        [(-1, None, None), (-2, "", ""),
+         (-3, "the be to of and that have with words here", None)],
+        "doc_id long, text string, lang string")
+    corpus = docs.unionByName(adv)
+    g = TX.gopher_quality(corpus, "doc_id", "text").select(
+        "doc_id", "n_words", "alpha_word_frac", "n_required_stopwords")
+    flagged = CU.group_quantile_flag(corpus.join(g, "doc_id"), "lang",
+                                     "n_words", q=0.25, flag_col="below_q")
+    doc_rows = (flagged.filter(F.col("doc_id") < 0)
+                .select(F.col("doc_id").alias("item_id"),
+                        F.explode(F.array(
+                            _mrow("n_words", F.col("n_words")),
+                            _mrow("alpha_word_frac",
+                                  F.col("alpha_word_frac")),
+                            _mrow("n_required_stopwords",
+                                  F.col("n_required_stopwords")),
+                            _mrow("text_is_null",
+                                  F.when(F.col("text").isNull(),
+                                         F.lit(1.0)).otherwise(0.0)),
+                            _mrow("q_threshold", F.col("q_threshold")),
+                            _mrow("below_q",
+                                  F.when(F.col("below_q"),
+                                         F.lit(1.0)).otherwise(0.0)),
+                        )).alias("m"))
+                .select(F.lit("doc").alias("kind"), "item_id",
+                        F.col("m.metric").alias("metric"),
+                        F.col("m.value").alias("value")))
+    doc_sums = (flagged.agg(
+        F.sum("n_words").cast("double").alias("s_words"),
+        F.sum(F.when(F.col("below_q"), 1).otherwise(0))
+        .cast("double").alias("s_below"),
+        F.countDistinct(F.coalesce("lang", F.lit("\x01")))
+        .cast("double").alias("s_groups"))
+        .select(F.lit("doc").alias("kind"),
+                F.lit(0).cast("long").alias("item_id"),
+                F.explode(F.array(
+                    _mrow("sum_n_words", F.col("s_words")),
+                    _mrow("n_below_q", F.col("s_below")),
+                    _mrow("n_lang_groups", F.col("s_groups")))).alias("m"))
+        .select("kind", "item_id", F.col("m.metric").alias("metric"),
+                F.col("m.value").alias("value")))
+
+    emb = (load_table(spark, sf, "embeddings")
+           .select(F.col("vec_id").cast("long").alias("vec_id"),
+                   V.as_double("embedding").alias("v")))
+    first = emb.orderBy("vec_id").limit(1)
+    zero = first.select(F.lit(-1).cast("long").alias("vec_id"),
+                        F.transform("v", lambda x: F.lit(0.0)).alias("v"))
+    allv = emb.unionByName(zero)
+    probe = F.broadcast(first.select(F.col("v").alias("p")))
+    vec_rows = (allv.filter(F.col("vec_id") < 0).crossJoin(probe)
+                .select(F.lit("vec").alias("kind"),
+                        F.col("vec_id").alias("item_id"),
+                        F.explode(F.array(
+                            _mrow("norm",
+                                  F.round(F.sqrt(V.dot("v", "v")), 6)),
+                            _mrow("cos_probe",
+                                  F.round(V.cosine("v", "p"), 6)),
+                        )).alias("m"))
+                .select("kind", "item_id",
+                        F.col("m.metric").alias("metric"),
+                        F.col("m.value").alias("value")))
+    cell_u = F.aggregate(
+        F.transform("v", lambda x: F.floor(x * 1e6 + 0.5).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    vec_sums = (allv.agg(
+        F.count(F.lit(1)).cast("double").alias("s_n"),
+        F.sum(cell_u).cast("double").alias("s_cells"))
+        .select(F.lit("vec").alias("kind"),
+                F.lit(0).cast("long").alias("item_id"),
+                F.explode(F.array(
+                    _mrow("n_vecs", F.col("s_n")),
+                    _mrow("sum_cell_u", F.col("s_cells")))).alias("m"))
+        .select("kind", "item_id", F.col("m.metric").alias("metric"),
+                F.col("m.value").alias("value")))
+    return (doc_rows.unionByName(doc_sums)
+            .unionByName(vec_rows).unionByName(vec_sums))
+
+
 def q_embedding_prep(spark, sf):
     """Fused embedding-prep chain (operators.similarity
     .embedding_prep_report): winsorize -> z-score over clipped values ->
@@ -3708,6 +3844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_top_tokens": q_lang_top_tokens,
         "dedup_edit_distance": q_dedup_edit_distance,
         "embedding_standardize": q_embedding_standardize,
+        # round-8 additions (windowed immediately)
+        "adversarial_contract": q_adversarial_contract,
+        "retrieval_rrf": q_retrieval_rrf,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5661,6 +5800,156 @@ st AS (SELECT lang,
 SELECT d.lang, d.doc_id, d.n_tokens, st.q_threshold,
        d.n_tokens < st.q_threshold AS below_p25
 FROM d JOIN st USING (lang)""",
+        # identical adversarial literals as the Spark query; the fl join
+        # is null-safe (IS NOT DISTINCT FROM) so the NULL-lang group
+        # survives on both engines; the cell checksum is an integer sum
+        "adversarial_contract": """
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, text, lang FROM documents
+  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+  UNION ALL SELECT -2, '', ''
+  UNION ALL SELECT -3, 'the be to of and that have with words here', NULL),
+w AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '[^a-z0-9]+'),
+                     t -> t <> '') low
+  FROM docs),
+m AS (
+  SELECT doc_id, lang, text,
+         CAST(len(words) AS BIGINT) n_words,
+         ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / GREATEST(len(words), 1), 6) alpha_word_frac,
+         CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                               'have', 'with'],
+                              r -> list_contains(low, r)))
+              AS BIGINT) n_req
+  FROM w),
+st AS (SELECT lang,
+              ROUND(quantile_cont(CAST(n_words AS DOUBLE), 0.25), 6)
+                q_threshold
+       FROM m GROUP BY 1),
+fl AS (SELECT m.*, st.q_threshold, m.n_words < st.q_threshold below_q
+       FROM m JOIN st ON m.lang IS NOT DISTINCT FROM st.lang),
+doc_rows AS (
+  SELECT 'doc' kind, doc_id item_id, u.m metric, u.v AS value FROM (
+    SELECT doc_id, unnest([
+      {'m': 'n_words', 'v': CAST(n_words AS DOUBLE)},
+      {'m': 'alpha_word_frac', 'v': alpha_word_frac},
+      {'m': 'n_required_stopwords', 'v': CAST(n_req AS DOUBLE)},
+      {'m': 'text_is_null',
+       'v': CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END},
+      {'m': 'q_threshold', 'v': q_threshold},
+      {'m': 'below_q', 'v': CASE WHEN below_q THEN 1.0 ELSE 0.0 END}]) u
+    FROM fl WHERE doc_id < 0)),
+doc_sums AS (
+  SELECT 'doc' kind, CAST(0 AS BIGINT) item_id, u.m metric, u.v AS value
+  FROM (
+    SELECT unnest([
+      {'m': 'sum_n_words', 'v': CAST(SUM(n_words) AS DOUBLE)},
+      {'m': 'n_below_q',
+       'v': CAST(SUM(CASE WHEN below_q THEN 1 ELSE 0 END) AS DOUBLE)},
+      {'m': 'n_lang_groups',
+       'v': CAST(COUNT(DISTINCT COALESCE(lang, chr(1))) AS DOUBLE)}]) u
+    FROM fl)),
+base_v AS (
+  SELECT CAST(vec_id AS BIGINT) vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  FROM embeddings),
+first_v AS (SELECT v FROM base_v ORDER BY vec_id LIMIT 1),
+vecs AS (
+  SELECT vec_id, v FROM base_v
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), list_transform(v, x -> 0.0) FROM first_v),
+vec_rows AS (
+  SELECT 'vec' kind, vec_id item_id, u.m metric, u.v AS value FROM (
+    SELECT vec_id, unnest([
+      {'m': 'norm', 'v': ROUND(nv, 6)},
+      {'m': 'cos_probe',
+       'v': ROUND(CASE WHEN nv > 0 AND np > 0 THEN dp / (nv * np)
+                       ELSE 0.0 END, 6)}]) u
+    FROM (
+      SELECT a.vec_id,
+             SQRT(list_sum(list_transform(a.v, x -> x * x))) nv,
+             SQRT(list_sum(list_transform(p.v, x -> x * x))) np,
+             list_sum(list_transform(list_zip(a.v, p.v),
+                                     z -> z[1] * z[2])) dp
+      FROM vecs a CROSS JOIN first_v p WHERE a.vec_id < 0))),
+vec_sums AS (
+  SELECT 'vec' kind, CAST(0 AS BIGINT) item_id, u.m metric, u.v AS value
+  FROM (
+    SELECT unnest([
+      {'m': 'n_vecs', 'v': CAST(COUNT(*) AS DOUBLE)},
+      {'m': 'sum_cell_u',
+       'v': CAST(SUM(cu) AS DOUBLE)}]) u
+    FROM (SELECT CAST(list_sum(list_transform(
+                   v, x -> CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)))
+                 AS BIGINT) cu
+          FROM vecs)))
+SELECT * FROM doc_rows
+UNION ALL SELECT * FROM doc_sums
+UNION ALL SELECT * FROM vec_rows
+UNION ALL SELECT * FROM vec_sums""",
+        # hybrid retrieval: the PROVEN bm25 and brute-force-cosine oracle
+        # bodies as legs, fused with integer nano-unit reciprocal terms
+        "retrieval_rrf": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+dl AS (SELECT doc, COUNT(*) dl FROM toks GROUP BY 1),
+st AS (SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) n_docs,
+              AVG(dl) avgdl FROM dl),
+hits AS (SELECT doc, w term, CAST(COUNT(*) AS DOUBLE) tf FROM toks
+         WHERE w IN ('hash', 'spark', 'table') GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) df FROM hits GROUP BY 1),
+c AS (SELECT h.doc,
+        ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * h.tf * (1.2 + 1.0)
+          / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) contrib
+      FROM hits h JOIN dfreq d USING (term) JOIN dl USING (doc)
+      CROSS JOIN st),
+bm AS (SELECT doc, ROUND(SUM(contrib), 6) score
+       FROM c GROUP BY 1 ORDER BY score DESC, doc LIMIT 50),
+bmr AS (SELECT doc item_id,
+               row_number() OVER (ORDER BY score DESC, doc) rank
+        FROM bm),
+ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT q.vec_id query_id, e.vec_id neighbor_id, SUM(q.x * e.x) dp
+  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+  WHERE q.vec_id = 0
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.neighbor_id, ROUND(d.dp / (nq.nrm * nc.nrm), 6) cos_sim
+  FROM dots d
+  JOIN nn nq ON nq.vec_id = d.query_id
+  JOIN nn nc ON nc.vec_id = d.neighbor_id),
+semr AS (
+  SELECT neighbor_id item_id, rn rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY cos_sim DESC, neighbor_id ASC) rn
+    FROM scored) WHERE rn <= 50),
+u AS (
+  SELECT item_id,
+         CAST(FLOOR(1000000000.0 / (60 + rank) + 0.5) AS BIGINT) term_u
+  FROM bmr
+  UNION ALL
+  SELECT item_id,
+         CAST(FLOOR(1000000000.0 / (60 + rank) + 0.5) AS BIGINT)
+  FROM semr),
+f AS (SELECT item_id, SUM(term_u) su,
+             CAST(COUNT(*) AS BIGINT) n_legs
+      FROM u GROUP BY 1)
+SELECT CAST(item_id AS BIGINT) item_id, n_legs,
+       ROUND(su / 1000000000.0, 6) rrf_score
+FROM f ORDER BY rrf_score DESC, item_id LIMIT 20""",
     }
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift

@@ -313,3 +313,43 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vec_id", F.col("nl").alias("pred_label"), "n_votes"))
+
+
+def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "item_id",
+             rank_col: str = "rank", k: int = 60, top_n: int = 20,
+             scale_u: int = 1_000_000_000) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) over any
+    number of ranked retrieval legs -> (item_id, n_legs, rrf_score):
+    ``rrf(d) = sum over legs of 1 / (k + rank_leg(d))`` — the standard
+    way hybrid retrieval pipelines combine a lexical (BM25) and a vector
+    (ANN) ranking without score calibration; ``k`` (=60 in the paper)
+    damps the head so one leg's #1 can't dominate.
+
+    Engine-stable arithmetic: each leg's reciprocal is folded to integer
+    NANO-units (round-half-up of ``scale_u / (k + rank)``) before the
+    sum — integer sums are order-independent, so a 3+-leg fusion can
+    never drift between engines the way a float sum of rounded terms can
+    (the dedup_pagerank round-7 lesson). The emitted score divides the
+    nano-unit sum back, rounded 6dp.
+
+    Scale shape: every leg is already a bounded top-N, so the union is
+    ``len(legs) * N`` rows; one tiny aggregation plus a
+    TakeOrderedAndProject top-n — nothing corpus-sized moves.
+    """
+    if not legs:
+        raise ValueError("legs must be non-empty")
+    u = None
+    for leg in legs:
+        t = leg.select(
+            F.col(id_col).cast("long").alias("item_id"),
+            F.floor(F.lit(float(scale_u)) / (F.lit(k) + F.col(rank_col))
+                    + F.lit(0.5)).cast("long").alias("term_u"))
+        u = t if u is None else u.unionByName(t)
+    fused = (u.groupBy("item_id")
+             .agg(F.sum("term_u").alias("score_u"),
+                  F.count(F.lit(1)).cast("long").alias("n_legs")))
+    out = fused.select(
+        "item_id", "n_legs",
+        F.round(F.col("score_u") / F.lit(float(scale_u)), 6)
+        .alias("rrf_score"))
+    return out.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(top_n)

@@ -58,11 +58,17 @@ PRODUCT_WHITELIST = {
     # 1-row node-count scalar broadcast into the teleport term of the
     # final rank projection (earlier iterations are checkpoint-truncated)
     "dedup_pagerank",
+    # 1-row probe vector (first-by-vec_id) crossJoined into the guarded
+    # cosine leg of the adversarial NULL/zero-vector contract
+    "adversarial_contract",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
 #: scalar aggregates feeding the same plan)
 TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
+                    # doc-checksum agg + vec-checksum agg (both 1-row,
+                    # 25-row output total)
+                    "adversarial_contract",
                     # 1-row total agg + rank window over the 30-row top cut
                     "text_zipf",
                     # contract rows: n_hit agg + n_truth agg (both 1-row)

@@ -186,3 +186,46 @@ def test_bigram_logprob_hand_computed(spark):
     assert 3 not in got   # single-token doc: no bigrams
     # the common transition (a->b) is less surprising than the rare one
     assert got[2]["avg_neg_logprob"] < got[1]["avg_neg_logprob"]
+
+
+def test_rrf_fuse_hand_computed_and_ties(spark):
+    """RRF fusion on hand-built rank lists: fused score equals the
+    nano-unit sum of 1/(k+rank); an item in both legs beats a leg-#1
+    that appears once; exact score ties order by item_id ascending; a
+    3-leg fusion exercises the order-independent integer sum."""
+    legA = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                                 "item_id long, rank int")
+    legB = spark.createDataFrame([(20, 1), (40, 2), (10, 3)],
+                                 "item_id long, rank int")
+    got = {r.item_id: (r.n_legs, r.rrf_score)
+           for r in RV.rrf_fuse([legA, legB], k=60).collect()}
+
+    def term(rank):
+        import math
+        return math.floor(1e9 / (60 + rank) + 0.5)
+
+    assert got[10] == (2, round((term(1) + term(3)) / 1e9, 6))
+    assert got[20] == (2, round((term(2) + term(1)) / 1e9, 6))
+    assert got[30] == (1, round(term(3) / 1e9, 6))
+    assert got[40] == (1, round(term(2) / 1e9, 6))
+    # both-leg items beat single-leg items even when the single leg
+    # ranked them #2
+    assert got[10][1] > got[40][1] and got[20][1] > got[40][1]
+
+    # exact tie: items 1 and 2 get identical (leg, rank) profiles ->
+    # identical fused scores; the output order (and any downstream
+    # top-n cut) must break ties by item_id ascending
+    t1 = spark.createDataFrame([(2, 1), (1, 1)], "item_id long, rank int")
+    t2 = spark.createDataFrame([(1, 2), (2, 2)], "item_id long, rank int")
+    rows = RV.rrf_fuse([t1, t2], k=60, top_n=1).collect()
+    assert [r.item_id for r in rows] == [1]
+
+    # three legs: the integer nano-unit sum is order-independent, so
+    # permuting the leg list never changes a score
+    l3 = spark.createDataFrame([(10, 1), (20, 5)], "item_id long, rank int")
+    a = {r.item_id: r.rrf_score
+         for r in RV.rrf_fuse([legA, legB, l3], k=60).collect()}
+    b = {r.item_id: r.rrf_score
+         for r in RV.rrf_fuse([l3, legB, legA], k=60).collect()}
+    assert a == b
+    assert a[10] == round((term(1) + term(3) + term(1)) / 1e9, 6)
