@@ -1618,6 +1618,18 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_diversity_kcenter(spark, sf):
+    """Greedy k-center / farthest-point sampling (operators.similarity
+    .kcenter_select, Gonzalez 1985): 8 maximally-spread representatives
+    from the embedding table — the diversity/coverage counterpart to
+    SemDeDup. Deterministic seed (min vec_id), 6dp-rounded cosine
+    distances, ties toward the smaller vec_id; per step one map-only
+    pass against the broadcast newest center + a TakeOrdered(1) argmax
+    (iterative-Spark shape, corpus checkpointed between steps)."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.kcenter_select(emb, k=8)
+
+
 def q_knn_classify(spark, sf):
     """kNN majority-vote label prediction over embeddings (k=10 exact
     cosine neighbors via the partial-top-k GEMM path)."""
@@ -2235,7 +2247,7 @@ def _bpe_oracle(n_merges: int = 8, encode: bool = False) -> str:
               ELSE '' END s
   FROM (SELECT doc_id, {toks} a FROM documents))"""]
     for i in range(1, n_merges + 1):
-        parts.append(f"""t{i} AS (
+        parts.append(f"""t{i} AS MATERIALIZED (
   SELECT doc, regexp_extract_all(s, '<([^>]*)>', 1) a FROM s{i - 1}),
 p{i} AS (
   SELECT a[j + 1] lsym, a[j + 2] rsym, COUNT(*) c
@@ -2249,7 +2261,7 @@ m{i} AS (SELECT lsym, rsym, CAST(c AS BIGINT) pair_count FROM p{i}
             # would return zero documents); NULL lsym/rsym makes the
             # replace NULL, so COALESCE falls back to the unchanged s —
             # mirroring the Spark operator's break-on-empty-argmax.
-            parts.append(f"""s{i} AS (
+            parts.append(f"""s{i} AS MATERIALIZED (
   SELECT doc, COALESCE(replace(s, '<' || lsym || '><' || rsym || '>',
                       '<' || lsym || '+' || rsym || '>'), s) s
   FROM s{i - 1} LEFT JOIN m{i} ON TRUE)""")
@@ -2266,6 +2278,40 @@ FROM (SELECT doc, regexp_extract_all(s, '<([^>]*)>', 1) a
             f"SELECT CAST({i} AS BIGINT) step, lsym, rsym, pair_count "
             f"FROM m{i}"
             for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """diversity_kcenter twin: the identical greedy recurrence as chained
+    CTEs — L2-normalized cells, running min_dist LEAST-folded with the
+    6dp-rounded distance to each step's center, argmax by (min_dist
+    DESC, vec_id ASC). Seed = MIN(vec_id) with sel_dist 0.0."""
+    parts = ["""ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+en AS MATERIALIZED (SELECT e.vec_id, e.i,
+              CASE WHEN n.nrm > 0 THEN e.x / n.nrm ELSE e.x END x
+       FROM ee e JOIN nn n USING (vec_id)),
+d0 AS (SELECT vec_id, CAST(2.0 AS DOUBLE) min_dist FROM nn),
+c1 AS (SELECT MIN(vec_id) cid, CAST(0.0 AS DOUBLE) cdist FROM nn)"""]
+    for j in range(1, k):
+        parts.append(f"""d{j} AS MATERIALIZED (
+  SELECT a.vec_id, LEAST(p.min_dist, ROUND(1.0 - SUM(a.x * c.x), 6))
+           min_dist
+  FROM en a
+  JOIN d{j - 1} p ON p.vec_id = a.vec_id
+  JOIN (SELECT i, x FROM en
+        WHERE vec_id = (SELECT cid FROM c{j})) c ON a.i = c.i
+  WHERE a.vec_id <> (SELECT cid FROM c{j})
+  GROUP BY a.vec_id, p.min_dist),
+c{j + 1} AS (SELECT vec_id cid, min_dist cdist FROM d{j}
+             ORDER BY min_dist DESC, vec_id LIMIT 1)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) sel_rank, CAST(cid AS BIGINT) vec_id, "
+        f"cdist sel_dist FROM c{j}"
+        for j in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
@@ -3847,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (windowed immediately)
         "adversarial_contract": q_adversarial_contract,
         "retrieval_rrf": q_retrieval_rrf,
+        "diversity_kcenter": q_diversity_kcenter,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5488,6 +5535,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "dedup_pagerank": _pagerank_oracle(n_iter=3, damping=0.85),
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
+        "diversity_kcenter": _kcenter_oracle(k=8),
         "minhash_eval": _minhash_eval_oracle(threshold=0.5,
                                              sample_size=100),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),

@@ -769,3 +769,64 @@ def embedding_prep_report(emb: DataFrame, id_col: str = "vec_id",
             .select("vec_id", F.col("dim").cast("int").alias("dim"),
                     "z", code.alias("code"),
                     F.round("s", 6).alias("scale")))
+
+
+def kcenter_select(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center / farthest-point sampling (Gonzalez 1985) over an
+    embedding table -> (sel_rank, vec_id, sel_dist): pick ``k`` maximally
+    spread representatives — the diversity/coverage counterpart to
+    SemDeDup (which removes the redundant middle; this keeps the spread
+    hull). Classic use: choosing a diverse data-mixture budget or probe
+    set from a large corpus.
+
+    Deterministic contract: seed = smallest vec_id; distance = cosine
+    distance ``1 - <v̂, ĉ>`` over L2-normalized vectors, ROUNDED 6dp
+    before any comparison (so both engines of the oracle pair argmax
+    identical doubles); farthest-point ties break toward the smaller
+    vec_id. ``sel_dist`` is the candidate's distance to the already-
+    selected set at the moment of selection (0.0 for the seed) — the
+    Gonzalez radius sequence, non-increasing from rank 2 on.
+
+    Scale shape (the iterative-Spark rules, same as pagerank/BPE): the
+    corpus carries a running ``min_dist`` column, localCheckpointed per
+    step; each of the ``k`` steps is ONE map-only projection against the
+    1-row newest center (broadcast) plus a TakeOrdered(1) argmax — no
+    shuffle of corpus-sized data, k corpus passes total. k is a budget
+    (tens), never corpus-scale.
+    """
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      V.l2_normalize(vec_col).alias("v"))
+    center = (base.orderBy("vec_id").limit(1)
+              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                      F.lit(0.0).alias("cdist"))
+              .localCheckpoint())
+    # upper bound of cosine distance is 2.0 — every real distance beats it
+    s = base.select("vec_id", "v", F.lit(2.0).alias("min_dist"))
+    picks = []
+    for step in range(1, k + 1):
+        picks.append(center.select(
+            F.lit(step).cast("long").alias("sel_rank"),
+            F.col("cid").alias("vec_id"),
+            F.col("cdist").alias("sel_dist")))
+        if step == k:
+            break
+        # drop the just-selected center from the candidate pool: without
+        # this, once every remaining distance hits 0.0 (duplicates) the
+        # id tie-break could re-pick a selected point
+        s = (s.crossJoin(F.broadcast(center.select("cid", "cv")))
+             .where(F.col("vec_id") != F.col("cid"))
+             .select("vec_id", "v",
+                     F.least("min_dist",
+                             F.round(F.lit(1.0) - V.dot("v", "cv"), 6))
+                     .alias("min_dist"))
+             .localCheckpoint())
+        center = (s.orderBy(F.desc("min_dist"), F.asc("vec_id")).limit(1)
+                  .select(F.col("vec_id").alias("cid"),
+                          F.col("v").alias("cv"),
+                          F.col("min_dist").alias("cdist"))
+                  .localCheckpoint())
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

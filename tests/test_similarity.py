@@ -151,3 +151,45 @@ def test_winsorize_clips_to_per_dimension_bands(spark):
     assert out[(9, 0)] == (100.9, True)      # outlier clipped to the edge
     assert out[(0, 0)][1] is False           # inliers untouched
     assert out[(0, 0)][0] == 1.0
+
+
+def test_kcenter_hand_computed(spark):
+    """Greedy k-center on 2-D points whose farthest-point order is
+    computable by hand: seed = min id, each pick is the point with max
+    min-cosine-distance to the selected set, radius sequence
+    non-increasing, ties toward the smaller vec_id."""
+    from casf_spark.operators.similarity import kcenter_select
+
+    # angles 0°, 0°, 90°, 180° (unit circle): seed is id 0;
+    # farthest from 0 is 180° (id 3, dist 2.0); then 90° (id 2, dist 1.0);
+    # then id 1 (dist 0.0 — duplicate of the seed)
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.sel_rank, r.vec_id, r.sel_dist)
+           for r in kcenter_select(df, k=4).orderBy("sel_rank").collect()]
+    assert got == [(1, 0, 0.0), (2, 3, 2.0), (3, 2, 1.0), (4, 1, 0.0)], got
+
+
+def test_kcenter_tie_breaks_low_id_and_radius_monotone(spark):
+    from casf_spark.operators.similarity import kcenter_select
+
+    # ids 5 and 7 are both exactly opposite the seed (id 1): the tie
+    # must resolve to vec_id 5
+    rows = [(1, [1.0, 0.0]), (5, [-1.0, 0.0]), (7, [-1.0, 0.0]),
+            (9, [0.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.sel_rank, r.vec_id, r.sel_dist)
+           for r in kcenter_select(df, k=4).orderBy("sel_rank").collect()]
+    assert got[0] == (1, 1, 0.0)
+    assert got[1] == (2, 5, 2.0)
+    # radius sequence non-increasing from rank 2 on
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+    # zero vector must not crash or win spuriously (dist to anything
+    # via unchanged-zero normalization: 1 - 0 = 1.0)
+    rows2 = rows + [(2, [0.0, 0.0])]
+    df2 = spark.createDataFrame(rows2,
+                                "vec_id long, embedding array<double>")
+    got2 = {r.vec_id: r.sel_rank for r in kcenter_select(df2, k=5).collect()}
+    assert set(got2) == {1, 2, 5, 7, 9}
