@@ -1618,6 +1618,21 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_unigram_lm_scores(spark, sf):
+    """SentencePiece-style unigram-LM piece vocabulary (operators
+    .curation.unigram_lm_pieces, Kudo 2018): top-64 substring pieces
+    (≤4 chars) by corpus occurrence, scored ln(cnt/total) — the EM-free
+    frequency seed every unigram tokenizer trains from. The substring
+    explode is a bounded constant per token; count agg map-combined;
+    vocabulary cut is TakeOrderedAndProject; the companion Viterbi
+    encoder (unigram_lm_segment, bounded piece side input + one
+    mapInPandas pass) is segmentation-tested in tests/test_curation.py
+    (iterative DP — no SQL twin)."""
+    docs = load_table(spark, sf, "documents")
+    return CU.unigram_lm_pieces(docs, "doc_id", "text",
+                                max_piece_len=4, vocab_size=64)
+
+
 def q_diversity_kcenter(spark, sf):
     """Greedy k-center / farthest-point sampling (operators.similarity
     .kcenter_select, Gonzalez 1985): 8 maximally-spread representatives
@@ -3894,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adversarial_contract": q_adversarial_contract,
         "retrieval_rrf": q_retrieval_rrf,
         "diversity_kcenter": q_diversity_kcenter,
+        "unigram_lm_scores": q_unigram_lm_scores,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5536,6 +5552,22 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
         "diversity_kcenter": _kcenter_oracle(k=8),
+        "unigram_lm_scores": f"""
+WITH toklist AS (SELECT {_TOKS} a FROM documents),
+tk AS (SELECT unnest(a) w FROM toklist),
+subs AS (
+  SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+           i -> list_transform(
+                  range(1, LEAST(4, length(w) - i + 1) + 1),
+                  l -> substr(w, CAST(i AS INT), CAST(l AS INT))))))
+         piece
+  FROM tk),
+pc AS (SELECT piece, CAST(COUNT(*) AS BIGINT) cnt FROM subs GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM pc),
+top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
+       piece, cnt, ROUND(ln(cnt / total), 6) score
+FROM top CROSS JOIN tot""",
         "minhash_eval": _minhash_eval_oracle(threshold=0.5,
                                              sample_size=100),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),

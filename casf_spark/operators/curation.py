@@ -786,3 +786,118 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
             .select("doc_id",
                     F.size("a").cast("long").alias("n_symbols"),
                     F.array_join("a", " ").alias("symbols_str")))
+
+
+def unigram_lm_pieces(df: DataFrame, id_col: str, text_col: str,
+                      max_piece_len: int = 4,
+                      vocab_size: int = 64) -> DataFrame:
+    """SentencePiece-style unigram-LM piece vocabulary (Kudo 2018) —
+    the EM-free frequency seed: every substring of every word token up
+    to ``max_piece_len`` chars is a candidate piece; the top
+    ``vocab_size`` by corpus occurrence count become the vocabulary,
+    scored ``ln(cnt / total)`` (total = ALL candidate occurrences, so
+    scores are comparable log-probabilities under the unigram model).
+    Output: (rank, piece, cnt, score), rank by (cnt desc, piece asc).
+
+    Scale shape: the substring explode multiplies tokens by
+    O(len * max_piece_len) — bounded constant per token; one
+    map-combined count aggregation; the vocabulary cut is
+    orderBy().limit() (TakeOrderedAndProject — per-partition partial
+    top-n, never a global sort of the candidate table); the total is a
+    1-row aggregate broadcast; the rank window runs over the
+    ``vocab_size`` surviving rows only.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = (df.select(F.explode(
+        _tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w")))
+    w = F.col("w")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(max_piece_len), F.length(w) - i + 1)),
+            lambda l: F.substr(w, i, l))))
+    pc = (toks.select(F.explode(subs).alias("piece"))
+          .groupBy("piece").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    total = pc.agg(F.sum("cnt").cast("double").alias("total"))
+    top = pc.orderBy(F.desc("cnt"), F.asc("piece")).limit(vocab_size)
+    win = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.lit(None).alias("_d"), "piece", "cnt",
+                    F.round(F.log(F.col("cnt") / F.col("total")), 6)
+                    .alias("score"))
+            .withColumn("rank", F.row_number().over(win).cast("long"))
+            .select("rank", "piece", "cnt", "score"))
+
+
+def unigram_lm_segment(df: DataFrame, id_col: str, text_col: str,
+                       pieces_df: DataFrame, piece_col: str = "piece",
+                       score_col: str = "score") -> DataFrame:
+    """Viterbi segmentation of each word token under a unigram-LM piece
+    vocabulary (:func:`unigram_lm_pieces`) — the ENCODE side of the
+    SentencePiece pair: per token, the piece sequence maximizing the sum
+    of piece scores. The piece table is a bounded driver-side side input
+    (vocab_size rows — same contract as the BPE merge table); the corpus
+    runs through ONE Arrow-batched mapInPandas pass, no shuffle.
+
+    Determinism: characters absent from the vocabulary fall back to
+    single-char pieces at (min_score - 10) each, so segmentation always
+    succeeds; score ties prefer the longer final piece (the DP scans
+    start positions left-to-right and keeps the first strict maximum).
+
+    Output: (doc_id, n_pieces, pieces_str) — space-joined per-document
+    piece stream (scalar, oracle-hashable).
+    """
+    rows = pieces_df.select(piece_col, score_col).collect()  # bounded
+    scores = {r[0]: float(r[1]) for r in rows}
+    max_len = max((len(p) for p in scores), default=1)
+    floor = (min(scores.values()) if scores else 0.0) - 10.0
+    from casf_spark.functions.text import tokens as _tokens
+
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     _tokens(F.coalesce(F.col(text_col), F.lit("")))
+                     .alias("toks"))
+
+    def seg_word(word: str) -> list[str]:
+        n = len(word)
+        best = [float("-inf")] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for j in range(1, n + 1):
+            for i in range(max(0, j - max_len), j):
+                piece = word[i:j]
+                s = scores.get(piece)
+                if s is None:
+                    if j - i > 1:
+                        continue
+                    s = floor
+                cand = best[i] + s
+                if cand > best[j]:
+                    best[j] = cand
+                    back[j] = i
+        out = []
+        j = n
+        while j > 0:
+            i = back[j]
+            out.append(word[i:j])
+            j = i
+        return out[::-1]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pieces = []
+            for toks in pdf["toks"]:
+                stream = []
+                for word in toks:
+                    stream.extend(seg_word(word))
+                pieces.append(stream)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_pieces": [len(p) for p in pieces],
+                "pieces_str": [" ".join(p) for p in pieces]})
+
+    return base.mapInPandas(
+        run, "doc_id long, n_pieces long, pieces_str string")

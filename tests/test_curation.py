@@ -495,3 +495,53 @@ def test_bpe_encode_roundtrip_and_conservation(spark):
         rebuilt = " ".join(s.replace("+", " ")
                            for s in enc[doc_id][1].split())
         assert rebuilt == text
+
+
+def test_unigram_lm_pieces_hand_computed(spark):
+    """Piece counting, rank tie rules and ln(cnt/total) scoring on a
+    corpus small enough to enumerate substrings by hand."""
+    import math
+    from casf_spark.operators.curation import unigram_lm_pieces
+
+    # tokens: "ab" x2, "b" x1 -> candidates: per "ab": a, ab, b (3 each),
+    # per "b": b -> counts: a=2, ab=2, b=3; total occurrences = 7
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "b")],
+                                 "doc_id long, text string")
+    got = [(r.rank, r.piece, r.cnt, r.score)
+           for r in unigram_lm_pieces(docs, "doc_id", "text",
+                                      max_piece_len=2, vocab_size=10)
+           .orderBy("rank").collect()]
+    total = 7.0
+    assert got == [
+        (1, "b", 3, round(math.log(3 / total), 6)),
+        # cnt tie at 2: 'a' < 'ab' lexicographically
+        (2, "a", 2, round(math.log(2 / total), 6)),
+        (3, "ab", 2, round(math.log(2 / total), 6)),
+    ], got
+
+
+def test_unigram_lm_segment_viterbi(spark):
+    """Viterbi segmentation: picks the max-score split (not greedy
+    longest-first), falls back to floor-scored single chars for unknown
+    characters, and '+'-free concatenation reconstructs the word."""
+    from casf_spark.operators.curation import unigram_lm_segment
+
+    pieces = spark.createDataFrame(
+        [("ab", -1.0), ("abc", -5.0), ("c", -1.0),
+         ("a", -2.0), ("b", -2.0), ("cd", -1.5), ("d", -2.0)],
+        "piece string, score double")
+    docs = spark.createDataFrame(
+        [(1, "abc"),    # ab+c = -2.0 beats abc = -5.0 and a+b+c = -5.0
+         (2, "abcd"),   # ab+cd = -2.5 beats ab+c+d = -4.0, abc+d = -7.0
+         (3, "abxc"),   # x unknown -> floor single char, rest optimal
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_pieces, r.pieces_str)
+           for r in unigram_lm_segment(docs, "doc_id", "text",
+                                       pieces).collect()}
+    assert got[1] == (2, "ab c")
+    assert got[2] == (2, "ab cd")
+    assert got[3] == (3, "ab x c")
+    assert got[4] == (0, "")
+    # conservation: concatenating pieces rebuilds each token stream
+    assert "".join(got[2][1].split()) == "abcd"

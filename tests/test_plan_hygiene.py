@@ -61,6 +61,11 @@ PRODUCT_WHITELIST = {
     # 1-row probe vector (first-by-vec_id) crossJoined into the guarded
     # cosine leg of the adversarial NULL/zero-vector contract
     "adversarial_contract",
+    # inherits bm25_rank's 1-row corpus-stats broadcast in the lexical
+    # leg (plus the 1-row query-vector broadcast in the cosine leg)
+    "retrieval_rrf",
+    # 1-row candidate-total broadcast scoring the 64-row vocabulary cut
+    "unigram_lm_scores",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -69,6 +74,9 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     # doc-checksum agg + vec-checksum agg (both 1-row,
                     # 25-row output total)
                     "adversarial_contract",
+                    # bm25's corpus-stats agg + the 50-row lexical rank
+                    # window (both bounded)
+                    "retrieval_rrf",
                     # 1-row total agg + rank window over the 30-row top cut
                     "text_zipf",
                     # contract rows: n_hit agg + n_truth agg (both 1-row)
