@@ -1618,6 +1618,34 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_crossmodal_integrity(spark, sf):
+    """Cross-modal pair integrity audit (multimodal.binary
+    .pair_integrity): joint payload/caption fingerprints flag payloads
+    shared under conflicting captions and captions labeling distinct
+    payloads — the pairing-damage sweep a text↔image corpus needs
+    beyond per-file decode. The paired dataset is synthesized in-query
+    from documents (payload = UTF-8 bytes of the text) with PLANTED
+    damage mirrored literally in the twin: every 97th doc_id collapses
+    onto one of 3 shared payloads (payload conflicts), every 89th onto
+    one of 2 shared captions (caption conflicts). Fingerprint-grain
+    aggregations only — payload bytes never shuffle."""
+    docs = load_table(spark, sf, "documents")
+    pid = F.col("doc_id")
+    pairs = docs.select(
+        pid.cast("long").alias("doc_id"),
+        F.encode(
+            F.when(pid % 97 == 0,
+                   F.concat(F.lit("SHARED PAYLOAD "),
+                            (pid % 3).cast("string")))
+            .otherwise(F.coalesce("text", F.lit(""))), "UTF-8")
+        .alias("payload"),
+        F.when(pid % 89 == 0,
+               F.concat(F.lit("shared caption "),
+                        (pid % 2).cast("string")))
+        .otherwise(F.coalesce("text", F.lit(""))).alias("caption"))
+    return MM.pair_integrity(pairs)
+
+
 def q_unigram_lm_scores(spark, sf):
     """SentencePiece-style unigram-LM piece vocabulary (operators
     .curation.unigram_lm_pieces, Kudo 2018): top-64 substring pieces
@@ -3910,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf": q_retrieval_rrf,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
+        "crossmodal_integrity": q_crossmodal_integrity,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5568,6 +5597,35 @@ top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
        piece, cnt, ROUND(ln(cnt / total), 6) score
 FROM top CROSS JOIN tot""",
+        "crossmodal_integrity": """
+WITH pairs AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN 'SHARED PAYLOAD ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE COALESCE(text, '') END payload_src,
+         CASE WHEN doc_id % 89 = 0
+              THEN 'shared caption ' || CAST(doc_id % 2 AS VARCHAR)
+              ELSE COALESCE(text, '') END caption
+  FROM documents),
+b AS (SELECT doc_id,
+             COALESCE(md5(payload_src), '') payload_fp,
+             COALESCE(md5(trim(regexp_replace(lower(caption),
+                                              '\\s+', ' ', 'g'))), '')
+               caption_fp
+      FROM pairs),
+ps AS (SELECT payload_fp, CAST(COUNT(*) AS BIGINT) n_payload_copies,
+              CAST(COUNT(DISTINCT caption_fp) AS BIGINT)
+                n_captions_for_payload
+       FROM b GROUP BY 1),
+cs AS (SELECT caption_fp,
+              CAST(COUNT(DISTINCT payload_fp) AS BIGINT)
+                n_payloads_for_caption
+       FROM b GROUP BY 1)
+SELECT b.doc_id, b.payload_fp, b.caption_fp, ps.n_payload_copies,
+       ps.n_captions_for_payload, cs.n_payloads_for_caption,
+       ps.n_captions_for_payload >= 2 AS payload_conflict,
+       cs.n_payloads_for_caption >= 2 AS caption_conflict
+FROM b JOIN ps USING (payload_fp) JOIN cs USING (caption_fp)""",
         "minhash_eval": _minhash_eval_oracle(threshold=0.5,
                                              sample_size=100),
         "stream_near_dedup_state": _stream_near_dedup_oracle(),

@@ -335,3 +335,55 @@ def decode_pcm_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         batches, PCM_FEATURE_SCHEMA)
+
+
+def pair_integrity(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload",
+                   caption_col: str = "caption") -> DataFrame:
+    """Cross-modal pair integrity audit over a (payload, caption) paired
+    dataset — the text↔image curation pass that per-file decoding can't
+    do: joint fingerprints expose BOTH directions of pairing damage.
+
+    Per pair row: ``payload_fp`` (md5 of the raw payload bytes),
+    ``caption_fp`` (md5 of the whitespace/case-normalized caption), the
+    copy counts at each fingerprint grain, and two flags —
+    ``payload_conflict`` (this payload appears under >= 2 DISTINCT
+    captions: duplicated media with divergent labels, the classic
+    LAION-style pairing error) and ``caption_conflict`` (this caption
+    labels >= 2 distinct payloads: boilerplate/stock captions). A pair
+    with high copies but NO conflict is an exact dup (safe to collapse);
+    a conflict needs adjudication, not blind dedup.
+
+    NULL contract: a NULL payload or caption fingerprints to ``''`` (so
+    NULL-damaged pairs group together and survive the joins) — mirrored
+    in the oracle twin.
+
+    Scale shape: two fingerprint-grain aggregations (map-side combined;
+    the shuffle key is the fingerprint, never payload bytes — payloads
+    stay columnar at rest) joined back on the fingerprint; AQE handles
+    the skewed '' / boilerplate groups. No payload ever crosses the wire
+    after the map-side md5.
+    """
+    from casf_spark.functions.text import normalize_text
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(F.md5(F.col(payload_col)), F.lit(""))
+        .alias("payload_fp"),
+        F.coalesce(F.md5(normalize_text(caption_col)), F.lit(""))
+        .alias("caption_fp"))
+    pstats = base.groupBy("payload_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payload_copies"),
+        F.countDistinct("caption_fp").cast("long")
+        .alias("n_captions_for_payload"))
+    cstats = base.groupBy("caption_fp").agg(
+        F.countDistinct("payload_fp").cast("long")
+        .alias("n_payloads_for_caption"))
+    return (base.join(pstats, "payload_fp").join(cstats, "caption_fp")
+            .select("doc_id", "payload_fp", "caption_fp",
+                    "n_payload_copies", "n_captions_for_payload",
+                    "n_payloads_for_caption",
+                    (F.col("n_captions_for_payload") >= 2)
+                    .alias("payload_conflict"),
+                    (F.col("n_payloads_for_caption") >= 2)
+                    .alias("caption_conflict")))

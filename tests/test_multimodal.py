@@ -142,3 +142,44 @@ def test_pcm_pipeline_end_to_end(spark, sf_dir):
         assert r.n_samples == 1600
         assert abs(r.duration_sec - 0.1) < 1e-9
     assert all(r.amplitude_ok and r.zcr_in_unit for r in rows)
+
+
+def test_pair_integrity_planted_mismatches(spark):
+    """Planted pairing damage: a payload under two different captions
+    flags payload_conflict on every copy; a caption over two different
+    payloads flags caption_conflict; an exact dup pair (same payload AND
+    same caption) counts copies but flags NO conflict; caption
+    normalization (case/whitespace) folds before fingerprinting; NULLs
+    fingerprint to '' and survive."""
+    from casf_spark.multimodal.binary import pair_integrity
+
+    rows = [
+        (1, b"IMG_A", "a red car"),
+        (2, b"IMG_A", "a blue boat"),      # same payload, other caption
+        (3, b"IMG_B", "a red car"),        # same caption, other payload
+        (4, b"IMG_C", "unique pair"),
+        (5, b"IMG_C", "unique pair"),      # exact dup of 4
+        (6, b"IMG_D", "  Unique   PAIR "), # normalizes onto 4/5's caption
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, caption string")
+    got = {r.doc_id: r.asDict() for r in pair_integrity(df).collect()}
+    assert len(got) == 7   # no row vanished (incl. the NULL pair)
+    # payload IMG_A: 2 copies, 2 captions -> conflict on both rows
+    for d in (1, 2):
+        assert got[d]["n_payload_copies"] == 2
+        assert got[d]["payload_conflict"] is True
+    # caption 'a red car' spans payloads A and B -> caption conflict
+    for d in (1, 3):
+        assert got[d]["caption_conflict"] is True
+    assert got[2]["caption_conflict"] is False
+    # exact dup pair: copies counted, payload NOT conflicted
+    assert got[4]["n_payload_copies"] == 2
+    assert got[4]["payload_conflict"] is False
+    # but its caption now spans IMG_C and IMG_D (via normalization)
+    assert got[4]["caption_conflict"] is True
+    assert got[6]["caption_fp"] == got[4]["caption_fp"]
+    # NULL pair: empty-string fingerprints, no spurious conflicts
+    assert got[7]["payload_fp"] == "" and got[7]["caption_fp"] == ""
+    assert got[7]["payload_conflict"] is False
