@@ -3772,58 +3772,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 driver window (the driver's correctness harness checks the FIRST
-# 50 entries of queries()). Composition, per the round-6 verdict:
-#   * tokens_to_ids — round 6's only red row (the driver's pandas canon
-#     cannot sort array cells); re-windowed with the fixed scalar
-#     projection (ids_str = array_join), which MUST go green this round;
-#   * the 10 round-7 additions (dedup_semantic_32,
-#     stream_near_dedup_state, stream_lifetime_state,
-#     embedding_winsorize, doc_len_lang_quantile, embedding_prep,
-#     minhash_band_plan, dedup_semantic_2l, dedup_pagerank,
-#     pipeline_curate_v2) — windowed immediately so no never-checked
-#     backlog accumulates;
-#   * re-confirmations, stalest-first by last-green round: the 14 names
-#     whose latest green row is round 3 (doc_cosine_lsh + the events
-#     suite), then the FIRST 25 of the 47 names last green in round 4
-#     (registration order). The 22 round-4 leftovers
-#     (dedup_degrees, pack_greedy, events_approx_distinct, text_zipf,
-#     events_grouping_sets, doc_lang_source_lift, events_gap_stats,
-#     customer_running_spend, events_mad_outliers, embedding_power_iter,
-#     events_sketch_rollup, events_session_window, events_forward_fill,
-#     dedup_cross_source, text_ttr, multimodal_pcm,
-#     events_click_purchase_days, orders_price_position, events_unpivot,
-#     text_novelty, customer_order_counts_right, ann_ivf) head the
-#     round-8 re-confirmation queue.
-# With CORRECTNESS_r07 green, every name's newest green row is round 4+.
-_ROUND7_WINDOW = [
-    # -- round 6's red row, fixed (scalar ids_str projection)
-    "tokens_to_ids",
-    # -- the 13 round-7 additions
-    "dedup_semantic_32", "stream_near_dedup_state", "stream_lifetime_state",
-    "embedding_winsorize", "doc_len_lang_quantile", "embedding_prep",
-    "minhash_band_plan", "dedup_semantic_2l", "dedup_pagerank",
-    "pipeline_curate_v2", "bpe_merges", "bpe_encode", "minhash_eval",
-    # -- the 14 names last green in round 3 (stalest cohort)
-    "doc_cosine_lsh", "events_hourly", "events_sliding", "events_sessions",
-    "events_json", "events_asof", "events_interval",
-    "events_distinct_users", "events_profile", "events_rollup",
-    "events_cube", "events_pivot", "events_zscore", "events_percentiles",
-    # -- first 32 of the 47 names last green in round 4
-    "tfidf_terms", "bm25_rank", "knn_classify", "mixture_resample",
-    "budget_select", "dedup_spans", "curation_funnel", "dedup_incremental",
-    "vocab_coverage", "unigram_logprob", "embedding_outliers",
-    "events_moving_avg", "dedup_collision", "events_funnel",
-    "events_retention", "users_view_and_purchase", "events_corr",
-    "events_value_hist", "ann_ivf_pq", "temperature_resample",
-    "doc_cosine_tfidf", "multimodal_rgb",
+# Round-8 driver window (the driver's correctness harness checks the FIRST
+# 50 entries of queries()). Composition, per the round-7 verdict item 1:
+#   * the 5 round-8 additions (adversarial_contract — the NULL/zero-vector
+#     gate-visibility row, retrieval_rrf, diversity_kcenter,
+#     unigram_lm_scores, crossmodal_integrity) — windowed immediately so
+#     no never-checked backlog accumulates;
+#   * re-confirmations, stalest-first by last-green round: the 25 names
+#     whose latest green row is round 4 (the round-7 rotation's leftover
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 20
+#     of the 50 names last green in round 5, in round-5 window order.
+#     The 30 round-5 leftovers (text_heavy_hitters, lang_top_tokens,
+#     dedup_edit_distance, embedding_standardize, orders_quartiles,
+#     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
+#     ann_topk, decontaminate, dedup_clusters, dedup_embedding,
+#     dedup_exact, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
+#     dedup_winnow, doc_cosine_cjk, multimodal_meta, pack_bins,
+#     pii_redact, pipeline_curate, sample_stratified, text_lang_id,
+#     text_line_dedup, text_quality, text_repetition, text_term_counts,
+#     text_winnow) head the round-9 re-confirmation queue; after them,
+#     the round-6 cohort.
+# With CORRECTNESS_r08 green, every name's newest green row is round 5+.
+_ROUND8_WINDOW = [
+    # -- the 5 round-8 additions
+    "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
+    "unigram_lm_scores", "crossmodal_integrity",
+    # -- the 25 names last green in round 4 (stalest cohort)
+    "sample_per_source", "bigram_logprob", "embedding_norms",
+    "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
+    "events_grouping_sets", "doc_lang_source_lift", "events_gap_stats",
+    "customer_running_spend", "events_mad_outliers", "embedding_power_iter",
+    "events_sketch_rollup", "events_session_window", "events_forward_fill",
+    "dedup_cross_source", "text_ttr", "multimodal_pcm",
+    "events_click_purchase_days", "orders_price_position", "events_unpivot",
+    "text_novelty", "customer_order_counts_right", "ann_ivf",
+    # -- first 20 of the 50 names last green in round 5 (round-5 window
+    #    order)
+    "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
+    "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
+    "events_hour_spine", "text_fingerprint", "text_token_stats",
+    "text_split", "ann_lsh_mp", "multimodal_features",
+    "users_click_not_purchase", "window_first_last",
+    "events_running_distinct", "text_chunks", "train_shards",
+    "orders_merge_upsert", "events_approx_percentiles",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND7_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND8_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -4022,10 +4020,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND7_WINDOW) == 50
-    missing = [n for n in _ROUND7_WINDOW if n not in base]
+    assert len(_ROUND8_WINDOW) == 50
+    missing = [n for n in _ROUND8_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND7_WINDOW}
+    out = {n: base[n] for n in _ROUND8_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
