@@ -1618,6 +1618,27 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_doc_quality_source_quantile(spark, sf):
+    """Per-SOURCE quality-score quantile cut (operators.curation
+    .group_quantile_flag composed with functions.text.gopher_exprs): flag
+    documents in the bottom quartile of alpha-word fraction WITHIN their
+    source — the second contract point of the per-group thresholding
+    family (doc_len_lang_quantile pins per-language token-count cuts;
+    this pins a per-source gopher-metric cut, the FineWeb-style
+    crawl-dump comparison). Same shape: map-only metric projection, one
+    source-cardinality aggregation broadcast back, comparison against
+    the 6dp-rounded threshold. Source is NOT coalesced — a NULL source
+    is its own group through the null-safe join."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", "alpha_word_frac")
+    d = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source")
+         .join(g, "doc_id"))
+    return CU.group_quantile_flag(d, "source", "alpha_word_frac", q=0.25,
+                                  flag_col="below_p25")
+
+
 def q_crossmodal_integrity(spark, sf):
     """Cross-modal pair integrity audit (multimodal.binary
     .pair_integrity): joint payload/caption fingerprints flag payloads
@@ -3774,15 +3795,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 5 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 6 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
-#     unigram_lm_scores, crossmodal_integrity) — windowed immediately so
-#     no never-checked backlog accumulates;
+#     unigram_lm_scores, crossmodal_integrity,
+#     doc_quality_source_quantile) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 20
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 19
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 30 round-5 leftovers (text_heavy_hitters, lang_top_tokens,
+#     The 31 round-5 leftovers (events_approx_percentiles,
+#     text_heavy_hitters, lang_top_tokens,
 #     dedup_edit_distance, embedding_standardize, orders_quartiles,
 #     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
 #     ann_topk, decontaminate, dedup_clusters, dedup_embedding,
@@ -3794,9 +3817,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the round-6 cohort.
 # With CORRECTNESS_r08 green, every name's newest green row is round 5+.
 _ROUND8_WINDOW = [
-    # -- the 5 round-8 additions
+    # -- the 6 round-8 additions
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
+    "doc_quality_source_quantile",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3814,7 +3838,7 @@ _ROUND8_WINDOW = [
     "text_split", "ann_lsh_mp", "multimodal_features",
     "users_click_not_purchase", "window_first_last",
     "events_running_distinct", "text_chunks", "train_shards",
-    "orders_merge_upsert", "events_approx_percentiles",
+    "orders_merge_upsert",
 ]
 
 
@@ -3937,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
         "crossmodal_integrity": q_crossmodal_integrity,
+        "doc_quality_source_quantile": q_doc_quality_source_quantile,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5595,6 +5620,23 @@ top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
        piece, cnt, ROUND(ln(cnt / total), 6) score
 FROM top CROSS JOIN tot""",
+        "doc_quality_source_quantile": """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, source,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words
+  FROM documents),
+m AS (SELECT doc_id, source,
+             ROUND(len(list_filter(words,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / GREATEST(len(words), 1), 6) alpha_word_frac
+      FROM w),
+st AS (SELECT source,
+              ROUND(quantile_cont(alpha_word_frac, 0.25), 6) q_threshold
+       FROM m GROUP BY 1)
+SELECT m.source, m.doc_id, m.alpha_word_frac, st.q_threshold,
+       m.alpha_word_frac < st.q_threshold AS below_p25
+FROM m JOIN st ON m.source IS NOT DISTINCT FROM st.source""",
         "crossmodal_integrity": """
 WITH pairs AS (
   SELECT CAST(doc_id AS BIGINT) doc_id,

@@ -20,7 +20,10 @@ import __spark_entry__ as E
 #: NULL source identically on both engines
 NULL_SENSITIVE = ["gopher_quality", "dsir_select", "c4_quality",
                   "text_cdc_chunks", "dedup_exact",
-                  "stream_near_dedup_state", "doc_len_lang_quantile"]
+                  "stream_near_dedup_state", "doc_len_lang_quantile",
+                  # NULL source must survive as its OWN quantile group
+                  # (null-safe join on both engines)
+                  "doc_quality_source_quantile"]
 
 ROWS = [
     (1, "the quick brown fox and that have with be to of goes on",
