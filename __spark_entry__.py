@@ -1618,6 +1618,20 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_cluster_profile(spark, sf):
+    """Embedding-cluster topic profile (operators.profile
+    .cluster_term_profile): docs joined to their vectors' deterministic
+    quantizer cluster (the SemDeDup/IVF md5-sample centroid assignment),
+    each cluster labeled with its top-5 non-stopword terms — the
+    corpus-exploration report ("what is in each semantic bucket")
+    curation runs start from. Map-only assignment + keyed join +
+    map-combined (cluster, term) count + per-cluster window."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    from casf_spark.operators.profile import cluster_term_profile
+    return cluster_term_profile(docs, emb, n_clusters=8, top_k=5)
+
+
 def q_doc_quality_source_quantile(spark, sf):
     """Per-SOURCE quality-score quantile cut (operators.curation
     .group_quantile_flag composed with functions.text.gopher_exprs): flag
@@ -3795,17 +3809,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 6 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 7 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
-#     doc_quality_source_quantile) — windowed immediately so no
-#     never-checked backlog accumulates;
+#     doc_quality_source_quantile, cluster_profile) — windowed
+#     immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 19
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 18
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 31 round-5 leftovers (events_approx_percentiles,
-#     text_heavy_hitters, lang_top_tokens,
+#     The 32 round-5 leftovers (orders_merge_upsert,
+#     events_approx_percentiles, text_heavy_hitters, lang_top_tokens,
 #     dedup_edit_distance, embedding_standardize, orders_quartiles,
 #     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
 #     ann_topk, decontaminate, dedup_clusters, dedup_embedding,
@@ -3820,7 +3834,7 @@ _ROUND8_WINDOW = [
     # -- the 6 round-8 additions
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile",
+    "doc_quality_source_quantile", "cluster_profile",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3838,7 +3852,6 @@ _ROUND8_WINDOW = [
     "text_split", "ann_lsh_mp", "multimodal_features",
     "users_click_not_purchase", "window_first_last",
     "events_running_distinct", "text_chunks", "train_shards",
-    "orders_merge_upsert",
 ]
 
 
@@ -3962,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_scores": q_unigram_lm_scores,
         "crossmodal_integrity": q_crossmodal_integrity,
         "doc_quality_source_quantile": q_doc_quality_source_quantile,
+        "cluster_profile": q_cluster_profile,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5620,6 +5634,38 @@ top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
        piece, cnt, ROUND(ln(cnt / total), 6) score
 FROM top CROSS JOIN tot""",
+        "cluster_profile": f"""
+WITH cent AS (
+  SELECT vec_id cid, embedding cemb
+  FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+corp AS (SELECT vec_id id, embedding v FROM embeddings),
+ad AS (SELECT id, cid, ROUND({_vsql_sqd('v', 'cemb')}, 6) d
+       FROM corp CROSS JOIN cent),
+assign AS (
+  SELECT id, cid AS cl FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) rn
+    FROM ad) WHERE rn = 1),
+base AS (
+  SELECT a.cl,
+         list_filter(regexp_split_to_array(lower(COALESCE(d.text, '')),
+                                           '[^a-z0-9]+'),
+                     t -> t <> '') toks
+  FROM documents d JOIN assign a ON CAST(d.doc_id AS BIGINT) = a.id),
+nd AS (SELECT cl, CAST(COUNT(*) AS BIGINT) n_docs
+       FROM base GROUP BY 1),
+tc AS (SELECT cl, t term, CAST(COUNT(*) AS BIGINT) cnt
+       FROM (SELECT cl, unnest(toks) t FROM base)
+       WHERE t NOT IN ({_SW_SQL}) GROUP BY 1, 2),
+rk AS (SELECT cl, term, cnt,
+              row_number() OVER (PARTITION BY cl
+                                 ORDER BY cnt DESC, term) rank
+       FROM tc)
+SELECT CAST(rk.cl AS BIGINT) AS "cluster", nd.n_docs,
+       CAST(rank AS BIGINT) rank, term, cnt
+FROM rk JOIN nd ON rk.cl = nd.cl WHERE rank <= 5""",
         "doc_quality_source_quantile": """
 WITH w AS (
   SELECT CAST(doc_id AS BIGINT) doc_id, source,

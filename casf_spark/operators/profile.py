@@ -81,3 +81,51 @@ def materialize_with_metrics(df: DataFrame, metrics: dict[str, "F.Column"],
     else:
         w.format(fmt).save(path)
     return obs.get
+
+
+def cluster_term_profile(docs: DataFrame, emb: DataFrame,
+                         n_clusters: int = 8, top_k: int = 5,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         vec_id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Topic profile of embedding clusters — the corpus-exploration
+    report every curation run starts from ("what IS in each semantic
+    bucket?"): vectors are assigned to deterministic md5-sample
+    centroids (the same quantizer as SemDeDup/IVF —
+    dedup._nearest_det_centroids, rounded-argmin, smaller-id ties),
+    joined to their documents, and each cluster is labeled with its
+    top-``top_k`` non-stopword terms.
+
+    Output: (cluster, n_docs, rank, term, cnt) — one row per cluster per
+    labeled term, rank by (cnt desc, term asc).
+
+    Scale shape: the assignment is map-only (bounded centroid side
+    input); the doc join is a plain keyed join; term counting is one
+    map-combined (cluster, term) aggregation; the top-k cut is a window
+    PARTITIONED BY cluster over distinct terms — per-cluster work, never
+    a global sort. At 100 TB swap the exact per-cluster count for a
+    count-min/heavy-hitters sketch per cluster; the report shape is
+    unchanged.
+    """
+    from casf_spark.functions.text import DEFAULT_STOPWORDS, tokens
+    from casf_spark.operators.dedup import _nearest_det_centroids
+    from pyspark.sql import Window
+
+    assign = (_nearest_det_centroids(emb, vec_id_col, vec_col, n_clusters)
+              .select(F.col("id").alias("__join_id"), "cluster"))
+    base = (docs.select(F.col(id_col).cast("long").alias("__join_id"),
+                        tokens(F.coalesce(F.col(text_col), F.lit("")))
+                        .alias("toks"))
+            .join(assign, "__join_id"))
+    ndocs = base.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    counts = (base.select("cluster", F.explode("toks").alias("term"))
+              .where(~F.col("term").isin(sorted(DEFAULT_STOPWORDS)))
+              .groupBy("cluster", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k)
+            .join(F.broadcast(ndocs), "cluster")
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    "n_docs", "rank", "term", "cnt"))

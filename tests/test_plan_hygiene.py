@@ -66,6 +66,9 @@ PRODUCT_WHITELIST = {
     "retrieval_rrf",
     # 1-row candidate-total broadcast scoring the 64-row vocabulary cut
     "unigram_lm_scores",
+    # 8-row deterministic-centroid broadcast in the quantizer assignment
+    # (same class as dedup_semantic)
+    "cluster_profile",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row

@@ -64,3 +64,46 @@ def test_materialize_with_metrics_fmt_applies_to_path(spark, tmp_path):
         spark.range(5), {"n": F.count(F.lit(1))}, path=out, fmt="json")
     assert got["n"] == 5
     assert spark.read.json(out).count() == 5
+
+
+def test_cluster_term_profile_planted_topics(spark):
+    """Two well-separated embedding clusters whose documents use disjoint
+    vocabularies: each cluster's label terms come only from its own
+    topic, stopwords never label, rank follows (cnt desc, term asc), and
+    n_docs counts the cluster's joined documents."""
+    from casf_spark.operators.profile import cluster_term_profile
+
+    # ids 27,1,2 near [1,0]; ids 6,11,12 near [0,1] — chosen so the two
+    # smallest md5(id) keys (27 then 6) put ONE deterministic centroid in
+    # each topic group
+    emb = spark.createDataFrame(
+        [(27, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.1]),
+         (6, [0.0, 1.0]), (11, [0.1, 0.9]), (12, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(27, "the piano violin piano"), (1, "piano cello and cello"),
+         (2, "violin piano"),
+         (6, "tensor gradient the tensor"), (11, "gradient tensor"),
+         (12, "matrix gradient gradient")],
+        "doc_id long, text string")
+    out = cluster_term_profile(docs, emb, n_clusters=2, top_k=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster) == 2
+    music = {"piano", "cello", "violin"}
+    ml = {"tensor", "gradient", "matrix"}
+    for cl, rows in by_cluster.items():
+        terms = {r.term for r in rows}
+        assert terms <= music or terms <= ml, terms
+        assert all(r.n_docs == 3 for r in rows)
+        ranked = sorted(rows, key=lambda r: r.rank)
+        # rank 1 has cnt >= rank 2; equal cnt orders by term asc
+        assert ranked[0].cnt >= ranked[1].cnt
+        if ranked[0].cnt == ranked[1].cnt:
+            assert ranked[0].term < ranked[1].term
+    # the planted top term of the music cluster is 'piano' (4 hits);
+    # of the ml cluster 'gradient'/'tensor' tie at 4 -> 'gradient' first
+    tops = {min(rows, key=lambda r: r.rank).term
+            for rows in by_cluster.values()}
+    assert tops == {"piano", "gradient"}
