@@ -1618,6 +1618,19 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_mixture_plan(spark, sf):
+    """Data-mixture planning report (operators.curation.mixture_plan):
+    per-source token counts vs a 3-source target recipe and a 2M-token
+    budget — natural share, implied epochs per source, and the >4-epoch
+    repetition-harm flag (Muennighoff et al. 2023). One map-combined
+    stratum aggregation; arithmetic on the bounded stratum table;
+    integer target_tokens keeps the division engine-identical."""
+    docs = load_table(spark, sf, "documents")
+    return CU.mixture_plan(docs, "source", "text",
+                           {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                           token_budget=2_000_000)
+
+
 def q_cluster_profile(spark, sf):
     """Embedding-cluster topic profile (operators.profile
     .cluster_term_profile): docs joined to their vectors' deterministic
@@ -3809,16 +3822,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 7 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 8 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
-#     doc_quality_source_quantile, cluster_profile) — windowed
-#     immediately so no never-checked backlog accumulates;
+#     doc_quality_source_quantile, cluster_profile, mixture_plan) —
+#     windowed immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 18
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 17
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 32 round-5 leftovers (orders_merge_upsert,
+#     The 33 round-5 leftovers (train_shards, orders_merge_upsert,
 #     events_approx_percentiles, text_heavy_hitters, lang_top_tokens,
 #     dedup_edit_distance, embedding_standardize, orders_quartiles,
 #     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
@@ -3834,7 +3847,7 @@ _ROUND8_WINDOW = [
     # -- the 6 round-8 additions
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile", "cluster_profile",
+    "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3851,7 +3864,7 @@ _ROUND8_WINDOW = [
     "events_hour_spine", "text_fingerprint", "text_token_stats",
     "text_split", "ann_lsh_mp", "multimodal_features",
     "users_click_not_purchase", "window_first_last",
-    "events_running_distinct", "text_chunks", "train_shards",
+    "events_running_distinct", "text_chunks",
 ]
 
 
@@ -3976,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_integrity": q_crossmodal_integrity,
         "doc_quality_source_quantile": q_doc_quality_source_quantile,
         "cluster_profile": q_cluster_profile,
+        "mixture_plan": q_mixture_plan,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5634,6 +5648,29 @@ top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
        piece, cnt, ROUND(ln(cnt / total), 6) score
 FROM top CROSS JOIN tot""",
+        "mixture_plan": f"""
+WITH per AS (
+  SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) n_docs,
+         CAST(SUM(len({_TOKS.replace("lower(text)",
+                                     "lower(COALESCE(text, ''))")}))
+              AS BIGINT) n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) total FROM per),
+wt AS (
+  SELECT per.*, tot.total,
+         CASE stratum WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                      WHEN 'src2' THEN 0.2 ELSE 0.0 END target_weight
+  FROM per CROSS JOIN tot)
+SELECT stratum, n_docs, n_tokens,
+       ROUND(n_tokens / total, 6) natural_share,
+       target_weight,
+       CAST(FLOOR(target_weight * 2000000.0 + 0.5) AS BIGINT)
+         target_tokens,
+       ROUND(CAST(FLOOR(target_weight * 2000000.0 + 0.5) AS BIGINT)
+             * 1.0 / GREATEST(n_tokens, 1), 6) epochs,
+       ROUND(CAST(FLOOR(target_weight * 2000000.0 + 0.5) AS BIGINT)
+             * 1.0 / GREATEST(n_tokens, 1), 6) > 4.0 AS over_cap
+FROM wt""",
         "cluster_profile": f"""
 WITH cent AS (
   SELECT vec_id cid, embedding cemb

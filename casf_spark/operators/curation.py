@@ -901,3 +901,52 @@ def unigram_lm_segment(df: DataFrame, id_col: str, text_col: str,
 
     return base.mapInPandas(
         run, "doc_id long, n_pieces long, pieces_str string")
+
+
+def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
+                 weights: dict[str, float], token_budget: int,
+                 max_epochs: float = 4.0) -> DataFrame:
+    """Data-mixture planning report: given measured per-stratum token
+    counts, target mixture weights, and a total token budget, how many
+    EPOCHS (passes) of each stratum does the recipe imply — and which
+    strata would be repeated past the harm threshold (Muennighoff et al.
+    2023 measure ~4 epochs as where repeated data stops helping). This is
+    the sizing table a team reads BEFORE launching the expensive
+    resample/training run — the planning companion to
+    :func:`mixture_resample` (which executes a row-level mixture).
+
+    Output per stratum: (stratum, n_docs, n_tokens, natural_share,
+    target_weight, target_tokens, epochs, over_cap). Strata absent from
+    ``weights`` get weight 0.0 (excluded from the recipe, epochs 0).
+
+    Determinism: target_tokens is floor(weight * budget + 0.5) — an
+    integer on both engines; epochs/natural_share divide integers and
+    round 6dp, so the doubles are bit-identical. Scale shape: ONE
+    map-combined aggregation to stratum grain (bounded rows); everything
+    after is arithmetic on the tiny table.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    w = F.lit(0.0)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col("stratum") == k, F.lit(float(v))).otherwise(w)
+    ntok = F.size(_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    per = (df.select(F.col(strata_col).alias("stratum"),
+                     ntok.cast("long").alias("nt"))
+           .groupBy("stratum")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").cast("double").alias("total"))
+    tgt = F.floor(w * F.lit(float(token_budget)) + F.lit(0.5)).cast("long")
+    return (per.crossJoin(F.broadcast(total))
+            .select(
+                "stratum", "n_docs", "n_tokens",
+                F.round(F.col("n_tokens") / F.col("total"), 6)
+                .alias("natural_share"),
+                w.alias("target_weight"),
+                tgt.alias("target_tokens"),
+                F.round(tgt.cast("double")
+                        / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                .alias("epochs"))
+            .withColumn("over_cap",
+                        F.col("epochs") > F.lit(float(max_epochs))))

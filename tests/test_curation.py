@@ -545,3 +545,31 @@ def test_unigram_lm_segment_viterbi(spark):
     assert got[4] == (0, "")
     # conservation: concatenating pieces rebuilds each token stream
     assert "".join(got[2][1].split()) == "abcd"
+
+
+def test_mixture_plan_hand_computed(spark):
+    """Epoch planning on hand-sized strata: natural shares, integer
+    target_tokens, implied epochs, the >max_epochs repetition flag, and
+    weight-0 exclusion for strata outside the recipe."""
+    from casf_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 100), (2, "a", "w " * 100),   # a: 200 tokens
+         (3, "b", "w " * 40),                          # b: 40 tokens
+         (4, "c", "w " * 60)],                         # c: 60 tokens
+        "doc_id long, source string, text string")
+    got = {r.stratum: r.asDict()
+           for r in mixture_plan(docs, "source", "text",
+                                 {"a": 0.5, "b": 0.5},
+                                 token_budget=1000,
+                                 max_epochs=4.0).collect()}
+    assert got["a"]["n_tokens"] == 200 and got["a"]["n_docs"] == 2
+    assert got["a"]["natural_share"] == round(200 / 300, 6)
+    assert got["a"]["target_tokens"] == 500
+    assert got["a"]["epochs"] == 2.5 and got["a"]["over_cap"] is False
+    # b: 500 target over 40 tokens = 12.5 epochs -> over the cap
+    assert got["b"]["target_tokens"] == 500
+    assert got["b"]["epochs"] == 12.5 and got["b"]["over_cap"] is True
+    # c: not in the recipe -> weight 0, zero target, zero epochs
+    assert got["c"]["target_weight"] == 0.0
+    assert got["c"]["target_tokens"] == 0 and got["c"]["epochs"] == 0.0
