@@ -1618,6 +1618,20 @@ def q_retrieval_rrf(spark, sf):
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
 
 
+def q_curriculum_buckets(spark, sf):
+    """Curriculum difficulty deciles (operators.curation
+    .quantile_buckets over relevance.unigram_logprob): every document's
+    average negative unigram log-likelihood (the deterministic
+    LM-surprise stand-in) bucketed into 10 equal-population bands —
+    decile 1 = easiest — via the threshold-broadcast fold, NOT a global
+    rank window (the single-partition-sort anti-pattern this operator
+    exists to avoid). Curriculum schedules feed batches easy→hard."""
+    docs = load_table(spark, sf, "documents")
+    scored = RV.unigram_logprob(docs, "doc_id", "text")
+    return CU.quantile_buckets(scored, "avg_neg_logprob", n_buckets=10,
+                               bucket_col="decile")
+
+
 def q_mixture_plan(spark, sf):
     """Data-mixture planning report (operators.curation.mixture_plan):
     per-source token counts vs a 3-source target recipe and a 2M-token
@@ -3822,16 +3836,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 8 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 9 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
-#     doc_quality_source_quantile, cluster_profile, mixture_plan) —
-#     windowed immediately so no never-checked backlog accumulates;
+#     doc_quality_source_quantile, cluster_profile, mixture_plan,
+#     curriculum_buckets) — windowed immediately so no never-checked
+#     backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 17
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 16
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 33 round-5 leftovers (train_shards, orders_merge_upsert,
+#     The 34 round-5 leftovers (text_chunks, train_shards,
+#     orders_merge_upsert,
 #     events_approx_percentiles, text_heavy_hitters, lang_top_tokens,
 #     dedup_edit_distance, embedding_standardize, orders_quartiles,
 #     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
@@ -3848,6 +3864,7 @@ _ROUND8_WINDOW = [
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
+    "curriculum_buckets",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3864,7 +3881,7 @@ _ROUND8_WINDOW = [
     "events_hour_spine", "text_fingerprint", "text_token_stats",
     "text_split", "ann_lsh_mp", "multimodal_features",
     "users_click_not_purchase", "window_first_last",
-    "events_running_distinct", "text_chunks",
+    "events_running_distinct",
 ]
 
 
@@ -3990,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_source_quantile": q_doc_quality_source_quantile,
         "cluster_profile": q_cluster_profile,
         "mixture_plan": q_mixture_plan,
+        "curriculum_buckets": q_curriculum_buckets,
         # --- driver-green rounds 1-3: cosine engine (reference parity,
         # SURVEY §2.2-2.4 + §7 A/B)
         "cosine_sparse": q_cosine_sparse,
@@ -5648,6 +5666,25 @@ top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 64)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) rank,
        piece, cnt, ROUND(ln(cnt / total), 6) score
 FROM top CROSS JOIN tot""",
+        "curriculum_buckets": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+tc AS (SELECT w, COUNT(*) wc FROM toks GROUP BY 1),
+tot AS (SELECT SUM(wc) tot FROM tc),
+u AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
+         ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
+  FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc),
+th AS (SELECT list_transform(
+         quantile_cont(avg_neg_logprob,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+         x -> ROUND(x, 6)) t
+       FROM u)
+SELECT u.doc, u.n_tokens, u.avg_neg_logprob,
+       CAST(1 + len(list_filter(th.t, x -> u.avg_neg_logprob > x))
+            AS BIGINT) decile
+FROM u CROSS JOIN th""",
         "mixture_plan": f"""
 WITH per AS (
   SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) n_docs,

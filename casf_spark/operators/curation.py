@@ -950,3 +950,31 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
                 .alias("epochs"))
             .withColumn("over_cap",
                         F.col("epochs") > F.lit(float(max_epochs))))
+
+
+def quantile_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
+                     bucket_col: str = "bucket") -> DataFrame:
+    """Global quantile bucketing — the curriculum-ordering primitive:
+    every row gets the 1-based bucket of its score among ``n_buckets``
+    equal-population quantile bands (decile 1 = easiest tenth). Unlike a
+    global rank window (single-partition sort — the anti-pattern), the
+    thresholds are ONE 1-row aggregation (n_buckets-1 exact quantiles,
+    ROUNDED 6dp) broadcast back, and bucketing is a map-only fold:
+    ``bucket = 1 + #(thresholds the score strictly exceeds)`` — ties at
+    a threshold stay in the lower band on both engines.
+
+    At 100 TB swap F.percentile for percentile_approx with pinned
+    accuracy; the plan shape (tiny agg broadcast + map-only compare) is
+    unchanged — that is the point of threshold-join bucketing.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    th = df.agg(F.transform(
+        F.percentile(score_col, F.array(*[F.lit(q) for q in qs])),
+        lambda t: F.round(t, 6)).alias("_th"))
+    b = F.lit(1) + F.aggregate(
+        "_th", F.lit(0),
+        lambda acc, t: acc + F.when(F.col(score_col) > t,
+                                    F.lit(1)).otherwise(F.lit(0)))
+    return (df.crossJoin(F.broadcast(th))
+            .withColumn(bucket_col, b.cast("long"))
+            .drop("_th"))

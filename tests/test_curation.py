@@ -573,3 +573,24 @@ def test_mixture_plan_hand_computed(spark):
     # c: not in the recipe -> weight 0, zero target, zero epochs
     assert got["c"]["target_weight"] == 0.0
     assert got["c"]["target_tokens"] == 0 and got["c"]["epochs"] == 0.0
+
+
+def test_quantile_buckets_hand_computed(spark):
+    """Threshold-fold bucketing: quartiles of 1..8 put two rows per band,
+    a score exactly ON a threshold stays in the LOWER band, and bucket
+    ids run 1..n_buckets."""
+    from casf_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 9)],
+                               "id long, s double")
+    got = {r.id: r.bucket
+           for r in quantile_buckets(df, "s", n_buckets=4).collect()}
+    # quartile thresholds of 1..8: p25=2.75, p50=4.5, p75=6.25
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}, got
+    # a value exactly equal to a threshold is NOT above it
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 10.0), (4, 20.0)], "id long, s double")
+    got2 = {r.id: r.bucket
+            for r in quantile_buckets(df2, "s", n_buckets=2).collect()}
+    # median of (0,10,10,20) = 10.0 -> the two 10s sit in band 1
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 2}, got2

@@ -69,6 +69,11 @@ PRODUCT_WHITELIST = {
     # 8-row deterministic-centroid broadcast in the quantizer assignment
     # (same class as dedup_semantic)
     "cluster_profile",
+    # inherits unigram_logprob's vocab/total broadcasts + the 1-row
+    # 9-threshold quantile table broadcast
+    "curriculum_buckets",
+    # 1-row corpus-token-total broadcast onto the bounded stratum table
+    "mixture_plan",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -93,6 +98,10 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
 SP_CAP_OVERRIDES = {"data_quality_checks": 3,
+                    # unigram vocab-total agg + the quantile-threshold
+                    # agg + its re-aggregation after the total broadcast
+                    # (all 1-row)
+                    "curriculum_buckets": 3,
                     # ref-date agg + percentile-bounds agg + the bounds
                     # re-aggregation after the ref-date broadcast join —
                     # all 1-row scalar aggregates feeding CASE bucketing
