@@ -1723,6 +1723,21 @@ def q_unigram_lm_scores(spark, sf):
                                 max_piece_len=4, vocab_size=64)
 
 
+def q_unigram_lm_segment(spark, sf):
+    """Viterbi segmentation of the corpus under its own unigram-LM piece
+    vocabulary (operators.curation.unigram_lm_segment over the
+    unigram_lm_pieces table) — the ENCODE side of the SentencePiece
+    pair, now oracle-checked: the DuckDB twin replays the exact DP as
+    chained position CTEs over DISTINCT words (argmax = cost DESC,
+    start-index ASC, matching the Spark scan's longest-final-piece tie
+    rule), then reassembles per-document streams by token position.
+    Spark side: bounded 64-row piece side input, ONE mapInPandas pass."""
+    docs = load_table(spark, sf, "documents")
+    pieces = CU.unigram_lm_pieces(docs, "doc_id", "text",
+                                  max_piece_len=4, vocab_size=64)
+    return CU.unigram_lm_segment(docs, "doc_id", "text", pieces)
+
+
 def q_diversity_kcenter(spark, sf):
     """Greedy k-center / farthest-point sampling (operators.similarity
     .kcenter_select, Gonzalez 1985): 8 maximally-spread representatives
@@ -2418,6 +2433,89 @@ c{j + 1} AS (SELECT vec_id cid, min_dist cdist FROM d{j}
         f"cdist sel_dist FROM c{j}"
         for j in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def _viterbi_oracle(max_word_len: int = 12, max_piece_len: int = 4,
+                    vocab_size: int = 64) -> str:
+    """unigram_lm_segment twin: the EXACT Viterbi DP as chained
+    position CTEs — b{j} holds, per distinct word of length >= j, the
+    single best (cost, segmentation) of its first j characters. Each
+    b{j} extends b{j-k} (k = 1..min(max_piece_len, j)) with the piece
+    substr(word, j-k+1, k): vocabulary pieces score from the SAME
+    frequency table as unigram_lm_scores; an out-of-vocabulary SINGLE
+    character falls back to (min score - 10); longer OOV pieces are not
+    candidates. Argmax per (word, j) is ORDER BY c DESC, i ASC —
+    identical to the Spark DP's strictly-greater first-win scan (the
+    smallest start index, i.e. the LONGEST final piece, wins ties).
+    Because piece scores are 6dp-rounded and each path adds the same
+    doubles in the same order, costs are bit-equal across engines and
+    the argmax can never split. CTEs are MATERIALIZED (each b{j} is
+    referenced by up to max_piece_len later stages — the kcenter
+    exponential-inlining lesson). ``max_word_len`` must cover the
+    corpus's longest token (measured 8 at sf0.1; 12 gives headroom —
+    longer words would silently truncate, so the tail asserts none
+    exist via the len filter in `final`)."""
+    vocab = f"""toklist AS (
+  SELECT CAST(doc_id AS BIGINT) doc,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '[^a-z0-9]+'),
+                     t -> t <> '') a
+  FROM documents),
+tk AS (SELECT doc, generate_subscripts(a, 1) pos, unnest(a) w
+       FROM toklist),
+subs AS (
+  SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+           i -> list_transform(
+                  range(1, LEAST({max_piece_len},
+                                 length(w) - i + 1) + 1),
+                  l -> substr(w, CAST(i AS INT), CAST(l AS INT))))))
+         piece
+  FROM tk),
+pc AS (SELECT piece, CAST(COUNT(*) AS BIGINT) cnt FROM subs GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) total FROM pc),
+top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece
+        LIMIT {vocab_size}),
+pieces AS MATERIALIZED (
+  SELECT piece, ROUND(ln(cnt / total), 6) s FROM top CROSS JOIN tot),
+flo AS (SELECT MIN(s) - 10.0 f FROM pieces),
+words AS (SELECT DISTINCT w word FROM tk),
+b0 AS (SELECT word, CAST(0.0 AS DOUBLE) c, '' seg, 0 np FROM words)"""
+    parts = [vocab]
+    for j in range(1, max_word_len + 1):
+        cands = []
+        for k in range(1, min(max_piece_len, j) + 1):
+            oov = (f"COALESCE(p.s, flo.f)" if k == 1 else "p.s")
+            guard = "" if k == 1 else " AND p.piece IS NOT NULL"
+            cands.append(f"""      SELECT b.word, b.c + {oov} c,
+             b.seg || CASE WHEN b.seg = '' THEN '' ELSE ' ' END
+                   || substr(b.word, {j - k + 1}, {k}) seg,
+             b.np + 1 np, {j - k} i
+      FROM b{j - k} b CROSS JOIN flo
+      LEFT JOIN pieces p ON p.piece = substr(b.word, {j - k + 1}, {k})
+      WHERE length(b.word) >= {j}{guard}""")
+        union = "\n      UNION ALL\n".join(cands)
+        parts.append(f"""b{j} AS MATERIALIZED (
+  SELECT word, c, seg, np FROM (
+    SELECT word, c, seg, np,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY c DESC, i ASC) rn
+    FROM (
+{union}
+    )) WHERE rn = 1)""")
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT word, seg, np FROM b{j} WHERE length(word) = {j}"
+        for j in range(1, max_word_len + 1))
+    tail = f"""final AS (
+{finals}
+)
+SELECT dl.doc AS doc_id,
+       CAST(COALESCE(SUM(f.np), 0) AS BIGINT) n_pieces,
+       COALESCE(string_agg(f.seg, ' ' ORDER BY t.pos), '') pieces_str
+FROM (SELECT DISTINCT doc FROM toklist) dl
+LEFT JOIN tk t ON t.doc = dl.doc
+LEFT JOIN final f ON f.word = t.w
+GROUP BY dl.doc"""
+    return "WITH " + ",\n".join(parts) + ",\n" + tail
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
@@ -3836,18 +3934,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 9 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 10 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
 #     doc_quality_source_quantile, cluster_profile, mixture_plan,
-#     curriculum_buckets) — windowed immediately so no never-checked
+#     curriculum_buckets, unigram_lm_segment — the Viterbi encoder's
+#     chained-DP twin) — windowed immediately so no never-checked
 #     backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 16
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 15
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 34 round-5 leftovers (text_chunks, train_shards,
-#     orders_merge_upsert,
+#     The 35 round-5 leftovers (events_running_distinct, text_chunks,
+#     train_shards, orders_merge_upsert,
 #     events_approx_percentiles, text_heavy_hitters, lang_top_tokens,
 #     dedup_edit_distance, embedding_standardize, orders_quartiles,
 #     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
@@ -3864,7 +3963,7 @@ _ROUND8_WINDOW = [
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
-    "curriculum_buckets",
+    "curriculum_buckets", "unigram_lm_segment",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3881,7 +3980,6 @@ _ROUND8_WINDOW = [
     "events_hour_spine", "text_fingerprint", "text_token_stats",
     "text_split", "ann_lsh_mp", "multimodal_features",
     "users_click_not_purchase", "window_first_last",
-    "events_running_distinct",
 ]
 
 
@@ -4003,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf": q_retrieval_rrf,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
+        "unigram_lm_segment": q_unigram_lm_segment,
         "crossmodal_integrity": q_crossmodal_integrity,
         "doc_quality_source_quantile": q_doc_quality_source_quantile,
         "cluster_profile": q_cluster_profile,
@@ -5650,6 +5749,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
         "diversity_kcenter": _kcenter_oracle(k=8),
+        "unigram_lm_segment": _viterbi_oracle(max_word_len=12),
         "unigram_lm_scores": f"""
 WITH toklist AS (SELECT {_TOKS} a FROM documents),
 tk AS (SELECT unnest(a) w FROM toklist),
