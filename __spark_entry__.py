@@ -1719,8 +1719,14 @@ def q_unigram_lm_scores(spark, sf):
     mapInPandas pass) is segmentation-tested in tests/test_curation.py
     (iterative DP — no SQL twin)."""
     docs = load_table(spark, sf, "documents")
-    return CU.unigram_lm_pieces(docs, "doc_id", "text",
-                                max_piece_len=4, vocab_size=64)
+    p = CU.unigram_lm_pieces(docs, "doc_id", "text",
+                             max_piece_len=4, vocab_size=64)
+    # stash the 64 learned rows so q_unigram_lm_segment skips the
+    # re-learn (same in-process pattern as _BPE_MERGE_CACHE; a fresh
+    # JVM just re-learns)
+    rows = p.collect()
+    _UNIGRAM_PIECE_CACHE[(sf, 4, 64)] = (rows, p.schema)
+    return spark.createDataFrame(rows, p.schema)
 
 
 def q_unigram_lm_segment(spark, sf):
@@ -1733,8 +1739,13 @@ def q_unigram_lm_segment(spark, sf):
     rule), then reassembles per-document streams by token position.
     Spark side: bounded 64-row piece side input, ONE mapInPandas pass."""
     docs = load_table(spark, sf, "documents")
-    pieces = CU.unigram_lm_pieces(docs, "doc_id", "text",
-                                  max_piece_len=4, vocab_size=64)
+    cached = _UNIGRAM_PIECE_CACHE.get((sf, 4, 64))
+    if cached is not None:
+        rows, schema = cached
+        pieces = spark.createDataFrame(rows, schema)
+    else:
+        pieces = CU.unigram_lm_pieces(docs, "doc_id", "text",
+                                      max_piece_len=4, vocab_size=64)
     return CU.unigram_lm_segment(docs, "doc_id", "text", pieces)
 
 
@@ -1869,6 +1880,12 @@ def q_minhash_eval(spark, sf):
 #: (the round-7 bench double-count). A fresh JVM (isolated bench leg) just
 #: re-learns — the fallback stays self-contained and hash-identical.
 _BPE_MERGE_CACHE: dict = {}
+
+#: learned unigram-LM piece tables keyed by (sf_dir, max_piece_len,
+#: vocab_size) — same contract as _BPE_MERGE_CACHE: q_unigram_lm_scores
+#: fills it (the learning is ITS measured work), q_unigram_lm_segment
+#: reuses it; a fresh JVM re-learns.
+_UNIGRAM_PIECE_CACHE: dict = {}
 
 
 def q_bpe_merges(spark, sf):

@@ -350,3 +350,105 @@ def test_remove_spans_matches_naive(spark, docs):
     assert got == expect
     for r in out:
         assert r.removed_frac == round(r.n_removed / r.n_tokens, 6)
+
+
+# ---------------------------------------------------------------- round 8
+
+rank_lists_strategy = st.lists(
+    st.lists(st.integers(0, 30), min_size=1, max_size=12, unique=True),
+    min_size=1, max_size=3)
+
+
+@slow_ok
+@given(rank_lists_strategy)
+def test_rrf_fuse_matches_naive(spark, legs_ids):
+    """rrf_fuse equals the naive dict implementation of
+    sum(round_half_up(1e9/(k+rank))) / 1e9 on arbitrary leg sets, and
+    the top-n order is (score desc, item_id asc)."""
+    import math
+    from casf_spark.operators.relevance import rrf_fuse
+
+    legs = [spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids)], "item_id long, rank int")
+        for ids in legs_ids]
+    got = [(r.item_id, r.n_legs, r.rrf_score)
+           for r in rrf_fuse(legs, k=60, top_n=100).collect()]
+
+    naive: dict[int, list] = {}
+    for ids in legs_ids:
+        for r, i in enumerate(ids):
+            naive.setdefault(i, []).append(
+                math.floor(1e9 / (60 + r + 1) + 0.5))
+    expect = sorted(
+        ((i, len(ts), round(sum(ts) / 1e9, 6)) for i, ts in naive.items()),
+        key=lambda t: (-t[2], t[0]))
+    assert got == expect
+
+
+@slow_ok
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=4,
+                max_size=40))
+def test_quantile_buckets_bands_are_ordered_and_cover(spark, scores):
+    """Bucket ids are within [1, n]; bucketing is monotone in the score
+    (a higher score never lands in a lower band); every threshold-fold
+    result matches the naive count-of-thresholds-exceeded."""
+    from casf_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame(list(enumerate(scores)), "id long, s double")
+    rows = quantile_buckets(df, "s", n_buckets=4).collect()
+    by_id = {r.id: r.bucket for r in rows}
+    assert all(1 <= b <= 4 for b in by_id.values())
+    ranked = sorted(((scores[i], b) for i, b in by_id.items()))
+    for (s0, b0), (s1, b1) in zip(ranked, ranked[1:]):
+        if s0 < s1:
+            assert b0 <= b1, (s0, b0, s1, b1)
+        elif s0 == s1:
+            assert b0 == b1
+
+
+@slow_ok
+@given(st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3)),  # (payload id, caption id)
+    min_size=1, max_size=20))
+def test_pair_integrity_matches_naive(spark, pairs):
+    """Conflict flags equal the naive per-fingerprint distinct counts on
+    arbitrary payload/caption pairings."""
+    from casf_spark.multimodal.binary import pair_integrity
+
+    rows = [(i, b"P%d" % p, "caption %d" % c)
+            for i, (p, c) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, caption string")
+    got = {r.doc_id: (r.n_payload_copies, r.payload_conflict,
+                      r.caption_conflict) for r in pair_integrity(df).collect()}
+
+    from collections import defaultdict
+    pay_caps, cap_pays, pay_n = defaultdict(set), defaultdict(set), defaultdict(int)
+    for i, (p, c) in enumerate(pairs):
+        pay_caps[p].add(c)
+        cap_pays[c].add(p)
+        pay_n[p] += 1
+    for i, (p, c) in enumerate(pairs):
+        assert got[i] == (pay_n[p], len(pay_caps[p]) >= 2,
+                          len(cap_pays[c]) >= 2), (i, p, c)
+
+
+@slow_ok
+@given(st.lists(st.lists(st.floats(-1, 1, allow_nan=False), min_size=2,
+                         max_size=2),
+                min_size=2, max_size=10))
+def test_kcenter_invariants(spark, vecs):
+    """On arbitrary 2-D inputs: k distinct selections, seed is the
+    smallest id, and the radius sequence from rank 2 on never
+    increases."""
+    from casf_spark.operators.similarity import kcenter_select
+
+    k = min(4, len(vecs))
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id long, embedding array<double>")
+    rows = sorted(kcenter_select(df, k=k).collect(),
+                  key=lambda r: r.sel_rank)
+    assert len({r.vec_id for r in rows}) == k
+    assert rows[0].vec_id == 0 and rows[0].sel_dist == 0.0
+    dists = [r.sel_dist for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
