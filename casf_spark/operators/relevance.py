@@ -317,13 +317,17 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "item_id",
              rank_col: str = "rank", k: int = 60, top_n: int = 20,
-             scale_u: int = 1_000_000_000) -> DataFrame:
+             scale_u: int = 1_000_000_000,
+             weights: Sequence[float] | None = None) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) over any
     number of ranked retrieval legs -> (item_id, n_legs, rrf_score):
     ``rrf(d) = sum over legs of 1 / (k + rank_leg(d))`` — the standard
     way hybrid retrieval pipelines combine a lexical (BM25) and a vector
     (ANN) ranking without score calibration; ``k`` (=60 in the paper)
-    damps the head so one leg's #1 can't dominate.
+    damps the head so one leg's #1 can't dominate. Optional per-leg
+    ``weights`` (e.g. 2:1 lexical:vector) scale each leg's reciprocal
+    before the integer fold — the common production tilt when one
+    modality is known to be stronger for the workload.
 
     Engine-stable arithmetic: each leg's reciprocal is folded to integer
     NANO-units (round-half-up of ``scale_u / (k + rank)``) before the
@@ -338,11 +342,19 @@ def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "item_id",
     """
     if not legs:
         raise ValueError("legs must be non-empty")
+    if weights is None:
+        weights = [1.0] * len(legs)
+    if len(weights) != len(legs):
+        raise ValueError("weights must match legs")
     u = None
-    for leg in legs:
+    for leg, w in zip(legs, weights):
+        # the weight scales the EXACT reciprocal, and the product is
+        # rounded to integer units once — so a weighted fusion stays
+        # order-independent too
         t = leg.select(
             F.col(id_col).cast("long").alias("item_id"),
-            F.floor(F.lit(float(scale_u)) / (F.lit(k) + F.col(rank_col))
+            F.floor(F.lit(float(w)) * F.lit(float(scale_u))
+                    / (F.lit(k) + F.col(rank_col))
                     + F.lit(0.5)).cast("long").alias("term_u"))
         u = t if u is None else u.unionByName(t)
     fused = (u.groupBy("item_id")

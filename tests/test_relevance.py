@@ -229,3 +229,29 @@ def test_rrf_fuse_hand_computed_and_ties(spark):
          for r in RV.rrf_fuse([l3, legB, legA], k=60).collect()}
     assert a == b
     assert a[10] == round((term(1) + term(3) + term(1)) / 1e9, 6)
+
+
+def test_rrf_fuse_weighted(spark):
+    """Per-leg weights tilt the fusion: with weight 2 on leg A, an item
+    A ranks #2 beats an item B ranks #1; weight rounding happens once on
+    the exact product so permutation-invariance still holds."""
+    import math
+    legA = spark.createDataFrame([(1, 1), (2, 2)], "item_id long, rank int")
+    legB = spark.createDataFrame([(3, 1), (1, 3)], "item_id long, rank int")
+    got = {r.item_id: r.rrf_score
+           for r in RV.rrf_fuse([legA, legB], k=60,
+                                weights=[2.0, 1.0]).collect()}
+
+    def t(w, rank):
+        return math.floor(w * 1e9 / (60 + rank) + 0.5)
+
+    assert got[1] == round((t(2.0, 1) + t(1.0, 3)) / 1e9, 6)
+    assert got[2] == round(t(2.0, 2) / 1e9, 6)
+    assert got[3] == round(t(1.0, 1) / 1e9, 6)
+    # the doubled lexical leg makes its #2 beat the vector leg's #1
+    assert got[2] > got[3]
+    # default weights unchanged vs explicit ones
+    a = {r.item_id: r.rrf_score for r in RV.rrf_fuse([legA, legB]).collect()}
+    b = {r.item_id: r.rrf_score
+         for r in RV.rrf_fuse([legA, legB], weights=[1.0, 1.0]).collect()}
+    assert a == b
