@@ -3976,7 +3976,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the round-6 cohort.
 # With CORRECTNESS_r08 green, every name's newest green row is round 5+.
 _ROUND8_WINDOW = [
-    # -- the 6 round-8 additions
+    # -- the 10 round-8 additions
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
@@ -3990,7 +3990,7 @@ _ROUND8_WINDOW = [
     "dedup_cross_source", "text_ttr", "multimodal_pcm",
     "events_click_purchase_days", "orders_price_position", "events_unpivot",
     "text_novelty", "customer_order_counts_right", "ann_ivf",
-    # -- first 20 of the 50 names last green in round 5 (round-5 window
+    # -- first 15 of the 50 names last green in round 5 (round-5 window
     #    order)
     "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
     "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
