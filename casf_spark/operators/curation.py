@@ -56,6 +56,16 @@ __all__ = [
     "budget_select",
     "curation_funnel",
     "content_defined_chunks",
+    "build_vocab",
+    "tokenize_to_ids",
+    "c4_line_filter",
+    "group_quantile_flag",
+    "learn_bpe_merges",
+    "bpe_encode",
+    "unigram_lm_pieces",
+    "unigram_lm_segment",
+    "mixture_plan",
+    "quantile_buckets",
     "PII_PATTERNS",
 ]
 
