@@ -23,6 +23,7 @@ from casf_spark.functions.hashing import (MIX_PRIME, minhash_band_plan,
                                           minhash_sql_exprs)
 from casf_spark.matrix.analyse import CosineAnalyser
 from casf_spark.multimodal import binary as MM
+from casf_spark.operators import classify as CL
 from casf_spark.operators import curation as CU
 from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
@@ -1616,6 +1617,89 @@ def q_retrieval_rrf(spark, sf):
     sem = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
     sem_r = sem.select(F.col("neighbor_id").alias("item_id"), "rank")
     return RV.rrf_fuse([lex_r, sem_r], k=60, top_n=20)
+
+
+def q_retrieval_rrf_weighted(spark, sf):
+    """Three-leg WEIGHTED reciprocal-rank fusion (relevance.rrf_fuse with
+    per-leg weights — the production tilt when one modality is known
+    stronger): BM25 top-50 at weight 2.0, exact-cosine top-50 at 1.0,
+    and the new length-unnormalized TF-IDF lexical leg
+    (relevance.tfidf_rank) top-50 at 0.5. Each weight scales the exact
+    reciprocal BEFORE the single integer nano-unit rounding, so the
+    fused sum stays order-independent across engines. All three legs
+    are bounded top-Ns — fusion moves 150 rows regardless of corpus
+    size."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    terms = ["spark", "table", "hash"]
+    wl = Window.orderBy(F.desc("score"), F.asc("doc"))
+    lex = RV.bm25_rank(docs, terms, "doc_id", "text", top_n=50)
+    lex_r = lex.select(F.col("doc").alias("item_id"),
+                       F.row_number().over(wl).alias("rank"))
+    sem = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
+    sem_r = sem.select(F.col("neighbor_id").alias("item_id"), "rank")
+    tfi = RV.tfidf_rank(docs, terms, "doc_id", "text", top_n=50)
+    tfi_r = tfi.select(F.col("doc").alias("item_id"),
+                       F.row_number().over(wl).alias("rank"))
+    return RV.rrf_fuse([lex_r, sem_r, tfi_r], k=60, top_n=20,
+                       weights=[2.0, 1.0, 0.5])
+
+
+def q_nb_lang_score(spark, sf):
+    """Model-based filtering (operators/classify.py): binary multinomial
+    Naive Bayes trained to recognize ``lang = 'en'`` from token
+    distributions on the ``doc_id % 5 != 0`` split (the 80% training
+    fold; no leakage story — the held-out fifth is scored by a model
+    that never saw it), vocabulary capped at top-25 terms (the shipped
+    corpus has 31 — the cap and the OOV-ignore path are genuinely
+    exercised). Every per-term log-likelihood ratio is an integer
+    micro-unit, so a doc's score is an exact integer sum. Emits every
+    doc's log-odds + prediction alongside its true label."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    model = CL.nb_train(train, "doc_id", "text", "lang", "en",
+                        vocab_size=25)
+    scored = CL.nb_score(docs, model, "doc_id", "text")
+    truth = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "lang")
+    return (scored
+            .select(F.col("doc").cast("long").alias("doc_id"),
+                    "n_vocab_tokens", "log_odds",
+                    F.col("pred_pos").alias("pred_en"))
+            .join(truth, "doc_id")
+            .select("doc_id", "lang", "n_vocab_tokens", "log_odds",
+                    "pred_en")
+            .orderBy("doc_id"))
+
+
+def q_nb_lang_eval(spark, sf):
+    """Held-out evaluation of the NB language classifier: confusion
+    counts + accuracy on the ``doc_id % 5 == 0`` fifth the model never
+    trained on — the report a pipeline owner reads before trusting a
+    learned filter. One tiny aggregation over the held-out scores."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    model = CL.nb_train(train, "doc_id", "text", "lang", "en",
+                        vocab_size=25)
+    scored = CL.nb_score(held, model, "doc_id", "text")
+    truth = held.select(F.col("doc_id").cast("string").alias("doc"),
+                        (F.col("lang") == "en").cast("int").alias("y"))
+    j = scored.join(truth, "doc").select(
+        F.col("pred_pos").cast("int").alias("p"), "y")
+    agg = j.agg(
+        F.sum(F.col("p") * F.col("y")).cast("double").alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).cast("double").alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).cast("double").alias("fn"),
+        F.sum((1 - F.col("p")) * (1 - F.col("y"))).cast("double")
+        .alias("tn"),
+        F.count(F.lit(1)).cast("double").alias("n_heldout"))
+    return agg.select(F.explode(F.map_from_arrays(
+        F.array(F.lit("tp"), F.lit("fp"), F.lit("fn"), F.lit("tn"),
+                F.lit("n_heldout"), F.lit("accuracy")),
+        F.array("tp", "fp", "fn", "tn", "n_heldout",
+                F.round((F.col("tp") + F.col("tn")) / F.col("n_heldout"),
+                        6)))).alias("metric", "value"))
 
 
 def q_curriculum_buckets(spark, sf):
@@ -3951,36 +4035,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 10 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 13 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
 #     doc_quality_source_quantile, cluster_profile, mixture_plan,
 #     curriculum_buckets, unigram_lm_segment — the Viterbi encoder's
-#     chained-DP twin) — windowed immediately so no never-checked
-#     backlog accumulates;
+#     chained-DP twin — plus the late-round trio retrieval_rrf_weighted,
+#     nb_lang_score, nb_lang_eval) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 15
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 12
 #     of the 50 names last green in round 5, in round-5 window order.
-#     The 35 round-5 leftovers (events_running_distinct, text_chunks,
-#     train_shards, orders_merge_upsert,
-#     events_approx_percentiles, text_heavy_hitters, lang_top_tokens,
-#     dedup_edit_distance, embedding_standardize, orders_quartiles,
-#     events_json_variant, orders_yoy_growth, ann_ivf_det, ann_lsh,
-#     ann_topk, decontaminate, dedup_clusters, dedup_embedding,
-#     dedup_exact, dedup_minhash, dedup_ngram_jaccard, dedup_simhash,
-#     dedup_winnow, doc_cosine_cjk, multimodal_meta, pack_bins,
-#     pii_redact, pipeline_curate, sample_stratified, text_lang_id,
-#     text_line_dedup, text_quality, text_repetition, text_term_counts,
-#     text_winnow) head the round-9 re-confirmation queue; after them,
-#     the round-6 cohort.
+#     NEXT.md's round-9 queue is authoritative: the 3 displaced tail
+#     names (multimodal_features, users_click_not_purchase,
+#     window_first_last) head it, then the 35 round-5 leftovers
+#     (events_running_distinct, text_chunks, train_shards,
+#     orders_merge_upsert, events_approx_percentiles, ... — full list in
+#     NEXT.md), then the round-6 cohort.
 # With CORRECTNESS_r08 green, every name's newest green row is round 5+.
 _ROUND8_WINDOW = [
-    # -- the 10 round-8 additions
+    # -- the 13 round-8 additions (the last 3 — the weighted 3-leg RRF
+    #    and the NB classifier pair — landed late in the round and
+    #    displaced the window's 3 tail names, which now head the round-9
+    #    re-confirmation queue ahead of the 35 round-5 leftovers)
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
+    "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -3995,8 +4078,7 @@ _ROUND8_WINDOW = [
     "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
     "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
     "events_hour_spine", "text_fingerprint", "text_token_stats",
-    "text_split", "ann_lsh_mp", "multimodal_features",
-    "users_click_not_purchase", "window_first_last",
+    "text_split", "ann_lsh_mp",
 ]
 
 
@@ -4116,6 +4198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (windowed immediately)
         "adversarial_contract": q_adversarial_contract,
         "retrieval_rrf": q_retrieval_rrf,
+        "retrieval_rrf_weighted": q_retrieval_rrf_weighted,
+        "nb_lang_score": q_nb_lang_score,
+        "nb_lang_eval": q_nb_lang_eval,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
@@ -6365,6 +6450,175 @@ f AS (SELECT item_id, SUM(term_u) su,
 SELECT CAST(item_id AS BIGINT) item_id, n_legs,
        ROUND(su / 1000000000.0, 6) rrf_score
 FROM f ORDER BY rrf_score DESC, item_id LIMIT 20""",
+        # 3-leg weighted fusion: same bm25 + cosine legs plus the
+        # tfidf_rank lexical leg; each weight scales the exact reciprocal
+        # BEFORE the one integer nano-unit rounding (mirrors rrf_fuse)
+        "retrieval_rrf_weighted": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+dl AS (SELECT doc, COUNT(*) dl FROM toks GROUP BY 1),
+st AS (SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) n_docs,
+              AVG(dl) avgdl FROM dl),
+hits AS (SELECT doc, w term, CAST(COUNT(*) AS DOUBLE) tf FROM toks
+         WHERE w IN ('hash', 'spark', 'table') GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) df FROM hits GROUP BY 1),
+c AS (SELECT h.doc,
+        ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * h.tf * (1.2 + 1.0)
+          / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) contrib
+      FROM hits h JOIN dfreq d USING (term) JOIN dl USING (doc)
+      CROSS JOIN st),
+bm AS (SELECT doc, ROUND(SUM(contrib), 6) score
+       FROM c GROUP BY 1 ORDER BY score DESC, doc LIMIT 50),
+bmr AS (SELECT doc item_id,
+               row_number() OVER (ORDER BY score DESC, doc) rank
+        FROM bm),
+ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT q.vec_id query_id, e.vec_id neighbor_id, SUM(q.x * e.x) dp
+  FROM ee q JOIN ee e ON q.i = e.i AND q.vec_id <> e.vec_id
+  WHERE q.vec_id = 0
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.neighbor_id, ROUND(d.dp / (nq.nrm * nc.nrm), 6) cos_sim
+  FROM dots d
+  JOIN nn nq ON nq.vec_id = d.query_id
+  JOIN nn nc ON nc.vec_id = d.neighbor_id),
+semr AS (
+  SELECT neighbor_id item_id, rn rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY cos_sim DESC, neighbor_id ASC) rn
+    FROM scored) WHERE rn <= 50),
+tfc AS (SELECT h.doc,
+               h.tf * (ln((st.n_docs + 1) / (d.df + 1)) + 1) contrib
+        FROM hits h JOIN dfreq d USING (term) CROSS JOIN st),
+tfs AS (SELECT doc, ROUND(SUM(contrib), 6) score
+        FROM tfc GROUP BY 1 ORDER BY score DESC, doc LIMIT 50),
+tfr AS (SELECT doc item_id,
+               row_number() OVER (ORDER BY score DESC, doc) rank
+        FROM tfs),
+u AS (
+  SELECT item_id,
+         CAST(FLOOR(2.0 * 1000000000.0 / (60 + rank) + 0.5) AS BIGINT)
+           term_u
+  FROM bmr
+  UNION ALL
+  SELECT item_id,
+         CAST(FLOOR(1.0 * 1000000000.0 / (60 + rank) + 0.5) AS BIGINT)
+  FROM semr
+  UNION ALL
+  SELECT item_id,
+         CAST(FLOOR(0.5 * 1000000000.0 / (60 + rank) + 0.5) AS BIGINT)
+  FROM tfr),
+f AS (SELECT item_id, SUM(term_u) su,
+             CAST(COUNT(*) AS BIGINT) n_legs
+      FROM u GROUP BY 1)
+SELECT CAST(item_id AS BIGINT) item_id, n_legs,
+       ROUND(su / 1000000000.0, 6) rrf_score
+FROM f ORDER BY rrf_score DESC, item_id LIMIT 20""",
+        # NB classifier (operators/classify.py): integer micro-unit
+        # log-likelihood ratios make every doc score an exact integer
+        # sum — the same order-independence discipline as rrf/pagerank
+        "nb_lang_score": f"""
+WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+             FROM documents
+             WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+toklist AS (SELECT CAST(doc_id AS VARCHAR) doc, {_TOKS} a
+            FROM documents),
+ttoks AS (SELECT t.doc, unnest(t.a) w, l.y
+          FROM toklist t JOIN lab l USING (doc)),
+tc AS (SELECT w term, CAST(SUM(y) AS DOUBLE) c_pos,
+              CAST(SUM(1 - y) AS DOUBLE) c_neg, COUNT(*) cnt
+       FROM ttoks GROUP BY 1),
+vocab AS (SELECT * FROM tc ORDER BY cnt DESC, term ASC LIMIT 25),
+tot AS (SELECT SUM(c_pos) t_pos, SUM(c_neg) t_neg,
+               CAST(COUNT(*) AS DOUBLE) v
+        FROM vocab),
+model AS (SELECT term,
+                 CAST(FLOOR((ln((c_pos + 1.0) / (t_pos + v))
+                             - ln((c_neg + 1.0) / (t_neg + v)))
+                            * 1000000.0 + 0.5) AS BIGINT) lr_u
+          FROM vocab CROSS JOIN tot),
+prior AS (SELECT CAST(FLOOR((ln(n_pos) - ln(n_neg)) * 1000000.0 + 0.5)
+                      AS BIGINT) prior_u
+          FROM (SELECT CAST(SUM(y) AS DOUBLE) n_pos,
+                       CAST(SUM(1 - y) AS DOUBLE) n_neg
+                FROM lab)),
+stoks AS (SELECT doc, unnest(a) w FROM toklist),
+hit AS (SELECT s.doc, CAST(COUNT(*) AS BIGINT) n_vocab_tokens,
+               CAST(SUM(m.lr_u) AS BIGINT) sum_u
+        FROM stoks s JOIN model m ON s.w = m.term GROUP BY 1),
+sc AS (SELECT CAST(d.doc_id AS BIGINT) doc_id, d.lang,
+              COALESCE(h.n_vocab_tokens, 0) n_vocab_tokens,
+              (p.prior_u + COALESCE(h.sum_u, 0)) score_u
+       FROM documents d
+       LEFT JOIN hit h ON CAST(d.doc_id AS VARCHAR) = h.doc
+       CROSS JOIN prior p)
+SELECT doc_id, lang, n_vocab_tokens,
+       ROUND(score_u / 1000000.0, 6) log_odds,
+       (score_u >= 0) pred_en
+FROM sc ORDER BY doc_id""",
+        # held-out confusion report for the same model (the fifth the
+        # training fold never saw)
+        "nb_lang_eval": f"""
+WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+             FROM documents
+             WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+toklist AS (SELECT CAST(doc_id AS VARCHAR) doc, {_TOKS} a
+            FROM documents),
+ttoks AS (SELECT t.doc, unnest(t.a) w, l.y
+          FROM toklist t JOIN lab l USING (doc)),
+tc AS (SELECT w term, CAST(SUM(y) AS DOUBLE) c_pos,
+              CAST(SUM(1 - y) AS DOUBLE) c_neg, COUNT(*) cnt
+       FROM ttoks GROUP BY 1),
+vocab AS (SELECT * FROM tc ORDER BY cnt DESC, term ASC LIMIT 25),
+tot AS (SELECT SUM(c_pos) t_pos, SUM(c_neg) t_neg,
+               CAST(COUNT(*) AS DOUBLE) v
+        FROM vocab),
+model AS (SELECT term,
+                 CAST(FLOOR((ln((c_pos + 1.0) / (t_pos + v))
+                             - ln((c_neg + 1.0) / (t_neg + v)))
+                            * 1000000.0 + 0.5) AS BIGINT) lr_u
+          FROM vocab CROSS JOIN tot),
+prior AS (SELECT CAST(FLOOR((ln(n_pos) - ln(n_neg)) * 1000000.0 + 0.5)
+                      AS BIGINT) prior_u
+          FROM (SELECT CAST(SUM(y) AS DOUBLE) n_pos,
+                       CAST(SUM(1 - y) AS DOUBLE) n_neg
+                FROM lab)),
+held AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+         FROM documents WHERE doc_id % 5 = 0),
+stoks AS (SELECT t.doc, unnest(t.a) w
+          FROM toklist t JOIN held USING (doc)),
+hit AS (SELECT s.doc, CAST(SUM(m.lr_u) AS BIGINT) sum_u
+        FROM stoks s JOIN model m ON s.w = m.term GROUP BY 1),
+sc AS (SELECT h.doc, h.y,
+              ((p.prior_u + COALESCE(x.sum_u, 0)) >= 0) pred
+       FROM held h
+       LEFT JOIN hit x ON h.doc = x.doc
+       CROSS JOIN prior p),
+cm AS (SELECT
+    CAST(SUM(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) tp,
+    CAST(SUM(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE) fp,
+    CAST(SUM(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END)
+         AS DOUBLE) fn,
+    CAST(SUM(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END)
+         AS DOUBLE) tn,
+    CAST(COUNT(*) AS DOUBLE) n_heldout
+  FROM sc)
+SELECT 'tp' metric, tp AS value FROM cm
+UNION ALL SELECT 'fp', fp FROM cm
+UNION ALL SELECT 'fn', fn FROM cm
+UNION ALL SELECT 'tn', tn FROM cm
+UNION ALL SELECT 'n_heldout', n_heldout FROM cm
+UNION ALL SELECT 'accuracy', ROUND((tp + tn) / n_heldout, 6) FROM cm""",
     }
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift

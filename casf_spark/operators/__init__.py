@@ -1,7 +1,8 @@
-from casf_spark.operators import (cdc, checks, curation, dedup, joins,
-                                  linalg, pipeline, profile, relevance,
-                                  sampling, similarity, sketches, skew)
+from casf_spark.operators import (cdc, checks, classify, curation, dedup,
+                                  joins, linalg, pipeline, profile,
+                                  relevance, sampling, similarity, sketches,
+                                  skew)
 
-__all__ = ["cdc", "checks", "curation", "dedup", "joins", "linalg",
-           "pipeline", "profile", "relevance", "sampling", "similarity",
-           "sketches", "skew"]
+__all__ = ["cdc", "checks", "classify", "curation", "dedup", "joins",
+           "linalg", "pipeline", "profile", "relevance", "sampling",
+           "similarity", "sketches", "skew"]

@@ -1,0 +1,143 @@
+"""Model-based filtering: a distributed multinomial Naive Bayes text
+classifier (train = one counting pass, score = one broadcast-join pass).
+
+Every production pretraining pipeline pairs its heuristic filters with a
+LEARNED quality/domain classifier (CCNet / LLaMA / GPT-3 train a
+fastText- or NB-style linear model on labeled text and keep documents
+the model scores well). The reference corpus has no learned component —
+this module supplies the classical counterpart: binary multinomial NB
+over the same tokenizer the rest of the engine uses
+(functions/text.py:22 TOKEN_SPLIT_PATTERN), trained and applied entirely
+as DataFrame plans.
+
+Cross-engine determinism (the dedup_pagerank / rrf_fuse lesson applied
+at design time): every per-term log-likelihood ratio is folded to
+integer MICRO-units at train time, so a document's score is an INTEGER
+sum — order-independent, associativity-proof. Only the final report
+divides back to a 6dp float.
+
+Scale notes (100 TB bar):
+
+- ``nb_train``: one token-count aggregation keyed by term (map-side
+  combined — the shuffle carries the vocabulary, not token
+  occurrences), then a top-``vocab_size`` cut via ``orderBy().limit()``
+  (TakeOrderedAndProject — per-partition partial top-n, no full
+  vocabulary sort). Class totals and the prior are 1-row aggregates
+  broadcast-cross-joined, never driver collects. The returned model is
+  ≤ ``vocab_size + 1`` rows BY CONSTRUCTION — a bounded side input.
+- ``nb_score``: the model broadcasts; scoring is tokenize → broadcast
+  hash join → one map-combined per-doc integer sum. Nothing
+  corpus-sized shuffles full-width; the only exchange is keyed by doc
+  id for the count/sum aggregation.
+- OOV tokens (outside the capped vocabulary) are ignored at score time
+  — the standard capped-vocab NB convention, and what keeps the model
+  bounded no matter the corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
+
+__all__ = ["nb_train", "nb_score", "PRIOR_TERM"]
+
+#: the model row carrying the class-prior log-odds (the empty string can
+#: never collide with a real token — the tokenizer drops empties).
+PRIOR_TERM = ""
+
+_SCALE_U = 1_000_000  # integer micro-units for log-likelihood ratios
+
+
+def _round_half_up_u(col, scale_u: int = _SCALE_U):
+    """floor(x * scale + 0.5) — round-half-up to integer units; identical
+    semantics in Spark and DuckDB for negative values too (half rounds
+    toward +inf on both engines)."""
+    return F.floor(col * F.lit(float(scale_u)) + F.lit(0.5)).cast("long")
+
+
+def nb_train(docs: DataFrame, id_col: str, text_col: str,
+             label_col: str, positive,
+             vocab_size: int = 5000,
+             pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Train binary multinomial NB -> model DataFrame ``(term, lr_u)``.
+
+    ``lr_u`` is the integer micro-unit log-likelihood ratio
+    ``ln P(term|pos) - ln P(term|neg)`` under Laplace(+1) smoothing over
+    the capped vocabulary (top ``vocab_size`` terms by total training
+    count, ties term asc). One extra row with ``term = PRIOR_TERM``
+    carries the class-prior log-odds ``ln(n_pos) - ln(n_neg)``.
+
+    Rows whose label is NULL are excluded from training (neither class).
+    Documents with NULL/empty text contribute no token counts but DO
+    count toward the prior — they carry label evidence.
+    """
+    lab = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.when(F.col(label_col).isNull(), F.lit(None))
+        .otherwise((F.col(label_col) == F.lit(positive)).cast("int"))
+        .alias("y")).where(F.col("y").isNotNull())
+    toks = (tokenize(docs, id_col, text_col, pattern)
+            .select("doc", "word")
+            .join(lab, "doc"))
+    tc = (toks.groupBy(F.col("word").alias("term"))
+          .agg(F.sum("y").cast("double").alias("c_pos"),
+               F.sum(1 - F.col("y")).cast("double").alias("c_neg"),
+               F.count(F.lit(1)).alias("cnt")))
+    vocab = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_size)
+    totals = vocab.agg(F.sum("c_pos").alias("t_pos"),
+                       F.sum("c_neg").alias("t_neg"),
+                       F.count(F.lit(1)).cast("double").alias("v"))
+    terms = (vocab.crossJoin(F.broadcast(totals))
+             .select(
+                 "term",
+                 _round_half_up_u(
+                     F.log((F.col("c_pos") + 1.0)
+                           / (F.col("t_pos") + F.col("v")))
+                     - F.log((F.col("c_neg") + 1.0)
+                             / (F.col("t_neg") + F.col("v")))
+                 ).alias("lr_u")))
+    prior = (lab.agg(F.sum("y").cast("double").alias("n_pos"),
+                     F.sum(1 - F.col("y")).cast("double").alias("n_neg"))
+             .select(F.lit(PRIOR_TERM).alias("term"),
+                     _round_half_up_u(F.log(F.col("n_pos"))
+                                      - F.log(F.col("n_neg")))
+                     .alias("lr_u")))
+    return terms.unionByName(prior)
+
+
+def nb_score(docs: DataFrame, model: DataFrame, id_col: str,
+             text_col: str,
+             pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Score every document with a trained NB model ->
+    ``(doc, n_vocab_tokens, score_u, log_odds, pred_pos)``.
+
+    ``score_u = prior_u + sum of lr_u over the doc's vocabulary token
+    OCCURRENCES`` (integer micro-units — exact); ``log_odds`` divides
+    back to 6dp; ``pred_pos = score_u >= 0``. Documents with no
+    vocabulary tokens (including NULL/empty text) score the bare prior.
+    """
+    term_rows = model.where(F.col("term") != F.lit(PRIOR_TERM))
+    prior = (model.where(F.col("term") == F.lit(PRIOR_TERM))
+             .select(F.col("lr_u").alias("prior_u")))
+    toks = tokenize(docs, id_col, text_col, pattern).select("doc", "word")
+    hit = (toks.join(F.broadcast(term_rows),
+                     toks.word == term_rows.term)
+           .groupBy("doc")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_vocab_tokens"),
+                F.sum("lr_u").alias("sum_u")))
+    ids = docs.select(F.col(id_col).cast("string").alias("doc")).distinct()
+    return (ids.join(hit, "doc", "left")
+            .crossJoin(F.broadcast(prior))
+            .select(
+                "doc",
+                F.coalesce("n_vocab_tokens", F.lit(0)).cast("long")
+                .alias("n_vocab_tokens"),
+                (F.col("prior_u") + F.coalesce("sum_u", F.lit(0)))
+                .cast("long").alias("score_u"))
+            .select(
+                "doc", "n_vocab_tokens", "score_u",
+                F.round(F.col("score_u") / F.lit(float(_SCALE_U)), 6)
+                .alias("log_odds"),
+                (F.col("score_u") >= 0).alias("pred_pos")))

@@ -44,8 +44,9 @@ from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
 from casf_spark.functions import vectors as V
 from casf_spark.operators import similarity as _sim
 
-__all__ = ["tfidf_terms", "bm25_rank", "knn_classify", "vocab_coverage",
-           "unigram_logprob", "bigram_logprob", "label_centroid_outliers"]
+__all__ = ["tfidf_terms", "bm25_rank", "tfidf_rank", "knn_classify",
+           "vocab_coverage", "unigram_logprob", "bigram_logprob",
+           "label_centroid_outliers", "rrf_fuse"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -149,6 +150,50 @@ def bm25_rank(docs: DataFrame, query_terms: Sequence[str],
                    F.count(F.lit(1)).cast("long").alias("n_hit_terms")))
     # sort+limit compiles to TakeOrderedAndProject (partial per-partition
     # top-n) — not a global sort
+    return ranked.orderBy(F.desc("score"), F.asc("doc")).limit(top_n)
+
+
+def tfidf_rank(docs: DataFrame, query_terms: Sequence[str],
+               id_col: str, text_col: str, top_n: int = 20,
+               pattern: str = TOKEN_SPLIT_PATTERN,
+               round_to: int = 6) -> DataFrame:
+    """TF-IDF-ranked documents for a bag-of-words query ->
+    (doc, score, n_hit_terms), top ``top_n`` by (score desc, doc asc) —
+    the length-unnormalized lexical baseline next to ``bm25_rank`` (and
+    the natural third leg for a weighted ``rrf_fuse``).
+
+    ``score(d) = sum over query terms of tf(t, d) * idf(t)`` with the
+    same smoothed ``idf = ln((N + 1) / (df + 1)) + 1`` as
+    ``tfidf_terms``, rounded to ``round_to`` so rank order is
+    engine-stable. df counts documents containing the term among the
+    HIT set (same convention as ``bm25_rank``'s query-side df).
+
+    Scale shape: identical to ``bm25_rank`` minus the doc-length table —
+    the corpus side is filtered to query-term hits map-side before the
+    one keyed aggregation, so nothing corpus-sized shuffles at all; the
+    top-n is TakeOrderedAndProject.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(docs, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    hits = (toks.where(F.col("word").isin(terms))
+            .groupBy("doc", F.col("word").alias("term"))
+            .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    dfreq = (hits.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (hits
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(_corpus_size(docs, id_col)))
+              .select(
+                  "doc",
+                  (F.col("tf")
+                   * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                      + 1)).alias("c")))
+    ranked = (scored.groupBy("doc")
+              .agg(F.round(F.sum("c"), round_to).alias("score"),
+                   F.count(F.lit(1)).cast("long").alias("n_hit_terms")))
     return ranked.orderBy(F.desc("score"), F.asc("doc")).limit(top_n)
 
 

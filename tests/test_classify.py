@@ -1,0 +1,105 @@
+"""Model-based filtering (operators/classify.py): binary multinomial
+Naive Bayes — hand-computed log-likelihood ratios, scoring identities,
+vocabulary-cap / OOV behavior, and NULL handling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import classify as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _rhu(x):
+    """round-half-up micro-units, the operator's folding rule."""
+    return math.floor(x * 1e6 + 0.5)
+
+
+FIX = [(0, "cat cat dog", "en"), (1, "cat fish", "en"),
+       (2, "dog dog bird", "de"), (3, "fish bird bird", "de")]
+
+
+def test_nb_train_hand_computed(spark):
+    """Laplace(+1) log-likelihood ratios over the capped vocabulary:
+    pos tokens cat:3 dog:1 fish:1 (T=5), neg dog:2 bird:3 fish:1 (T=6),
+    V=4; prior row is ln(2)-ln(2)=0 at term ''."""
+    model = C.nb_train(_docs(spark, FIX), "doc_id", "text", "lang", "en",
+                       vocab_size=10)
+    got = {r.term: r.lr_u for r in model.collect()}
+
+    def lr(cp, cn):
+        return _rhu(math.log((cp + 1) / (5 + 4)) - math.log((cn + 1) / (6 + 4)))
+
+    assert got == {"cat": lr(3, 0), "dog": lr(1, 2), "fish": lr(1, 1),
+                   "bird": lr(0, 3), C.PRIOR_TERM: 0}
+    assert got["cat"] > 0 > got["bird"]
+
+
+def test_nb_score_integer_sum_and_prediction(spark):
+    """score_u = prior_u + sum of per-occurrence lr_u (exact integers);
+    pred_pos = score_u >= 0; log_odds = score_u / 1e6 rounded 6dp."""
+    docs = _docs(spark, FIX)
+    model = C.nb_train(docs, "doc_id", "text", "lang", "en", vocab_size=10)
+    m = {r.term: r.lr_u for r in model.collect()}
+    got = {r.doc: r for r in C.nb_score(docs, model, "doc_id", "text").collect()}
+    assert got["0"].score_u == 2 * m["cat"] + m["dog"]
+    assert got["0"].pred_pos and not got["2"].pred_pos
+    assert got["3"].score_u == m["fish"] + 2 * m["bird"]
+    for r in got.values():
+        assert r.log_odds == round(r.score_u / 1e6, 6)
+        assert r.pred_pos == (r.score_u >= 0)
+
+
+def test_nb_vocab_cap_and_oov(spark):
+    """vocab_size cuts by (count desc, term asc); tokens outside the
+    capped vocabulary are ignored at score time (don't count toward
+    n_vocab_tokens or the score)."""
+    docs = _docs(spark, [(0, "aa aa aa bb bb zz", "en"),
+                         (1, "aa bb cc", "de")])
+    model = C.nb_train(docs, "doc_id", "text", "lang", "en", vocab_size=2)
+    terms = {r.term for r in model.collect()} - {C.PRIOR_TERM}
+    assert terms == {"aa", "bb"}  # counts 4 and 3; cc/zz (1 each) cut
+    got = {r.doc: r for r in C.nb_score(docs, model, "doc_id", "text").collect()}
+    assert got["0"].n_vocab_tokens == 5  # zz ignored
+    assert got["1"].n_vocab_tokens == 2  # cc ignored
+
+
+def test_nb_null_text_and_unlabeled_rows(spark):
+    """NULL-text docs train nothing but count toward the prior and score
+    the bare prior; NULL-label rows are excluded from training entirely
+    but still scored."""
+    docs = _docs(spark, [(0, "cat cat", "en"), (1, None, "en"),
+                         (2, "cat dog", "de"), (3, "dog dog", None)])
+    train = docs.where(F.col("lang").isNotNull())
+    model = C.nb_train(train, "doc_id", "text", "lang", "en", vocab_size=10)
+    m = {r.term: r.lr_u for r in model.collect()}
+    # training counts: pos cat:2 (doc1 has no tokens), neg cat:1 dog:1;
+    # doc3 excluded (NULL label). V=2, T_pos=2, T_neg=2.
+    def lr(cp, cn):
+        return _rhu(math.log((cp + 1) / (2 + 2)) - math.log((cn + 1) / (2 + 2)))
+    assert m["cat"] == lr(2, 1) and m["dog"] == lr(0, 1)
+    # prior: 2 pos docs (incl. the NULL-text one) vs 1 neg
+    assert m[C.PRIOR_TERM] == _rhu(math.log(2) - math.log(1))
+    got = {r.doc: r for r in C.nb_score(docs, model, "doc_id", "text").collect()}
+    assert set(got) == {"0", "1", "2", "3"}  # NULL-label doc still scored
+    assert got["1"].n_vocab_tokens == 0
+    assert got["1"].score_u == m[C.PRIOR_TERM]  # bare prior
+
+
+def test_nb_split_scoring_is_deterministic(spark):
+    """Scoring is repartition-invariant: the integer micro-unit fold
+    makes per-doc sums exact, so shuffling the input never changes a
+    score (the rrf/pagerank order-independence discipline)."""
+    docs = _docs(spark, FIX)
+    model = C.nb_train(docs, "doc_id", "text", "lang", "en", vocab_size=10)
+    a = {(r.doc, r.score_u)
+         for r in C.nb_score(docs, model, "doc_id", "text").collect()}
+    b = {(r.doc, r.score_u)
+         for r in C.nb_score(docs.repartition(7), model, "doc_id",
+                             "text").collect()}
+    assert a == b

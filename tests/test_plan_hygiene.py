@@ -64,6 +64,12 @@ PRODUCT_WHITELIST = {
     # inherits bm25_rank's 1-row corpus-stats broadcast in the lexical
     # leg (plus the 1-row query-vector broadcast in the cosine leg)
     "retrieval_rrf",
+    # same legs plus tfidf_rank's 1-row corpus-count broadcast
+    "retrieval_rrf_weighted",
+    # NB classifier: 1-row class-totals and 1-row prior broadcasts
+    # (the model itself is a bounded <= vocab_size-row side input)
+    "nb_lang_score",
+    "nb_lang_eval",
     # 1-row candidate-total broadcast scoring the 64-row vocabulary cut
     "unigram_lm_scores",
     # 8-row deterministic-centroid broadcast in the quantizer assignment
@@ -93,7 +99,10 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     "pack_greedy",
                     # the insert-offset scalar agg feeds two consumers
                     # (changeset build + output filter) -> planned twice
-                    "orders_merge_upsert"}
+                    "orders_merge_upsert",
+                    # NB held-out eval: the 1-row prior agg + the final
+                    # 1-row confusion-matrix agg (output is 6 rows total)
+                    "nb_lang_eval"}
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
@@ -105,7 +114,10 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     # ref-date agg + percentile-bounds agg + the bounds
                     # re-aggregation after the ref-date broadcast join —
                     # all 1-row scalar aggregates feeding CASE bucketing
-                    "customer_rfm": 3}
+                    "customer_rfm": 3,
+                    # 3-leg fusion: bm25's 1-row corpus-stats agg + the
+                    # two 50-row lexical rank windows (bm25 + tfidf legs)
+                    "retrieval_rrf_weighted": 3}
 
 
 @pytest.fixture(scope="module")

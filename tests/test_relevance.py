@@ -255,3 +255,38 @@ def test_rrf_fuse_weighted(spark):
     b = {r.item_id: r.rrf_score
          for r in RV.rrf_fuse([legA, legB], weights=[1.0, 1.0]).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- tfidf_rank
+
+def test_tfidf_rank_hand_computed(spark):
+    """tfidf_rank on a 4-doc corpus: score = tf * (ln((N+1)/(df+1)) + 1)
+    summed over query terms, df counted over the HIT set; ranking is
+    (score desc, doc asc)."""
+    docs = _docs(spark, [(0, "cat cat dog"), (1, "cat fish"),
+                         (2, "dog dog bird"), (3, "fish bird bird")])
+    got = {r.doc: (r.score, r.n_hit_terms)
+           for r in RV.tfidf_rank(docs, ["cat", "bird"], "doc_id", "text",
+                                  top_n=10).collect()}
+    idf = math.log(5 / 3) + 1  # N=4, df=2 for both terms
+    assert got[0] == (round(2 * idf, 6), 1)   # cat x2
+    assert got[3] == (round(2 * idf, 6), 1)   # bird x2
+    assert got[1] == (round(1 * idf, 6), 1)
+    assert got[2] == (round(1 * idf, 6), 1)
+    # docs without any query term never appear
+    assert set(got) == {0, 1, 2, 3}
+    extra = _docs(spark, [(9, "nothing relevant here")])
+    got2 = RV.tfidf_rank(docs.unionByName(extra), ["cat"], "doc_id",
+                         "text", top_n=10).collect()
+    assert {r.doc for r in got2} == {0, 1}
+
+
+def test_tfidf_rank_multi_term_accumulates_and_cuts(spark):
+    """A doc hitting two query terms outranks a doc hitting one with the
+    same tf; top_n cuts by (score desc, doc asc)."""
+    docs = _docs(spark, [(0, "cat bird"), (1, "cat cat"), (2, "cat x")])
+    rows = RV.tfidf_rank(docs, ["cat", "bird"], "doc_id", "text",
+                         top_n=2).collect()
+    assert len(rows) == 2
+    got = {r.doc: r.n_hit_terms for r in rows}
+    assert got[0] == 2  # both terms hit
