@@ -1972,6 +1972,23 @@ _BPE_MERGE_CACHE: dict = {}
 _UNIGRAM_PIECE_CACHE: dict = {}
 
 
+def _learned_merges(spark, docs, sf, n_merges: int = 8):
+    """The shared BPE merge table: serve from the in-process cache, else
+    learn once AND fill the cache — so whichever of q_bpe_merges /
+    q_bpe_encode / q_tokenizer_fertility runs first pays the 8-pass
+    learning loop and the rest reuse the 8 collected rows. A fresh JVM
+    (isolated bench leg) still re-learns — every query stays
+    self-contained and hash-identical."""
+    cached = _BPE_MERGE_CACHE.get((sf, n_merges))
+    if cached is not None:
+        rows, schema = cached
+        return spark.createDataFrame(rows, schema)
+    m = CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=n_merges)
+    rows = m.collect()  # n_merges rows — bounded
+    _BPE_MERGE_CACHE[(sf, n_merges)] = (rows, m.schema)
+    return spark.createDataFrame(rows, m.schema)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE merge learning (operators.curation
     .learn_bpe_merges, Sennrich et al. 2016): 8 exact merge steps over
@@ -1999,13 +2016,153 @@ def q_bpe_encode(spark, sf):
     apply side of the tokenizer pair. Output: per-doc merged symbol
     sequence (space-joined, scalar)."""
     docs = load_table(spark, sf, "documents")
-    cached = _BPE_MERGE_CACHE.get((sf, 8))
-    if cached is not None:
-        rows, schema = cached
-        merges = spark.createDataFrame(rows, schema)
-    else:
-        merges = CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=8)
+    merges = _learned_merges(spark, docs, sf)
     return CU.bpe_encode(docs, "doc_id", "text", merges)
+
+
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility report — the EVALUATE step completing the
+    BPE learn→encode pair: per language, symbols-per-word (sequence
+    length per word after merges — ≤1 at this word-grain BPE, lower =
+    the learned merges compress that language more) and
+    chars-per-symbol (how much text each emitted symbol carries) under
+    the corpus-learned 8-merge table. The per-language tokenizer-equity
+    metric a multilingual pipeline reads before committing to a
+    vocabulary: a language the merges don't cover pays more sequence
+    length per unit of text. Reuses the in-process merge cache when
+    q_bpe_merges ran first (same contract as q_bpe_encode); a fresh JVM
+    re-learns, hash-identical. One map-only encode pass + one
+    map-combined per-lang aggregation."""
+    docs = load_table(spark, sf, "documents")
+    merges = _learned_merges(spark, docs, sf)
+    enc = CU.bpe_encode(docs, "doc_id", "text", merges) \
+        .select("doc_id", "n_symbols")
+    toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+    w = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("n_chars"))
+    return (w.join(enc, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_symbols").cast("long").alias("n_symbols"),
+                 F.round(F.sum("n_symbols") / F.sum("n_words"), 6)
+                 .alias("symbols_per_word"),
+                 F.round(F.sum("n_chars") / F.sum("n_symbols"), 6)
+                 .alias("chars_per_symbol"))
+            .orderBy("lang"))
+
+
+def q_collocations_pmi(spark, sf):
+    """Collocation extraction (operators.relevance.collocation_pmi —
+    the word2phrase / phrase-mining step, Mikolov et al. 2013): top-25
+    adjacent bigrams by PMI with a count floor of 5. Bigrams are
+    generated expression-only (arrays_zip of the token array against
+    its shift — no window, no per-doc shuffle); count shuffles carry
+    the bigram vocabulary, never occurrences."""
+    docs = load_table(spark, sf, "documents")
+    return RV.collocation_pmi(docs, "doc_id", "text",
+                              min_count=5, top_n=25)
+
+
+def q_multimodal_image_neardup(spark, sf):
+    """Perceptual image near-dup via dHash (multimodal.binary
+    .dhash_rgb24) — the image-side counterpart of MinHash text dedup:
+    synthesize planted-group RGB24 rasters (same base image per
+    ``doc_id % 400`` class, per-doc uniform brightness shifts ≤ 32 —
+    the transform byte-exact hashing CANNOT catch), run the REAL
+    decode → nearest-resize (18x16 → 9x8) → integer-luma dHash chain,
+    bucket by digest. The DuckDB twin predicts the EXACT output from
+    the id arithmetic — a full end-to-end gate on the Python
+    decode/resize/hash path (any determinism break, digest collision,
+    or dropped row hash-mismatches). ONE map-only Arrow pass + ONE
+    digest-keyed exchange (the bucket stats are a window over the
+    digest partitioning, not a groupBy + join-back — that shape would
+    re-run the Python decode a second time and shuffle twice); payload
+    bytes never shuffle past the 16-char hash."""
+    docs = load_table(spark, sf, "documents")
+    imgs = MM.synthesize_rgb_payload_grouped(docs, "doc_id",
+                                             group_mod=400,
+                                             width=18, height=16)
+    small = MM.resize_rgb_nearest(imgs, 18, 16, 9, 8) \
+        .withColumnRenamed("resized", "payload")
+    hashed = MM.dhash_rgb24(small, 9, 8)
+    w = Window.partitionBy("dhash")
+    return (hashed
+            .select("doc_id",
+                    F.min("doc_id").over(w).alias("canonical_id"),
+                    F.count(F.lit(1)).over(w).cast("long")
+                    .alias("n_dupes"))
+            .select("doc_id", "canonical_id", "n_dupes",
+                    (F.col("n_dupes") > 1).alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+def q_multimodal_audio_neardup(spark, sf):
+    """Perceptual audio near-dup via an energy-profile fingerprint
+    (multimodal.binary.pcm_energy_fingerprint) — the audio counterpart
+    of the dHash image query: synthesize planted-group s16le signals
+    (same base per ``doc_id % 400`` class, per-doc INTEGER gains ≤ 4 —
+    the re-master transform byte hashing cannot catch), fingerprint the
+    64-frame integer energy contour, bucket by digest. Gain-invariance
+    is exact (energies scale by gain²), so the DuckDB twin predicts the
+    output from id arithmetic alone — the same
+    exact-oracle-without-DSP-twin trick as multimodal_image_neardup.
+    ONE map-only Arrow pass + ONE digest-keyed exchange (window over
+    the digest partitioning — same single-pass shape as the image
+    query)."""
+    docs = load_table(spark, sf, "documents")
+    pcm = MM.synthesize_pcm_payload_grouped(docs, "doc_id",
+                                            group_mod=400,
+                                            n_samples=1600)
+    fp = MM.pcm_energy_fingerprint(pcm, n_frames=64)
+    w = Window.partitionBy("afp")
+    return (fp
+            .select("doc_id",
+                    F.min("doc_id").over(w).alias("canonical_id"),
+                    F.count(F.lit(1)).over(w).cast("long")
+                    .alias("n_dupes"))
+            .select("doc_id", "canonical_id", "n_dupes",
+                    (F.col("n_dupes") > 1).alias("is_dup"))
+            .orderBy("doc_id"))
+
+
+def q_corpus_card(spark, sf):
+    """Corpus datasheet ("Datasheets for Datasets", Gebru et al. 2021) —
+    the one-page report a dataset ships with: size (docs/tokens),
+    composition (languages/sources), exact-duplicate rate, heuristic
+    quality pass rate, mean document length. Long-format (metric,
+    value) rows; ratios rounded 6dp. Every number is a corpus-grain
+    aggregate (map-combined counts / distinct counts); the dup-rate and
+    quality legs reuse the PROVEN dedup_exact and gopher_quality
+    operators, and the ORACLE composes those queries' proven bodies as
+    CTEs — the composition can never drift from the component
+    contracts."""
+    docs = load_table(spark, sf, "documents")
+    n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    base = docs.select("doc_id", "lang", "source",
+                       n_tok.cast("long").alias("n"))
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n").cast("double").alias("n_tokens"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"))
+    m2 = (DD.dedup_exact(docs, "doc_id", "text")
+          .agg(F.count(F.lit(1)).cast("double").alias("n_kept")))
+    m3 = (TX.gopher_quality(docs, "doc_id", "text")
+          .agg(F.avg(F.col("passes_gopher").cast("double"))
+               .alias("gopher_rate")))
+    joined = m1.crossJoin(F.broadcast(m2)).crossJoin(F.broadcast(m3))
+    return joined.select(F.explode(F.map_from_arrays(
+        F.array(F.lit("n_docs"), F.lit("n_tokens"), F.lit("n_langs"),
+                F.lit("n_sources"), F.lit("exact_dup_rate"),
+                F.lit("gopher_pass_rate"), F.lit("mean_doc_tokens")),
+        F.array("n_docs", "n_tokens", "n_langs", "n_sources",
+                F.round(1.0 - F.col("n_kept") / F.col("n_docs"), 6),
+                F.round("gopher_rate", 6),
+                F.round(F.col("n_tokens") / F.col("n_docs"), 6))))
+        .alias("metric", "value"))
 
 
 def q_pipeline_curate_v2(spark, sf):
@@ -4035,35 +4192,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 13 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 18 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
 #     doc_quality_source_quantile, cluster_profile, mixture_plan,
 #     curriculum_buckets, unigram_lm_segment — the Viterbi encoder's
-#     chained-DP twin — plus the late-round trio retrieval_rrf_weighted,
-#     nb_lang_score, nb_lang_eval) — windowed immediately so no
-#     never-checked backlog accumulates;
+#     chained-DP twin — plus the late-round eight: retrieval_rrf_weighted,
+#     nb_lang_score, nb_lang_eval, tokenizer_fertility, collocations_pmi,
+#     multimodal_image_neardup, multimodal_audio_neardup, corpus_card) —
+#     windowed immediately so no never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 12
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 7
 #     of the 50 names last green in round 5, in round-5 window order.
-#     NEXT.md's round-9 queue is authoritative: the 3 displaced tail
-#     names (multimodal_features, users_click_not_purchase,
-#     window_first_last) head it, then the 35 round-5 leftovers
-#     (events_running_distinct, text_chunks, train_shards,
-#     orders_merge_upsert, events_approx_percentiles, ... — full list in
-#     NEXT.md), then the round-6 cohort.
+#     NEXT.md's round-9 queue is authoritative: the 8 displaced tail
+#     names (events_hour_spine, text_fingerprint, text_token_stats,
+#     text_split, ann_lsh_mp, multimodal_features,
+#     users_click_not_purchase, window_first_last) head it, then the 35
+#     round-5 leftovers (events_running_distinct, text_chunks,
+#     train_shards, orders_merge_upsert, events_approx_percentiles, ... —
+#     full list in NEXT.md), then the round-6 cohort.
 # With CORRECTNESS_r08 green, every name's newest green row is round 5+.
 _ROUND8_WINDOW = [
-    # -- the 13 round-8 additions (the last 3 — the weighted 3-leg RRF
-    #    and the NB classifier pair — landed late in the round and
-    #    displaced the window's 3 tail names, which now head the round-9
+    # -- the 18 round-8 additions (the last 8 — the weighted 3-leg RRF,
+    #    the NB classifier pair, the tokenizer-fertility report, the PMI
+    #    collocations, the dHash/energy-contour perceptual near-dup
+    #    pair, and the corpus datasheet — landed late in the round and
+    #    displaced the window's 8 tail names, which now head the round-9
     #    re-confirmation queue ahead of the 35 round-5 leftovers)
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
     "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
+    "tokenizer_fertility", "collocations_pmi", "multimodal_image_neardup",
+    "multimodal_audio_neardup", "corpus_card",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -4073,12 +4236,11 @@ _ROUND8_WINDOW = [
     "dedup_cross_source", "text_ttr", "multimodal_pcm",
     "events_click_purchase_days", "orders_price_position", "events_unpivot",
     "text_novelty", "customer_order_counts_right", "ann_ivf",
-    # -- first 15 of the 50 names last green in round 5 (round-5 window
-    #    order)
+    # -- first 7 of the 50 names last green in round 5 (round-5 window
+    #    order; the late round-8 additions displaced the other 8 to the
+    #    round-9 queue head — see NEXT.md)
     "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
     "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
-    "events_hour_spine", "text_fingerprint", "text_token_stats",
-    "text_split", "ann_lsh_mp",
 ]
 
 
@@ -4201,6 +4363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf_weighted": q_retrieval_rrf_weighted,
         "nb_lang_score": q_nb_lang_score,
         "nb_lang_eval": q_nb_lang_eval,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "collocations_pmi": q_collocations_pmi,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
+        "multimodal_audio_neardup": q_multimodal_audio_neardup,
+        "corpus_card": q_corpus_card,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
@@ -6619,6 +6786,49 @@ UNION ALL SELECT 'fn', fn FROM cm
 UNION ALL SELECT 'tn', tn FROM cm
 UNION ALL SELECT 'n_heldout', n_heldout FROM cm
 UNION ALL SELECT 'accuracy', ROUND((tp + tn) / n_heldout, 6) FROM cm""",
+        # adjacent-bigram PMI collocations (relevance.collocation_pmi):
+        # bigram pairs via position self-join == Spark's arrays_zip shift
+        "collocations_pmi": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+uni AS (SELECT unnest(a) w FROM toklist),
+cw AS (SELECT w, COUNT(*) c_w FROM uni GROUP BY 1),
+n1 AS (SELECT CAST(SUM(c_w) AS DOUBLE) n1 FROM cw),
+pos AS (SELECT doc, unnest(a) w, generate_subscripts(a, 1) p
+        FROM toklist),
+big AS (SELECT a.w w1, b.w w2
+        FROM pos a JOIN pos b ON a.doc = b.doc AND b.p = a.p + 1),
+cab AS (SELECT w1, w2, COUNT(*) c_ab FROM big GROUP BY 1, 2),
+n2 AS (SELECT CAST(SUM(c_ab) AS DOUBLE) n2 FROM cab)
+SELECT w1, w2, CAST(c_ab AS BIGINT) c_ab,
+       ROUND(ln((c_ab / n2.n2)
+                / ((ca.c_w / n1.n1) * (cb.c_w / n1.n1))), 6) pmi
+FROM cab
+JOIN cw ca ON ca.w = cab.w1
+JOIN cw cb ON cb.w = cab.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+        # perceptual image near-dup: the twin predicts the dHash
+        # bucketing from the PLANT arithmetic (same base raster per
+        # doc_id % 400, brightness shifts that dHash provably ignores) —
+        # pixel math never needs a SQL twin, yet the gate is exact
+        "multimodal_image_neardup": """
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 400) AS BIGINT)
+         canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id % 400) AS BIGINT) n_dupes,
+       (COUNT(*) OVER (PARTITION BY doc_id % 400) > 1) is_dup
+FROM documents ORDER BY doc_id""",
+        # audio twin: identical plant arithmetic (the fingerprint's
+        # gain-invariance is exact, so the grouping is fully predicted)
+        "multimodal_audio_neardup": """
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 400) AS BIGINT)
+         canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id % 400) AS BIGINT) n_dupes,
+       (COUNT(*) OVER (PARTITION BY doc_id % 400) > 1) is_dup
+FROM documents ORDER BY doc_id""",
     }
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift
@@ -6637,4 +6847,48 @@ SELECT g.doc_id, g.passes_gopher, c.passes_c4, q.below_p25,
 FROM g JOIN c USING (doc_id) JOIN q USING (doc_id)
 LEFT JOIN e ON e.doc_id = g.doc_id
 LEFT JOIN nd ON nd.doc0 = g.doc_id"""
+    # tokenizer fertility composes the PROVEN bpe_encode oracle body, so
+    # the evaluate step can never drift from the encode contract
+    out["tokenizer_fertility"] = f"""
+WITH e AS ({out['bpe_encode']}),
+d AS (SELECT CAST(doc_id AS BIGINT) doc_id, lang,
+             COALESCE({_TOKS}, []) a
+      FROM documents),
+w AS (SELECT doc_id, lang,
+             CAST(length(a) AS BIGINT) n_words,
+             CAST(COALESCE(list_sum(list_transform(a, t -> length(t))),
+                           0) AS BIGINT) n_chars
+      FROM d)
+SELECT w.lang, CAST(COUNT(*) AS BIGINT) n_docs,
+       CAST(SUM(w.n_words) AS BIGINT) n_words,
+       CAST(SUM(e.n_symbols) AS BIGINT) n_symbols,
+       ROUND(CAST(SUM(e.n_symbols) AS DOUBLE) / SUM(w.n_words), 6)
+         symbols_per_word,
+       ROUND(CAST(SUM(w.n_chars) AS DOUBLE) / SUM(e.n_symbols), 6)
+         chars_per_symbol
+FROM w JOIN e USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+    # corpus datasheet composes the PROVEN dedup_exact and gopher bodies
+    out["corpus_card"] = f"""
+WITH b AS (SELECT doc_id, lang, source,
+                  length(COALESCE({_TOKS}, [])) n
+           FROM documents),
+e AS ({out['dedup_exact']}),
+g AS ({out['gopher_quality']}),
+m1 AS (SELECT CAST(COUNT(*) AS DOUBLE) n_docs,
+              CAST(SUM(n) AS DOUBLE) n_tokens,
+              CAST(COUNT(DISTINCT lang) AS DOUBLE) n_langs,
+              CAST(COUNT(DISTINCT source) AS DOUBLE) n_sources
+       FROM b),
+m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) n_kept FROM e),
+m3 AS (SELECT AVG(CASE WHEN passes_gopher THEN 1.0 ELSE 0.0 END)
+         gopher_rate FROM g)
+SELECT 'n_docs' metric, n_docs AS value FROM m1
+UNION ALL SELECT 'n_tokens', n_tokens FROM m1
+UNION ALL SELECT 'n_langs', n_langs FROM m1
+UNION ALL SELECT 'n_sources', n_sources FROM m1
+UNION ALL SELECT 'exact_dup_rate', ROUND(1.0 - m2.n_kept / m1.n_docs, 6)
+  FROM m1, m2
+UNION ALL SELECT 'gopher_pass_rate', ROUND(gopher_rate, 6) FROM m3
+UNION ALL SELECT 'mean_doc_tokens', ROUND(n_tokens / n_docs, 6) FROM m1"""
     return out

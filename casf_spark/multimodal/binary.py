@@ -251,6 +251,103 @@ def resize_rgb_nearest(df: DataFrame, width: int, height: int,
     return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
 
 
+def synthesize_rgb_payload_grouped(df: DataFrame, id_col: str,
+                                   group_mod: int = 400,
+                                   delta_mod: int = 5,
+                                   delta_step: int = 8,
+                                   width: int = 18,
+                                   height: int = 16) -> DataFrame:
+    """Deterministic raw-RGB24 payloads with PLANTED near-dup groups
+    (test fixture for perceptual dedup): every doc in the same
+    ``doc_id % group_mod`` class gets the SAME group-seeded base raster
+    (pixels in [0, 200)) plus a per-doc uniform brightness shift
+    ``(doc_id // group_mod) % delta_mod * delta_step`` (≤ 32 — never
+    clips, so gradients are preserved EXACTLY). A gradient-based
+    perceptual hash must therefore bucket exactly by the id arithmetic —
+    which is what lets a SQL oracle predict the dedup output without
+    replicating pixel math."""
+    w, h = int(width), int(height)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        bases: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["_id"]:
+                g = int(doc_id) % group_mod
+                base = bases.get(g)
+                if base is None:
+                    rng = np.random.default_rng(g)
+                    base = rng.integers(0, 200, size=w * h * 3,
+                                        dtype=np.uint8)
+                    bases[g] = base
+                d = (int(doc_id) // group_mod) % delta_mod * delta_step
+                payloads.append((base + np.uint8(d)).tobytes())
+            yield pd.DataFrame({"doc_id": pdf["_id"].astype("int64"),
+                                "payload": payloads})
+
+    return (df.select(F.col(id_col).cast("long").alias("_id"))
+            .mapInPandas(batches, "doc_id long, payload binary")
+            .withColumn("mime", F.lit("image/x-raw-rgb24"))
+            .withColumn("width", F.lit(w))
+            .withColumn("height", F.lit(h)))
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("dhash", T.StringType(), False),
+])
+
+
+def dhash_rgb24(df: DataFrame, width: int, height: int,
+                payload_col: str = "payload") -> DataFrame:
+    """Difference hash (dHash) over raw RGB24 rasters -> (doc_id, dhash
+    hex string) — the classic perceptual image fingerprint: luma
+    gradients survive re-encode and uniform brightness/contrast shifts
+    that break byte-exact hashing. Feed it the ``width+1 x height``
+    output of :func:`resize_rgb_nearest` for the standard 8x8=64-bit
+    hash (9x8 input).
+
+    Determinism discipline: luma is INTEGER fixed-point
+    ``299*r + 587*g + 114*b`` (no float rounding anywhere), so a uniform
+    +d shift on all channels moves every luma by exactly 1000*d and no
+    horizontal comparison can ever flip — the invariance the planted
+    fixture (and real brightness-shifted near-dups) rely on. Bit =
+    ``luma[x] > luma[x+1]``, packed row-major to a fixed-length hex
+    digest (string — no int64 sign games).
+
+    Scale shape: one Arrow-batched map-only pass; the output is
+    id + 16-char digest, groupable/joinable like any fingerprint
+    (same downstream contract as functions.hashing md5 fingerprints).
+    """
+    w, h = int(width), int(height)
+    need = w * h * 3
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                if len(b) != need:
+                    raise ValueError(
+                        f"payload of doc {doc_id} is {len(b)} bytes; "
+                        f"rgb24 {w}x{h} needs {need}")
+                img = np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3)
+                px = img.astype(np.int64)
+                luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] \
+                    + 114 * px[:, :, 2]
+                bits = (luma[:, :-1] > luma[:, 1:]).flatten()
+                digest = np.packbits(bits).tobytes().hex()
+                ids.append(int(doc_id))
+                hashes.append(digest)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select("doc_id", F.col(payload_col).alias(payload_col)) \
+        .mapInPandas(batches, DHASH_SCHEMA)
+
+
 def payload_metadata(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata projection over binary payloads (no Python):
     byte length + hex header. This is the path that must stay cheap at
@@ -302,6 +399,91 @@ def synthesize_pcm_payload(df: DataFrame, id_col: str,
             .mapInPandas(batches, "doc_id long, payload binary")
             .withColumn("mime", F.lit("audio/x-raw-s16le"))
             .withColumn("sample_rate", F.lit(int(sample_rate))))
+
+
+def synthesize_pcm_payload_grouped(df: DataFrame, id_col: str,
+                                   group_mod: int = 400,
+                                   gain_mod: int = 4,
+                                   n_samples: int = 1600,
+                                   sample_rate: int = 16000) -> DataFrame:
+    """Deterministic s16le PCM payloads with PLANTED near-dup groups
+    (test fixture for perceptual audio dedup): every doc in the same
+    ``doc_id % group_mod`` class gets the SAME group-seeded base signal
+    (int16 samples in [-8000, 8000)) times a per-doc INTEGER gain
+    ``(doc_id // group_mod) % gain_mod + 1`` (≤ 4 — |sample| stays under
+    32000, so the scaling is exact int16, no clip, no rounding). An
+    energy-comparison fingerprint is provably gain-invariant on these
+    (energies scale by exactly gain²), so it must bucket exactly by the
+    id arithmetic — the property that lets a SQL oracle predict the
+    dedup output without replicating DSP."""
+    n = int(n_samples)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        bases: dict = {}
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["_id"]:
+                g = int(doc_id) % group_mod
+                base = bases.get(g)
+                if base is None:
+                    rng = np.random.default_rng(g)
+                    base = rng.integers(-8000, 8000, size=n,
+                                        dtype=np.int16)
+                    bases[g] = base
+                gain = (int(doc_id) // group_mod) % gain_mod + 1
+                payloads.append(
+                    (base * np.int16(gain)).astype("<i2").tobytes())
+            yield pd.DataFrame({"doc_id": pdf["_id"].astype("int64"),
+                                "payload": payloads})
+
+    return (df.select(F.col(id_col).cast("long").alias("_id"))
+            .mapInPandas(batches, "doc_id long, payload binary")
+            .withColumn("mime", F.lit("audio/x-raw-s16le"))
+            .withColumn("sample_rate", F.lit(int(sample_rate))))
+
+
+def pcm_energy_fingerprint(df: DataFrame, n_frames: int = 64,
+                           payload_col: str = "payload") -> DataFrame:
+    """Perceptual audio fingerprint over raw s16le PCM -> (doc_id,
+    afp hex string) — a chromaprint-style ENERGY-PROFILE hash: frame
+    the signal into ``n_frames`` equal windows, compute each frame's
+    integer energy (sum of sample², int64 — exact), and emit one bit
+    per adjacent-frame comparison ``E[i] > E[i+1]`` (n_frames-1 bits,
+    zero-padded to the byte boundary by packbits). The temporal loudness
+    CONTOUR survives the transforms that break byte hashing — uniform
+    gain scales every energy by exactly gain², so no comparison flips
+    (same integer-exactness discipline as dhash_rgb24's fixed-point
+    luma).
+
+    Scale shape: one Arrow-batched map-only pass, id + hex digest out —
+    payload bytes never shuffle past the fingerprint.
+    """
+    nf = int(n_frames)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                if len(s) < nf:
+                    raise ValueError(
+                        f"payload of doc {doc_id} has {len(s)} samples; "
+                        f"need at least n_frames={nf}")
+                w = len(s) // nf
+                e = (s[:w * nf].reshape(nf, w) ** 2).sum(axis=1)
+                bits = e[:-1] > e[1:]
+                ids.append(int(doc_id))
+                fps.append(np.packbits(bits).tobytes().hex())
+            yield pd.DataFrame({"doc_id": ids, "afp": fps})
+
+    return df.select("doc_id", F.col(payload_col).alias(payload_col)) \
+        .mapInPandas(batches, T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("afp", T.StringType(), False)]))
 
 
 def decode_pcm_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:

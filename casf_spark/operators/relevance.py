@@ -46,7 +46,7 @@ from casf_spark.operators import similarity as _sim
 
 __all__ = ["tfidf_terms", "bm25_rank", "tfidf_rank", "knn_classify",
            "vocab_coverage", "unigram_logprob", "bigram_logprob",
-           "label_centroid_outliers", "rrf_fuse"]
+           "label_centroid_outliers", "rrf_fuse", "collocation_pmi"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -195,6 +195,62 @@ def tfidf_rank(docs: DataFrame, query_terms: Sequence[str],
               .agg(F.round(F.sum("c"), round_to).alias("score"),
                    F.count(F.lit(1)).cast("long").alias("n_hit_terms")))
     return ranked.orderBy(F.desc("score"), F.asc("doc")).limit(top_n)
+
+
+def collocation_pmi(docs: DataFrame, id_col: str, text_col: str,
+                    min_count: int = 5, top_n: int = 20,
+                    pattern: str = TOKEN_SPLIT_PATTERN,
+                    round_to: int = 6) -> DataFrame:
+    """Top-``top_n`` adjacent-bigram collocations by pointwise mutual
+    information -> (w1, w2, c_ab, pmi) — the word2phrase / phrase-mining
+    step that runs before tokenizer training (Mikolov et al. 2013 learn
+    phrases exactly this way, with a count floor to kill noise).
+
+    ``pmi = ln( (c_ab / N2) / ((c_a / N1) * (c_b / N1)) )`` with N1 =
+    total token occurrences, N2 = total adjacent-bigram occurrences;
+    ``min_count`` floors c_ab (the standard noise cut). Ordering is
+    (pmi desc, w1 asc, w2 asc), pmi rounded so the cut is
+    engine-stable.
+
+    Scale shape: bigrams are generated EXPRESSION-ONLY per document
+    (``arrays_zip`` of the token array against its shift — map-side, no
+    window, no per-doc shuffle); both count tables are map-combined
+    keyed aggregations whose shuffle carries the (bigram) vocabulary,
+    not occurrences. The unigram table joins in twice as a broadcast
+    (vocabulary-sized); N1/N2 are 1-row aggregates broadcast back; the
+    final cut is TakeOrderedAndProject.
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    a = _tokens(F.col(text_col), pattern)
+    pairs = (docs
+             .select(F.explode(F.arrays_zip(
+                 F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+                 .alias("w1"),
+                 F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0)))
+                 .alias("w2"))).alias("p"))
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    c_ab = (pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c_ab")))
+    toks = tokenize(docs, id_col, text_col, pattern)
+    c_w = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n1 = c_w.agg(F.sum("c_w").cast("double").alias("n1"))
+    n2 = c_ab.agg(F.sum("c_ab").cast("double").alias("n2"))
+    scored = (c_ab.where(F.col("c_ab") >= min_count)
+              .join(F.broadcast(c_w.withColumnRenamed("word", "w1")
+                                .withColumnRenamed("c_w", "c_a")), "w1")
+              .join(F.broadcast(c_w.withColumnRenamed("word", "w2")
+                                .withColumnRenamed("c_w", "c_b")), "w2")
+              .crossJoin(F.broadcast(n1))
+              .crossJoin(F.broadcast(n2))
+              .select(
+                  "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                  F.round(F.log((F.col("c_ab") / F.col("n2"))
+                                / ((F.col("c_a") / F.col("n1"))
+                                   * (F.col("c_b") / F.col("n1")))),
+                          round_to).alias("pmi")))
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")) \
+        .limit(top_n)
 
 
 def vocab_coverage(docs: DataFrame, id_col: str, text_col: str,

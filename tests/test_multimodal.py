@@ -183,3 +183,112 @@ def test_pair_integrity_planted_mismatches(spark):
     # NULL pair: empty-string fingerprints, no spurious conflicts
     assert got[7]["payload_fp"] == "" and got[7]["caption_fp"] == ""
     assert got[7]["payload_conflict"] is False
+
+
+# ------------------------------------------------------------------ dHash
+
+def test_dhash_hand_computed(spark):
+    """64-bit dHash over a hand-built 9x8 raster: bit j of row i is
+    luma(i,j) > luma(i,j+1) with INTEGER luma 299r+587g+114b, packed
+    row-major into a 16-hex-char digest."""
+    import numpy as np
+    # gray ramp left->right increasing => every comparison False => all 0
+    inc = np.zeros((8, 9, 3), dtype=np.uint8)
+    inc[:, :, :] = np.arange(9, dtype=np.uint8)[None, :, None]
+    # decreasing ramp => every comparison True => all 1
+    dec = inc[:, ::-1, :].copy()
+    df = spark.createDataFrame(
+        [(0, inc.tobytes()), (1, dec.tobytes())],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash
+           for r in MM.dhash_rgb24(df, 9, 8).collect()}
+    assert got[0] == "00" * 8
+    assert got[1] == "ff" * 8
+
+
+def test_dhash_brightness_shift_invariant(spark):
+    """A uniform +d shift on every channel moves every integer luma by
+    exactly 1000*d, so no comparison flips — the perceptual property the
+    planted near-dup fixture (and real brightness-edited dups) rely on;
+    a content change DOES change the digest."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(8, 9, 3), dtype=np.uint8)
+    shifted = base + np.uint8(32)
+    changed = base.copy()
+    # real content edit: overwrite row 3 with a left->right increasing
+    # ramp, forcing all 8 of its comparison bits to 0 (the base's row-3
+    # bits are not all 0, so the digest must change)
+    changed[3, :, :] = np.arange(9, dtype=np.uint8)[:, None]
+    df = spark.createDataFrame(
+        [(0, base.tobytes()), (1, shifted.tobytes()),
+         (2, changed.tobytes())], "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash for r in MM.dhash_rgb24(df, 9, 8).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_grouped_synthesis_and_neardup_pipeline(spark):
+    """End-to-end planted-group pipeline: same-group docs (different
+    brightness deltas) share a digest after decode -> nearest resize ->
+    dHash; different groups don't."""
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    imgs = MM.synthesize_rgb_payload_grouped(docs, "doc_id", group_mod=4,
+                                             width=18, height=16)
+    small = MM.resize_rgb_nearest(imgs, 18, 16, 9, 8) \
+        .withColumnRenamed("resized", "payload")
+    got = {r.doc_id: r.dhash
+           for r in MM.dhash_rgb24(small, 9, 8).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        assert got[i] == got[i % 4]
+    assert len({got[g] for g in range(4)}) == 4
+
+
+# ------------------------------------------------------------ audio FP
+
+def test_pcm_fingerprint_hand_computed(spark):
+    """Energy-profile bits over a hand-built 4-frame signal (n_frames-1
+    bits, zero-padded by packbits): energies [4,1,9,1] -> bits 101 ->
+    0b10100000 = 'a0'."""
+    import numpy as np
+    s = np.array([2, 1, 3, 1], dtype="<i2")  # 4 frames of 1 sample
+    df = spark.createDataFrame([(0, s.tobytes())],
+                               "doc_id long, payload binary")
+    got = MM.pcm_energy_fingerprint(df, n_frames=4).collect()[0]
+    assert got.afp == "a0"
+
+
+def test_pcm_fingerprint_gain_invariant_content_sensitive(spark):
+    """Integer gain scales every frame energy by exactly gain² — no
+    comparison flips; a genuine content change (one frame silenced)
+    changes the digest."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.integers(-8000, 8000, size=1600, dtype=np.int16)
+    gained = (base * np.int16(4)).astype("<i2")
+    changed = base.copy()
+    changed[100:125] = 0  # silence frame 4 of 64 (25 samples each)
+    df = spark.createDataFrame(
+        [(0, base.astype("<i2").tobytes()), (1, gained.tobytes()),
+         (2, changed.astype("<i2").tobytes())],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.afp
+           for r in MM.pcm_energy_fingerprint(df, n_frames=64).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_grouped_pcm_neardup_pipeline(spark):
+    """End-to-end planted-group audio pipeline: same-group docs
+    (different gains) share a fingerprint; different groups don't."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pcm = MM.synthesize_pcm_payload_grouped(docs, "doc_id", group_mod=4,
+                                            n_samples=1600)
+    got = {r.doc_id: r.afp
+           for r in MM.pcm_energy_fingerprint(pcm, n_frames=64).collect()}
+    assert len(got) == 12
+    for i in range(12):
+        assert got[i] == got[i % 4]
+    assert len({got[g] for g in range(4)}) == 4

@@ -55,6 +55,11 @@ PRODUCT_WHITELIST = {
     # same 1-row derived-offset scalar broadcast into the synthetic
     # next-day snapshot build
     "orders_snapshot_diff",
+    # 1-row N1/N2 corpus-total broadcasts in the PMI projection
+    "collocations_pmi",
+    # datasheet: the three 1-row metric aggs (base stats, kept count,
+    # gopher rate) crossJoin into the 7-row report
+    "corpus_card",
     # 1-row node-count scalar broadcast into the teleport term of the
     # final rank projection (earlier iterations are checkpoint-truncated)
     "dedup_pagerank",
@@ -102,7 +107,10 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     "orders_merge_upsert",
                     # NB held-out eval: the 1-row prior agg + the final
                     # 1-row confusion-matrix agg (output is 6 rows total)
-                    "nb_lang_eval"}
+                    "nb_lang_eval",
+                    # PMI: the 1-row N1 (unigram total) and N2 (bigram
+                    # total) aggs broadcast into the scoring projection
+                    "collocations_pmi"}
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
@@ -117,7 +125,10 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     "customer_rfm": 3,
                     # 3-leg fusion: bm25's 1-row corpus-stats agg + the
                     # two 50-row lexical rank windows (bm25 + tfidf legs)
-                    "retrieval_rrf_weighted": 3}
+                    "retrieval_rrf_weighted": 3,
+                    # datasheet: base-stats agg + kept-count agg +
+                    # gopher-rate agg (all 1-row, 7-row report out)
+                    "corpus_card": 3}
 
 
 @pytest.fixture(scope="module")

@@ -290,3 +290,38 @@ def test_tfidf_rank_multi_term_accumulates_and_cuts(spark):
     assert len(rows) == 2
     got = {r.doc: r.n_hit_terms for r in rows}
     assert got[0] == 2  # both terms hit
+
+
+# ---------------------------------------------------------------- PMI
+
+def test_collocation_pmi_hand_computed(spark):
+    """PMI over adjacent bigrams: pmi = ln((c_ab/N2) / ((c_a/N1)^2-ish));
+    min_count floors c_ab; NULL-text and single-token docs contribute no
+    bigrams; ties order (pmi desc, w1 asc, w2 asc)."""
+    docs = spark.createDataFrame(
+        [(0, "new york new york city"), (1, "york new haven"),
+         (2, None), (3, "solo")], "doc_id long, text string")
+    got = RV.collocation_pmi(docs, "doc_id", "text", min_count=2,
+                             top_n=10).collect()
+    # bigrams: doc0 (new,york)x2 (york,new) (york,city); doc1 (york,new)
+    # (new,haven) -> c_ab>=2 keeps (new,york)=2 and (york,new)=2.
+    # N1=9 tokens, N2=6 bigrams, c_new=c_york=3.
+    pmi = round(math.log((2 / 6) / ((3 / 9) * (3 / 9))), 6)
+    assert [(r.w1, r.w2, r.c_ab, r.pmi) for r in got] == [
+        ("new", "york", 2, pmi), ("york", "new", 2, pmi)]
+
+
+def test_collocation_pmi_floor_and_negative(spark):
+    """A pair rarer than chance gets NEGATIVE pmi; min_count=1 admits
+    singletons; top_n cuts after the (pmi, w1, w2) sort."""
+    # "a b" dominates; "a c" occurs once though a and c are common
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b a b"), (1, "a c a a a a")],
+        "doc_id long, text string")
+    got = {(r.w1, r.w2): r.pmi
+           for r in RV.collocation_pmi(docs, "doc_id", "text",
+                                       min_count=1, top_n=20).collect()}
+    assert got[("a", "b")] > 0 > got[("a", "a")]
+    top = RV.collocation_pmi(docs, "doc_id", "text", min_count=1,
+                             top_n=1).collect()
+    assert got[(top[0].w1, top[0].w2)] == max(got.values())
