@@ -2000,9 +2000,13 @@ def q_bpe_merges(spark, sf):
     pair_count) — the tokenizer-training artifact. Iterative-Spark
     shape: corpus strings checkpoint between steps."""
     docs = load_table(spark, sf, "documents")
+    # deliberately does NOT serve from _BPE_MERGE_CACHE: the 8-pass
+    # learning loop IS this query's measured work — reading the cache
+    # would fake its bench number. (encode/fertility go through
+    # _learned_merges and reuse whatever is cached.)
     m = CU.learn_bpe_merges(docs, "doc_id", "text", n_merges=8)
     # the loop already executed (localCheckpoint per step); collecting the
-    # 8 checkpointed rows is free — stash them for q_bpe_encode
+    # 8 checkpointed rows is free — stash them for the other BPE queries
     rows = m.collect()
     _BPE_MERGE_CACHE[(sf, 8)] = (rows, m.schema)
     return spark.createDataFrame(rows, m.schema)

@@ -452,3 +452,136 @@ def test_kcenter_invariants(spark, vecs):
     assert rows[0].vec_id == 0 and rows[0].sel_dist == 0.0
     dists = [r.sel_dist for r in rows[1:]]
     assert dists == sorted(dists, reverse=True)
+
+
+# ------------------------------------------------- NB classifier (round 8)
+
+nb_docs_strategy = st.lists(
+    st.tuples(st.integers(0, 30),                       # doc id
+              st.lists(st.sampled_from("abcdef"),       # tokens
+                       min_size=0, max_size=8),
+              st.sampled_from(["en", "de"])),
+    min_size=2, max_size=20, unique_by=lambda t: t[0],
+).filter(lambda rows: len({r[2] for r in rows}) == 2)   # both classes
+
+
+@slow_ok
+@given(nb_docs_strategy)
+def test_nb_matches_naive(spark, rows):
+    """nb_train/nb_score vs a naive Python multinomial NB with the same
+    Laplace(+1)-over-capped-vocab definition and micro-unit fold."""
+    import math
+
+    from casf_spark.operators import classify as C
+
+    data = [(i, " ".join(toks), lang) for i, toks, lang in rows]
+    df = spark.createDataFrame(data, "doc_id long, text string, lang string")
+    model = C.nb_train(df, "doc_id", "text", "lang", "en", vocab_size=4)
+    got_model = {r.term: r.lr_u for r in model.collect()}
+    got = {r.doc: r.score_u
+           for r in C.nb_score(df, model, "doc_id", "text").collect()}
+
+    # naive twin
+    def rhu(x):
+        return math.floor(x * 1e6 + 0.5)
+    pos = [t for _, toks, l in rows for t in toks if l == "en"]
+    neg = [t for _, toks, l in rows for t in toks if l != "en"]
+    from collections import Counter
+    cp, cn = Counter(pos), Counter(neg)
+    total = Counter(pos + neg)
+    vocab = sorted(total, key=lambda t: (-total[t], t))[:4]
+    tp, tn, v = (sum(cp[t] for t in vocab), sum(cn[t] for t in vocab),
+                 len(vocab))
+    lr = {t: rhu(math.log((cp[t] + 1) / (tp + v))
+                 - math.log((cn[t] + 1) / (tn + v))) for t in vocab}
+    n_pos = sum(1 for r in rows if r[2] == "en")
+    n_neg = len(rows) - n_pos
+    prior = rhu(math.log(n_pos) - math.log(n_neg))
+    assert got_model == {**lr, C.PRIOR_TERM: prior}
+    for i, toks, _ in rows:
+        expect = prior + sum(lr[t] for t in toks if t in lr)
+        assert got[str(i)] == expect
+
+
+# --------------------------------------------- PMI collocations (round 8)
+
+pmi_docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+    min_size=1, max_size=12)
+
+
+@slow_ok
+@given(pmi_docs_strategy)
+def test_collocation_pmi_matches_naive(spark, docs):
+    """collocation_pmi vs a naive Python PMI over adjacent bigrams."""
+    import math
+    from collections import Counter
+
+    from casf_spark.operators import relevance as RV
+
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.c_ab, r.pmi)
+           for r in RV.collocation_pmi(df, "doc_id", "text", min_count=1,
+                                       top_n=1000).collect()}
+
+    uni = Counter(t for toks in docs for t in toks)
+    big = Counter((a, b) for toks in docs for a, b in zip(toks, toks[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    expect = {p: (c, round(math.log((c / n2)
+                                    / ((uni[p[0]] / n1)
+                                       * (uni[p[1]] / n1))), 6))
+              for p, c in big.items()}
+    assert got == expect
+
+
+# ------------------------------------- perceptual fingerprints (round 8)
+
+shift_strategy = st.tuples(st.integers(0, 2**31 - 1),   # raster seed
+                           st.integers(0, 55))          # brightness shift
+
+
+@slow_ok
+@given(shift_strategy)
+def test_dhash_uniform_shift_never_flips(spark, seed_shift):
+    """For ANY base raster (pixels < 200) and ANY uniform shift <= 55,
+    the integer-luma dHash is bit-identical — the provable invariance
+    the planted oracle relies on."""
+    import numpy as np
+
+    from casf_spark.multimodal import binary as MM
+
+    seed, d = seed_shift
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 200, size=(8, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, base.tobytes()), (1, (base + np.uint8(d)).tobytes())],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.dhash for r in MM.dhash_rgb24(df, 9, 8).collect()}
+    assert got[0] == got[1]
+
+
+gain_strategy = st.tuples(st.integers(0, 2**31 - 1),    # signal seed
+                          st.integers(1, 4))            # integer gain
+
+
+@slow_ok
+@given(gain_strategy)
+def test_pcm_fingerprint_gain_never_flips(spark, seed_gain):
+    """For ANY base signal (|s| < 8000) and ANY integer gain <= 4, the
+    energy-contour fingerprint is bit-identical (energies scale by
+    exactly gain²)."""
+    import numpy as np
+
+    from casf_spark.multimodal import binary as MM
+
+    seed, k = seed_gain
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-8000, 8000, size=640, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(0, base.astype("<i2").tobytes()),
+         (1, (base * np.int16(k)).astype("<i2").tobytes())],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.afp
+           for r in MM.pcm_energy_fingerprint(df, n_frames=64).collect()}
+    assert got[0] == got[1]
