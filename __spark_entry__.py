@@ -2169,6 +2169,53 @@ def q_corpus_card(spark, sf):
         .alias("metric", "value"))
 
 
+def q_er_customer_link(spark, sf):
+    """Structured entity resolution / record linkage (operators.dedup
+    .blocked_pairs — the Fellegi-Sunter blocking step applied to the
+    customer dimension): plant dirty duplicates in-query (every
+    ``c_custkey % 40 == 0`` customer gets a copy at key+10M with the
+    LAST name character corrupted and the balance nudged +0.01 —
+    identical literal construction in the DuckDB twin), block on
+    (nation, 7-digit name prefix) — a key the corruption provably
+    preserves — generate within-block candidate pairs, then score
+    candidates only: JVM levenshtein on names, 2dp balance delta,
+    segment equality; ``is_match = lev <= 1 AND bal_diff <= 1.0``.
+    Natural same-block pairs (keys differing in the last two digits)
+    appear with lev 1-2 and rarely match — exactly the
+    candidate-vs-match separation a linkage report shows. Pair count
+    is sum of block-size², never corpus²."""
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(F.col("c_custkey").cast("long").alias("ck"),
+                       "c_name", "c_nationkey", "c_acctbal",
+                       "c_mktsegment")
+    dirty = (base.where(F.col("ck") % 40 == 0)
+             .select((F.col("ck") + 10_000_000).alias("ck"),
+                     F.concat(F.substring("c_name", 1, 17), F.lit("x"))
+                     .alias("c_name"),
+                     "c_nationkey",
+                     (F.col("c_acctbal") + 0.01).alias("c_acctbal"),
+                     "c_mktsegment"))
+    rec = (base.unionByName(dirty)
+           .withColumn("blk", F.substring("c_name", 10, 7)))
+    pairs = DD.blocked_pairs(rec, "ck", ["c_nationkey", "blk"],
+                             ["c_name", "c_acctbal", "c_mktsegment"])
+    lev = F.levenshtein("c_name_0", "c_name_1")
+    bal = F.round(F.abs(F.col("c_acctbal_0") - F.col("c_acctbal_1")), 2)
+    return (pairs
+            .select(F.col("id0").alias("cust0"),
+                    F.col("id1").alias("cust1"),
+                    lev.alias("name_lev"),
+                    bal.alias("bal_diff"),
+                    (F.col("c_mktsegment_0") == F.col("c_mktsegment_1"))
+                    .alias("same_segment"))
+            .where(F.col("name_lev") <= 2)
+            .select("cust0", "cust1", "name_lev", "bal_diff",
+                    "same_segment",
+                    ((F.col("name_lev") <= 1) & (F.col("bal_diff") <= 1.0))
+                    .alias("is_match"))
+            .orderBy("cust0", "cust1"))
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -4196,41 +4243,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-8 driver window (the driver's correctness harness checks the FIRST
 # 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 18 round-8 additions (adversarial_contract — the NULL/zero-vector
+#   * the 19 round-8 additions (adversarial_contract — the NULL/zero-vector
 #     gate-visibility row, retrieval_rrf, diversity_kcenter,
 #     unigram_lm_scores, crossmodal_integrity,
 #     doc_quality_source_quantile, cluster_profile, mixture_plan,
 #     curriculum_buckets, unigram_lm_segment — the Viterbi encoder's
-#     chained-DP twin — plus the late-round eight: retrieval_rrf_weighted,
+#     chained-DP twin — plus the late-round nine: retrieval_rrf_weighted,
 #     nb_lang_score, nb_lang_eval, tokenizer_fertility, collocations_pmi,
-#     multimodal_image_neardup, multimodal_audio_neardup, corpus_card) —
-#     windowed immediately so no never-checked backlog accumulates;
+#     multimodal_image_neardup, multimodal_audio_neardup, corpus_card,
+#     er_customer_link) — windowed immediately so no never-checked
+#     backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: the 25 names
 #     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 7
+#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 6
 #     of the 50 names last green in round 5, in round-5 window order.
-#     NEXT.md's round-9 queue is authoritative: the 8 displaced tail
-#     names (events_hour_spine, text_fingerprint, text_token_stats,
-#     text_split, ann_lsh_mp, multimodal_features,
+#     NEXT.md's round-9 queue is authoritative: the 9 displaced tail
+#     names (customer_rfm, events_hour_spine, text_fingerprint,
+#     text_token_stats, text_split, ann_lsh_mp, multimodal_features,
 #     users_click_not_purchase, window_first_last) head it, then the 35
 #     round-5 leftovers (events_running_distinct, text_chunks,
 #     train_shards, orders_merge_upsert, events_approx_percentiles, ... —
 #     full list in NEXT.md), then the round-6 cohort.
 # With CORRECTNESS_r08 green, every name's newest green row is round 5+.
 _ROUND8_WINDOW = [
-    # -- the 18 round-8 additions (the last 8 — the weighted 3-leg RRF,
+    # -- the 19 round-8 additions (the last 9 — the weighted 3-leg RRF,
     #    the NB classifier pair, the tokenizer-fertility report, the PMI
     #    collocations, the dHash/energy-contour perceptual near-dup
-    #    pair, and the corpus datasheet — landed late in the round and
-    #    displaced the window's 8 tail names, which now head the round-9
-    #    re-confirmation queue ahead of the 35 round-5 leftovers)
+    #    pair, the corpus datasheet, and the customer entity-resolution
+    #    link — landed late in the round and displaced the window's 9
+    #    tail names, which now head the round-9 re-confirmation queue
+    #    ahead of the 35 round-5 leftovers)
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
     "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
     "tokenizer_fertility", "collocations_pmi", "multimodal_image_neardup",
-    "multimodal_audio_neardup", "corpus_card",
+    "multimodal_audio_neardup", "corpus_card", "er_customer_link",
     # -- the 25 names last green in round 4 (stalest cohort)
     "sample_per_source", "bigram_logprob", "embedding_norms",
     "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
@@ -4240,11 +4289,11 @@ _ROUND8_WINDOW = [
     "dedup_cross_source", "text_ttr", "multimodal_pcm",
     "events_click_purchase_days", "orders_price_position", "events_unpivot",
     "text_novelty", "customer_order_counts_right", "ann_ivf",
-    # -- first 7 of the 50 names last green in round 5 (round-5 window
-    #    order; the late round-8 additions displaced the other 8 to the
+    # -- first 6 of the 50 names last green in round 5 (round-5 window
+    #    order; the late round-8 additions displaced the other 9 to the
     #    round-9 queue head — see NEXT.md)
     "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
-    "scd2_orders", "split_leakage_safe", "dedup_triangles", "customer_rfm",
+    "scd2_orders", "split_leakage_safe", "dedup_triangles",
 ]
 
 
@@ -4372,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "multimodal_audio_neardup": q_multimodal_audio_neardup,
         "corpus_card": q_corpus_card,
+        "er_customer_link": q_er_customer_link,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
@@ -6833,6 +6883,36 @@ SELECT CAST(doc_id AS BIGINT) doc_id,
        CAST(COUNT(*) OVER (PARTITION BY doc_id % 400) AS BIGINT) n_dupes,
        (COUNT(*) OVER (PARTITION BY doc_id % 400) > 1) is_dup
 FROM documents ORDER BY doc_id""",
+        # structured entity resolution: identical planted-dirty-copy
+        # construction, blocking, and candidate scoring (DuckDB
+        # levenshtein parity is already relied on by dedup_edit_distance)
+        "er_customer_link": """
+WITH base AS (SELECT CAST(c_custkey AS BIGINT) ck, c_name, c_nationkey,
+                     c_acctbal, c_mktsegment
+              FROM customer),
+dirty AS (SELECT ck + 10000000 ck,
+                 substring(c_name, 1, 17) || 'x' c_name,
+                 c_nationkey, c_acctbal + 0.01 c_acctbal, c_mktsegment
+          FROM base WHERE ck % 40 = 0),
+rec AS (SELECT *, substring(c_name, 10, 7) blk FROM base
+        UNION ALL
+        SELECT *, substring(c_name, 10, 7) blk FROM dirty),
+pairs AS (SELECT a.ck id0, b.ck id1,
+                 a.c_name n0, b.c_name n1,
+                 a.c_acctbal b0, b.c_acctbal b1,
+                 a.c_mktsegment s0, b.c_mktsegment s1
+          FROM rec a JOIN rec b
+            ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+           AND a.ck < b.ck),
+scored AS (SELECT id0 cust0, id1 cust1,
+                  CAST(levenshtein(n0, n1) AS INTEGER) name_lev,
+                  ROUND(ABS(b0 - b1), 2) bal_diff,
+                  (s0 = s1) same_segment
+           FROM pairs)
+SELECT cust0, cust1, name_lev, bal_diff, same_segment,
+       (name_lev <= 1 AND bal_diff <= 1.0) is_match
+FROM scored WHERE name_lev <= 2
+ORDER BY cust0, cust1""",
     }
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift

@@ -55,6 +55,35 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return schemas.conform(keep, schemas.DEDUP_KEEP)
 
 
+def blocked_pairs(df: DataFrame, id_col: str,
+                  block_cols: list[str],
+                  payload_cols: list[str]) -> DataFrame:
+    """Entity-resolution candidate generation: self-join the records
+    under a BLOCKING key -> one row per unordered within-block pair
+    ``(id0, id1, <payload>_0, <payload>_1, <block cols>)`` with
+    ``id0 < id1``. Blocking is THE classic record-linkage scale move
+    (Fellegi-Sunter pipelines): candidate pairs form only inside a
+    block, so pair count is sum of block-size² instead of corpus² —
+    the caller picks block keys that any true match must preserve
+    (e.g. same nation + a name prefix the expected corruptions can't
+    touch).
+
+    Scale shape: one self equi-join shuffled on the block key (the
+    same shape as the matrix core's _factor_pairs); expensive
+    comparators (edit distance etc.) run AFTER this cut, on candidates
+    only — the dedup_edit_distance discipline applied to structured
+    records.
+    """
+    def side(tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias(f"id{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in payload_cols],
+            *[F.col(c) for c in block_cols])
+
+    return (side("0").join(side("1"), block_cols)
+            .where(F.col("id0") < F.col("id1")))
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
               distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per document: (doc, shingle).

@@ -66,7 +66,13 @@ QUERIES = ["cosine_sparse", "doc_cosine_lsh", "dedup_minhash",
            "events_hourly", "events_sessions", "events_running_distinct"]
 if _Q_ENV:
     QUERIES = [q for q in _Q_ENV.split(",") if q]
-QUADRATIC_BY_DESIGN = {"cosine_topk"}
+QUADRATIC_BY_DESIGN = {"cosine_topk",
+                       # pairwise-linkage output is quadratic in the
+                       # DUPLICATE-GROUP size, and this synthetic copies
+                       # every c_name verbatim 10x (10-way true dups ->
+                       # ~100x pairs). Real duplicate groups are small
+                       # and size-stable, so real scaling is linear.
+                       "er_customer_link"}
 
 OFF_ORDER, OFF_CUST = 10_000_000, 1_000_000
 OFF_EVENT, OFF_USER = 1_000_000_000, 10_000_000

@@ -376,3 +376,45 @@ def test_pagerank_matches_reference_recurrence(spark):
         assert got[v] == want, (v, got[v], want)
     assert got[0][1] > got[1][1]          # hub outranks leaves
     assert all(r > 0 for _, r in got.values())
+
+
+# ---------------------------------------------------------- blocked_pairs
+
+def test_blocked_pairs_hand_computed(spark):
+    """Candidate pairs form ONLY within a block, ordered id0 < id1, with
+    tagged payload columns on both sides."""
+    from casf_spark.operators.dedup import blocked_pairs
+
+    df = spark.createDataFrame(
+        [(1, "b1", "x"), (2, "b1", "y"), (3, "b1", "z"),
+         (4, "b2", "w"), (5, "b2", "v"), (6, "b3", "u")],
+        "rid long, blk string, payload string")
+    got = {(r.id0, r.id1): (r.payload_0, r.payload_1)
+           for r in blocked_pairs(df, "rid", ["blk"],
+                                  ["payload"]).collect()}
+    assert got == {(1, 2): ("x", "y"), (1, 3): ("x", "z"),
+                   (2, 3): ("y", "z"), (4, 5): ("w", "v")}
+
+
+def test_er_customer_link_planted_matches(spark, sf_dir):
+    """Every planted dirty copy (key+10M, last name char corrupted,
+    balance +0.01) is found and flagged is_match; the pair's lev is
+    exactly 1 and bal_diff exactly 0.01."""
+    import __spark_entry__ as E
+
+    rows = E.q_er_customer_link(spark, sf_dir).collect()
+    n_cust = E.load_table(spark, sf_dir, "customer").count()
+    planted = {(r.cust0, r.cust1): r for r in rows
+               if r.cust1 >= 10_000_000}
+    expect_keys = {(k, k + 10_000_000)
+                   for k in range(0, n_cust, 40)}
+    # every planted pair is a candidate AND a match
+    assert expect_keys <= set(planted)
+    for k in expect_keys:
+        r = planted[k]
+        assert r.name_lev == 1 and r.bal_diff == 0.01 and r.is_match
+    # natural pairs exist (same nation + 7-digit prefix, lev 1-2) and
+    # overwhelmingly do not match on the balance rule
+    natural = [r for r in rows if r.cust1 < 10_000_000]
+    assert natural
+    assert sum(r.is_match for r in natural) < 0.1 * len(natural)
