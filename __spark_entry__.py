@@ -1801,7 +1801,8 @@ def q_unigram_lm_scores(spark, sf):
     vocabulary cut is TakeOrderedAndProject; the companion Viterbi
     encoder (unigram_lm_segment, bounded piece side input + one
     mapInPandas pass) is segmentation-tested in tests/test_curation.py
-    (iterative DP — no SQL twin)."""
+    (iterative DP, ALSO oracle-checked — _viterbi_oracle replays the
+    exact DP as chained position CTEs)."""
     docs = load_table(spark, sf, "documents")
     p = CU.unigram_lm_pieces(docs, "doc_id", "text",
                              max_piece_len=4, vocab_size=64)
@@ -2761,9 +2762,11 @@ def _viterbi_oracle(max_word_len: int = 12, max_piece_len: int = 4,
     the argmax can never split. CTEs are MATERIALIZED (each b{j} is
     referenced by up to max_piece_len later stages — the kcenter
     exponential-inlining lesson). ``max_word_len`` must cover the
-    corpus's longest token (measured 8 at sf0.1; 12 gives headroom —
-    longer words would silently truncate, so the tail asserts none
-    exist via the len filter in `final`)."""
+    corpus's longest token (measured 8 at sf0.1; 12 gives headroom) —
+    and the guard is REAL: `final` carries an error() branch that makes
+    DuckDB abort with a named error if any corpus word is longer, so an
+    oversize word surfaces as a clear failure instead of a silently
+    NULL-joined row and an opaque hash mismatch."""
     vocab = f"""toklist AS (
   SELECT CAST(doc_id AS BIGINT) doc,
          list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
@@ -2814,6 +2817,14 @@ b0 AS (SELECT word, CAST(0.0 AS DOUBLE) c, '' seg, 0 np FROM words)"""
     finals = "\n  UNION ALL\n".join(
         f"  SELECT word, seg, np FROM b{j} WHERE length(word) = {j}"
         for j in range(1, max_word_len + 1))
+    # real oversize guard: a word longer than max_word_len matches no
+    # length(word) = j branch above and would otherwise LEFT-JOIN to
+    # NULL downstream (silent undercount -> opaque hash mismatch);
+    # error() aborts the oracle with a named failure instead.
+    finals += (
+        "\n  UNION ALL\n  SELECT word, error('unigram_lm_segment oracle:"
+        f" word exceeds max_word_len={max_word_len}: ' || word) seg,"
+        f" 0 np FROM words WHERE length(word) > {max_word_len}")
     tail = f"""final AS (
 {finals}
 )

@@ -455,7 +455,11 @@ def pcm_energy_fingerprint(df: DataFrame, n_frames: int = 64,
     CONTOUR survives the transforms that break byte hashing — uniform
     gain scales every energy by exactly gain², so no comparison flips
     (same integer-exactness discipline as dhash_rgb24's fixed-point
-    luma).
+    luma). Framing truncates: the trailing ``len(s) % n_frames``
+    samples are dropped (frame width = len // n_frames), so two signals
+    that differ ONLY in that sub-frame tail fingerprint identically —
+    the contour hash is deliberately insensitive below one frame of
+    resolution. Payloads shorter than ``n_frames`` samples raise.
 
     Scale shape: one Arrow-batched map-only pass, id + hex digest out —
     payload bytes never shuffle past the fingerprint.

@@ -834,7 +834,7 @@ def unigram_lm_pieces(df: DataFrame, id_col: str, text_col: str,
     top = pc.orderBy(F.desc("cnt"), F.asc("piece")).limit(vocab_size)
     win = Window.orderBy(F.desc("cnt"), F.asc("piece"))
     return (top.crossJoin(F.broadcast(total))
-            .select(F.lit(None).alias("_d"), "piece", "cnt",
+            .select("piece", "cnt",
                     F.round(F.log(F.col("cnt") / F.col("total")), 6)
                     .alias("score"))
             .withColumn("rank", F.row_number().over(win).cast("long"))
@@ -971,7 +971,11 @@ def quantile_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
     thresholds are ONE 1-row aggregation (n_buckets-1 exact quantiles,
     ROUNDED 6dp) broadcast back, and bucketing is a map-only fold:
     ``bucket = 1 + #(thresholds the score strictly exceeds)`` — ties at
-    a threshold stay in the lower band on both engines.
+    a threshold stay in the lower band on both engines. NULL scores get
+    a NULL bucket (they are also invisible to F.percentile, so they
+    influence no threshold) — without the explicit guard the when/
+    otherwise fold would count zero exceeded thresholds and silently
+    file NULL-score rows under bucket 1 ("easiest").
 
     At 100 TB swap F.percentile for percentile_approx with pinned
     accuracy; the plan shape (tiny agg broadcast + map-only compare) is
@@ -985,6 +989,7 @@ def quantile_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
         "_th", F.lit(0),
         lambda acc, t: acc + F.when(F.col(score_col) > t,
                                     F.lit(1)).otherwise(F.lit(0)))
+    b = F.when(F.col(score_col).isNotNull(), b)
     return (df.crossJoin(F.broadcast(th))
             .withColumn(bucket_col, b.cast("long"))
             .drop("_th"))

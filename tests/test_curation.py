@@ -594,3 +594,19 @@ def test_quantile_buckets_hand_computed(spark):
             for r in quantile_buckets(df2, "s", n_buckets=2).collect()}
     # median of (0,10,10,20) = 10.0 -> the two 10s sit in band 1
     assert got2 == {1: 1, 2: 1, 3: 1, 4: 2}, got2
+
+
+def test_quantile_buckets_null_score_gets_null_bucket(spark):
+    """A NULL score must NOT be classified 'easiest': the fold would
+    count zero exceeded thresholds and emit bucket 1; the explicit
+    isNotNull guard emits NULL instead, and the NULL row influences no
+    threshold (F.percentile ignores NULLs)."""
+    from casf_spark.operators.curation import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+        "id long, s double")
+    got = {r.id: r.bucket
+           for r in quantile_buckets(df, "s", n_buckets=2).collect()}
+    # thresholds computed from the 4 non-NULL scores only (median 2.5)
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: None}, got
