@@ -2184,7 +2184,12 @@ def q_er_customer_link(spark, sf):
     Natural same-block pairs (keys differing in the last two digits)
     appear with lev 1-2 and rarely match — exactly the
     candidate-vs-match separation a linkage report shows. Pair count
-    is sum of block-size², never corpus²."""
+    is sum of block-size², never corpus² — and at 100 TB a single hot
+    block (a default name value) is still a quadratic bomb, so
+    blocked_pairs takes a ``max_block_size`` cap that diverts oversize
+    blocks to the ``oversize_blocks`` report instead of emitting block²
+    pairs (guard tested with a planted hot block in test_dedup.py;
+    unset here because TPC-H names are synthetic-unique)."""
     cust = load_table(spark, sf, "customer")
     base = cust.select(F.col("c_custkey").cast("long").alias("ck"),
                        "c_name", "c_nationkey", "c_acctbal",

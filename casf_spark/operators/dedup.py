@@ -57,7 +57,8 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def blocked_pairs(df: DataFrame, id_col: str,
                   block_cols: list[str],
-                  payload_cols: list[str]) -> DataFrame:
+                  payload_cols: list[str],
+                  max_block_size: int | None = None) -> DataFrame:
     """Entity-resolution candidate generation: self-join the records
     under a BLOCKING key -> one row per unordered within-block pair
     ``(id0, id1, <payload>_0, <payload>_1, <block cols>)`` with
@@ -68,12 +69,28 @@ def blocked_pairs(df: DataFrame, id_col: str,
     (e.g. same nation + a name prefix the expected corruptions can't
     touch).
 
+    ``max_block_size`` is the quadratic-bomb guard for 100 TB: one hot
+    block (a default name, an empty field) makes block² explode even
+    when every other block is tiny. When set, records in blocks larger
+    than the cap are EXCLUDED from pair generation (the size comes from
+    a window count over the same block-key partitioning the join
+    shuffles on, so the guard adds no extra shuffle); the diverted
+    blocks are what :func:`oversize_blocks` reports — review them and
+    refine the key rather than paying block² blindly (the same
+    divert-and-report posture as the candidate-graph degree report).
+
     Scale shape: one self equi-join shuffled on the block key (the
     same shape as the matrix core's _factor_pairs); expensive
     comparators (edit distance etc.) run AFTER this cut, on candidates
     only — the dedup_edit_distance discipline applied to structured
     records.
     """
+    if max_block_size is not None:
+        w = Window.partitionBy(*block_cols)
+        df = (df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+              .where(F.col("_bsz") <= int(max_block_size))
+              .drop("_bsz"))
+
     def side(tag: str) -> DataFrame:
         return df.select(
             F.col(id_col).cast("long").alias(f"id{tag}"),
@@ -82,6 +99,23 @@ def blocked_pairs(df: DataFrame, id_col: str,
 
     return (side("0").join(side("1"), block_cols)
             .where(F.col("id0") < F.col("id1")))
+
+
+def oversize_blocks(df: DataFrame, block_cols: list[str],
+                    max_block_size: int) -> DataFrame:
+    """The report side of :func:`blocked_pairs`'s ``max_block_size``
+    guard: one row per block whose record count exceeds the cap —
+    ``(<block cols>, n_records, n_pairs_avoided)`` where
+    ``n_pairs_avoided = n·(n-1)/2`` is the quadratic cost the guard
+    diverted. ONE map-combined aggregation on the block key; feed the
+    rows to a human (or a key-refinement pass) instead of the join."""
+    n = F.count(F.lit(1))
+    return (df.groupBy(*block_cols)
+            .agg(n.cast("long").alias("n_records"))
+            .where(F.col("n_records") > int(max_block_size))
+            .select(*block_cols, "n_records",
+                    (F.col("n_records") * (F.col("n_records") - 1) / 2)
+                    .cast("long").alias("n_pairs_avoided")))
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,

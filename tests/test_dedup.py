@@ -396,6 +396,32 @@ def test_blocked_pairs_hand_computed(spark):
                    (2, 3): ("y", "z"), (4, 5): ("w", "v")}
 
 
+def test_blocked_pairs_oversize_block_guard(spark):
+    """A planted hot block (the quadratic bomb: one shared default-ish
+    key) is diverted, not paired: with max_block_size=3 the 5-record
+    block emits ZERO pairs while normal blocks pair as usual, and
+    oversize_blocks reports exactly the diverted block with its
+    avoided-pair count."""
+    from casf_spark.operators.dedup import blocked_pairs, oversize_blocks
+
+    rows = [(i, "HOT", f"p{i}") for i in range(1, 6)]       # 5-rec bomb
+    rows += [(10, "b1", "x"), (11, "b1", "y"), (12, "b2", "z")]
+    df = spark.createDataFrame(rows, "rid long, blk string, payload string")
+
+    got = {(r.id0, r.id1)
+           for r in blocked_pairs(df, "rid", ["blk"], ["payload"],
+                                  max_block_size=3).collect()}
+    assert got == {(10, 11)}, got        # the bomb's 10 pairs diverted
+
+    rep = oversize_blocks(df, ["blk"], max_block_size=3).collect()
+    assert [(r.blk, r.n_records, r.n_pairs_avoided) for r in rep] \
+        == [("HOT", 5, 10)]
+
+    # cap None (default) keeps the old behavior: the bomb pairs fully
+    all_pairs = blocked_pairs(df, "rid", ["blk"], ["payload"]).count()
+    assert all_pairs == 10 + 1
+
+
 def test_er_customer_link_planted_matches(spark, sf_dir):
     """Every planted dirty copy (key+10M, last name char corrupted,
     balance +0.01) is found and flagged is_match; the pair's lev is
