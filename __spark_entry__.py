@@ -29,6 +29,7 @@ from casf_spark.operators import dedup as DD
 from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators.linalg import power_iteration, power_iteration_report
 from casf_spark.operators import sampling as SP
+from casf_spark.operators import urls as URL
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
 from casf_spark.operators import relevance as RV
@@ -2222,6 +2223,152 @@ def q_er_customer_link(spark, sf):
             .orderBy("cust0", "cust1"))
 
 
+# Blocklisted registered domains for q_domain_blocklist — chosen so each
+# actually occurs in the plant (hostcore parity: g%10 and the tld index
+# g%4 share g's parity, so e.g. site3.com can never occur while site3.org
+# does). Identical literal list in the DuckDB twin.
+_URL_BLOCKLIST = ["site3.org", "site6.net", "site0.com"]
+
+
+def _planted_urls(docs):
+    """Deterministic messy-URL plant over documents (operators.urls has
+    no url column to chew on in the TPC-H-ish testdata, so — the round-8
+    exact-plant discipline — the raw URL is a pure function of doc_id
+    built from IDENTICAL literals in the DuckDB twins).
+
+    Canonical identity is ``g = doc_id % 50``: scheme (https when g
+    even), host ``[news.]site{g%10}.{tld[g%4]}`` (tlds com/org/net/co.uk
+    — the last exercising the multi-part-suffix rule), path ``/a/g``
+    (g=25: root path; g=30: NO path), and the real query params
+    (``id=g`` plus ``v=1`` when g even; g%5==4 groups have none). All
+    messiness varies with doc_id, NOT g — www. prefix (i%4==0),
+    uppercased authority (i%4==2), uppercased scheme (i%8==0), default
+    port (i%7==0), trailing slash (i%6==0), tracking params prepended
+    (i%3==0), scrambled param order (i%9==0), bare '?' (paramless docs
+    with i even), fragment (i%5==0) — so every doc in group g
+    normalizes to the same canonical URL and the normalizer is
+    exercised on every rule. 50 canonical URLs; group size = corpus/50.
+    """
+    i = F.col("doc_id")
+    g = i % 50
+    gs = g.cast("string")
+    scheme = F.when(g % 2 == 0, "https").otherwise("http")
+    scheme_raw = F.when(i % 8 == 0, F.upper(scheme)).otherwise(scheme)
+    tld = (F.when(g % 4 == 0, "com").when(g % 4 == 1, "org")
+           .when(g % 4 == 2, "net").otherwise("co.uk"))
+    hostcore = F.concat(F.lit("site"), (g % 10).cast("string"),
+                        F.lit("."), tld)
+    hostc = F.when(g % 7 == 3,
+                   F.concat(F.lit("news."), hostcore)).otherwise(hostcore)
+    auth = F.when(i % 4 == 0,
+                  F.concat(F.lit("www."), hostc)).otherwise(hostc)
+    auth = F.when(i % 4 == 2, F.upper(auth)).otherwise(auth)
+    port = (F.when((i % 7 == 0) & (g % 2 == 0), ":443")
+            .when(i % 7 == 0, ":80").otherwise(""))
+    pcore = (F.when(g == 25, "/").when(g == 30, "")
+             .otherwise(F.concat(F.lit("/a/"), gs)))
+    praw = F.concat(pcore, F.when(i % 6 == 0, F.lit("/")).otherwise(""))
+    real = (F.when(g % 5 == 4, "")
+            .when((g % 2 == 0) & (i % 9 == 0),
+                  F.concat(F.lit("v=1&id="), gs))
+            .when(g % 2 == 0, F.concat(F.lit("id="), gs, F.lit("&v=1")))
+            .otherwise(F.concat(F.lit("id="), gs)))
+    track = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("utm_source=feed&utm_campaign=c"),
+                 (i % 2).cast("string"))).otherwise("")
+    qstr = (F.when((track != "") & (real != ""),
+                   F.concat(track, F.lit("&"), real))
+            .when(track != "", track).otherwise(real))
+    qseg = (F.when(qstr != "", F.concat(F.lit("?"), qstr))
+            .when(i % 2 == 0, "?").otherwise(""))
+    frag = F.when(i % 5 == 0,
+                  F.concat(F.lit("#s"), (i % 3).cast("string"))) \
+        .otherwise("")
+    url = F.concat(scheme_raw, F.lit("://"), auth, port, praw, qseg, frag)
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("n_chars").cast("long").alias("n_chars"),
+                       url.alias("url"))
+
+
+def q_url_normalize(spark, sf):
+    """URL canonicalization + registered-domain extraction
+    (operators.urls.normalize_url / url_host / registered_domain — the
+    CCNet/RefinedWeb pre-text curation key): fragment and tracking
+    params dropped, scheme/host lowercased, www. and default ports
+    stripped, trailing slashes collapsed, surviving params sorted;
+    registered domain = last 2 host labels (3 over a multi-part suffix
+    like co.uk — the PSL seam). Pure regexp/array expression work, zero
+    shuffle; the twin runs the SAME rules as SQL over the identically
+    planted raw URLs, so any rule divergence hash-fails."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    host = URL.url_host(F.col("url"))
+    return (u.select("doc_id", "url",
+                     URL.normalize_url(F.col("url")).alias("url_norm"),
+                     host.alias("host"),
+                     URL.registered_domain(host).alias("reg_domain"))
+            .orderBy("doc_id"))
+
+
+def q_url_dedup(spark, sf):
+    """URL-exact dedup on the CANONICAL form (operators.urls
+    .normalize_url + the dedup_exact group shape): one row per
+    normalized URL with >=2 raw variants — keep_id = min doc_id, n_dups
+    = group size. The plant guarantees every doc in group g = doc_id%50
+    canonicalizes identically while raws differ, so the query proves
+    normalize-then-hash-groupBy collapses what raw hashing cannot. ONE
+    hash shuffle on the canonical key — the linear-cost first gate a
+    100-TB web pipeline runs before any text ever loads."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    return (u.select("doc_id",
+                     URL.normalize_url(F.col("url")).alias("url_norm"))
+            .groupBy("url_norm")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_dups"))
+            .where(F.col("n_dups") >= 2)
+            .orderBy("url_norm"))
+
+
+def q_domain_caps(spark, sf):
+    """Per-registered-domain document cap (operators.urls.domain_caps —
+    RefinedWeb's anti-SEO-farm sampler): within each registered domain
+    rank docs by (n_chars DESC, doc_id) and keep the top 15; the kept
+    rank rides along as domain_rank. ONE shuffle on the domain key (the
+    row_number window); no join-back. The twin is the same window in
+    SQL."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    dom = URL.registered_domain(URL.url_host(F.col("url")))
+    capped = URL.domain_caps(u.withColumn("reg_domain", dom),
+                             "reg_domain", 15,
+                             [F.desc("n_chars"), F.asc("doc_id")])
+    return (capped.select("reg_domain", "doc_id", "n_chars",
+                          "domain_rank")
+            .orderBy("reg_domain", "domain_rank"))
+
+
+def q_domain_blocklist(spark, sf):
+    """Domain-blocklist gate (operators.urls.domain_blocklist_filter —
+    the first cut of every public web pipeline): broadcast LEFT ANTI
+    join of the corpus against a blocklist of registered domains
+    (planted so each blocklisted name genuinely occurs), then surviving
+    docs per domain. The corpus never shuffles for the gate itself —
+    the blocklist ships to the executors; the only shuffle is the
+    report's count aggregation."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    dom = URL.registered_domain(URL.url_host(F.col("url")))
+    bl = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST],
+                               "reg_domain string")
+    kept = URL.domain_blocklist_filter(
+        u.withColumn("reg_domain", dom), "reg_domain", bl)
+    return (kept.groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("reg_domain"))
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -3029,6 +3176,98 @@ _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 def _marker_score(markers: tuple[str, ...]) -> str:
     lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
     return f"CAST(len(list_filter(a, t -> list_contains({lst}, t))) AS BIGINT)"
+
+
+def _url_cte() -> str:
+    """Shared URL-family oracle chain: the raw-URL plant (IDENTICAL
+    literal construction to _planted_urls, keyed on g = doc_id % 50)
+    followed by the full operators.urls normalization pipeline run as
+    SQL — relation ``u`` exposes (doc_id, n_chars, url, url_norm, host,
+    reg_domain). Any divergence between the Spark rules and these SQL
+    rules hash-fails all four url_* / domain_* contracts."""
+    suf = ", ".join(f"'{s}'" for s in URL.MULTI_PART_SUFFIXES)
+    labs = "string_split(host, '.')"
+    last2 = f"{labs}[-2] || '.' || {labs}[-1]"
+    return rf"""u_raw AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_chars AS BIGINT) n_chars,
+         CAST(doc_id % 50 AS BIGINT) g
+  FROM documents),
+u_p1 AS (
+  SELECT *,
+    CASE WHEN g % 2 = 0 THEN 'https' ELSE 'http' END sch,
+    CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'net' ELSE 'co.uk' END tld
+  FROM u_raw),
+u_p2 AS (
+  SELECT *,
+    CASE WHEN g % 7 = 3 THEN 'news.' ELSE '' END
+      || 'site' || CAST(g % 10 AS VARCHAR) || '.' || tld hostc
+  FROM u_p1),
+u_p3 AS (
+  SELECT *,
+    CASE WHEN doc_id % 8 = 0 THEN upper(sch) ELSE sch END sch_raw,
+    CASE WHEN doc_id % 4 = 0 THEN 'www.' || hostc
+         WHEN doc_id % 4 = 2 THEN upper(hostc) ELSE hostc END auth,
+    CASE WHEN doc_id % 7 = 0 THEN
+      CASE WHEN g % 2 = 0 THEN ':443' ELSE ':80' END ELSE '' END port,
+    (CASE WHEN g = 25 THEN '/' WHEN g = 30 THEN ''
+          ELSE '/a/' || CAST(g AS VARCHAR) END)
+      || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END praw,
+    CASE WHEN g % 5 = 4 THEN ''
+         WHEN g % 2 = 0 AND doc_id % 9 = 0
+           THEN 'v=1&id=' || CAST(g AS VARCHAR)
+         WHEN g % 2 = 0 THEN 'id=' || CAST(g AS VARCHAR) || '&v=1'
+         ELSE 'id=' || CAST(g AS VARCHAR) END repar,
+    CASE WHEN doc_id % 3 = 0
+      THEN 'utm_source=feed&utm_campaign=c' || CAST(doc_id % 2 AS VARCHAR)
+      ELSE '' END track
+  FROM u_p2),
+u_p4 AS (
+  SELECT *,
+    CASE WHEN track <> '' AND repar <> '' THEN track || '&' || repar
+         WHEN track <> '' THEN track ELSE repar END qstr
+  FROM u_p3),
+u_p5 AS (
+  SELECT doc_id, n_chars,
+    sch_raw || '://' || auth || port || praw
+      || CASE WHEN qstr <> '' THEN '?' || qstr
+              WHEN doc_id % 2 = 0 THEN '?' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '#s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END url
+  FROM u_p4),
+u_n1 AS (SELECT *, regexp_replace(url, '#.*$', '') nu FROM u_p5),
+u_n2 AS (
+  SELECT *,
+    lower(regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+    lower(regexp_extract(nu,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) auth0,
+    regexp_extract(nu,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) p0,
+    regexp_extract(nu, '\?([^#]*)', 1) q0
+  FROM u_n1),
+u_n3 AS (
+  SELECT *,
+    regexp_replace(
+      CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+             THEN substr(auth0, 1, length(auth0) - 3)
+           WHEN scheme = 'https' AND auth0 LIKE '%:443'
+             THEN substr(auth0, 1, length(auth0) - 4)
+           ELSE auth0 END, '^www\.', '') host,
+    CASE WHEN regexp_replace(p0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(p0, '/+$', '') END path,
+    COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&'), '') qn
+  FROM u_n2),
+u AS (
+  SELECT doc_id, n_chars, url,
+    scheme || '://' || host || path
+      || CASE WHEN qn = '' THEN '' ELSE '?' || qn END url_norm,
+    host,
+    CASE WHEN length({labs}) <= 2 THEN host
+         WHEN {last2} IN ({suf}) THEN {labs}[-3] || '.' || {last2}
+         ELSE {last2} END reg_domain
+  FROM u_n3)"""
 
 
 def _curate_oracle() -> str:
@@ -4438,6 +4677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_neardup": q_multimodal_audio_neardup,
         "corpus_card": q_corpus_card,
         "er_customer_link": q_er_customer_link,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "domain_caps": q_domain_caps,
+        "domain_blocklist": q_domain_blocklist,
         "diversity_kcenter": q_diversity_kcenter,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
@@ -6929,6 +7172,31 @@ SELECT cust0, cust1, name_lev, bal_diff, same_segment,
        (name_lev <= 1 AND bal_diff <= 1.0) is_match
 FROM scored WHERE name_lev <= 2
 ORDER BY cust0, cust1""",
+        # URL family: every twin shares _url_cte() — the identical raw
+        # plant PLUS the normalization rules re-run as SQL, so the
+        # Spark expressions and the SQL rules cross-check each other
+        "url_normalize": f"""
+WITH {_url_cte()}
+SELECT doc_id, url, url_norm, host, reg_domain FROM u ORDER BY doc_id""",
+        "url_dedup": f"""
+WITH {_url_cte()}
+SELECT url_norm, MIN(doc_id) keep_id, CAST(COUNT(*) AS BIGINT) n_dups
+FROM u GROUP BY url_norm HAVING COUNT(*) >= 2 ORDER BY url_norm""",
+        "domain_caps": f"""
+WITH {_url_cte()},
+ranked AS (
+  SELECT reg_domain, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY reg_domain
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) domain_rank
+  FROM u)
+SELECT reg_domain, doc_id, n_chars, domain_rank
+FROM ranked WHERE domain_rank <= 15 ORDER BY reg_domain, domain_rank""",
+        "domain_blocklist": f"""
+WITH {_url_cte()}
+SELECT reg_domain, CAST(COUNT(*) AS BIGINT) n_docs
+FROM u
+WHERE reg_domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
+GROUP BY reg_domain ORDER BY reg_domain""",
     }
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift

@@ -1,0 +1,110 @@
+"""operators.urls — URL normalization / registered domain / caps /
+blocklist. Hand-computed contracts; the cross-engine equivalence of the
+same rules is pinned by the url_* / domain_* oracle twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from casf_spark.operators.urls import (domain_blocklist_filter, domain_caps,
+                                       normalize_url, registered_domain,
+                                       url_host)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.n for r in
+            df.select(normalize_url(F.col("url")).alias("n")).collect()]
+
+
+def test_normalize_url_hand_cases(spark):
+    cases = {
+        # fragment + tracking params dropped, survivors sorted
+        "https://example.com/a?z=2&utm_source=x&id=1#frag":
+            "https://example.com/a?id=1&z=2",
+        # scheme/host case, www., default https port
+        "HTTPS://WWW.Example.COM:443/a": "https://example.com/a",
+        # http default port stripped; non-default port KEPT
+        "http://example.com:80/a": "http://example.com/a",
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        # trailing slash runs collapse; root stays /; empty path -> /
+        "https://example.com/a///": "https://example.com/a",
+        "https://example.com/": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        # tracking-only query and bare ? disappear entirely
+        "https://example.com/a?utm_campaign=c&gclid=g": "https://example.com/a",
+        "https://example.com/a?": "https://example.com/a",
+        # ref is a tracking param; 'referrer=x' is NOT (anchored match)
+        "https://example.com/a?ref=tw&referrer=x":
+            "https://example.com/a?referrer=x",
+    }
+    got = _norm(spark, list(cases))
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_registered_domain_hand_cases(spark):
+    cases = {
+        "example.com": "example.com",
+        "a.b.example.com": "example.com",
+        "example.co.uk": "example.co.uk",
+        "news.example.co.uk": "example.co.uk",
+        "deep.news.example.com.au": "example.com.au",
+        "localhost": "localhost",          # <2 labels pass through
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = [r.d for r in
+           df.select(registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_url_host_keeps_non_default_port(spark):
+    df = spark.createDataFrame(
+        [("https://www.Ex.com:444/p",), ("http://ex.com:443/p",)],
+        "url string")
+    got = [r.h for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    # :444 is not https-default; :443 is not http-default -> both kept
+    assert got == ["ex.com:444", "ex.com:443"]
+
+
+def test_domain_caps_keeps_top_n_per_domain(spark):
+    rows = [(i, "d1.com", 100 - i) for i in range(5)] + \
+           [(10, "d2.com", 7), (11, "d2.com", 9)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, q long")
+    got = {(r.dom, r.doc_id): r.domain_rank
+           for r in domain_caps(df, "dom", 2,
+                                [F.desc("q"), F.asc("doc_id")]).collect()}
+    # d1: q=100(doc0) rank1, q=99(doc1) rank2; d2: q=9(doc11) rank1
+    assert got == {("d1.com", 0): 1, ("d1.com", 1): 2,
+                   ("d2.com", 11): 1, ("d2.com", 10): 2}
+
+
+def test_domain_blocklist_filter_anti_joins(spark):
+    df = spark.createDataFrame(
+        [(1, "ok.com"), (2, "bad.com"), (3, "ok.com"), (4, "worse.net")],
+        "doc_id long, dom string")
+    bl = spark.createDataFrame([("bad.com",), ("worse.net",), ("bad.com",)],
+                               "dom string")
+    got = sorted(r.doc_id
+                 for r in domain_blocklist_filter(df, "dom", bl).collect())
+    assert got == [1, 3]
+
+
+def test_planted_urls_canonical_groups(spark, sf_dir):
+    """The plant's contract: canonical URL is a function of doc_id % 50
+    exactly — 50 distinct canons, every doc in a group agrees, and raw
+    variants within a group genuinely differ (the normalizer has work
+    to do)."""
+    import __spark_entry__ as E
+
+    u = E._planted_urls(E.load_table(spark, sf_dir, "documents"))
+    rows = u.select("doc_id", "url",
+                    normalize_url(F.col("url")).alias("n")).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.doc_id % 50, set()).add(r.n)
+    assert len(by_g) == 50
+    assert all(len(v) == 1 for v in by_g.values()), \
+        {g: v for g, v in by_g.items() if len(v) > 1}
+    raws = {}
+    for r in rows:
+        raws.setdefault(r.doc_id % 50, set()).add(r.url)
+    assert sum(len(v) > 1 for v in raws.values()) == 50
