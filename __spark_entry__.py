@@ -4210,6 +4210,21 @@ def q_dedup_remove_spans(spark, sf):
     return DD.remove_duplicated_spans(docs, "doc_id", "text", n=4)
 
 
+def q_dedup_max_spans(spark, sf):
+    """Variable-length MAXIMAL duplicated spans (operators.dedup
+    .maximal_duplicated_spans — the Lee et al. 2022 substring view):
+    overlapping/adjacent cross-duplicated word 4-grams merged per doc
+    into maximal runs, one row per span with its start/end/length and
+    the actual span text. The merge is a lag/cumsum window over the
+    duplicated gram starts (doc-partitioned), so the twin replays it as
+    the identical LAG + running-SUM SQL; the union of span positions
+    equals dedup_spans' covered count by construction (property-tested
+    conservation)."""
+    docs = load_table(spark, sf, "documents")
+    return (DD.maximal_duplicated_spans(docs, "doc_id", "text", n=4)
+            .orderBy("doc", "span_start"))
+
+
 def q_dedup_keep_best(spark, sf):
     """Representative selection after near-dup clustering
     (operators.dedup.keep_cluster_representative): MinHash star-edge
@@ -4637,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dsir_select": q_dsir_select,
         "dedup_remove_spans": q_dedup_remove_spans,
+        "dedup_max_spans": q_dedup_max_spans,
         "dedup_keep_best": q_dedup_keep_best,
         "tokens_to_ids": q_tokens_to_ids,
         "embedding_int8": q_embedding_int8,
@@ -6546,6 +6562,34 @@ SELECT doc_id, is_target, n_features, log_weight,
          ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                 AS BIGINT) >> 30) + 0.5) / 1073741824.0)), 6) gumbel_key
 FROM pd""",
+        "dedup_max_spans": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+occ AS (
+  SELECT doc, CAST(i AS BIGINT) pos,
+         CAST('0x' || substr(md5(array_to_string(a[i+1:i+4], ' ')), 1, 15)
+              AS BIGINT) g
+  FROM toklist, UNNEST(range(len(a) - 3)) AS u(i)
+  WHERE len(a) >= 4),
+dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc) >= 2),
+hits AS (SELECT o.doc, o.pos FROM occ o JOIN dup USING (g)),
+mk AS (SELECT doc, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc ORDER BY pos) > 4
+              THEN 1 ELSE 0 END brk
+       FROM hits),
+sid AS (SELECT doc, pos,
+          SUM(brk) OVER (PARTITION BY doc ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) s
+        FROM mk),
+sp AS (SELECT doc, MIN(pos) span_start, MAX(pos) + 3 span_end
+       FROM sid GROUP BY doc, s)
+SELECT sp.doc, CAST(span_start AS BIGINT) span_start,
+       CAST(span_end AS BIGINT) span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) span_len,
+       array_to_string(t.a[CAST(span_start + 1 AS INT):
+                           CAST(span_end + 1 AS INT)], ' ') span_text
+FROM sp JOIN toklist t ON t.doc = sp.doc
+ORDER BY sp.doc, span_start""",
         "dedup_remove_spans": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
 p AS (SELECT doc, a, len(a) nn FROM t WHERE len(a) > 0),

@@ -564,6 +564,67 @@ def cross_doc_spans(df: DataFrame, id_col: str, text_col: str,
                     .alias("dup_span_frac")))
 
 
+def maximal_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                             n: int = 4) -> DataFrame:
+    """VARIABLE-LENGTH maximal duplicated spans — the step from gram
+    coverage (:func:`cross_doc_spans`) to actual substrings: per
+    document, merge every overlapping-or-adjacent cross-duplicated word
+    ``n``-gram interval ``[pos, pos+n-1]`` into its maximal run ->
+    one row per span ``(doc, span_start, span_end, span_len,
+    span_text)``. A 40-token boilerplate banner shared by two docs shows
+    up as ONE 40-token span, not 37 overlapping grams — materially
+    closer to Lee et al. 2022 exact substring dedup, and the span text
+    is the actual removable string.
+
+    Merge rule: duplicated gram starts sorted per doc; a new span opens
+    when ``pos - prev_pos > n`` (intervals of length n overlap or touch
+    exactly when starts differ by <= n). Consecutive maximal spans are
+    therefore separated by >= 1 genuinely un-duplicated position, and
+    every span has length >= n. The union of span positions equals
+    cross_doc_spans' ``covered`` count by construction (conservation —
+    property-tested).
+
+    Scale shape: the same gram-grain aggregation + duplicated-set join
+    as cross_doc_spans (explode proportional to duplicated occurrences
+    only), then a lag/cumsum window PARTITIONED BY DOC (per-partition
+    sort bounded by doc length) and a (doc, span) aggregation; the
+    token arrays join back once on doc for the span text. Nothing
+    quadratic, nothing driver-side.
+    """
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
+           .select("doc", "pos", md5_long("gram").alias("g")))
+    dup = (occ.groupBy("g")
+           .agg(F.countDistinct("doc").alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("g"))
+    hits = occ.join(dup, "g").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n,
+                 F.lit(1)).otherwise(F.lit(0))
+    spans = (hits.withColumn("_brk", brk)
+             .withColumn("_sid", F.sum("_brk").over(wc))
+             .groupBy("doc", "_sid")
+             .agg(F.min("pos").cast("long").alias("span_start"),
+                  (F.max("pos") + n - 1).cast("long").alias("span_end")))
+    ln = (F.col("span_end") - F.col("span_start") + 1).cast("long")
+    return (spans.join(tok_df, "doc")
+            .select("doc", "span_start", "span_end",
+                    ln.alias("span_len"),
+                    F.array_join(
+                        F.slice("toks", F.col("span_start") + 1,
+                                ln.cast("int")), " ").alias("span_text")))
+
+
 def _union_find_single_task(edges: DataFrame) -> DataFrame:
     """Connected components of a small graph in ONE executor task: classic
     union-find (path compression + union by size) over the edge list via

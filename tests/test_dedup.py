@@ -422,6 +422,57 @@ def test_blocked_pairs_oversize_block_guard(spark):
     assert all_pairs == 10 + 1
 
 
+# ------------------------------------------------- maximal duplicated spans
+
+def test_maximal_spans_merge_and_split(spark):
+    """Gram intervals whose starts differ by exactly n touch and MERGE
+    into one variable-length span; starts differing by n+1 leave a gap
+    and stay separate spans."""
+    from casf_spark.operators.dedup import maximal_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s gap t u v w"),       # shared grams at pos 0 and 5
+         (2, "p q r s t u v w")],          # shared grams at pos 0 and 4
+        "doc_id long, text string")
+    got = {(r.doc, r.span_start): (r.span_end, r.span_len, r.span_text)
+           for r in maximal_duplicated_spans(df, "doc_id", "text",
+                                             n=4).collect()}
+    assert got == {
+        (1, 0): (3, 4, "p q r s"),         # 5 - 0 > 4 -> split
+        (1, 5): (8, 4, "t u v w"),
+        (2, 0): (7, 8, "p q r s t u v w"),  # 4 - 0 <= 4 -> merged
+    }, got
+
+
+def test_maximal_spans_conservation(spark, sf_dir):
+    """Conservation against the gram-coverage detector: per doc, the
+    union of maximal spans covers EXACTLY cross_doc_spans' covered
+    positions; spans are disjoint with >=1 un-duplicated position
+    between them; every span is >= n tokens."""
+    from casf_spark.operators.dedup import (cross_doc_spans,
+                                            maximal_duplicated_spans)
+    import __spark_entry__ as E
+
+    docs = E.load_table(spark, sf_dir, "documents")
+    spans = maximal_duplicated_spans(docs, "doc_id", "text", n=4).collect()
+    covered = {r.doc: r.covered
+               for r in cross_doc_spans(docs, "doc_id", "text",
+                                        n=4).collect()}
+    assert len(spans) > 0
+    per_doc = {}
+    for r in spans:
+        assert r.span_len == r.span_end - r.span_start + 1 >= 4
+        assert len(r.span_text.split(" ")) == r.span_len
+        per_doc.setdefault(r.doc, []).append((r.span_start, r.span_end))
+    for doc, iv in per_doc.items():
+        iv.sort()
+        assert all(b[0] - a[1] >= 2 for a, b in zip(iv, iv[1:])), (doc, iv)
+        assert sum(e - s + 1 for s, e in iv) == covered[doc], doc
+    # docs with zero coverage emit zero spans
+    assert all(covered.get(d, 0) > 0 for d in per_doc)
+    assert set(per_doc) == {d for d, c in covered.items() if c > 0}
+
+
 def test_er_customer_link_planted_matches(spark, sf_dir):
     """Every planted dirty copy (key+10M, last name char corrupted,
     balance +0.01) is found and flagged is_match; the pair's lev is
