@@ -1847,6 +1847,22 @@ def q_diversity_kcenter(spark, sf):
     return SIM.kcenter_select(emb, k=8)
 
 
+def q_diversity_kcenter_64(spark, sf):
+    """Large-k k-center (operators.similarity.kcenter_select_batched —
+    the SCALE.md batched-GEMM route for k in the hundreds): the EXACT
+    kcenter_select contract at k=64, but each corpus pass folds a whole
+    BATCH of new centers into min_dist with one Arrow-batched BLAS
+    matmul (bounded B×d side input), and a bounded TakeOrdered buffer
+    lets the driver select multiple provably-safe centers per pass
+    (valid while the best updated distance stays strictly above the
+    buffer's cut — excluded distances can only shrink). Pass count
+    collapses from k to ~k/B; the twin is the same 64-step sequential
+    recurrence, so batching exactness is oracle-gated, and
+    test_similarity pins batched == sequential at mid k."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.kcenter_select_batched(emb, k=64, buffer=64)
+
+
 def q_knn_classify(spark, sf):
     """kNN majority-vote label prediction over embeddings (k=10 exact
     cosine neighbors via the partial-top-k GEMM path)."""
@@ -4511,66 +4527,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 driver window (the driver's correctness harness checks the FIRST
-# 50 entries of queries()). Composition, per the round-7 verdict item 1:
-#   * the 19 round-8 additions (adversarial_contract — the NULL/zero-vector
-#     gate-visibility row, retrieval_rrf, diversity_kcenter,
-#     unigram_lm_scores, crossmodal_integrity,
-#     doc_quality_source_quantile, cluster_profile, mixture_plan,
-#     curriculum_buckets, unigram_lm_segment — the Viterbi encoder's
-#     chained-DP twin — plus the late-round nine: retrieval_rrf_weighted,
-#     nb_lang_score, nb_lang_eval, tokenizer_fertility, collocations_pmi,
-#     multimodal_image_neardup, multimodal_audio_neardup, corpus_card,
-#     er_customer_link) — windowed immediately so no never-checked
-#     backlog accumulates;
-#   * re-confirmations, stalest-first by last-green round: the 25 names
-#     whose latest green row is round 4 (the round-7 rotation's leftover
-#     queue, NEXT.md item 3 — the authoritative list), then the FIRST 6
-#     of the 50 names last green in round 5, in round-5 window order.
-#     NEXT.md's round-9 queue is authoritative: the 9 displaced tail
-#     names (customer_rfm, events_hour_spine, text_fingerprint,
-#     text_token_stats, text_split, ann_lsh_mp, multimodal_features,
-#     users_click_not_purchase, window_first_last) head it, then the 35
-#     round-5 leftovers (events_running_distinct, text_chunks,
-#     train_shards, orders_merge_upsert, events_approx_percentiles, ... —
-#     full list in NEXT.md), then the round-6 cohort.
-# With CORRECTNESS_r08 green, every name's newest green row is round 5+.
-_ROUND8_WINDOW = [
-    # -- the 19 round-8 additions (the last 9 — the weighted 3-leg RRF,
-    #    the NB classifier pair, the tokenizer-fertility report, the PMI
-    #    collocations, the dHash/energy-contour perceptual near-dup
-    #    pair, the corpus datasheet, and the customer entity-resolution
-    #    link — landed late in the round and displaced the window's 9
-    #    tail names, which now head the round-9 re-confirmation queue
-    #    ahead of the 35 round-5 leftovers)
-    "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
-    "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
-    "curriculum_buckets", "unigram_lm_segment",
-    "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
-    "tokenizer_fertility", "collocations_pmi", "multimodal_image_neardup",
-    "multimodal_audio_neardup", "corpus_card", "er_customer_link",
-    # -- the 25 names last green in round 4 (stalest cohort)
-    "sample_per_source", "bigram_logprob", "embedding_norms",
-    "dedup_degrees", "pack_greedy", "events_approx_distinct", "text_zipf",
-    "events_grouping_sets", "doc_lang_source_lift", "events_gap_stats",
-    "customer_running_spend", "events_mad_outliers", "embedding_power_iter",
-    "events_sketch_rollup", "events_session_window", "events_forward_fill",
-    "dedup_cross_source", "text_ttr", "multimodal_pcm",
-    "events_click_purchase_days", "orders_price_position", "events_unpivot",
-    "text_novelty", "customer_order_counts_right", "ann_ivf",
-    # -- first 6 of the 50 names last green in round 5 (round-5 window
-    #    order; the late round-8 additions displaced the other 9 to the
-    #    round-9 queue head — see NEXT.md)
-    "data_quality_checks", "cdc_snapshot", "events_k_anonymity",
-    "scd2_orders", "split_leakage_safe", "dedup_triangles",
+# Round-9 driver window (the driver's correctness harness checks the FIRST
+# 50 entries of queries()). Composition, per the round-8 verdict item 1:
+#   * the 6 round-9 additions (the URL/domain curation family —
+#     url_normalize, url_dedup, domain_caps, domain_blocklist — plus the
+#     variable-length maximal-span dedup and the batched large-k
+#     k-center) — windowed immediately so no never-checked backlog
+#     accumulates;
+#   * re-confirmations, stalest-first by last-green round: FIRST the 9
+#     names the late round-8 additions displaced (round-5 green, the
+#     stalest anywhere), then the 35 round-5 leftovers in round-5 window
+#     order (NEXT.md's round-9 queue — the authoritative list). That
+#     consumes the ENTIRE round-5 cohort: after a green round 9, every
+#     name's newest driver green is round 6+ and the next rotation
+#     starts on the round-6 cohort.
+_ROUND9_WINDOW = [
+    # -- the 6 round-9 additions
+    "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
+    "dedup_max_spans", "diversity_kcenter_64",
+    # -- the 9 round-5-green names displaced by the late round-8 batch
+    "customer_rfm", "events_hour_spine", "text_fingerprint",
+    "text_token_stats", "text_split", "ann_lsh_mp", "multimodal_features",
+    "users_click_not_purchase", "window_first_last",
+    # -- the 35 round-5 leftovers (round-5 window order)
+    "events_running_distinct", "text_chunks", "train_shards",
+    "orders_merge_upsert", "events_approx_percentiles",
+    "text_heavy_hitters", "lang_top_tokens", "dedup_edit_distance",
+    "embedding_standardize", "orders_quartiles", "events_json_variant",
+    "orders_yoy_growth", "ann_ivf_det", "ann_lsh", "ann_topk",
+    "decontaminate", "dedup_clusters", "dedup_embedding", "dedup_exact",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
+    "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
+    "text_line_dedup", "text_quality", "text_repetition",
+    "text_term_counts", "text_winnow",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND8_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND9_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -4698,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "domain_blocklist": q_domain_blocklist,
         "diversity_kcenter": q_diversity_kcenter,
+        "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
         "crossmodal_integrity": q_crossmodal_integrity,
@@ -4788,10 +4786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND8_WINDOW) == 50
-    missing = [n for n in _ROUND8_WINDOW if n not in base]
+    assert len(_ROUND9_WINDOW) == 50
+    missing = [n for n in _ROUND9_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND8_WINDOW}
+    out = {n: base[n] for n in _ROUND9_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
@@ -6347,6 +6345,10 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         "bpe_merges": _bpe_oracle(n_merges=8),
         "bpe_encode": _bpe_oracle(n_merges=8, encode=True),
         "diversity_kcenter": _kcenter_oracle(k=8),
+        # the batched large-k path must reproduce the SEQUENTIAL greedy
+        # recurrence exactly — the twin is the same chained-CTE DP at
+        # k=64, so any batching shortcut that isn't provably safe fails
+        "diversity_kcenter_64": _kcenter_oracle(k=64),
         "unigram_lm_segment": _viterbi_oracle(max_word_len=12),
         "unigram_lm_scores": f"""
 WITH toklist AS (SELECT {_TOKS} a FROM documents),

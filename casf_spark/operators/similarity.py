@@ -771,6 +771,101 @@ def embedding_prep_report(emb: DataFrame, id_col: str = "vec_id",
                     F.round("s", 6).alias("scale")))
 
 
+def kcenter_select_batched(emb: DataFrame, k: int = 64,
+                           buffer: int = 64, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Large-k greedy k-center — EXACTLY :func:`kcenter_select`'s
+    contract (same seed, distances, rounding, tie rule, output schema)
+    with the pass count collapsed from k to ~k/batch: at k in the
+    hundreds the sequential one-job-per-center loop is hundreds of
+    corpus scans, and this is the batched-GEMM side-input route
+    SCALE.md names for that regime.
+
+    How a pass works (and why it stays exact):
+
+    1. ONE Arrow-batched mapInPandas corpus pass folds the pending new
+       centers (a bounded B×d side input riding the closure — the
+       dedup._nearest_det_centroids GEMM idiom) into the running
+       ``min_dist``: per center ``ROUND(1 - v·c, 6)``, then min — the
+       identical recurrence, BLAS-vs-sequential float-sum differences
+       absorbed by the rounding (the established oracle-exact argument).
+    2. A TakeOrdered(``buffer``) by (min_dist DESC, vec_id ASC) pulls a
+       bounded candidate buffer to the driver, and greedy selection runs
+       inside it (numpy): pick the argmax, update buffer distances
+       against the pick, repeat — VALID while the best updated distance
+       stays strictly above ``tau`` = the buffer's smallest pulled
+       distance, because every excluded point's distance is <= its
+       pulled value <= tau (distances only shrink). At ``best <= tau``
+       an excluded point could win (or tie with a smaller id), so the
+       pass ends and the picks become the next pass's pending batch.
+       The FIRST pick of each pass is the fresh corpus-wide argmax, so
+       every pass selects >= 1 center and the loop terminates in <= k
+       passes — typically k/B with B near ``buffer``.
+
+    k and buffer are budgets (<= thousands): selected centers live on
+    the driver by design, like IVF codebooks.
+    """
+    import numpy as np
+
+    base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
+                      V.l2_normalize(vec_col).alias("v"),
+                      F.lit(2.0).alias("min_dist"))
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(1, int(seed.vec_id), 0.0)]
+    pend_vecs = [np.asarray(seed.v, dtype=np.float64)]
+    pend_ids = [int(seed.vec_id)]
+    pool = base.where(F.col("vec_id") != int(seed.vec_id)).localCheckpoint()
+    schema = pool.schema
+
+    while len(selected) < k:
+        C = np.vstack(pend_vecs)  # B x d — bounded side input
+
+        def fold(it, C=C):
+            import pandas as pd
+            for pdf in it:
+                if len(pdf):
+                    M = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    d = np.round(1.0 - M @ C.T, 6).min(axis=1)
+                    pdf = pdf.assign(min_dist=np.minimum(
+                        pdf["min_dist"].to_numpy(), d))
+                yield pdf
+
+        pool = (pool.mapInPandas(fold, schema)
+                .where(~F.col("vec_id").isin(pend_ids))
+                .localCheckpoint())
+        cand = (pool.orderBy(F.desc("min_dist"), F.asc("vec_id"))
+                .limit(buffer).collect())
+        if not cand:
+            break  # pool exhausted before k (k > corpus)
+        ids = np.array([r.vec_id for r in cand], dtype=np.int64)
+        Vb = np.array([r.v for r in cand], dtype=np.float64)
+        db = np.array([r.min_dist for r in cand], dtype=np.float64)
+        # exclusion threshold: only meaningful when the buffer was cut
+        tau = db.min() if len(cand) == buffer else -np.inf
+        alive = np.ones(len(cand), dtype=bool)
+        pend_vecs, pend_ids = [], []
+        first = True
+        while len(selected) < k and alive.any():
+            live = np.flatnonzero(alive)
+            j = live[np.lexsort((ids[live], -db[live]))[0]]
+            if not first and db[j] <= tau:
+                break  # an excluded point could beat or id-tie this
+            first = False
+            selected.append((len(selected) + 1, int(ids[j]),
+                             float(db[j])))
+            pend_vecs.append(Vb[j])
+            pend_ids.append(int(ids[j]))
+            alive[j] = False
+            upd = np.round(1.0 - Vb[alive] @ Vb[j], 6)
+            db[alive] = np.minimum(db[alive], upd)
+        if not pend_ids:
+            break
+
+    return emb.sparkSession.createDataFrame(
+        [(int(r), int(i), float(d)) for r, i, d in selected],
+        "sel_rank long, vec_id long, sel_dist double")
+
+
 def kcenter_select(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Greedy k-center / farthest-point sampling (Gonzalez 1985) over an

@@ -193,3 +193,44 @@ def test_kcenter_tie_breaks_low_id_and_radius_monotone(spark):
                                 "vec_id long, embedding array<double>")
     got2 = {r.vec_id: r.sel_rank for r in kcenter_select(df2, k=5).collect()}
     assert set(got2) == {1, 2, 5, 7, 9}
+
+
+def test_kcenter_batched_equals_sequential(spark, sf_dir):
+    """The batched large-k path must reproduce the sequential greedy
+    EXACTLY — rank for rank, id for id, distance for distance — even
+    with a tiny buffer that forces many multi-pass exclusion decisions
+    (the tau-cut correctness argument under stress)."""
+    from casf_spark.operators.similarity import (kcenter_select,
+                                                 kcenter_select_batched)
+    import __spark_entry__ as E
+
+    emb = E.load_table(spark, sf_dir, "embeddings")
+    want = [(r.sel_rank, r.vec_id, r.sel_dist)
+            for r in kcenter_select(emb, k=12).orderBy("sel_rank").collect()]
+    for buf in (3, 12):
+        got = [(r.sel_rank, r.vec_id, r.sel_dist)
+               for r in kcenter_select_batched(emb, k=12, buffer=buf)
+               .orderBy("sel_rank").collect()]
+        assert got == want, (buf, got, want)
+
+
+def test_kcenter_batched_duplicates_and_small_pool(spark):
+    """Duplicate points (distance collapses to 0.0) and k > pool size:
+    the batched path selects every point exactly once, ties to the
+    smaller id, and stops when the pool is exhausted."""
+    from casf_spark.operators.similarity import (kcenter_select,
+                                                 kcenter_select_batched)
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = [(r.sel_rank, r.vec_id, r.sel_dist)
+            for r in kcenter_select(df, k=4).orderBy("sel_rank").collect()]
+    got = [(r.sel_rank, r.vec_id, r.sel_dist)
+           for r in kcenter_select_batched(df, k=4, buffer=2)
+           .orderBy("sel_rank").collect()]
+    assert got == want
+    # k beyond the pool: stops at 4 rows, all ids once
+    over = kcenter_select_batched(df, k=9, buffer=2).collect()
+    assert sorted(r.vec_id for r in over) == [0, 1, 2, 3]
+    assert sorted(r.sel_rank for r in over) == [1, 2, 3, 4]
