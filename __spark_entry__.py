@@ -2385,6 +2385,36 @@ def q_domain_blocklist(spark, sf):
             .orderBy("reg_domain"))
 
 
+def q_domain_quality(spark, sf):
+    """Per-domain quality triage (the FineWeb/RefinedWeb exploration
+    report that decides which domains get capped, blocked, or kept):
+    per registered domain — docs, DISTINCT canonical URLs (mirror
+    pressure), Gopher pass count/rate, mean doc length. Composes the
+    URL plant + operators.urls extraction with functions.text
+    .gopher_quality; the twin composes the PROVEN gopher oracle body
+    with the shared _url_cte, so the report can never drift from the
+    per-doc contracts. One doc_id equi-join + one domain-grain agg;
+    both rates are single divisions of exact integer sums."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    host = URL.url_host(F.col("url"))
+    urls = u.select("doc_id", "n_chars",
+                    URL.normalize_url(F.col("url")).alias("url_norm"),
+                    URL.registered_domain(host).alias("reg_domain"))
+    g = TX.gopher_quality(docs, "doc_id", "text") \
+        .select("doc_id", "passes_gopher")
+    np = F.sum(F.col("passes_gopher").cast("long"))
+    return (urls.join(g, "doc_id")
+            .groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("url_norm").cast("long").alias("n_urls"),
+                 np.cast("long").alias("n_gopher_pass"),
+                 F.round(np / F.count(F.lit(1)), 6)
+                 .alias("gopher_pass_rate"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy("reg_domain"))
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -4542,9 +4572,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     name's newest driver green is round 6+ and the next rotation
 #     starts on the round-6 cohort.
 _ROUND9_WINDOW = [
-    # -- the 6 round-9 additions
+    # -- the 7 round-9 additions (domain_quality landed after the first
+    #    rotation and displaced the tail name text_winnow to the
+    #    round-10 queue head — see NEXT.md)
     "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
-    "dedup_max_spans", "diversity_kcenter_64",
+    "dedup_max_spans", "diversity_kcenter_64", "domain_quality",
     # -- the 9 round-5-green names displaced by the late round-8 batch
     "customer_rfm", "events_hour_spine", "text_fingerprint",
     "text_token_stats", "text_split", "ann_lsh_mp", "multimodal_features",
@@ -4560,7 +4592,7 @@ _ROUND9_WINDOW = [
     "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
     "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
     "text_line_dedup", "text_quality", "text_repetition",
-    "text_term_counts", "text_winnow",
+    "text_term_counts",
 ]
 
 
@@ -4694,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_caps": q_domain_caps,
         "domain_blocklist": q_domain_blocklist,
+        "domain_quality": q_domain_quality,
         "diversity_kcenter": q_diversity_kcenter,
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
@@ -7244,6 +7277,21 @@ FROM u
 WHERE reg_domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
 GROUP BY reg_domain ORDER BY reg_domain""",
     }
+    # per-domain triage composes the PROVEN gopher body with the shared
+    # URL plant+normalization chain — same drift-proofing as
+    # pipeline_curate_v2
+    out["domain_quality"] = f"""
+WITH {_url_cte()},
+gq AS ({out['gopher_quality']}),
+j AS (SELECT u.reg_domain, u.url_norm, u.n_chars,
+             CASE WHEN gq.passes_gopher THEN 1 ELSE 0 END p
+      FROM u JOIN gq ON gq.doc_id = u.doc_id)
+SELECT reg_domain, CAST(COUNT(*) AS BIGINT) n_docs,
+       CAST(COUNT(DISTINCT url_norm) AS BIGINT) n_urls,
+       CAST(SUM(p) AS BIGINT) n_gopher_pass,
+       ROUND(SUM(p) * 1.0 / COUNT(*), 6) gopher_pass_rate,
+       ROUND(AVG(n_chars), 6) avg_chars
+FROM j GROUP BY reg_domain ORDER BY reg_domain"""
     # capstone: the composed curation pipeline reuses the PROVEN oracle
     # bodies above as CTE subqueries, so the composition can never drift
     # from the per-stage contracts
