@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from casf_spark.functions import html as HT
 from casf_spark.functions import text as TX
 from casf_spark.functions.hashing import (MIX_PRIME, minhash_band_plan,
                                           minhash_sql_exprs)
@@ -2385,6 +2386,49 @@ def q_domain_blocklist(spark, sf):
             .orderBy("reg_domain"))
 
 
+def q_html_extract(spark, sf):
+    """HTML text extraction (functions.html — the EXTRACT stage web
+    pipelines run before any quality/dedup pass): script/style blocks
+    removed with their content, tags stripped to spaces, common
+    entities decoded (&amp; last — double-decode guard), whitespace
+    collapsed; plus the <title> text. The corpus has no HTML column, so
+    — the exact-plant discipline — each doc's text is wrapped in
+    deterministic doc_id-keyed markup (title, optional script/style/nav
+    blocks, an entity-bearing prefix every 7th doc, attributes,
+    footer) built from IDENTICAL literals in the twin, which then
+    replays the extraction rules as SQL: any rule divergence
+    hash-fails on full extracted strings, not summaries. Pure
+    expression work — raw HTML reduces to clean text inside the scan
+    and never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    i = F.col("doc_id")
+    gs = i.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), gs, F.lit(" &amp; co</title>"),
+        F.when(i % 3 == 0,
+               "<script>var x = 1 &amp;&amp; 2;</script>").otherwise(""),
+        F.when(i % 4 == 0, "<style> p { color: #fff } </style>")
+        .otherwise(""),
+        F.lit("</head><body>"),
+        F.when(i % 5 == 0, "<nav>Home &amp; About</nav>").otherwise(""),
+        F.lit('<p id="c'), gs, F.lit('">'),
+        F.when(i % 7 == 0,
+               "A &amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39; ")
+        .otherwise(""),
+        F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+        F.when(i % 2 == 0, "<div class=\"ft\">&copy; 2024</div>")
+        .otherwise(""),
+        F.lit("</body></html>"))
+    w = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    html.alias("html"))
+    return (w.select("doc_id",
+                     HT.extract_title(F.col("html")).alias("title"),
+                     HT.extract_text(F.col("html")).alias("text_clean"))
+            .withColumn("n_chars_clean",
+                        F.length("text_clean").cast("long"))
+            .orderBy("doc_id"))
+
+
 def q_domain_quality(spark, sf):
     """Per-domain quality triage (the FineWeb/RefinedWeb exploration
     report that decides which domains get capped, blocked, or kept):
@@ -4572,11 +4616,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     name's newest driver green is round 6+ and the next rotation
 #     starts on the round-6 cohort.
 _ROUND9_WINDOW = [
-    # -- the 7 round-9 additions (domain_quality landed after the first
-    #    rotation and displaced the tail name text_winnow to the
-    #    round-10 queue head — see NEXT.md)
+    # -- the 8 round-9 additions (domain_quality and html_extract
+    #    landed after the first rotation and displaced the tail names
+    #    text_winnow and text_term_counts to the round-10 queue head —
+    #    see NEXT.md)
     "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
     "dedup_max_spans", "diversity_kcenter_64", "domain_quality",
+    "html_extract",
     # -- the 9 round-5-green names displaced by the late round-8 batch
     "customer_rfm", "events_hour_spine", "text_fingerprint",
     "text_token_stats", "text_split", "ann_lsh_mp", "multimodal_features",
@@ -4592,7 +4638,6 @@ _ROUND9_WINDOW = [
     "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
     "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
     "text_line_dedup", "text_quality", "text_repetition",
-    "text_term_counts",
 ]
 
 
@@ -4727,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "domain_blocklist": q_domain_blocklist,
         "domain_quality": q_domain_quality,
+        "html_extract": q_html_extract,
         "diversity_kcenter": q_diversity_kcenter,
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
@@ -7251,6 +7297,54 @@ SELECT cust0, cust1, name_lev, bal_diff, same_segment,
        (name_lev <= 1 AND bal_diff <= 1.0) is_match
 FROM scored WHERE name_lev <= 2
 ORDER BY cust0, cust1""",
+        # HTML extraction: identical doc_id-keyed markup plant, then the
+        # functions.html rules replayed as SQL (blocks -> tags ->
+        # entities with &amp; last -> whitespace collapse)
+        "html_extract": f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      || ' &amp; co</title>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<script>var x = 1 &amp;&amp; 2;</script>'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<style> p {{ color: #fff }} </style>' ELSE '' END
+    || '</head><body>'
+    || CASE WHEN doc_id % 5 = 0 THEN '<nav>Home &amp; About</nav>'
+            ELSE '' END
+    || '<p id="c' || CAST(doc_id AS VARCHAR) || '">'
+    || CASE WHEN doc_id % 7 = 0
+            THEN 'A &amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39; '
+            ELSE '' END
+    || COALESCE(text, '') || '</p>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<div class="ft">&copy; 2024</div>'
+            ELSE '' END
+    || '</body></html>' html
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    regexp_replace(html,
+      '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') t,
+    regexp_extract(html, '<title[^>]*>(.*?)</title>', 1) ti
+  FROM h),
+s2 AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&') t,
+    replace(replace(replace(replace(replace(replace(ti,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&') ti
+  FROM s1),
+s3 AS (
+  SELECT doc_id, trim(ti) title,
+         trim(regexp_replace(t, '\\s+', ' ', 'g')) text_clean
+  FROM s2)
+SELECT doc_id, title, text_clean,
+       CAST(length(text_clean) AS BIGINT) n_chars_clean
+FROM s3 ORDER BY doc_id""",
         # URL family: every twin shares _url_cte() — the identical raw
         # plant PLUS the normalization rules re-run as SQL, so the
         # Spark expressions and the SQL rules cross-check each other
