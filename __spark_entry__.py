@@ -2386,6 +2386,23 @@ def q_domain_blocklist(spark, sf):
             .orderBy("reg_domain"))
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training (operators
+    .relevance.hard_negative_mine — the ANCE/FaceNet batch-construction
+    step, completing the embedding-training loop: dedup_semantic prunes
+    redundancy, diversity_kcenter spreads the budget, this mines the
+    pairs): per anchor (vec_id < 100 — the bounded broadcast-query
+    contract of knn_classify), the 5 most-similar DIFFERENT-label
+    vectors from the exact top-20 cosine pool, the pool's best
+    same-label similarity, and the semi-hard flag
+    (pos - 0.05 < neg < pos). Partial-top-k GEMM neighbors; everything
+    after the pool is anchor-grain window work."""
+    emb = load_table(spark, sf, "embeddings")
+    return (RV.hard_negative_mine(emb, emb.where(F.col("vec_id") < 100),
+                                  k_pool=20, k_neg=5, margin=0.05)
+            .orderBy("anchor_id", "neg_rank"))
+
+
 def q_html_extract(spark, sf):
     """HTML text extraction (functions.html — the EXTRACT stage web
     pipelines run before any quality/dedup pass): script/style blocks
@@ -4616,13 +4633,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     name's newest driver green is round 6+ and the next rotation
 #     starts on the round-6 cohort.
 _ROUND9_WINDOW = [
-    # -- the 8 round-9 additions (domain_quality and html_extract
-    #    landed after the first rotation and displaced the tail names
-    #    text_winnow and text_term_counts to the round-10 queue head —
-    #    see NEXT.md)
+    # -- the 9 round-9 additions (domain_quality, html_extract, and
+    #    hard_negatives landed after the first rotation and displaced
+    #    the tail names text_winnow, text_term_counts, and
+    #    text_repetition to the round-10 queue head — see NEXT.md)
     "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
     "dedup_max_spans", "diversity_kcenter_64", "domain_quality",
-    "html_extract",
+    "html_extract", "hard_negatives",
     # -- the 9 round-5-green names displaced by the late round-8 batch
     "customer_rfm", "events_hour_spine", "text_fingerprint",
     "text_token_stats", "text_split", "ann_lsh_mp", "multimodal_features",
@@ -4637,7 +4654,7 @@ _ROUND9_WINDOW = [
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
     "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
-    "text_line_dedup", "text_quality", "text_repetition",
+    "text_line_dedup", "text_quality",
 ]
 
 
@@ -4773,6 +4790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "domain_quality": q_domain_quality,
         "html_extract": q_html_extract,
+        "hard_negatives": q_hard_negatives,
         "diversity_kcenter": q_diversity_kcenter,
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
@@ -7297,6 +7315,48 @@ SELECT cust0, cust1, name_lev, bal_diff, same_segment,
        (name_lev <= 1 AND bal_diff <= 1.0) is_match
 FROM scored WHERE name_lev <= 2
 ORDER BY cust0, cust1""",
+        # hard-negative mining: exact-cosine pool (the ann_topk idiom at
+        # k_pool=20 over the vec_id<100 anchors), label split, FaceNet
+        # semi-hard margin on 6dp-rounded similarities
+        "hard_negatives": """
+WITH ee AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT q.vec_id qid, c.vec_id nid, SUM(q.x * c.x) dp
+  FROM ee q JOIN ee c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 100
+  GROUP BY 1, 2),
+scored AS (
+  SELECT CAST(d.qid AS BIGINT) qid, CAST(d.nid AS BIGINT) nid,
+         ROUND(d.dp / (nq.nrm * nc.nrm), 6) cs
+  FROM dots d
+  JOIN nn nq ON nq.vec_id = d.qid
+  JOIN nn nc ON nc.vec_id = d.nid),
+lab AS (SELECT DISTINCT vec_id, CAST(label AS BIGINT) lbl FROM ee),
+pool AS (
+  SELECT s.*, ql.lbl qlab, nl.lbl nlab,
+         ROW_NUMBER() OVER (PARTITION BY s.qid
+                            ORDER BY s.cs DESC, s.nid) rk
+  FROM scored s
+  JOIN lab ql ON ql.vec_id = s.qid
+  JOIN lab nl ON nl.vec_id = s.nid),
+p AS (SELECT * FROM pool WHERE rk <= 20),
+pos AS (SELECT qid, MAX(cs) bp FROM p WHERE qlab = nlab GROUP BY qid),
+neg AS (
+  SELECT p.qid, p.qlab, p.nid, p.nlab, p.cs, pos.bp,
+         ROW_NUMBER() OVER (PARTITION BY p.qid
+                            ORDER BY p.cs DESC, p.nid) nrk
+  FROM p LEFT JOIN pos USING (qid)
+  WHERE p.qlab <> p.nlab)
+SELECT qid anchor_id, qlab anchor_label, nid negative_id,
+       nlab negative_label, cs cos_sim, bp best_pos_sim,
+       CAST(nrk AS BIGINT) neg_rank,
+       (bp IS NOT NULL AND cs < bp AND cs > ROUND(bp - 0.05, 6))
+         semi_hard
+FROM neg WHERE nrk <= 5 ORDER BY anchor_id, neg_rank""",
         # HTML extraction: identical doc_id-keyed markup plant, then the
         # functions.html rules replayed as SQL (blocks -> tags ->
         # entities with &amp; last -> whitespace collapse)

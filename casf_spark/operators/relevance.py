@@ -416,6 +416,63 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("vec_id", F.col("nl").alias("pred_label"), "n_votes"))
 
 
+def hard_negative_mine(corpus: DataFrame, queries: DataFrame,
+                       k_pool: int = 20, k_neg: int = 5,
+                       margin: float = 0.05,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       method: str = "gemm") -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    ANCE / FaceNet batch-construction step): per anchor, the ``k_neg``
+    most-similar vectors with a DIFFERENT label, drawn from the
+    anchor's exact top-``k_pool`` cosine pool — plus the pool's best
+    same-label similarity and the FaceNet ``semi_hard`` flag
+    (``pos - margin < neg_sim < pos_sim``: negatives close enough to
+    teach, not so close they're probably label noise).
+
+    Output: (anchor_id, anchor_label, negative_id, negative_label,
+    cos_sim, best_pos_sim, neg_rank, semi_hard). ``best_pos_sim`` is
+    NULL (and semi_hard false) when no same-label vector made the pool
+    — mining is POOL-BOUNDED by contract, exactly like production
+    miners that mine within the retrieved candidates.
+
+    Scale shape: neighbors come from :func:`similarity.brute_force_topk`
+    (broadcast-query / streamed-corpus partial-top-k GEMM — shuffle
+    volume O(n_queries · k_pool), corpus never concentrates); labels
+    join on id; everything after the pool is anchor-grain window work
+    over <= k_pool rows per anchor. Swap the neighbor source for
+    ``ivf_topk`` output at corpus-scale anchor counts — the mining
+    shape is identical.
+    """
+    nn = _sim.brute_force_topk(corpus, queries, k=k_pool,
+                               id_col=id_col, vec_col=vec_col,
+                               method=method)
+    lab = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                        F.col(label_col).cast("long").alias("n_label"))
+    qlab = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                          F.col(label_col).cast("long").alias("q_label"))
+    pool = nn.join(lab, "neighbor_id").join(F.broadcast(qlab), "query_id")
+    pos = (pool.where(F.col("q_label") == F.col("n_label"))
+           .groupBy("query_id")
+           .agg(F.max("cos_sim").alias("best_pos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    semi = (F.col("best_pos_sim").isNotNull()
+            & (F.col("cos_sim") < F.col("best_pos_sim"))
+            & (F.col("cos_sim")
+               > F.round(F.col("best_pos_sim") - F.lit(float(margin)), 6)))
+    return (pool.where(F.col("q_label") != F.col("n_label"))
+            .join(pos, "query_id", "left")
+            .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("neg_rank") <= int(k_neg))
+            .select(F.col("query_id").alias("anchor_id"),
+                    F.col("q_label").alias("anchor_label"),
+                    F.col("neighbor_id").alias("negative_id"),
+                    F.col("n_label").alias("negative_label"),
+                    "cos_sim", "best_pos_sim", "neg_rank",
+                    semi.alias("semi_hard")))
+
+
 def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "item_id",
              rank_col: str = "rank", k: int = 60, top_n: int = 20,
              scale_u: int = 1_000_000_000,

@@ -325,3 +325,50 @@ def test_collocation_pmi_floor_and_negative(spark):
     top = RV.collocation_pmi(docs, "doc_id", "text", min_count=1,
                              top_n=1).collect()
     assert got[(top[0].w1, top[0].w2)] == max(got.values())
+
+
+def test_hard_negative_mine_hand_computed(spark):
+    """Semi-hard band on unit 2-D vectors with exact x-component
+    cosines: negatives rank by similarity; semi_hard only inside
+    (pos - margin, pos); a too-hard negative (above the best positive)
+    is flagged false; k_neg cuts the tail."""
+    import math
+
+    def u(x):
+        return [x, math.sqrt(1.0 - x * x)]
+
+    rows = [(0, [1.0, 0.0], 10), (1, u(0.8), 10),
+            (2, u(0.79), 20), (3, u(0.6), 20), (4, u(0.9), 20),
+            (5, u(0.2), 30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = RV.hard_negative_mine(emb, emb.where("vec_id = 0"),
+                                k_pool=10, k_neg=3,
+                                margin=0.05).orderBy("neg_rank").collect()
+    assert [(r.negative_id, r.cos_sim, r.neg_rank, r.semi_hard)
+            for r in got] == [
+        (4, 0.9, 1, False),   # harder than the best positive -> not semi
+        (2, 0.79, 2, True),   # 0.75 < 0.79 < 0.8
+        (3, 0.6, 3, False),   # below the margin band
+    ], got
+    assert all(r.best_pos_sim == 0.8 and r.anchor_label == 10 for r in got)
+    # id 5 (cos 0.2) was rank 4 -> cut by k_neg=3
+
+
+def test_hard_negative_mine_no_positive_in_pool(spark):
+    """An anchor whose label appears nowhere else: best_pos_sim is NULL
+    and semi_hard is false (pool-bounded mining contract), negatives
+    still emitted."""
+    import math
+
+    def u(x):
+        return [x, math.sqrt(1.0 - x * x)]
+
+    rows = [(0, [1.0, 0.0], 10), (1, u(0.8), 20), (2, u(0.6), 20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = RV.hard_negative_mine(emb, emb.where("vec_id = 0"),
+                                k_pool=5, k_neg=5).collect()
+    assert len(got) == 2
+    assert all(r.best_pos_sim is None and r.semi_hard is False
+               for r in got)
