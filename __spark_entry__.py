@@ -2386,6 +2386,31 @@ def q_domain_blocklist(spark, sf):
             .orderBy("reg_domain"))
 
 
+def q_text_self_dedup(spark, sf):
+    """WITHIN-document repeated-chunk collapse (operators.curation
+    .self_dedup_chunks — the Dolma/C4 in-doc pass, the stateless
+    sibling of text_line_dedup's cross-document keyed dedup): 10-token
+    pseudo-line chunks, first occurrence kept, text rebuilt. The corpus
+    has no natural in-doc repeats, so — the exact-plant discipline —
+    every doc_id % 10 == 0 doc with >= 10 tokens gets its first chunk
+    PREPENDED (identical literal construction in the twin): chunk 0
+    then provably equals chunk 1 regardless of doc length, so the
+    collapse has guaranteed work and any first-occurrence rule break
+    hash-fails. One shuffle-free array-HOF projection; nothing leaves
+    the row."""
+    docs = load_table(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = TX.tokens(txt)
+    planted = F.when(
+        (F.col("doc_id") % 10 == 0) & (F.size(toks) >= 10),
+        F.concat(F.array_join(F.slice(toks, 1, 10), " "),
+                 F.lit(" "), txt)).otherwise(txt)
+    aug = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      planted.alias("text"))
+    return CU.self_dedup_chunks(aug, "doc_id", "text", chunk=10) \
+        .orderBy("doc_id")
+
+
 def q_hard_negatives(spark, sf):
     """Hard-negative mining for contrastive training (operators
     .relevance.hard_negative_mine — the ANCE/FaceNet batch-construction
@@ -4633,13 +4658,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     name's newest driver green is round 6+ and the next rotation
 #     starts on the round-6 cohort.
 _ROUND9_WINDOW = [
-    # -- the 9 round-9 additions (domain_quality, html_extract, and
-    #    hard_negatives landed after the first rotation and displaced
-    #    the tail names text_winnow, text_term_counts, and
-    #    text_repetition to the round-10 queue head — see NEXT.md)
+    # -- the 10 round-9 additions (domain_quality, html_extract,
+    #    hard_negatives, and text_self_dedup landed after the first
+    #    rotation and displaced the tail names text_winnow,
+    #    text_term_counts, text_repetition, and text_quality to the
+    #    round-10 queue head — see NEXT.md)
     "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
     "dedup_max_spans", "diversity_kcenter_64", "domain_quality",
-    "html_extract", "hard_negatives",
+    "html_extract", "hard_negatives", "text_self_dedup",
     # -- the 9 round-5-green names displaced by the late round-8 batch
     "customer_rfm", "events_hour_spine", "text_fingerprint",
     "text_token_stats", "text_split", "ann_lsh_mp", "multimodal_features",
@@ -4654,7 +4680,7 @@ _ROUND9_WINDOW = [
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
     "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
-    "text_line_dedup", "text_quality",
+    "text_line_dedup",
 ]
 
 
@@ -4791,6 +4817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "html_extract": q_html_extract,
         "hard_negatives": q_hard_negatives,
+        "text_self_dedup": q_text_self_dedup,
         "diversity_kcenter": q_diversity_kcenter,
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
@@ -7315,6 +7342,39 @@ SELECT cust0, cust1, name_lev, bal_diff, same_segment,
        (name_lev <= 1 AND bal_diff <= 1.0) is_match
 FROM scored WHERE name_lev <= 2
 ORDER BY cust0, cust1""",
+        # within-doc chunk collapse: identical first-chunk-prepend plant,
+        # then the same chunk/first-occurrence rules (1-based
+        # list_position == i mirrors Spark's array_position == i+1)
+        "text_self_dedup": f"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+                     COALESCE(text, '') txt, {_TOKS} a0
+              FROM documents),
+aug AS (SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 AND len(a0) >= 10
+               THEN array_to_string(a0[1:10], ' ') || ' ' || txt
+               ELSE txt END t2
+        FROM base),
+tl AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(t2), '[^a-z0-9]+'),
+                     t -> t <> '') a
+       FROM aug),
+ch AS (SELECT doc_id,
+         CASE WHEN len(a) > 0 THEN
+           list_transform(range(CAST(CEIL(len(a) / 10.0) AS BIGINT)),
+             c -> array_to_string(a[CAST(c*10+1 AS INT):
+                                    CAST(c*10+10 AS INT)], ' '))
+         ELSE [] END chunks
+       FROM tl),
+k AS (SELECT doc_id, chunks,
+        list_filter(chunks,
+                    (c, i) -> list_position(chunks, c) = i) keep
+      FROM ch)
+SELECT doc_id, CAST(len(chunks) AS BIGINT) n_chunks,
+       CAST(len(chunks) - len(keep) AS BIGINT) n_removed,
+       ROUND((len(chunks) - len(keep)) * 1.0
+             / GREATEST(len(chunks), 1), 6) removed_frac,
+       COALESCE(array_to_string(keep, ' '), '') cleaned_text
+FROM k ORDER BY doc_id""",
         # hard-negative mining: exact-cosine pool (the ann_topk idiom at
         # k_pool=20 over the vec_id<100 anchors), label split, FaceNet
         # semi-hard margin on 6dp-rounded similarities

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from casf_spark.functions.hashing import md5_long
+from casf_spark.functions.vectors import _bind
 from casf_spark.operators.dedup import _shingles
 from casf_spark.operators.sampling import hash_fraction
 
@@ -643,6 +644,58 @@ def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         has_lorem.alias("has_lorem_ipsum"),
         (~has_brace & ~has_lorem & (n_kept >= 3)).alias("passes_c4"),
         F.array_join(kept, "\n").alias("cleaned_text"))
+
+
+def self_dedup_chunks(df: DataFrame, id_col: str, text_col: str,
+                      chunk: int = 10) -> DataFrame:
+    """WITHIN-document repeated-chunk collapse (the Dolma/C4 in-doc pass
+    that runs alongside cross-document line dedup): re-chunk each doc
+    into ``chunk``-token pseudo-lines, keep only the FIRST occurrence of
+    each distinct chunk inside the doc, rebuild the text. Boilerplate
+    that repeats inside one page (cookie banners pasted per section,
+    templated nav blocks) collapses without any cross-document state.
+
+    Output: (doc_id, n_chunks, n_removed, removed_frac, cleaned_text).
+
+    Scale shape: ONE shuffle-free array-HOF projection — first-
+    occurrence is ``array_position(chunks, c) == index`` inside a
+    2-arg filter lambda, O(chunks² per doc) with chunks bounded by
+    doc length / chunk; no explode, no window, nothing leaves the row.
+    (Cross-document dedup is text_line_dedup's keyed aggregation —
+    this is deliberately the stateless sibling.)
+    """
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def body(a):
+        nc = F.ceil(F.size(a) / F.lit(float(chunk))).cast("int")
+        chunks_e = F.when(nc > 0, F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda c: F.array_join(F.slice(a, c * chunk + 1, chunk), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+        # chunks and keep are each referenced several times below —
+        # let-bound so neither is re-evaluated per reference (the
+        # _shingles O(len²) lesson)
+        def with_keep(chunks):
+            keep_e = F.filter(
+                chunks,
+                lambda ch, i: F.array_position(chunks, ch) == i + 1)
+            return _bind(keep_e, lambda keep: F.struct(
+                F.size(chunks).cast("long").alias("n_chunks"),
+                (F.size(chunks) - F.size(keep)).cast("long")
+                .alias("n_removed"),
+                F.round((F.size(chunks) - F.size(keep))
+                        / F.greatest(F.size(chunks), F.lit(1)), 6)
+                .alias("removed_frac"),
+                F.array_join(keep, " ").alias("cleaned_text")))
+
+        return _bind(chunks_e, with_keep)
+
+    s = _bind(toks, body)
+    return df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     s.alias("_s")).select("doc_id", "_s.*")
 
 
 def group_quantile_flag(df: DataFrame, group_col: str, score_col: str,

@@ -610,3 +610,44 @@ def test_quantile_buckets_null_score_gets_null_bucket(spark):
            for r in quantile_buckets(df, "s", n_buckets=2).collect()}
     # thresholds computed from the 4 non-NULL scores only (median 2.5)
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: None}, got
+
+
+def test_self_dedup_chunks_hand_computed(spark):
+    """First occurrence wins; the partial final chunk is its own
+    identity; empty docs pass through as zero-chunk rows."""
+    from casf_spark.operators.curation import self_dedup_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a a b b a a"),    # chunks [a a][b b][a a] -> drop 3rd
+         (2, "a b a"),          # chunks [a b][a] -> no dup (partial)
+         (3, "x y x y x y"),    # [x y][x y][x y] -> keep first only
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_removed, r.cleaned_text)
+           for r in self_dedup_chunks(df, "doc_id", "text",
+                                      chunk=2).collect()}
+    assert got == {1: (3, 1, "a a b b"),
+                   2: (2, 0, "a b a"),
+                   3: (3, 2, "x y"),
+                   4: (0, 0, ""),
+                   5: (0, 0, "")}, got
+
+
+def test_self_dedup_plant_guarantees_work(spark, sf_dir):
+    """The q_text_self_dedup plant: every doc_id % 10 == 0 doc with
+    >= 10 tokens removes >= 1 chunk (chunk 0 == chunk 1 by
+    construction); unplanted docs are untouched on this corpus."""
+    import __spark_entry__ as E
+    from casf_spark.functions.text import tokens
+
+    from pyspark.sql import functions as F
+
+    docs = E.load_table(spark, sf_dir, "documents")
+    eligible = {r.doc_id for r in docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+        .where((F.col("doc_id") % 10 == 0)
+               & (F.size(tokens("text")) >= 10)).collect()}
+    rows = E.q_text_self_dedup(spark, sf_dir).collect()
+    removed = {r.doc_id for r in rows if r.n_removed > 0}
+    assert eligible and eligible <= removed
+    assert all(r.doc_id % 10 == 0 for r in rows if r.n_removed > 0)
