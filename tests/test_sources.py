@@ -76,6 +76,18 @@ def test_demo_example_runs(spark, sf_dir):
     assert "similarity_value" in res.stdout
 
 
+def test_web_curation_demo_runs(spark, sf_dir):
+    import subprocess
+    import sys
+    res = subprocess.run(
+        [sys.executable, "examples/web_curation_demo.py", sf_dir],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "per-domain triage" in res.stdout
+    assert "crawled:" in res.stdout
+
+
 def _write_events_fixture(tmp_path, unit):
     """Write a tiny events.parquet with ts encoded at the given resolution
     (the driver has generated both TIMESTAMP(NANOS) and timestamp[us]
