@@ -2255,23 +2255,34 @@ def _planted_urls(docs):
 
     Canonical identity is ``g = doc_id % 50``: scheme (https when g
     even), host ``[news.]site{g%10}.{tld[g%4]}`` (tlds com/org/net/co.uk
-    — the last exercising the multi-part-suffix rule), path ``/a/g``
-    (g=25: root path; g=30: NO path), and the real query params
-    (``id=g`` plus ``v=1`` when g even; g%5==4 groups have none). All
-    messiness varies with doc_id, NOT g — www. prefix (i%4==0),
-    uppercased authority (i%4==2), uppercased scheme (i%8==0), default
-    port (i%7==0), trailing slash (i%6==0), tracking params prepended
-    (i%3==0), scrambled param order (i%9==0), bare '?' (paramless docs
-    with i even), fragment (i%5==0) — so every doc in group g
-    normalizes to the same canonical URL and the normalizer is
-    exercised on every rule. 50 canonical URLs; group size = corpus/50.
+    — the last exercising the 2-label-suffix rule; groups 7/31 override
+    to the 3-LABEL suffixes k12.ca.us / k12.ny.us, g=31 with the news.
+    label, exercising PSL depth), path ``/a/g`` (g=25: root path; g=30:
+    NO path), and the real query params (``id=g`` plus ``v=1`` when g
+    even; g%5==4 groups have none). Group 13 carries a NON-default
+    ``:8080`` port on every raw URL (canonical host keeps it;
+    registered_domain must strip it). All other messiness varies with
+    doc_id, NOT g — www. prefix (i%4==0), uppercased authority (i%4==2),
+    uppercased scheme (i%8==0), default port (i%7==0), trailing slash
+    (i%6==0), tracking params prepended (i%3==0), scrambled param order
+    (i%9==0), bare '?' (paramless docs with i even), fragment (i%5==0) —
+    so every doc in group g normalizes to the same canonical URL and the
+    normalizer is exercised on every rule. 50 canonical URLs; group size
+    = corpus/50.
     """
     i = F.col("doc_id")
     g = i % 50
     gs = g.cast("string")
     scheme = F.when(g % 2 == 0, "https").otherwise("http")
     scheme_raw = F.when(i % 8 == 0, F.upper(scheme)).otherwise(scheme)
-    tld = (F.when(g % 4 == 0, "com").when(g % 4 == 1, "org")
+    # groups 7 and 31 carry 3-LABEL public suffixes (k12.<state>.us —
+    # real PSL entries): g=7 has no extra label (host IS suffix+1),
+    # g=31 adds the news. label, so the depth-aware PSL rule must strip
+    # exactly one; group 13 carries a NON-default port on every raw URL
+    # (kept in the canonical host by contract, stripped by
+    # registered_domain — the port-vs-domain boundary)
+    tld = (F.when(g == 7, "k12.ca.us").when(g == 31, "k12.ny.us")
+           .when(g % 4 == 0, "com").when(g % 4 == 1, "org")
            .when(g % 4 == 2, "net").otherwise("co.uk"))
     hostcore = F.concat(F.lit("site"), (g % 10).cast("string"),
                         F.lit("."), tld)
@@ -2280,7 +2291,8 @@ def _planted_urls(docs):
     auth = F.when(i % 4 == 0,
                   F.concat(F.lit("www."), hostc)).otherwise(hostc)
     auth = F.when(i % 4 == 2, F.upper(auth)).otherwise(auth)
-    port = (F.when((i % 7 == 0) & (g % 2 == 0), ":443")
+    port = (F.when(g == 13, ":8080")
+            .when((i % 7 == 0) & (g % 2 == 0), ":443")
             .when(i % 7 == 0, ":80").otherwise(""))
     pcore = (F.when(g == 25, "/").when(g == 30, "")
              .otherwise(F.concat(F.lit("/a/"), gs)))
@@ -2447,8 +2459,12 @@ def q_html_extract(spark, sf):
     gs = i.cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), gs, F.lit(" &amp; co</title>"),
+        # multi-line body + an embedded "</style>" literal: proves the
+        # DOTALL per-tag passes (a non-DOTALL or alternation-close regex
+        # leaks the 'if (x)' line or truncates at the stray </style>)
         F.when(i % 3 == 0,
-               "<script>var x = 1 &amp;&amp; 2;</script>").otherwise(""),
+               "<script>var s = \"</style>\";\nif (s) { go(); }</script>")
+        .otherwise(""),
         F.when(i % 4 == 0, "<style> p { color: #fff } </style>")
         .otherwise(""),
         F.lit("</head><body>"),
@@ -3316,10 +3332,15 @@ def _url_cte() -> str:
     followed by the full operators.urls normalization pipeline run as
     SQL — relation ``u`` exposes (doc_id, n_chars, url, url_norm, host,
     reg_domain). Any divergence between the Spark rules and these SQL
-    rules hash-fails all four url_* / domain_* contracts."""
-    suf = ", ".join(f"'{s}'" for s in URL.MULTI_PART_SUFFIXES)
-    labs = "string_split(host, '.')"
+    rules hash-fails all four url_* / domain_* contracts. The suffix
+    IN-lists are generated from the SAME vendored PUBLIC_SUFFIXES table
+    the Spark rule folds in — one source of truth for both engines."""
+    two, three = URL._split_by_depth(URL.PUBLIC_SUFFIXES)
+    suf2 = ", ".join(f"'{s}'" for s in two)
+    suf3 = ", ".join(f"'{s}'" for s in three)
+    labs = "string_split(hnp, '.')"
     last2 = f"{labs}[-2] || '.' || {labs}[-1]"
+    last3 = f"{labs}[-3] || '.' || {last2}"
     return rf"""u_raw AS (
   SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_chars AS BIGINT) n_chars,
          CAST(doc_id % 50 AS BIGINT) g
@@ -3327,8 +3348,9 @@ def _url_cte() -> str:
 u_p1 AS (
   SELECT *,
     CASE WHEN g % 2 = 0 THEN 'https' ELSE 'http' END sch,
-    CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-               WHEN 2 THEN 'net' ELSE 'co.uk' END tld
+    CASE WHEN g = 7 THEN 'k12.ca.us' WHEN g = 31 THEN 'k12.ny.us'
+         ELSE CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                         WHEN 2 THEN 'net' ELSE 'co.uk' END END tld
   FROM u_raw),
 u_p2 AS (
   SELECT *,
@@ -3340,7 +3362,8 @@ u_p3 AS (
     CASE WHEN doc_id % 8 = 0 THEN upper(sch) ELSE sch END sch_raw,
     CASE WHEN doc_id % 4 = 0 THEN 'www.' || hostc
          WHEN doc_id % 4 = 2 THEN upper(hostc) ELSE hostc END auth,
-    CASE WHEN doc_id % 7 = 0 THEN
+    CASE WHEN g = 13 THEN ':8080'
+         WHEN doc_id % 7 = 0 THEN
       CASE WHEN g % 2 = 0 THEN ':443' ELSE ':80' END ELSE '' END port,
     (CASE WHEN g = 25 THEN '/' WHEN g = 30 THEN ''
           ELSE '/a/' || CAST(g AS VARCHAR) END)
@@ -3391,15 +3414,21 @@ u_n3 AS (
       p -> p <> '' AND NOT regexp_matches(p,
         '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&'), '') qn
   FROM u_n2),
+u_n4 AS (
+  SELECT *, regexp_replace(host, ':[0-9]+$', '') hnp FROM u_n3),
 u AS (
   SELECT doc_id, n_chars, url,
-    scheme || '://' || host || path
-      || CASE WHEN qn = '' THEN '' ELSE '?' || qn END url_norm,
+    CASE WHEN scheme = '' THEN NULL
+         ELSE scheme || '://' || host || path
+           || CASE WHEN qn = '' THEN '' ELSE '?' || qn END END url_norm,
     host,
-    CASE WHEN length({labs}) <= 2 THEN host
-         WHEN {last2} IN ({suf}) THEN {labs}[-3] || '.' || {last2}
+    CASE WHEN length({labs}) <= 2 THEN hnp
+         WHEN {last3} IN ({suf3}) AND length({labs}) >= 4
+           THEN {labs}[-4] || '.' || {last3}
+         WHEN {last3} IN ({suf3}) THEN hnp
+         WHEN {last2} IN ({suf2}) THEN {labs}[-3] || '.' || {last2}
          ELSE {last2} END reg_domain
-  FROM u_n3)"""
+  FROM u_n4)"""
 
 
 def _curate_oracle() -> str:
@@ -7426,7 +7455,8 @@ WITH h AS (
     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
       || ' &amp; co</title>'
     || CASE WHEN doc_id % 3 = 0
-            THEN '<script>var x = 1 &amp;&amp; 2;</script>'
+            THEN '<script>var s = "</style>";' || chr(10)
+                 || 'if (s) {{ go(); }}</script>'
             ELSE '' END
     || CASE WHEN doc_id % 4 = 0
             THEN '<style> p {{ color: #fff }} </style>' ELSE '' END
@@ -7444,8 +7474,9 @@ WITH h AS (
   FROM documents),
 s1 AS (
   SELECT doc_id,
-    regexp_replace(html,
-      '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') t,
+    regexp_replace(regexp_replace(html,
+      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g') t,
     regexp_extract(html, '<title[^>]*>(.*?)</title>', 1) ti
   FROM h),
 s2 AS (

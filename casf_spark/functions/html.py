@@ -29,15 +29,24 @@ __all__ = ["strip_blocks", "strip_tags", "decode_entities",
 ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
 
-_BLOCK_RE = r"<(script|style)[^>]*>.*?</(script|style)>"
+# One pattern PER element, each DOTALL ((?s) — block bodies span
+# newlines in real HTML) and closed only by its OWN end tag: a single
+# alternation pattern would let <script>…</style> terminate a script
+# block, leaking the tail of the script into the extracted text.
+# Two passes instead of a backreference because the DuckDB twin's RE2
+# engine has no backreferences; (?s) is common to both engines.
+_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
 _TAG_RE = r"<[^>]*>"
 
 
 def strip_blocks(col: Column) -> Column:
     """Remove script/style elements INCLUDING their content (the text
     inside them is code, never prose). Non-greedy so adjacent blocks
-    don't swallow the markup between them."""
-    return F.regexp_replace(col, _BLOCK_RE, " ")
+    don't swallow the markup between them; one pass per element type so
+    a stray ``</style>`` inside a script never closes the script."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _SCRIPT_RE, " "), _STYLE_RE, " ")
 
 
 def strip_tags(col: Column) -> Column:

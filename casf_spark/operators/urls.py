@@ -24,25 +24,96 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MULTI_PART_SUFFIXES",
+    "PUBLIC_SUFFIXES",
     "TRACKING_PARAM_RE",
     "normalize_url",
     "url_host",
     "registered_domain",
+    "registered_domain_join",
+    "public_suffix_table",
     "domain_caps",
     "domain_blocklist_filter",
 ]
 
 # Minimal multi-part public-suffix seed ("co.uk" is a suffix, so the
 # registered domain of www.example.co.uk is example.co.uk, not co.uk).
-# PSL SEAM: production swaps this literal set for the full Mozilla
-# public-suffix list shipped as a broadcast side table; the extraction
-# rule below (one extra label when the 2-label tail is a listed suffix)
-# is exactly the PSL algorithm restricted to its 2-label entries.
+# Kept as the OFFLINE FALLBACK for callers that want a tiny literal set;
+# :data:`PUBLIC_SUFFIXES` below is the table that feeds
+# :func:`registered_domain` by default.
 MULTI_PART_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
     "co.jp", "co.in", "co.nz", "com.br", "com.cn", "com.mx",
 )
+
+# Vendored snapshot of the Mozilla Public Suffix List's MULTI-PART
+# entries (ICANN section; single-label TLDs need no entry — "last two
+# labels" is already the rule there). This is the side table the
+# registered-domain rule is driven by: swap in the full ~9k-entry PSL
+# dump for production (:func:`public_suffix_table` broadcasts it;
+# :func:`registered_domain` folds it into the expression). Includes
+# 3-label entries (``k12.ca.us``-style), which the old seed could not
+# represent. Sorted tuples keyed once at import — a literal table, one
+# source of truth for BOTH engines (the DuckDB oracle twins inline the
+# same tuple).
+PUBLIC_SUFFIXES = tuple(sorted({
+    # United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
+    "ltd.uk", "sch.uk", "nhs.uk", "police.uk",
+    # Australia (incl. the 3-label state education suffixes)
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    # Japan
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz",
+    # India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    # Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "adv.br",
+    # China / Hong Kong / Taiwan
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    # Mexico / Argentina / Colombia / Peru / Chile / Uruguay
+    "com.mx", "org.mx", "gob.mx", "edu.mx", "net.mx",
+    "com.ar", "org.ar", "net.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "gob.cl", "co.cl",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "org.uy",
+    # Singapore / Malaysia / Philippines / Vietnam / Thailand / Indonesia
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    # Korea
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    # Turkey / Israel / Ukraine / Poland / Greece
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr", "av.tr", "bel.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    # Middle East / Africa
+    "com.eg", "edu.eg", "gov.eg", "net.eg", "org.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    # United States locality scheme (3-label: k12/cc/lib per state)
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
+    "k12.ma.us", "k12.wa.us", "k12.pa.us", "k12.oh.us", "k12.mi.us",
+    "cc.ca.us", "lib.ca.us",
+}))
 
 # Tracking / attribution query parameters stripped by normalization —
 # the standard CCNet/snowplow removal set (utm_* plus the big click ids).
@@ -92,6 +163,11 @@ def normalize_url(url_col: Column) -> Column:
     codegen, no Python. The exact same rules run as SQL in the oracle
     twin, which is the point: a canonicalizer two engines can't agree
     on is not canonical.
+
+    Scheme-less input ("example.com/a") has no extractable host — rather
+    than collapse every such row onto a ":///…" junk key (which would
+    make url-dedup drop unrelated documents as duplicates), the result
+    is NULL: not-a-canonical-URL, for the caller to filter or quarantine.
     """
     u = _stripped(url_col)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
@@ -104,24 +180,116 @@ def normalize_url(url_col: Column) -> Column:
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
     qn = F.array_join(keep, "&")
-    return F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)))
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(scheme, F.lit("://"), host, path,
+                 F.when(qn == "", F.lit(""))
+                 .otherwise(F.concat(F.lit("?"), qn))))
 
 
-def registered_domain(host_col: Column) -> Column:
-    """Registered (pay-level) domain of a canonical host: the last two
-    labels, or three when the 2-label tail is a listed multi-part
-    public suffix (:data:`MULTI_PART_SUFFIXES` — the PSL seam). Hosts
-    with fewer than two labels pass through unchanged. Pure expression;
-    the suffix set is a literal IN-list (production: broadcast PSL)."""
-    labels = F.split(host_col, r"\.")
+def _split_by_depth(suffixes) -> tuple[list[str], list[str]]:
+    """Partition a multi-part suffix table into its 2-label and 3-label
+    entries (the only depths the PSL's ICANN section uses beyond plain
+    TLDs); reject anything else loudly rather than silently mis-rank."""
+    two = sorted(s for s in suffixes if s.count(".") == 1)
+    three = sorted(s for s in suffixes if s.count(".") == 2)
+    bad = [s for s in suffixes if s.count(".") not in (1, 2)]
+    if bad:
+        raise ValueError(f"unsupported suffix label depth: {bad}")
+    return two, three
+
+
+def registered_domain(host_col: Column,
+                      suffixes=PUBLIC_SUFFIXES) -> Column:
+    """Registered (pay-level) domain of a canonical host, driven by the
+    public-suffix table: the PSL longest-match rule — find the longest
+    listed suffix the host ends with (3-label entries like ``k12.ca.us``
+    checked before 2-label ones like ``co.uk``; unlisted tails default
+    to the plain TLD = last label) and take ONE more label.
+
+    A trailing ``:port`` is stripped first: :func:`url_host` keeps
+    non-default ports by contract (they are part of URL identity), but a
+    port is never part of the DOMAIN — without the strip,
+    ``a.example.co.uk:8080`` would tail-split to ``co.uk:8080``, miss
+    the suffix table, and return a wrong pay-level domain (and plain
+    ports would split one domain into per-port groups in
+    :func:`domain_caps` / blocklists).
+
+    Hosts with no label beyond the matched suffix (the host IS a public
+    suffix) and hosts with fewer than two labels pass through unchanged.
+    Pure expression work: the table folds into two IN-lists (Catalyst
+    InSet — the few-hundred-entry vendored snapshot or the full ~9k PSL
+    both stay map-only literals; :func:`registered_domain_join` is the
+    side-table-join spelling of the same rule for tables managed as
+    DataFrames)."""
+    two, three = _split_by_depth(suffixes)
+    h = F.regexp_replace(host_col, r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2),
                         F.element_at(labels, -1))
     last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
-    return F.when(n <= 2, host_col).when(
-        last2.isin(*MULTI_PART_SUFFIXES), last3).otherwise(last2)
+    last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
+    expr = F.when(n <= 2, h)
+    if three:
+        expr = (expr.when((n >= 4) & last3.isin(*three), last4)
+                .when(last3.isin(*three), h))
+    if two:
+        expr = expr.when(last2.isin(*two), last3)
+    return expr.otherwise(last2)
+
+
+def public_suffix_table(spark, suffixes=PUBLIC_SUFFIXES) -> DataFrame:
+    """The multi-part public-suffix table as a DataFrame ``(suffix,
+    n_labels)`` — the broadcast side input :func:`registered_domain_join`
+    consumes. Swap ``suffixes`` for a full PSL dump in production; the
+    vendored :data:`PUBLIC_SUFFIXES` snapshot is the offline default."""
+    rows = [(s, s.count(".") + 1) for s in sorted(set(suffixes))]
+    return spark.createDataFrame(rows, "suffix string, n_labels int")
+
+
+def registered_domain_join(df: DataFrame, host_col: str,
+                           suffix_table: DataFrame,
+                           out_col: str = "reg_domain") -> DataFrame:
+    """Side-table spelling of :func:`registered_domain` for suffix lists
+    too large or too dynamic to fold into an expression (the full PSL
+    refreshed from upstream): per row, generate the host's 2- and
+    3-label tails, broadcast-join them against the suffix table, and
+    take one more label than the DEEPEST match (no match = plain-TLD
+    default, last two labels).
+
+    Scale shape: TWO broadcast hash EQUI-joins (one per suffix depth —
+    the table is distinct per depth, so each join matches at most once:
+    no row multiplication, no dedup aggregation, and the corpus never
+    shuffles); everything else is expression work. Output: ``df`` plus
+    ``out_col``. Exactly equivalent to the expression form on any host —
+    pinned by a property test."""
+    h = F.regexp_replace(F.col(host_col), r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
+    last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
+    sfx = suffix_table.select("suffix", "n_labels").distinct()
+    sfx2 = sfx.where(F.col("n_labels") == 2).select(
+        F.col("suffix").alias("_s2"))
+    sfx3 = sfx.where(F.col("n_labels") == 3).select(
+        F.col("suffix").alias("_s3"))
+    with_tails = (df.withColumn("_h", h).withColumn("_n", n)
+                  .withColumn("_t2", F.when(n >= 2, last2))
+                  .withColumn("_t3", F.when(n >= 3, last3))
+                  .withColumn("_t4", F.when(n >= 4, last4)))
+    joined = (with_tails
+              .join(F.broadcast(sfx2), F.col("_t2") == F.col("_s2"), "left")
+              .join(F.broadcast(sfx3), F.col("_t3") == F.col("_s3"), "left"))
+    reg = (F.when(F.col("_n") <= 2, F.col("_h"))
+           .when(F.col("_s3").isNotNull() & (F.col("_n") >= 4),
+                 F.col("_t4"))
+           .when(F.col("_s3").isNotNull(), F.col("_h"))
+           .when(F.col("_s2").isNotNull(), F.col("_t3"))
+           .otherwise(F.col("_t2")))
+    return (joined.withColumn(out_col, reg)
+            .drop("_h", "_n", "_t2", "_t3", "_t4", "_s2", "_s3"))
 
 
 def domain_caps(df: DataFrame, domain_col: str, cap: int,

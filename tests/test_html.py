@@ -31,6 +31,16 @@ def test_extract_text_hand_cases(spark):
         # attributes (with > inside quotes NOT supported — documented
         # rule-based non-goal; plain attrs strip fine)
         '<a href="u" class="k">link</a>': "link",
+        # MULTI-LINE block bodies are removed whole ((?s) — the norm in
+        # real HTML; a non-DOTALL pattern leaks the trailing lines)
+        "<p>a</p><script>var x = 1;\nif (x) { y(); }\n</script><p>b</p>":
+            "a b",
+        "<style>\np { color: red }\n</style><b>c</b>": "c",
+        # a stray </style> INSIDE a script must not close the script
+        # (per-tag passes; the old alternation pattern truncated here
+        # and leaked the script tail)
+        "<p>a</p><script>var s = \"</style>\"; go();</script><p>b</p>":
+            "a b",
     }
     for s, want in cases.items():
         assert _one(spark, extract_text, s) == want, s

@@ -5,9 +5,11 @@ same rules is pinned by the url_* / domain_* oracle twins."""
 import pytest
 from pyspark.sql import functions as F
 
-from casf_spark.operators.urls import (domain_blocklist_filter, domain_caps,
-                                       normalize_url, registered_domain,
-                                       url_host)
+from casf_spark.operators.urls import (PUBLIC_SUFFIXES,
+                                       domain_blocklist_filter, domain_caps,
+                                       normalize_url, public_suffix_table,
+                                       registered_domain,
+                                       registered_domain_join, url_host)
 
 
 def _norm(spark, urls):
@@ -36,24 +38,66 @@ def test_normalize_url_hand_cases(spark):
         # ref is a tracking param; 'referrer=x' is NOT (anchored match)
         "https://example.com/a?ref=tw&referrer=x":
             "https://example.com/a?referrer=x",
+        # scheme-less input has no canonical form -> NULL, never a
+        # ':///...' junk key that would collapse distinct hosts
+        "example.com/a?x=1": None,
+        "//cdn.example.com/lib.js": None,
     }
     got = _norm(spark, list(cases))
     assert got == list(cases.values()), dict(zip(cases, got))
 
 
+REG_DOMAIN_CASES = {
+    "example.com": "example.com",
+    "a.b.example.com": "example.com",
+    "example.co.uk": "example.co.uk",
+    "news.example.co.uk": "example.co.uk",
+    "deep.news.example.com.au": "example.com.au",
+    "localhost": "localhost",          # <2 labels pass through
+    # 3-label public suffixes (PSL depth — the old 2-label-only seed
+    # could not represent these)
+    "school.k12.ca.us": "school.k12.ca.us",
+    "www.school.k12.ca.us": "school.k12.ca.us",
+    "a.b.school.k12.ny.us": "school.k12.ny.us",
+    "vale.nsw.edu.au": "vale.nsw.edu.au",
+    "k12.ca.us": "k12.ca.us",          # host IS a suffix: pass through
+    # a :port is never part of the domain (ADVICE r9): stripped before
+    # the tail split, so the suffix table still matches
+    "a.example.co.uk:8080": "example.co.uk",
+    "example.com:8080": "example.com",
+    "site.org:8080": "site.org",
+}
+
+
 def test_registered_domain_hand_cases(spark):
-    cases = {
-        "example.com": "example.com",
-        "a.b.example.com": "example.com",
-        "example.co.uk": "example.co.uk",
-        "news.example.co.uk": "example.co.uk",
-        "deep.news.example.com.au": "example.com.au",
-        "localhost": "localhost",          # <2 labels pass through
-    }
-    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    df = spark.createDataFrame([(h,) for h in REG_DOMAIN_CASES],
+                               "host string")
     got = [r.d for r in
            df.select(registered_domain(F.col("host")).alias("d")).collect()]
-    assert got == list(cases.values()), dict(zip(cases, got))
+    assert got == list(REG_DOMAIN_CASES.values()), \
+        dict(zip(REG_DOMAIN_CASES, got))
+
+
+def test_registered_domain_join_matches_expression(spark):
+    """The broadcast-side-table spelling is exactly the expression rule:
+    same output on every hand case AND on hosts exercising every branch
+    (no match / 2-label match / 3-label match / suffix-only / port)."""
+    hosts = list(REG_DOMAIN_CASES) + [
+        "x.y.z.example.net", "co.uk", "a.co.uk", "b.a.co.uk:9999"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    expr = {r.host: r.d for r in df.select(
+        "host", registered_domain(F.col("host")).alias("d")).collect()}
+    tbl = public_suffix_table(spark)
+    join = {r.host: r.reg_domain for r in
+            registered_domain_join(df, "host", tbl).collect()}
+    assert expr == join
+
+
+def test_public_suffix_table_shape(spark):
+    tbl = public_suffix_table(spark).collect()
+    assert all(r.n_labels in (2, 3) for r in tbl)
+    assert len(tbl) == len(PUBLIC_SUFFIXES)
+    assert {"co.uk", "k12.ca.us", "nsw.edu.au"} <= {r.suffix for r in tbl}
 
 
 def test_url_host_keeps_non_default_port(spark):
