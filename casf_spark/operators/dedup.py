@@ -267,6 +267,34 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     return schemas.conform(out, schemas.CANDIDATE_PAIR)
 
 
+def group_star_edges(df: DataFrame, id_col: str,
+                     group_col: str) -> DataFrame:
+    """Star-contracted edges connecting every row that shares a group
+    key (same registered domain, same source, same canonical URL —
+    any categorical co-membership): per group with >= 2 members, one
+    edge member -> min(member), never the full clique.
+
+    The domain-aware leakage-safe split is the motivating use: union
+    these with MinHash candidate edges and run connected components,
+    and one site's near-identical pages can never straddle train/test
+    (the RefinedWeb/Dolma practice). Linear in group size — a 1M-page
+    domain emits 1M edges, not 10^12 pairs; one shuffle on the group
+    key. NULL group keys connect nothing (unknown domain is not a
+    group). Output (doc0, doc1), doc0 > doc1."""
+    g = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("doc"))
+    mins = (g.groupBy("grp")
+            .agg(F.min("doc").alias("mdoc"),
+                 F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") >= 2))
+    out = (g.join(mins, "grp")
+           .where(F.col("doc") > F.col("mdoc"))
+           .select(F.col("doc").alias("doc0"), F.col("mdoc").alias("doc1"))
+           .distinct())
+    return schemas.conform(out, schemas.CANDIDATE_PAIR)
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 32) -> DataFrame:
     """Per-document SimHash: sign-aggregate each bit of the token hashes,
@@ -1465,6 +1493,96 @@ def pagerank_iterations(pairs: DataFrame, n_iter: int = 3,
             .select("doc_id", F.col("degree").cast("long").alias("degree"),
                     F.round(F.col("rank_u") / F.lit(float(scale_u)), 6)
                     .alias("rank")))
+
+
+def label_propagation(pairs: DataFrame, seeds: DataFrame,
+                      n_iter: int = 3,
+                      id0: str = "doc0", id1: str = "doc1") -> DataFrame:
+    """Fixed-iteration label propagation over an undirected pair graph —
+    spread sparse seed quality labels across the near-dup candidate
+    graph (the graph-assisted curation capstone: a handful of judged
+    documents label their whole mirror/template neighborhoods, so
+    quality decisions reach documents no classifier ever scored).
+
+    ``seeds`` carries (doc_id, label_u) with label_u an INTEGER
+    micro-unit score (quality * 1e6 as BIGINT). Seeds are CLAMPED —
+    their score never moves; every other node starts at the neutral
+    prior 0.5 (500_000 u) and each iteration becomes the mean of its
+    neighbors' previous scores: floor(SUM(neighbor_u) / degree + 0.5).
+    The recurrence runs entirely in integer micro-units for the same
+    reason pagerank_iterations does (round-7 lesson): integer SUMs are
+    order-independent, so the engines' different aggregation orders can
+    never drift; the one float op per term (BIGINT/BIGINT division) is
+    IEEE-identical across engines on identical operands.
+
+    Same Spark-first iterative shape as PageRank: per iteration one
+    edge⋈score join + one destination-keyed integer aggregation —
+    n_iter shuffles on one key, localCheckpoint truncation between
+    iterations, the Python loop only over the bounded iteration count.
+    Node set = nodes appearing in ``pairs`` (degree >= 1 by
+    construction); seeds outside the graph contribute nothing.
+
+    Output: (doc_id, degree, is_seed, score) — score after ``n_iter``
+    iterations, micro-units / 1e6 (exact 6dp).
+    """
+    scale_u = 1_000_000
+    neutral_u = scale_u // 2
+    edges = (pairs.select(F.col(id0).cast("long").alias("src"),
+                          F.col(id1).cast("long").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id1).cast("long").alias("src"),
+                              F.col(id0).cast("long").alias("dst"))))
+    edges = edges.localCheckpoint()  # computed once, iterated over
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    sd = seeds.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("label_u").cast("long").alias("label_u"))
+    nodes = (deg.select(F.col("src").alias("doc_id"), "degree")
+             .join(sd, "doc_id", "left"))
+    nodes = nodes.localCheckpoint()  # seeds + degrees reused every pass
+    scores = nodes.select(
+        "doc_id",
+        F.coalesce("label_u", F.lit(neutral_u)).cast("long")
+        .alias("score_u"))
+    for i in range(n_iter):
+        inflow = (edges.join(scores, edges.src == scores.doc_id)
+                  .groupBy("dst")
+                  .agg(F.sum("score_u").cast("long").alias("sum_u")))
+        scores = (nodes.join(inflow, nodes.doc_id == inflow.dst, "left")
+                  .select(
+                      "doc_id",
+                      F.when(F.col("label_u").isNotNull(), F.col("label_u"))
+                      .otherwise(
+                          F.floor(F.coalesce("sum_u", F.lit(0))
+                                  / F.col("degree") + 0.5).cast("long"))
+                      .alias("score_u")))
+        if i < n_iter - 1:
+            scores = scores.localCheckpoint()
+    return (nodes.join(scores, "doc_id")
+            .select("doc_id",
+                    F.col("degree").cast("long").alias("degree"),
+                    F.col("label_u").isNotNull().alias("is_seed"),
+                    F.round(F.col("score_u") / F.lit(float(scale_u)), 6)
+                    .alias("score")))
+
+
+def first_stage_attribution(df: DataFrame, stage_cols: list[str],
+                            out_col: str = "first_stage",
+                            kept_label: str = "kept") -> DataFrame:
+    """Waterfall attribution combinator: given one boolean flag column
+    per dedup stage (in LADDER ORDER — the order the pipeline runs
+    them), label each row with the FIRST stage whose rule caught it,
+    or ``kept_label`` when none did — the standard pipeline-debugging
+    artifact ("how much does each stage remove, net of the stages
+    before it"). Pure expression work; conservation (kept + removed ==
+    corpus) holds by construction."""
+    expr = None
+    for c in stage_cols:
+        cond = F.coalesce(F.col(c), F.lit(False))
+        expr = F.when(cond, F.lit(c)) if expr is None else \
+            expr.when(cond, F.lit(c))
+    expr = F.lit(kept_label) if expr is None else \
+        expr.otherwise(F.lit(kept_label))
+    return df.withColumn(out_col, expr)
 
 
 def minhash_eval_report(df: DataFrame, id_col: str, text_col: str,

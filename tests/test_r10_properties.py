@@ -1,0 +1,113 @@
+"""Round-10 operator property tests: label propagation over the
+candidate graph, group-star edges / domain-aware leakage-safe splits,
+and waterfall attribution conservation. Cross-engine value equality is
+pinned by the quality_propagate / split_leakage_domain / dedup_waterfall
+oracle twins; these tests pin the SEMANTIC invariants the twins can't
+state (clamping, no-straddle, conservation)."""
+
+from pyspark.sql import functions as F
+
+from casf_spark.operators import dedup as DD
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc0 long, doc1 long")
+
+
+def test_label_propagation_clamps_seeds_and_averages(spark):
+    # path graph 1-2-3 with seeds at the ends: 1 -> 1.0, 3 -> 0.0
+    pairs = _pairs(spark, [(2, 1), (3, 2)])
+    seeds = spark.createDataFrame([(1, 1_000_000), (3, 0)],
+                                  "doc_id long, label_u long")
+    out = {r.doc_id: r for r in
+           DD.label_propagation(pairs, seeds, n_iter=3).collect()}
+    assert out[1].is_seed and out[3].is_seed and not out[2].is_seed
+    # seeds never move
+    assert out[1].score == 1.0
+    assert out[3].score == 0.0
+    # the middle node is the mean of its two clamped neighbors from
+    # iteration 1 onward: floor((1e6 + 0)/2 + 0.5)/1e6 = 0.5
+    assert out[2].score == 0.5
+    assert out[2].degree == 2
+
+
+def test_label_propagation_no_seeds_stays_neutral(spark):
+    pairs = _pairs(spark, [(2, 1)])
+    seeds = spark.createDataFrame([], "doc_id long, label_u long")
+    out = DD.label_propagation(pairs, seeds, n_iter=2).collect()
+    # neutral prior propagates to itself: everyone stays at 0.5
+    assert {r.score for r in out} == {0.5}
+    assert not any(r.is_seed for r in out)
+
+
+def test_label_propagation_seed_outside_graph_ignored(spark):
+    pairs = _pairs(spark, [(2, 1)])
+    seeds = spark.createDataFrame([(99, 1_000_000)],
+                                  "doc_id long, label_u long")
+    out = DD.label_propagation(pairs, seeds, n_iter=2).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert {r.score for r in out} == {0.5}
+
+
+def test_group_star_edges_linear_not_clique(spark):
+    df = spark.createDataFrame(
+        [(1, "a.com"), (2, "a.com"), (3, "a.com"),
+         (4, "b.com"),                      # singleton group: no edges
+         (5, None), (6, None)],             # NULL key connects nothing
+        "doc_id long, dom string")
+    got = sorted((r.doc0, r.doc1) for r in
+                 DD.group_star_edges(df, "doc_id", "dom").collect())
+    # star to the min member only — m-1 edges, not m(m-1)/2
+    assert got == [(2, 1), (3, 1)]
+
+
+def test_split_leakage_domain_no_straddle(spark, sf_dir):
+    """The ordered contract: no registered domain — and no near-dup
+    cluster — appears in two splits."""
+    import __spark_entry__ as E
+
+    out = E.q_split_leakage_domain(spark, sf_dir)
+    dom_straddle = (out.groupBy("reg_domain")
+                    .agg(F.countDistinct("split").alias("n"))
+                    .where(F.col("n") > 1).count())
+    assert dom_straddle == 0
+    cl_straddle = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("n"))
+                   .where(F.col("n") > 1).count())
+    assert cl_straddle == 0
+    # total coverage: one row per document
+    n_docs = E.load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+
+
+def test_dedup_waterfall_conservation(spark, sf_dir):
+    """removed + kept == corpus, and first_stage is consistent with the
+    flags (first flagged stage in ladder order; 'kept' iff none)."""
+    import __spark_entry__ as E
+
+    rows = E.q_dedup_waterfall(spark, sf_dir).collect()
+    n_docs = E.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    order = ["exact", "url", "line", "minhash"]
+    n_removed = 0
+    for r in rows:
+        flags = [s for s in order if getattr(r, s)]
+        expect = flags[0] if flags else "kept"
+        assert r.first_stage == expect, (r.doc_id, r.first_stage, flags)
+        assert r.kept == (not flags)
+        n_removed += bool(flags)
+    assert n_removed + sum(r.kept for r in rows) == n_docs
+    # the plant guarantees the url stage catches every non-min group
+    # member that exact didn't already claim -> some rows per stage
+    assert any(r.first_stage == "url" for r in rows)
+    assert any(r.kept for r in rows)
+
+
+def test_first_stage_attribution_order(spark):
+    df = spark.createDataFrame(
+        [(1, True, True), (2, False, True), (3, False, False),
+         (4, None, True)],
+        "doc_id long, a boolean, b boolean")
+    got = {r.doc_id: r.first_stage for r in
+           DD.first_stage_attribution(df, ["a", "b"]).collect()}
+    assert got == {1: "a", 2: "b", 3: "kept", 4: "b"}
