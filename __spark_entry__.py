@@ -2440,6 +2440,28 @@ def q_hard_negatives(spark, sf):
             .orderBy("anchor_id", "neg_rank"))
 
 
+def q_url_incremental(spark, sf):
+    """Crawl-ledger incremental URL dedup (operators.urls
+    .url_incremental_dedup — the dedup_incremental pattern keyed on
+    canonical URL, NEXT.md's round-10 candidate): batch = every doc
+    with doc_id % 4 == 0 (a messiness-level slice spanning all 50
+    canonical groups), ledger = the other docs of groups g < 40 only —
+    so batch rows in g < 40 come out 'seen', and in g >= 40 the
+    batch's min doc per canonical URL is 'new' with the rest
+    'batch_dup': all three live statuses are guaranteed by the plant
+    ('invalid' needs scheme-less junk the plant never emits — unit-
+    tested instead). History streams past the broadcast batch-key set
+    map-side; only the batch shuffles for the first-occurrence
+    window."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    batch = u.where(F.col("doc_id") % 4 == 0)
+    history = u.where((F.col("doc_id") % 4 != 0)
+                      & (F.col("doc_id") % 50 < 40))
+    return (URL.url_incremental_dedup(batch, history, "doc_id", "url")
+            .orderBy("doc"))
+
+
 def q_html_extract(spark, sf):
     """HTML text extraction (functions.html — the EXTRACT stage web
     pipelines run before any quality/dedup pass): script/style blocks
@@ -4847,21 +4869,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-10 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-9 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * the 3 round-10 additions (quality_propagate, split_leakage_domain,
-#     dedup_waterfall) — windowed immediately so no never-checked
-#     backlog accumulates;
+#   * the 4 round-10 additions (quality_propagate, split_leakage_domain,
+#     dedup_waterfall, url_incremental) — windowed immediately so no
+#     never-checked backlog accumulates;
 #   * re-confirmations, stalest-first by last-green round: FIRST the 4
 #     names the late round-9 additions displaced (round-5 green, the
 #     stalest anywhere), then the round-6 cohort in round-6 window order
-#     (38 names), then the head of the cosine family (5 of 8 — the 3
-#     new additions displaced cosine_omit, cosine_norm_none, and
-#     cosine_axis_x to the round-11 queue head; see NEXT.md). After a
-#     green round 10, every name's newest driver green is round 7+
-#     except the 7 queued cosine names (round 6/initial rounds; first in
-#     line next round).
+#     (38 names), then the head of the cosine family (4 of 8 — the 4
+#     new additions displaced cosine_subset, cosine_omit,
+#     cosine_norm_none, and cosine_axis_x to the round-11 queue head;
+#     see NEXT.md). After a green round 10, every name's newest driver
+#     green is round 7+ except the 8 queued cosine names (round
+#     6/initial rounds; first in line next round).
 _ROUND10_WINDOW = [
-    # -- the 3 round-10 additions
+    # -- the 4 round-10 additions
     "quality_propagate", "split_leakage_domain", "dedup_waterfall",
+    "url_incremental",
     # -- the 4 round-5-green names displaced by the late round-9 batch
     "text_winnow", "text_term_counts", "text_repetition", "text_quality",
     # -- the round-6 cohort (round-6 window order, 38 names)
@@ -4878,9 +4901,8 @@ _ROUND10_WINDOW = [
     "q16_supplier_count", "q17_small_quantity", "q19_disjunctive_revenue",
     "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
     "window_top_orders", "customers_no_orders",
-    # -- cosine family head (5 of 8 round-1-3 names)
+    # -- cosine family head (4 of 8 round-1-3 names)
     "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
-    "cosine_subset",
 ]
 
 
@@ -5022,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
         "dedup_waterfall": q_dedup_waterfall,
+        "url_incremental": q_url_incremental,
         "diversity_kcenter": q_diversity_kcenter,
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
@@ -7865,4 +7888,19 @@ SELECT doc_id, f_exact AS exact, f_url AS url, f_line AS line,
             ELSE 'kept' END first_stage,
        NOT (f_exact OR f_url OR f_line OR f_mh) AS kept
 FROM fl ORDER BY doc_id"""
+    # crawl-ledger incremental URL dedup: shared _url_cte again
+    out["url_incremental"] = f"""
+WITH {_url_cte()},
+nb AS (SELECT doc_id AS doc, url_norm FROM u WHERE doc_id % 4 = 0),
+h AS (SELECT DISTINCT url_norm, TRUE AS seen
+      FROM u WHERE doc_id % 4 <> 0 AND doc_id % 50 < 40),
+m AS (SELECT nb.doc, nb.url_norm, COALESCE(h.seen, FALSE) seen,
+             MIN(nb.doc) OVER (PARTITION BY nb.url_norm) mdoc
+      FROM nb LEFT JOIN h USING (url_norm))
+SELECT doc, url_norm,
+       CASE WHEN url_norm IS NULL THEN 'invalid'
+            WHEN seen THEN 'seen'
+            WHEN doc > mdoc THEN 'batch_dup'
+            ELSE 'new' END status
+FROM m ORDER BY doc"""
     return out

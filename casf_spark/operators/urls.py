@@ -31,6 +31,7 @@ __all__ = [
     "registered_domain",
     "registered_domain_join",
     "public_suffix_table",
+    "url_incremental_dedup",
     "domain_caps",
     "domain_blocklist_filter",
 ]
@@ -290,6 +291,47 @@ def registered_domain_join(df: DataFrame, host_col: str,
            .otherwise(F.col("_t2")))
     return (joined.withColumn(out_col, reg)
             .drop("_h", "_n", "_t2", "_t3", "_t4", "_s2", "_s3"))
+
+
+def url_incremental_dedup(new: DataFrame, history: DataFrame,
+                          id_col: str, url_col: str) -> DataFrame:
+    """Crawl-ledger URL gate — dedup a NEW batch of raw URLs against the
+    canonical-URL history (the cheapest incremental pass a continuous
+    crawl runs: a URL verdict costs bytes before any document text is
+    ever fetched or compared). Status per new row:
+
+    * ``seen`` — canonical URL already in the ledger;
+    * ``batch_dup`` — not in the ledger, but an earlier (lower-id) row
+      of THIS batch claims the same canonical URL;
+    * ``new`` — first sighting anywhere (the row the ledger ingests);
+    * ``invalid`` — no canonical form (scheme-less junk; NULL canonical
+      keys are never allowed to collide with each other).
+
+    Scale shape mirrors :func:`casf_spark.operators.dedup
+    .incremental_dedup`'s filter-then-reduce contract: the batch's
+    canonical-URL set broadcasts, the 100-TB history streams past it
+    map-side and only colliding keys aggregate (∝ duplication, not
+    ledger size); the batch-internal first-occurrence window shuffles
+    the BATCH only. Output: (doc, url_norm, status).
+    """
+    nn = new.select(F.col(id_col).cast("long").alias("doc"),
+                    normalize_url(F.col(url_col)).alias("url_norm"))
+    batch_keys = nn.where(F.col("url_norm").isNotNull()) \
+        .select("url_norm").distinct()
+    hits = (history
+            .select(normalize_url(F.col(url_col)).alias("url_norm"))
+            .where(F.col("url_norm").isNotNull())
+            .join(F.broadcast(batch_keys), "url_norm")
+            .distinct()
+            .withColumn("seen", F.lit(True)))
+    w = Window.partitionBy("url_norm")
+    return (nn.join(F.broadcast(hits), "url_norm", "left")
+            .withColumn("_mdoc", F.min("doc").over(w))
+            .select("doc", "url_norm",
+                    F.when(F.col("url_norm").isNull(), F.lit("invalid"))
+                    .when(F.coalesce("seen", F.lit(False)), F.lit("seen"))
+                    .when(F.col("doc") > F.col("_mdoc"), F.lit("batch_dup"))
+                    .otherwise(F.lit("new")).alias("status")))
 
 
 def domain_caps(df: DataFrame, domain_col: str, cap: int,
