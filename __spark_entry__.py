@@ -2454,7 +2454,16 @@ def q_url_incremental(spark, sf):
     map-side; only the batch shuffles for the first-occurrence
     window."""
     docs = load_table(spark, sf, "documents")
-    u = _planted_urls(docs)
+    # materialize the planted (doc_id, url) projection ONCE before
+    # splitting batch/history: _planted_urls is a ~60-node nested-CASE/
+    # regexp tree, and url_incremental_dedup normalizes its input on
+    # the batch side, the distinct-key side, AND the history side —
+    # without truncation the plant expression rides into every subtree
+    # of one plan (the q_split_leakage_domain 44 MiB-task-binary
+    # failure mode; round-10 verdict item 2). One localCheckpoint cuts
+    # the 6.09 s sf0.1 outlier to the sub-second broadcast-join +
+    # batch-window shape the operator actually is.
+    u = _planted_urls(docs).localCheckpoint()
     batch = u.where(F.col("doc_id") % 4 == 0)
     history = u.where((F.col("doc_id") % 4 != 0)
                       & (F.col("doc_id") % 50 < 40))
