@@ -44,7 +44,15 @@ def strip_blocks(col: Column) -> Column:
     """Remove script/style elements INCLUDING their content (the text
     inside them is code, never prose). Non-greedy so adjacent blocks
     don't swallow the markup between them; one pass per element type so
-    a stray ``</style>`` inside a script never closes the script."""
+    a stray ``</style>`` inside a script never closes the script.
+
+    Rule-based non-goal (shared with every regex extractor): the pass
+    order fixes ``</style>``-inside-script, but the MIRROR case — an
+    unclosed ``<script>`` opener inside a style body followed by a real
+    script — makes the script pass consume across the ``</style>``,
+    leaving an unclosed ``<style>`` whose prelude text leaks into the
+    output. Pathologically nested opener-inside-body markup needs a
+    real HTML parser; this extractor targets well-formed blocks."""
     return F.regexp_replace(
         F.regexp_replace(col, _SCRIPT_RE, " "), _STYLE_RE, " ")
 

@@ -1534,8 +1534,15 @@ def label_propagation(pairs: DataFrame, seeds: DataFrame,
                               F.col(id0).cast("long").alias("dst"))))
     edges = edges.localCheckpoint()  # computed once, iterated over
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    sd = seeds.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      F.col("label_u").cast("long").alias("label_u"))
+    # one label per seed by contract — a duplicate doc_id would multiply
+    # that node's row in `nodes`, double-counting its score into every
+    # neighbor's SUM (degree unchanged, so means go wrong) and
+    # duplicating output rows; deduped with MIN (not dropDuplicates,
+    # whose survivor is plan-order-dependent) so conflicting labels
+    # resolve the same way on every engine and every run
+    sd = (seeds.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("label_u").cast("long").alias("label_u"))
+          .groupBy("doc_id").agg(F.min("label_u").alias("label_u")))
     nodes = (deg.select(F.col("src").alias("doc_id"), "degree")
              .join(sd, "doc_id", "left"))
     nodes = nodes.localCheckpoint()  # seeds + degrees reused every pass

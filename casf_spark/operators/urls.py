@@ -190,7 +190,20 @@ def normalize_url(url_col: Column) -> Column:
 def _split_by_depth(suffixes) -> tuple[list[str], list[str]]:
     """Partition a multi-part suffix table into its 2-label and 3-label
     entries (the only depths the PSL's ICANN section uses beyond plain
-    TLDs); reject anything else loudly rather than silently mis-rank."""
+    TLDs); reject anything else loudly rather than silently mis-rank.
+
+    Only LITERAL ICANN entries are supported: real PSL dumps also carry
+    wildcard rules (``*.ck``, ``*.kawasaki.jp``) and exception rules
+    (``!www.ck``), which have ordinary label depth and would otherwise
+    pass validation while being silently treated as never-matching
+    literal suffixes — wrong registered domains for those TLDs. They
+    are rejected here with the same loud-failure philosophy; strip or
+    expand them upstream before vendoring a dump."""
+    rules = [s for s in suffixes if "*" in s or s.startswith("!")]
+    if rules:
+        raise ValueError(
+            "wildcard/exception PSL rules are not supported (literal "
+            f"ICANN entries only): {sorted(rules)[:10]}")
     two = sorted(s for s in suffixes if s.count(".") == 1)
     three = sorted(s for s in suffixes if s.count(".") == 2)
     bad = [s for s in suffixes if s.count(".") not in (1, 2)]
@@ -264,6 +277,15 @@ def registered_domain_join(df: DataFrame, host_col: str,
     shuffles); everything else is expression work. Output: ``df`` plus
     ``out_col``. Exactly equivalent to the expression form on any host —
     pinned by a property test."""
+    # collision-resistant internal names: a caller column named `_h` or
+    # `_s2` would otherwise be silently overwritten and dropped (or hit
+    # an ambiguous-reference error) — loud failure instead
+    tmp = ["__psl_h", "__psl_n", "__psl_t2", "__psl_t3", "__psl_t4",
+           "__psl_s2", "__psl_s3"]
+    clash = [c for c in df.columns if c in tmp]
+    if clash:
+        raise ValueError(
+            f"registered_domain_join internal column collision: {clash}")
     h = F.regexp_replace(F.col(host_col), r":[0-9]+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
@@ -273,24 +295,25 @@ def registered_domain_join(df: DataFrame, host_col: str,
     last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
     sfx = suffix_table.select("suffix", "n_labels").distinct()
     sfx2 = sfx.where(F.col("n_labels") == 2).select(
-        F.col("suffix").alias("_s2"))
+        F.col("suffix").alias("__psl_s2"))
     sfx3 = sfx.where(F.col("n_labels") == 3).select(
-        F.col("suffix").alias("_s3"))
-    with_tails = (df.withColumn("_h", h).withColumn("_n", n)
-                  .withColumn("_t2", F.when(n >= 2, last2))
-                  .withColumn("_t3", F.when(n >= 3, last3))
-                  .withColumn("_t4", F.when(n >= 4, last4)))
+        F.col("suffix").alias("__psl_s3"))
+    with_tails = (df.withColumn("__psl_h", h).withColumn("__psl_n", n)
+                  .withColumn("__psl_t2", F.when(n >= 2, last2))
+                  .withColumn("__psl_t3", F.when(n >= 3, last3))
+                  .withColumn("__psl_t4", F.when(n >= 4, last4)))
     joined = (with_tails
-              .join(F.broadcast(sfx2), F.col("_t2") == F.col("_s2"), "left")
-              .join(F.broadcast(sfx3), F.col("_t3") == F.col("_s3"), "left"))
-    reg = (F.when(F.col("_n") <= 2, F.col("_h"))
-           .when(F.col("_s3").isNotNull() & (F.col("_n") >= 4),
-                 F.col("_t4"))
-           .when(F.col("_s3").isNotNull(), F.col("_h"))
-           .when(F.col("_s2").isNotNull(), F.col("_t3"))
-           .otherwise(F.col("_t2")))
-    return (joined.withColumn(out_col, reg)
-            .drop("_h", "_n", "_t2", "_t3", "_t4", "_s2", "_s3"))
+              .join(F.broadcast(sfx2),
+                    F.col("__psl_t2") == F.col("__psl_s2"), "left")
+              .join(F.broadcast(sfx3),
+                    F.col("__psl_t3") == F.col("__psl_s3"), "left"))
+    reg = (F.when(F.col("__psl_n") <= 2, F.col("__psl_h"))
+           .when(F.col("__psl_s3").isNotNull() & (F.col("__psl_n") >= 4),
+                 F.col("__psl_t4"))
+           .when(F.col("__psl_s3").isNotNull(), F.col("__psl_h"))
+           .when(F.col("__psl_s2").isNotNull(), F.col("__psl_t3"))
+           .otherwise(F.col("__psl_t2")))
+    return joined.withColumn(out_col, reg).drop(*tmp)
 
 
 def url_incremental_dedup(new: DataFrame, history: DataFrame,

@@ -111,3 +111,20 @@ def test_first_stage_attribution_order(spark):
     got = {r.doc_id: r.first_stage for r in
            DD.first_stage_attribution(df, ["a", "b"]).collect()}
     assert got == {1: "a", 2: "b", 3: "kept", 4: "b"}
+
+
+def test_label_propagation_duplicate_seed_rows_deduped(spark):
+    """A duplicate doc_id in seeds must not multiply that node's row in
+    the node set (which would double-count its score into every
+    neighbor's SUM and duplicate output rows); conflicting labels
+    resolve deterministically to MIN (round-10 ADVICE)."""
+    pairs = _pairs(spark, [(2, 1), (3, 2)])
+    dup = spark.createDataFrame(
+        [(1, 1_000_000), (1, 1_000_000), (3, 0), (3, 200_000)],
+        "doc_id long, label_u long")
+    uniq = spark.createDataFrame([(1, 1_000_000), (3, 0)],
+                                 "doc_id long, label_u long")
+    got = sorted(DD.label_propagation(pairs, dup, n_iter=3).collect())
+    want = sorted(DD.label_propagation(pairs, uniq, n_iter=3).collect())
+    assert got == want
+    assert len(got) == 3  # one row per graph node, no duplicates

@@ -152,3 +152,24 @@ def test_planted_urls_canonical_groups(spark, sf_dir):
     for r in rows:
         raws.setdefault(r.doc_id % 50, set()).add(r.url)
     assert sum(len(v) > 1 for v in raws.values()) == 50
+
+
+def test_registered_domain_rejects_psl_rule_entries(spark):
+    """Wildcard (*.ck) and exception (!www.ck) PSL rules have literal
+    label depths that would pass the depth check while silently never
+    matching — rejected loudly instead (round-10 ADVICE)."""
+    df = spark.createDataFrame([("a.example.ck",)], "host string")
+    for bad in ("*.ck", "!www.ck", "*.kawasaki.jp"):
+        with pytest.raises(ValueError, match="wildcard/exception"):
+            df.select(registered_domain(
+                F.col("host"), suffixes=PUBLIC_SUFFIXES + (bad,)))
+
+
+def test_registered_domain_join_internal_collision_raises(spark):
+    """The join spelling's internal temp columns are __psl_-prefixed; a
+    caller column colliding with one raises instead of being silently
+    overwritten and dropped (round-10 ADVICE)."""
+    df = spark.createDataFrame([("ex.co.uk", 1)],
+                               "host string, __psl_h int")
+    with pytest.raises(ValueError, match="collision"):
+        registered_domain_join(df, "host", public_suffix_table(spark))
