@@ -2630,6 +2630,34 @@ def q_quality_propagate(spark, sf):
     return DD.label_propagation(pairs, seeds, n_iter=3).orderBy("doc_id")
 
 
+def q_quality_propagate_conv(spark, sf):
+    """Convergence-stopped label propagation (operators.dedup
+    .label_propagation_converged — the round-10 verdict's graph-family
+    follow-through): same planted seeds/graph as quality_propagate, but
+    the loop stops at the first iteration whose largest per-node
+    movement drops below tol_u = 5000 micro-units (0.005 score),
+    bounded by max_iter = 8. The stopping rule is INTEGER (BIGINT
+    score deltas, integer MAX — order-independent), so the twin can
+    replay it exactly: 8 unrolled CTE iterations, per-step integer
+    max-deltas, and the SAME first-below-bound pick — n_iters is an
+    output column, making the early stop part of the checked contract.
+    Scale shape unchanged from the fixed-iteration operator: one
+    edge⋈score join + one keyed integer agg + one scalar max per
+    iteration."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+    g = TX.gopher_quality(docs, "doc_id", "text") \
+        .select("doc_id", "passes_gopher")
+    seeds = (g.where(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.when(F.col("passes_gopher"), F.lit(1_000_000))
+                     .otherwise(F.lit(0)).cast("long").alias("label_u")))
+    return (DD.label_propagation_converged(pairs, seeds,
+                                           tol_u=5000, max_iter=8)
+            .orderBy("doc_id"))
+
+
 def q_split_leakage_domain(spark, sf):
     """DOMAIN-aware leakage-safe split (operators.dedup.group_star_edges
     + the split_leakage_safe composition — the RefinedWeb/Dolma
@@ -3380,6 +3408,71 @@ SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree,
 FROM deg d
 LEFT JOIN seeds s ON s.doc_id = d.src
 JOIN {prev} ON {prev}.doc_id = d.src
+ORDER BY doc_id"""
+
+
+def _label_prop_conv_oracle(gopher_sql: str, tol_u: int = 5000,
+                            max_iter: int = 8) -> str:
+    """quality_propagate_conv twin: the _label_prop_oracle recurrence
+    unrolled to ``max_iter`` chained CTEs, plus per-step INTEGER
+    max-deltas (MAX(ABS(BIGINT - BIGINT)) — order-independent, so both
+    engines agree on WHICH step converged) and the first-below-bound
+    pick; the output joins the scores of exactly that step and carries
+    the step index as ``n_iters``."""
+    its, ds = [], []
+    prev = "r0"
+    for i in range(1, max_iter + 1):
+        # MATERIALIZED: each step is referenced by the next step, its
+        # delta CTE, and the final union — without it DuckDB's CTE
+        # inlining re-expands the whole chain per reference
+        # (exponential in max_iter; 8 steps never finished)
+        its.append(f"""it{i} AS MATERIALIZED (
+  SELECT d.src AS doc_id,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.label_u
+              ELSE CAST(FLOOR(CAST(COALESCE(c.sum_u, 0) AS BIGINT)
+                              / d.degree + 0.5) AS BIGINT) END score_u
+  FROM deg d
+  LEFT JOIN seeds s ON s.doc_id = d.src
+  LEFT JOIN (SELECT e.dst, CAST(SUM(r.score_u) AS BIGINT) sum_u
+             FROM edges e JOIN {prev} r ON r.doc_id = e.src
+             GROUP BY 1) c ON c.dst = d.src)""")
+        ds.append(f"""d{i} AS (
+  SELECT COALESCE(MAX(ABS(a.score_u - b.score_u)), 0) dm
+  FROM it{i} a JOIN {prev} b USING (doc_id))""")
+        prev = f"it{i}"
+    conv_case = "\n".join(
+        f"WHEN (SELECT dm FROM d{i}) < {tol_u} THEN {i}"
+        for i in range(1, max_iter + 1))
+    alls = "\nUNION ALL ".join(
+        f"SELECT {i} i, doc_id, score_u FROM it{i}"
+        for i in range(1, max_iter + 1))
+    its_sql = ",\n".join(its)
+    ds_sql = ",\n".join(ds)
+    return f"""
+WITH {_minhash_cte()},
+edges AS MATERIALIZED (SELECT doc0 src, doc1 dst FROM mh_cand
+          UNION ALL SELECT doc1, doc0 FROM mh_cand),
+deg AS MATERIALIZED (SELECT src, COUNT(*) degree FROM edges GROUP BY 1),
+gq AS ({gopher_sql}),
+seeds AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) doc_id,
+                 CAST(CASE WHEN passes_gopher THEN 1000000 ELSE 0 END
+                      AS BIGINT) label_u
+          FROM gq WHERE doc_id % 7 = 0),
+r0 AS MATERIALIZED (SELECT d.src AS doc_id,
+              COALESCE(s.label_u, CAST(500000 AS BIGINT)) score_u
+       FROM deg d LEFT JOIN seeds s ON s.doc_id = d.src),
+{its_sql},
+{ds_sql},
+conv AS (SELECT CASE {conv_case} ELSE {max_iter} END n_it),
+alls AS ({alls})
+SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree,
+       s.doc_id IS NOT NULL AS is_seed,
+       ROUND(a.score_u / 1000000.0, 6) score,
+       CAST(cv.n_it AS BIGINT) n_iters
+FROM deg d
+LEFT JOIN seeds s ON s.doc_id = d.src
+CROSS JOIN conv cv
+JOIN alls a ON a.doc_id = d.src AND a.i = cv.n_it
 ORDER BY doc_id"""
 
 
@@ -5049,6 +5142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "hard_negatives": q_hard_negatives,
         "text_self_dedup": q_text_self_dedup,
+        # round-11 additions (windowed immediately)
+        "quality_propagate_conv": q_quality_propagate_conv,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -7808,6 +7903,10 @@ UNION ALL SELECT 'mean_doc_tokens', ROUND(n_tokens / n_docs, 6) FROM m1"""
     # label propagation composes the PROVEN gopher body for its seeds
     out["quality_propagate"] = _label_prop_oracle(out["gopher_quality"],
                                                   n_iter=3)
+    # convergence-stopped variant: same recurrence, integer-exact
+    # first-below-bound stopping replayed by unrolled CTEs
+    out["quality_propagate_conv"] = _label_prop_conv_oracle(
+        out["gopher_quality"], tol_u=5000, max_iter=8)
     # domain-aware leakage-safe split: the split_leakage_safe closure
     # with same-registered-domain star edges UNIONed in (shared _url_cte
     # — the domain rule can never drift from the url_* contracts)

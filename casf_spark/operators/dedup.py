@@ -1572,6 +1572,91 @@ def label_propagation(pairs: DataFrame, seeds: DataFrame,
                     .alias("score")))
 
 
+def label_propagation_converged(pairs: DataFrame, seeds: DataFrame,
+                                tol_u: int = 5000, max_iter: int = 8,
+                                id0: str = "doc0",
+                                id1: str = "doc1") -> DataFrame:
+    """Convergence-stopped :func:`label_propagation` (the round-10
+    verdict's graph-family follow-through): the same clamped-seed /
+    neighborhood-mean recurrence in INTEGER micro-units, but the loop
+    stops after the first iteration whose largest per-node movement is
+    below ``tol_u`` micro-units — ``max_iter`` bounds the loop either
+    way. ``tol_u`` is an INTEGER (micro-units, 5000 = 0.005 score)
+    precisely so the stopping rule itself is cross-engine exact: the
+    per-iteration deltas are BIGINT differences of BIGINT scores, and
+    ``MAX(ABS(delta))`` over integers is order-independent, so two
+    engines can never disagree on WHICH iteration converged — the twin
+    unrolls ``max_iter`` chained CTEs and picks the first one whose
+    max-delta beats the same integer bound.
+
+    The convergence check is the one driver-side decision an early-stop
+    loop inherently needs: a 1-row MAX aggregate per iteration (bounded
+    scalar — never row data), on the already-checkpointed score table
+    the next iteration reuses, so the check adds no recomputation. At
+    100 TB the shape is unchanged from the fixed-iteration operator:
+    per iteration one edge⋈score join + one keyed integer aggregation +
+    one scalar job over node-grain rows.
+
+    Output: (doc_id, degree, is_seed, score, n_iters) — ``n_iters`` the
+    iteration count actually run (constant column, so the early stop is
+    part of the checked contract, not a silent internal detail).
+    """
+    if tol_u < 0 or max_iter < 1:
+        raise ValueError("tol_u must be >= 0 and max_iter >= 1")
+    scale_u = 1_000_000
+    neutral_u = scale_u // 2
+    edges = (pairs.select(F.col(id0).cast("long").alias("src"),
+                          F.col(id1).cast("long").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id1).cast("long").alias("src"),
+                              F.col(id0).cast("long").alias("dst"))))
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    sd = (seeds.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("label_u").cast("long").alias("label_u"))
+          .groupBy("doc_id").agg(F.min("label_u").alias("label_u")))
+    nodes = (deg.select(F.col("src").alias("doc_id"), "degree")
+             .join(sd, "doc_id", "left"))
+    nodes = nodes.localCheckpoint()
+    scores = nodes.select(
+        "doc_id",
+        F.coalesce("label_u", F.lit(neutral_u)).cast("long")
+        .alias("score_u")).localCheckpoint()
+    n_iters = max_iter
+    for i in range(1, max_iter + 1):
+        inflow = (edges.join(scores, edges.src == scores.doc_id)
+                  .groupBy("dst")
+                  .agg(F.sum("score_u").cast("long").alias("sum_u")))
+        new_scores = (nodes.join(inflow, nodes.doc_id == inflow.dst,
+                                 "left")
+                      .select(
+                          "doc_id",
+                          F.when(F.col("label_u").isNotNull(),
+                                 F.col("label_u"))
+                          .otherwise(
+                              F.floor(F.coalesce("sum_u", F.lit(0))
+                                      / F.col("degree") + 0.5)
+                              .cast("long"))
+                          .alias("score_u")))
+        new_scores = new_scores.localCheckpoint()
+        d_max = (new_scores.alias("a")
+                 .join(scores.alias("b"), "doc_id")
+                 .agg(F.max(F.abs(F.col("a.score_u")
+                                  - F.col("b.score_u"))).alias("d"))
+                 .collect()[0].d)
+        scores = new_scores
+        if d_max is None or d_max < tol_u:
+            n_iters = i
+            break
+    return (nodes.join(scores, "doc_id")
+            .select("doc_id",
+                    F.col("degree").cast("long").alias("degree"),
+                    F.col("label_u").isNotNull().alias("is_seed"),
+                    F.round(F.col("score_u") / F.lit(float(scale_u)), 6)
+                    .alias("score"),
+                    F.lit(n_iters).cast("long").alias("n_iters")))
+
+
 def first_stage_attribution(df: DataFrame, stage_cols: list[str],
                             out_col: str = "first_stage",
                             kept_label: str = "kept") -> DataFrame:

@@ -128,3 +128,46 @@ def test_label_propagation_duplicate_seed_rows_deduped(spark):
     want = sorted(DD.label_propagation(pairs, uniq, n_iter=3).collect())
     assert got == want
     assert len(got) == 3  # one row per graph node, no duplicates
+
+
+def test_label_propagation_converged_tol0_matches_fixed(spark):
+    """tol_u=0 can never beat a strict integer bound, so the converged
+    variant runs all max_iter iterations and must equal the
+    fixed-iteration operator exactly (n_iters = max_iter)."""
+    pairs = _pairs(spark, [(2, 1), (3, 2), (4, 3), (5, 4)])
+    seeds = spark.createDataFrame([(1, 1_000_000)],
+                                  "doc_id long, label_u long")
+    conv = DD.label_propagation_converged(
+        pairs, seeds, tol_u=0, max_iter=4).collect()
+    fixed = {r.doc_id: r for r in
+             DD.label_propagation(pairs, seeds, n_iter=4).collect()}
+    for r in conv:
+        assert r.n_iters == 4
+        f = fixed[r.doc_id]
+        assert (r.degree, r.is_seed, r.score) == \
+            (f.degree, f.is_seed, f.score)
+
+
+def test_label_propagation_converged_stops_early(spark):
+    """Path 1-2-3 with both ends clamped: iteration 1 leaves the middle
+    node at exactly the neutral prior (mean of 1.0 and 0.0), so the max
+    movement is 0 and any positive tolerance stops after one
+    iteration."""
+    pairs = _pairs(spark, [(2, 1), (3, 2)])
+    seeds = spark.createDataFrame([(1, 1_000_000), (3, 0)],
+                                  "doc_id long, label_u long")
+    out = DD.label_propagation_converged(
+        pairs, seeds, tol_u=1, max_iter=8).collect()
+    assert {r.n_iters for r in out} == {1}
+    got = {r.doc_id: r.score for r in out}
+    assert got == {1: 1.0, 2: 0.5, 3: 0.0}
+
+
+def test_label_propagation_converged_rejects_bad_args(spark):
+    import pytest
+    pairs = _pairs(spark, [(2, 1)])
+    seeds = spark.createDataFrame([], "doc_id long, label_u long")
+    with pytest.raises(ValueError):
+        DD.label_propagation_converged(pairs, seeds, tol_u=-1)
+    with pytest.raises(ValueError):
+        DD.label_propagation_converged(pairs, seeds, max_iter=0)
