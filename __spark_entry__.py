@@ -31,6 +31,7 @@ from casf_spark.operators.joins import asof_join, interval_join
 from casf_spark.operators.linalg import power_iteration, power_iteration_report
 from casf_spark.operators import sampling as SP
 from casf_spark.operators import urls as URL
+from casf_spark.operators import psl_data as PSL
 from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
 from casf_spark.operators import relevance as RV
@@ -2469,6 +2470,55 @@ def q_url_incremental(spark, sf):
                       & (F.col("doc_id") % 50 < 40))
     return (URL.url_incremental_dedup(batch, history, "doc_id", "url")
             .orderBy("doc"))
+
+
+# suffixes exercised by q_url_psl_domains: 36 entries present in the
+# FULL vendored PSL snapshot but ABSENT from the small PUBLIC_SUFFIXES
+# table (so the contract proves the large table is actually consulted),
+# including four 3-label US-locality entries, plus 4 unlisted tails
+# that must fall back to the plain last-two-labels default. Pinned
+# against psl_data by tests/test_urls.py.
+_PSL_PLANT_SUFFIXES = (
+    "com.bo", "tokyo.jp", "hokkaido.jp", "osaka.jp", "bc.ca", "on.ca",
+    "qc.ca", "gc.ca", "gouv.fr", "asso.fr", "tur.ar", "coop.br",
+    "ac.ir", "com.lb", "com.np", "co.zw", "com.gh", "com.et",
+    "gov.bf", "seoul.kr", "busan.kr", "com.kh", "com.mv", "edu.mv",
+    "com.iq", "com.af", "ac.rw", "co.tz", "go.tz", "ac.mu", "com.na",
+    "mil.ru", "cc.tx.us", "lib.ny.us", "cc.oh.us", "lib.wa.us",
+    "com", "org", "io", "dev")
+
+
+def q_url_psl_domains(spark, sf):
+    """Registered-domain extraction against the FULL vendored PSL
+    snapshot (operators.psl_data.PSL_ICANN_FULL, 1621 literal ICANN
+    entries vs the 225-entry PUBLIC_SUFFIXES expression table), routed
+    through the side-table-join spelling (operators.urls
+    .registered_domain_join) — the round-10 verdict's PSL order. The
+    plant keys a suffix from _PSL_PLANT_SUFFIXES on g = doc_id % 40
+    (every one of the 36 listed suffixes is ABSENT from the small
+    table, so a query that silently consulted the old table
+    hash-fails), prepends 0-2 extra labels on doc_id % 3 and a :8080
+    port on doc_id % 11 — exercising the suffix-only, one-more-label,
+    deep-host, 3-label-beats-2-label, and default-tail branches of the
+    longest-match rule. Scale shape: two broadcast hash equi-joins
+    (one per suffix depth) — the corpus never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    i = F.col("doc_id")
+    g = (i % 40).cast("int")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _PSL_PLANT_SUFFIXES]), g + 1)
+    host = F.concat(F.lit("h"), g.cast("string"), F.lit("."), suffix)
+    host = (F.when(i % 3 == 1, F.concat(F.lit("sub."), host))
+            .when(i % 3 == 2, F.concat(F.lit("a.b."), host))
+            .otherwise(host))
+    host = F.when(i % 11 == 0,
+                  F.concat(host, F.lit(":8080"))).otherwise(host)
+    df = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     host.alias("host"))
+    tbl = URL.public_suffix_table(spark, PSL.PSL_ICANN_FULL)
+    return (URL.registered_domain_join(df, "host", tbl)
+            .select("doc_id", "host", "reg_domain")
+            .orderBy("doc_id"))
 
 
 def q_html_extract(spark, sf):
@@ -5144,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_self_dedup": q_text_self_dedup,
         # round-11 additions (windowed immediately)
         "quality_propagate_conv": q_quality_propagate_conv,
+        "url_psl_domains": q_url_psl_domains,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -8011,4 +8062,47 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # registered domains against the FULL vendored PSL snapshot: the
+    # IN-lists are generated from the SAME psl_data tuple the Spark
+    # side-table join consumes — one source of truth; the plant's
+    # suffix list is the SAME _PSL_PLANT_SUFFIXES literal
+    psl2, psl3 = URL._split_by_depth(PSL.PSL_ICANN_FULL)
+    psl2_sql = ", ".join(f"'{s}'" for s in psl2)
+    psl3_sql = ", ".join(f"'{s}'" for s in psl3)
+    plant_sql = ", ".join(f"'{s}'" for s in _PSL_PLANT_SUFFIXES)
+    plabs = "string_split(hnp, '.')"
+    plast2 = f"{plabs}[-2] || '.' || {plabs}[-1]"
+    plast3 = f"{plabs}[-3] || '.' || {plast2}"
+    out["url_psl_domains"] = f"""
+WITH p1 AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id,
+         CAST(doc_id % 40 AS INT) g
+  FROM documents),
+p2 AS (
+  SELECT doc_id,
+         'h' || CAST(g AS VARCHAR) || '.'
+             || ([{plant_sql}])[g + 1] h0
+  FROM p1),
+p3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN 'sub.' || h0
+              WHEN doc_id % 3 = 2 THEN 'a.b.' || h0
+              ELSE h0 END h1
+  FROM p2),
+p4 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN h1 || ':8080' ELSE h1 END host
+  FROM p3),
+p5 AS (
+  SELECT doc_id, host,
+         regexp_replace(host, ':[0-9]+$', '') hnp
+  FROM p4)
+SELECT doc_id, host,
+  CASE WHEN length({plabs}) <= 2 THEN hnp
+       WHEN {plast3} IN ({psl3_sql}) AND length({plabs}) >= 4
+         THEN {plabs}[-4] || '.' || {plast3}
+       WHEN {plast3} IN ({psl3_sql}) THEN hnp
+       WHEN {plast2} IN ({psl2_sql}) THEN {plabs}[-3] || '.' || {plast2}
+       ELSE {plast2} END reg_domain
+FROM p5 ORDER BY doc_id"""
     return out

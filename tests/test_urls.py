@@ -173,3 +173,60 @@ def test_registered_domain_join_internal_collision_raises(spark):
                                "host string, __psl_h int")
     with pytest.raises(ValueError, match="collision"):
         registered_domain_join(df, "host", public_suffix_table(spark))
+
+
+def test_psl_full_snapshot_shape():
+    """The full vendored snapshot is a strict superset of the small
+    expression table, all-literal (no wildcard/exception rules — the
+    depth splitter would raise), depths 2-3 only."""
+    from casf_spark.operators.psl_data import PSL_ICANN_FULL
+    from casf_spark.operators.urls import _split_by_depth
+
+    assert set(PUBLIC_SUFFIXES) < set(PSL_ICANN_FULL)
+    assert len(PSL_ICANN_FULL) > 1500
+    two, three = _split_by_depth(PSL_ICANN_FULL)  # raises on bad entry
+    assert len(two) + len(three) == len(PSL_ICANN_FULL)
+    assert {"com.bo", "tokyo.jp", "bc.ca", "cc.tx.us",
+            "lib.ny.us"} <= set(PSL_ICANN_FULL)
+
+
+def test_registered_domain_expression_join_equivalence_full_table(spark):
+    """Expression form == join form ON THE FULL 1621-entry snapshot
+    (the round-10 verdict's pin): every branch exercised — suffix-only
+    host, one-more-label, deep host, 3-label-beats-2-label, port,
+    default tail."""
+    from casf_spark.operators.psl_data import PSL_ICANN_FULL
+
+    hosts = ["h.com.bo", "sub.h.com.bo", "a.b.h.tokyo.jp", "tokyo.jp",
+             "x.cc.tx.us", "d.x.cc.tx.us:8080", "e.ca.us", "f.e.ca.us",
+             "plain.com", "deep.plain.org", "h.gouv.fr", "io",
+             "y.lib.wa.us", "k.seoul.kr", "h.mil.ru:9999"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    expr = {r.host: r.d for r in df.select(
+        "host",
+        registered_domain(F.col("host"),
+                          suffixes=PSL_ICANN_FULL).alias("d")).collect()}
+    tbl = public_suffix_table(spark, PSL_ICANN_FULL)
+    join = {r.host: r.reg_domain for r in
+            registered_domain_join(df, "host", tbl).collect()}
+    assert expr == join
+    # spot checks of the longest-match rule on the large table
+    assert expr["sub.h.com.bo"] == "h.com.bo"
+    assert expr["d.x.cc.tx.us:8080"] == "x.cc.tx.us"   # 3-label beats ca... tx.us
+    assert expr["f.e.ca.us"] == "e.ca.us"              # 2-label state entry
+    assert expr["deep.plain.org"] == "plain.org"       # default tail
+
+
+def test_psl_plant_suffixes_pinned():
+    """The url_psl_domains plant list: every dotted entry is in the
+    FULL snapshot and ABSENT from the small table (so the contract
+    proves the large table is consulted); tails are unlisted."""
+    import __spark_entry__ as E
+    from casf_spark.operators.psl_data import PSL_ICANN_FULL
+
+    listed = [s for s in E._PSL_PLANT_SUFFIXES if "." in s]
+    tails = [s for s in E._PSL_PLANT_SUFFIXES if "." not in s]
+    assert len(E._PSL_PLANT_SUFFIXES) == 40 and len(listed) == 36
+    assert all(s in PSL_ICANN_FULL for s in listed)
+    assert not any(s in PUBLIC_SUFFIXES for s in listed)
+    assert all(t not in PSL_ICANN_FULL for t in tails)
