@@ -5018,50 +5018,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-10 driver window (the driver's correctness harness checks the
-# FIRST 50 entries of queries()). Composition, per the round-9 verdict
+# Round-11 driver window (the driver's correctness harness checks the
+# FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * the 4 round-10 additions (quality_propagate, split_leakage_domain,
-#     dedup_waterfall, url_incremental) — windowed immediately so no
-#     never-checked backlog accumulates;
-#   * re-confirmations, stalest-first by last-green round: FIRST the 4
-#     names the late round-9 additions displaced (round-5 green, the
-#     stalest anywhere), then the round-6 cohort in round-6 window order
-#     (38 names), then the head of the cosine family (4 of 8 — the 4
-#     new additions displaced cosine_subset, cosine_omit,
-#     cosine_norm_none, and cosine_axis_x to the round-11 queue head;
-#     see NEXT.md). After a green round 10, every name's newest driver
-#     green is round 7+ except the 8 queued cosine names (round
-#     6/initial rounds; first in line next round).
-_ROUND10_WINDOW = [
-    # -- the 4 round-10 additions
-    "quality_propagate", "split_leakage_domain", "dedup_waterfall",
-    "url_incremental",
-    # -- the 4 round-5-green names displaced by the late round-9 batch
-    "text_winnow", "text_term_counts", "text_repetition", "text_quality",
-    # -- the round-6 cohort (round-6 window order, 38 names)
-    "text_cdc_chunks", "dedup_chunks", "cdc_chunk_reuse",
-    "dedup_semantic", "gopher_quality", "dsir_select",
-    "dedup_remove_spans", "dedup_keep_best", "tokens_to_ids",
-    "embedding_int8", "orders_snapshot_diff", "text_cdc_chunks_w2",
-    "c4_quality", "dedup_containment", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "q4_order_priority",
-    "q6_forecast_revenue", "q18_large_orders", "q10_returned_items",
-    "q12_shipmode_priority", "q2_min_cost_supplier", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity", "q19_disjunctive_revenue",
-    "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
-    "window_top_orders", "customers_no_orders",
-    # -- cosine family head (4 of 8 round-1-3 names)
-    "cosine_sparse", "cosine_bucketed", "cosine_via_sql", "cosine_dense",
+#   * the 2 round-11 additions (quality_propagate_conv,
+#     url_psl_domains) — windowed immediately so no never-checked
+#     backlog accumulates;
+#   * the 8 stalest names anywhere: the cosine-family tail last
+#     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
+#     topk/threshold/predict, doc_cosine);
+#   * then the round-7 cohort in round-7 window order
+#     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
+#     in the round-10 window — the only r7 name fresher than round 7)
+#     — 40 names fit; the 9 displaced tail names (events_funnel,
+#     events_retention, users_view_and_purchase, events_corr,
+#     events_value_hist, ann_ivf_pq, temperature_resample,
+#     doc_cosine_tfidf, multimodal_rgb) head the round-12 queue, see
+#     NEXT.md.
+_ROUND11_WINDOW = [
+    # -- the 2 round-11 additions
+    "quality_propagate_conv", "url_psl_domains",
+    # -- the 8 round-6-stale cosine-family names
+    "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
+    "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
+    # -- the round-7 cohort (round-7 window order, 40 of 50;
+    #    tokens_to_ids skipped: round-10 green)
+    "dedup_semantic_32", "stream_near_dedup_state",
+    "stream_lifetime_state", "embedding_winsorize",
+    "doc_len_lang_quantile", "embedding_prep", "minhash_band_plan",
+    "dedup_semantic_2l", "dedup_pagerank", "pipeline_curate_v2",
+    "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
+    "events_hourly", "events_sliding", "events_sessions", "events_json",
+    "events_asof", "events_interval", "events_distinct_users",
+    "events_profile", "events_rollup", "events_cube", "events_pivot",
+    "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
+    "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
+    "curation_funnel", "dedup_incremental", "vocab_coverage",
+    "unigram_logprob", "embedding_outliers", "events_moving_avg",
+    "dedup_collision",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND10_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND11_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -5292,10 +5293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND10_WINDOW) == 50
-    missing = [n for n in _ROUND10_WINDOW if n not in base]
+    assert len(_ROUND11_WINDOW) == 50
+    missing = [n for n in _ROUND11_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND10_WINDOW}
+    out = {n: base[n] for n in _ROUND11_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
