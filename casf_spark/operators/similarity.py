@@ -15,6 +15,8 @@ deterministic and reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -773,7 +775,9 @@ def embedding_prep_report(emb: DataFrame, id_col: str = "vec_id",
 
 def kcenter_select_batched(emb: DataFrame, k: int = 64,
                            buffer: int = 64, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           chunk: int | None = None,
+                           stats: dict | None = None) -> DataFrame:
     """Large-k greedy k-center — EXACTLY :func:`kcenter_select`'s
     contract (same seed, distances, rounding, tie rule, output schema)
     with the pass count collapsed from k to ~k/batch: at k in the
@@ -802,6 +806,19 @@ def kcenter_select_batched(emb: DataFrame, k: int = 64,
        every pass selects >= 1 center and the loop terminates in <= k
        passes — typically k/B with B near ``buffer``.
 
+    The buffer is STREAMED, not collected (the round-10 verdict's
+    large-k order): rows arrive through ``toLocalIterator`` in
+    ``chunk``-sized pulls (default min(buffer, 256)), and the greedy
+    loop pulls the next chunk only when its best updated distance is
+    not strictly above the smallest distance PULLED SO FAR — the same
+    exclusion invariant (global descending order means every unpulled
+    row is <= the last pulled value), applied lazily. Selection is
+    bit-identical to the one-collect form with the same ``buffer``
+    budget: a pick happens only when best > tau_pulled, which excludes
+    every unpulled row from winning or id-tying. Driver memory holds
+    only the pulled prefix (picks usually stop a pass long before the
+    budget), so ``buffer`` can be thousands at k in the thousands.
+
     k and buffer are budgets (<= thousands): selected centers live on
     the driver by design, like IVF codebooks.
     """
@@ -817,7 +834,11 @@ def kcenter_select_batched(emb: DataFrame, k: int = 64,
     pool = base.where(F.col("vec_id") != int(seed.vec_id)).localCheckpoint()
     schema = pool.schema
 
+    if stats is not None:
+        stats.update(passes=0, pulled=0)
     while len(selected) < k:
+        if stats is not None:
+            stats["passes"] += 1
         C = np.vstack(pend_vecs)  # B x d — bounded side input
 
         def fold(it, C=C):
@@ -833,28 +854,73 @@ def kcenter_select_batched(emb: DataFrame, k: int = 64,
         pool = (pool.mapInPandas(fold, schema)
                 .where(~F.col("vec_id").isin(pend_ids))
                 .localCheckpoint())
-        cand = (pool.orderBy(F.desc("min_dist"), F.asc("vec_id"))
-                .limit(buffer).collect())
-        if not cand:
+        # streamed buffer: pull the descending-sorted head lazily in
+        # chunk-sized slices; tau_pulled (smallest distance pulled so
+        # far) bounds every unpulled row, so greedy only needs more
+        # rows when its best no longer strictly beats tau_pulled
+        csize = chunk if chunk else min(buffer, 256)
+        rows_it = iter(pool.orderBy(F.desc("min_dist"), F.asc("vec_id"))
+                       .limit(buffer)
+                       .toLocalIterator(prefetchPartitions=False))
+        ids = np.empty(0, dtype=np.int64)
+        Vb = np.empty((0, 0), dtype=np.float64)
+        db = np.empty(0, dtype=np.float64)
+        alive = np.empty(0, dtype=bool)
+        exhausted = False
+        tau_pulled = np.inf  # ORIGINAL sorted value of the last pulled
+        picks_v: list = []  # this pass's picks, to fold into late chunks
+
+        def pull():
+            nonlocal ids, Vb, db, alive, exhausted, tau_pulled
+            got = list(itertools.islice(rows_it, csize))
+            if len(got) < csize:
+                exhausted = True
+            if not got:
+                return
+            tau_pulled = float(got[-1].min_dist)
+            if stats is not None:
+                stats["pulled"] += len(got)
+            nid = np.array([r.vec_id for r in got], dtype=np.int64)
+            nV = np.array([r.v for r in got], dtype=np.float64)
+            nd = np.array([r.min_dist for r in got], dtype=np.float64)
+            # late chunks were sorted before this pass's picks existed:
+            # fold the picks in so every buffered distance is current
+            for pv in picks_v:
+                nd = np.minimum(nd, np.round(1.0 - nV @ pv, 6))
+            ids = np.concatenate([ids, nid])
+            Vb = np.vstack([Vb, nV]) if Vb.size else nV
+            db = np.concatenate([db, nd])
+            alive = np.concatenate(
+                [alive, np.ones(len(got), dtype=bool)])
+
+        pull()
+        if not len(ids):
             break  # pool exhausted before k (k > corpus)
-        ids = np.array([r.vec_id for r in cand], dtype=np.int64)
-        Vb = np.array([r.v for r in cand], dtype=np.float64)
-        db = np.array([r.min_dist for r in cand], dtype=np.float64)
-        # exclusion threshold: only meaningful when the buffer was cut
-        tau = db.min() if len(cand) == buffer else -np.inf
-        alive = np.ones(len(cand), dtype=bool)
         pend_vecs, pend_ids = [], []
         first = True
         while len(selected) < k and alive.any():
             live = np.flatnonzero(alive)
             j = live[np.lexsort((ids[live], -db[live]))[0]]
-            if not first and db[j] <= tau:
-                break  # an excluded point could beat or id-tie this
+            if not first:
+                # rows may remain beyond the pulled prefix with original
+                # values <= tau_pulled: pull until the best strictly
+                # beats the last pulled value or the stream runs dry
+                while not exhausted and db[j] <= tau_pulled:
+                    pull()
+                    live = np.flatnonzero(alive)
+                    j = live[np.lexsort((ids[live], -db[live]))[0]]
+                # excluded points exist only past the `buffer` cut (the
+                # stream draining below the budget means the pool itself
+                # ran out — nothing is excluded, finish greedily)
+                tau = tau_pulled if len(ids) == buffer else -np.inf
+                if db[j] <= tau:
+                    break  # an excluded point could beat or id-tie this
             first = False
             selected.append((len(selected) + 1, int(ids[j]),
                              float(db[j])))
             pend_vecs.append(Vb[j])
             pend_ids.append(int(ids[j]))
+            picks_v.append(Vb[j])
             alive[j] = False
             upd = np.round(1.0 - Vb[alive] @ Vb[j], 6)
             db[alive] = np.minimum(db[alive], upd)

@@ -212,6 +212,12 @@ def test_kcenter_batched_equals_sequential(spark, sf_dir):
                for r in kcenter_select_batched(emb, k=12, buffer=buf)
                .orderBy("sel_rank").collect()]
         assert got == want, (buf, got, want)
+    # streamed-buffer stress: 1-row chunks force the lazy pull on every
+    # exclusion decision — must still be bit-identical
+    got = [(r.sel_rank, r.vec_id, r.sel_dist)
+           for r in kcenter_select_batched(emb, k=12, buffer=12, chunk=1)
+           .orderBy("sel_rank").collect()]
+    assert got == want, ("chunk=1", got, want)
 
 
 def test_kcenter_batched_duplicates_and_small_pool(spark):
