@@ -1705,6 +1705,28 @@ def q_nb_lang_eval(spark, sf):
                         6)))).alias("metric", "value"))
 
 
+def q_nb_calibration(spark, sf):
+    """Calibration / reliability report for the NB language classifier
+    (operators.classify.calibration_report): the held-out fifth's
+    scores bucketed by |log-odds| (INTEGER micro-unit bands — bucket
+    membership can never straddle a float boundary between engines),
+    per-bucket NB-implied confidence vs empirical accuracy, and the
+    integer-weighted ECE — the check a pipeline owner runs before
+    trusting a learned filter's score as a probability. One
+    map-combined bucket aggregation over the held-out scores; model
+    training is the proven nb_lang_score shape."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    model = CL.nb_train(train, "doc_id", "text", "lang", "en",
+                        vocab_size=25)
+    scored = CL.nb_score(held, model, "doc_id", "text")
+    truth = held.select(F.col("doc_id").cast("string").alias("doc"),
+                        (F.col("lang") == "en").cast("int").alias("y"))
+    return (CL.calibration_report(scored.join(truth, "doc"))
+            .orderBy("bucket"))
+
+
 def q_curriculum_buckets(spark, sf):
     """Curriculum difficulty deciles (operators.curation
     .quantile_buckets over relevance.unigram_logprob): every document's
@@ -5036,8 +5058,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     doc_cosine_tfidf, multimodal_rgb) head the round-12 queue, see
 #     NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 2 round-11 additions
-    "quality_propagate_conv", "url_psl_domains",
+    # -- the 3 round-11 additions (nb_calibration landed after the
+    #    first rotation and displaced the round-7 tail name
+    #    dedup_collision to the round-12 queue head, per protocol)
+    "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     # -- the 8 round-6-stale cosine-family names
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
@@ -5055,7 +5079,6 @@ _ROUND11_WINDOW = [
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
     "curation_funnel", "dedup_incremental", "vocab_coverage",
     "unigram_logprob", "embedding_outliers", "events_moving_avg",
-    "dedup_collision",
 ]
 
 
@@ -5196,6 +5219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 additions (windowed immediately)
         "quality_propagate_conv": q_quality_propagate_conv,
         "url_psl_domains": q_url_psl_domains,
+        "nb_calibration": q_nb_calibration,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -7652,6 +7676,72 @@ UNION ALL SELECT 'fn', fn FROM cm
 UNION ALL SELECT 'tn', tn FROM cm
 UNION ALL SELECT 'n_heldout', n_heldout FROM cm
 UNION ALL SELECT 'accuracy', ROUND((tp + tn) / n_heldout, 6) FROM cm""",
+        # calibration report for the same held-out scores: INTEGER
+        # micro-unit |score| bands (bucket membership engine-exact by
+        # construction), per-bucket sigmoid confidence computed FROM the
+        # rounded mean, integer-weighted ECE (round terms to integers
+        # BEFORE the weighted sum — the order-stability rule)
+        "nb_calibration": f"""
+WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+             FROM documents
+             WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+toklist AS (SELECT CAST(doc_id AS VARCHAR) doc, {_TOKS} a
+            FROM documents),
+ttoks AS (SELECT t.doc, unnest(t.a) w, l.y
+          FROM toklist t JOIN lab l USING (doc)),
+tc AS (SELECT w term, CAST(SUM(y) AS DOUBLE) c_pos,
+              CAST(SUM(1 - y) AS DOUBLE) c_neg, COUNT(*) cnt
+       FROM ttoks GROUP BY 1),
+vocab AS (SELECT * FROM tc ORDER BY cnt DESC, term ASC LIMIT 25),
+tot AS (SELECT SUM(c_pos) t_pos, SUM(c_neg) t_neg,
+               CAST(COUNT(*) AS DOUBLE) v
+        FROM vocab),
+model AS (SELECT term,
+                 CAST(FLOOR((ln((c_pos + 1.0) / (t_pos + v))
+                             - ln((c_neg + 1.0) / (t_neg + v)))
+                            * 1000000.0 + 0.5) AS BIGINT) lr_u
+          FROM vocab CROSS JOIN tot),
+prior AS (SELECT CAST(FLOOR((ln(n_pos) - ln(n_neg)) * 1000000.0 + 0.5)
+                      AS BIGINT) prior_u
+          FROM (SELECT CAST(SUM(y) AS DOUBLE) n_pos,
+                       CAST(SUM(1 - y) AS DOUBLE) n_neg
+                FROM lab)),
+held AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+         FROM documents WHERE doc_id % 5 = 0),
+stoks AS (SELECT t.doc, unnest(t.a) w
+          FROM toklist t JOIN held USING (doc)),
+hit AS (SELECT s.doc, CAST(SUM(m.lr_u) AS BIGINT) sum_u
+        FROM stoks s JOIN model m ON s.w = m.term GROUP BY 1),
+sc AS (SELECT h.doc, h.y,
+              CAST(p.prior_u + COALESCE(x.sum_u, 0) AS BIGINT) score_u
+       FROM held h
+       LEFT JOIN hit x ON h.doc = x.doc
+       CROSS JOIN prior p),
+bk AS (SELECT LEAST(CAST(FLOOR(ABS(score_u) / 250000) AS BIGINT),
+                    CAST(4 AS BIGINT)) bucket,
+              ABS(score_u) abs_u,
+              CASE WHEN (score_u >= 0) = (y = 1) THEN 1 ELSE 0 END ok
+       FROM sc),
+agg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(abs_u) AS BIGINT) sum_abs_u,
+               CAST(SUM(ok) AS BIGINT) n_ok
+        FROM bk GROUP BY 1),
+per AS (SELECT bucket, n,
+               ROUND(sum_abs_u / n / 1000000.0, 6) mean_abs_logodds,
+               ROUND(1.0 / (1.0 + exp(-ROUND(sum_abs_u / n
+                                             / 1000000.0, 6))), 6) conf,
+               ROUND(n_ok / CAST(n AS DOUBLE), 6) acc
+        FROM agg),
+per2 AS (SELECT *, ROUND(ABS(acc - conf), 6) gap FROM per),
+etot AS (SELECT CAST(SUM(n * CAST(FLOOR(gap * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS BIGINT) sum_w_u,
+                CAST(SUM(n) AS BIGINT) n_total
+         FROM per2)
+SELECT bucket, n, mean_abs_logodds, conf, acc, gap,
+       CAST(FLOOR(sum_w_u / n_total + 0.5) AS BIGINT) / 1000000.0 ece
+FROM per2 CROSS JOIN etot ORDER BY bucket""",
         # adjacent-bigram PMI collocations (relevance.collocation_pmi):
         # bigram pairs via position self-join == Spark's arrays_zip shift
         "collocations_pmi": f"""

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
 
-__all__ = ["nb_train", "nb_score", "PRIOR_TERM"]
+__all__ = ["nb_train", "nb_score", "calibration_report", "PRIOR_TERM"]
 
 #: the model row carrying the class-prior log-odds (the empty string can
 #: never collide with a real token — the tokenizer drops empties).
@@ -141,3 +141,72 @@ def nb_score(docs: DataFrame, model: DataFrame, id_col: str,
                 F.round(F.col("score_u") / F.lit(float(_SCALE_U)), 6)
                 .alias("log_odds"),
                 (F.col("score_u") >= 0).alias("pred_pos")))
+
+
+def calibration_report(scored: DataFrame, label_col: str = "y",
+                       n_buckets: int = 5,
+                       step_u: int = 250_000) -> DataFrame:
+    """Reliability / calibration report for NB scores -> one row per
+    confidence bucket ``(bucket, n, mean_abs_logodds, conf, acc, gap,
+    ece)`` — the check a pipeline owner runs before TRUSTING a learned
+    filter's score as a probability (a well-discriminating classifier
+    can still be badly calibrated, and every thresholded keep/drop
+    decision inherits that error).
+
+    ``scored`` is :func:`nb_score` output joined with an integer truth
+    column ``label_col`` (1 = positive). Buckets are |score_u| bands of
+    ``step_u`` micro-units (top bucket open-ended) — bucketing on the
+    INTEGER score, never on a transcendental, so bucket membership is
+    engine-exact by construction. Per bucket:
+
+    * ``mean_abs_logodds`` — integer |score_u| sum / n, 6dp;
+    * ``conf`` — the NB-implied confidence of the predicted class,
+      ``sigmoid(mean_abs_logodds)``, computed FROM the already-rounded
+      mean (identical operands on both engines) and rounded 6dp;
+    * ``acc`` — empirical accuracy (pred_pos == label), integers, 6dp;
+    * ``gap`` — |acc - conf| of the two ROUNDED values (exact);
+    * ``ece`` — constant column: expected calibration error,
+      ``SUM(n_b * gap_u) / N`` in integer micro-units (the round-7
+      order-stability rule: round bucket terms to integers BEFORE the
+      weighted sum, so engines sum identical integers), 6dp.
+
+    Scale shape: one map-combined aggregation keyed by bucket (≤
+    ``n_buckets`` groups), then arithmetic on the bucket table with a
+    1-row broadcast for the ECE denominator — the corpus is touched
+    once, nothing corpus-sized shuffles.
+    """
+    b = F.least(F.floor(F.abs(F.col("score_u")) / F.lit(step_u)),
+                F.lit(n_buckets - 1)).cast("long")
+    agg = (scored
+           .select(b.alias("bucket"),
+                   F.abs(F.col("score_u")).alias("abs_u"),
+                   (F.col("pred_pos").cast("int")
+                    == F.col(label_col).cast("int")).cast("long")
+                   .alias("ok"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("abs_u").cast("long").alias("sum_abs_u"),
+                F.sum("ok").cast("long").alias("n_ok")))
+    mean_alo = F.round(F.col("sum_abs_u") / F.col("n")
+                       / F.lit(float(_SCALE_U)), 6)
+    conf = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_alo)), 6)
+    acc = F.round(F.col("n_ok") / F.col("n"), 6)
+    per = agg.select(
+        "bucket", "n",
+        mean_alo.alias("mean_abs_logodds"),
+        conf.alias("conf"), acc.alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"))
+    gap_u = F.floor(F.col("gap") * F.lit(float(_SCALE_U))
+                    + F.lit(0.5)).cast("long")
+    tot = (per.select((F.col("n") * gap_u).alias("w_u"), "n")
+           .agg(F.sum("w_u").cast("long").alias("sum_w_u"),
+                F.sum("n").cast("long").alias("n_total")))
+    # ece folded to integer micro-units BEFORE the final /1e6 (floor of
+    # the half-shifted division — never ROUND on a derived double,
+    # whose .5 boundaries two engines can disagree on)
+    ece_u = F.floor(F.col("sum_w_u") / F.col("n_total")
+                    + F.lit(0.5)).cast("long")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("bucket", "n", "mean_abs_logodds", "conf", "acc",
+                    "gap",
+                    (ece_u / F.lit(float(_SCALE_U))).alias("ece")))

@@ -103,3 +103,38 @@ def test_nb_split_scoring_is_deterministic(spark):
          for r in C.nb_score(docs.repartition(7), model, "doc_id",
                              "text").collect()}
     assert a == b
+
+
+def test_calibration_report_hand_computed(spark):
+    """Bucketing is on the INTEGER score (250k-u bands, top open), acc
+    and gap come from rounded values, and ece is the integer-weighted
+    mean of the bucket gaps — all checked against a hand computation."""
+    import math
+
+    rows = [  # (doc, score_u, pred, y)
+        ("a", 100_000, True, 1),    # bucket 0, correct
+        ("b", -200_000, False, 1),  # bucket 0, wrong
+        ("c", 300_000, True, 1),    # bucket 1, correct
+        ("d", 2_000_000, True, 0),  # bucket 4 (open top), wrong
+    ]
+    df = spark.createDataFrame(
+        [(d, s, p, y) for d, s, p, y in rows],
+        "doc string, score_u long, pred_pos boolean, y int")
+    got = {r.bucket: r for r in C.calibration_report(df).collect()}
+    assert set(got) == {0, 1, 4}
+    b0, b1, b4 = got[0], got[1], got[4]
+    assert (b0.n, b0.acc) == (2, 0.5)
+    assert b0.mean_abs_logodds == 0.15
+    assert b0.conf == round(1 / (1 + math.exp(-0.15)), 6)
+    assert b0.gap == round(abs(b0.acc - b0.conf), 6)
+    assert (b1.n, b1.acc) == (1, 1.0)
+    assert (b4.n, b4.acc) == (1, 0.0)
+    assert b4.mean_abs_logodds == 2.0
+    # ece = sum(n_b * floor(gap_b * 1e6 + .5)) / N / 1e6, HALF-UP like
+    # both engines' ROUND (python round() is banker's — not comparable
+    # at an exact .5 boundary, which this hand case happens to hit)
+    su = (2 * math.floor(b0.gap * 1e6 + 0.5)
+          + math.floor(b1.gap * 1e6 + 0.5)
+          + math.floor(b4.gap * 1e6 + 0.5))
+    want_ece = math.floor(su / 4 + 0.5) / 1e6
+    assert all(abs(r.ece - want_ece) < 1e-9 for r in got.values())

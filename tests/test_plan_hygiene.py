@@ -75,6 +75,9 @@ PRODUCT_WHITELIST = {
     # (the model itself is a bounded <= vocab_size-row side input)
     "nb_lang_score",
     "nb_lang_eval",
+    # same NB broadcasts + the 1-row ECE numerator/denominator agg
+    # crossJoined onto the <= n_buckets-row bucket table
+    "nb_calibration",
     # 1-row candidate-total broadcast scoring the 64-row vocabulary cut
     "unigram_lm_scores",
     # 8-row deterministic-centroid broadcast in the quantizer assignment
@@ -128,7 +131,10 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     "retrieval_rrf_weighted": 3,
                     # datasheet: base-stats agg + kept-count agg +
                     # gopher-rate agg (all 1-row, 7-row report out)
-                    "corpus_card": 3}
+                    "corpus_card": 3,
+                    # NB class-totals agg + prior agg + the 1-row ECE
+                    # numerator/denominator agg over the bucket table
+                    "nb_calibration": 3}
 
 
 @pytest.fixture(scope="module")
