@@ -2730,6 +2730,29 @@ def q_quality_propagate_conv(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_quality_propagate_weighted(spark, sf):
+    """Edge-WEIGHTED label propagation (operators.dedup
+    .label_propagation_weighted over minhash_pair_weights — the NEXT.md
+    weighted-graph backlog item): each candidate edge carries the
+    INTEGER count of agreeing MinHash signature components (the raw
+    Jaccard-estimate numerator — no float anywhere), so close
+    near-duplicates pull harder than marginal band collisions. Same
+    planted gopher seeds as quality_propagate; the recurrence's
+    products, sums, and weighted degrees are all BIGINT —
+    order-independent, replayed exactly by the twin's chained CTEs."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_pair_weights(docs, "doc_id", "text",
+                                    n=2, num_hashes=12, bands=4)
+    g = TX.gopher_quality(docs, "doc_id", "text") \
+        .select("doc_id", "passes_gopher")
+    seeds = (g.where(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.when(F.col("passes_gopher"), F.lit(1_000_000))
+                     .otherwise(F.lit(0)).cast("long").alias("label_u")))
+    return (DD.label_propagation_weighted(pairs, seeds, n_iter=3)
+            .orderBy("doc_id"))
+
+
 def q_split_leakage_domain(spark, sf):
     """DOMAIN-aware leakage-safe split (operators.dedup.group_star_edges
     + the split_leakage_safe composition — the RefinedWeb/Dolma
@@ -3545,6 +3568,64 @@ FROM deg d
 LEFT JOIN seeds s ON s.doc_id = d.src
 CROSS JOIN conv cv
 JOIN alls a ON a.doc_id = d.src AND a.i = cv.n_it
+ORDER BY doc_id"""
+
+
+def _label_prop_weighted_oracle(gopher_sql: str, n_iter: int = 3,
+                                num_hashes: int = 12) -> str:
+    """quality_propagate_weighted twin: _minhash_cte's ``sig`` relation
+    joined onto the candidate pairs for the integer agreement-count
+    weights, then the _label_prop_oracle recurrence with weighted
+    BIGINT numerators and weighted degrees — every term integer, one
+    IEEE-identical division per node per step."""
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""it{i} AS MATERIALIZED (
+  SELECT d.src AS doc_id,
+         CASE WHEN s.doc_id IS NOT NULL THEN s.label_u
+              WHEN d.wdeg > 0 THEN
+                CAST(FLOOR(CAST(COALESCE(c.sum_wu, 0) AS BIGINT)
+                           / d.wdeg + 0.5) AS BIGINT)
+              ELSE CAST(500000 AS BIGINT) END score_u
+  FROM deg d
+  LEFT JOIN seeds s ON s.doc_id = d.src
+  LEFT JOIN (SELECT e.dst, CAST(SUM(e.w * r.score_u) AS BIGINT) sum_wu
+             FROM edges e JOIN {prev} r ON r.doc_id = e.src
+             GROUP BY 1) c ON c.dst = d.src)""")
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH {_minhash_cte()},
+wpairs AS MATERIALIZED (
+  SELECT c.doc0, c.doc1, CAST({agree} AS BIGINT) w
+  FROM mh_cand c
+  JOIN sig a ON a.doc = c.doc0
+  JOIN sig b ON b.doc = c.doc1),
+edges AS MATERIALIZED (
+  SELECT doc0 src, doc1 dst, w FROM wpairs
+  UNION ALL SELECT doc1, doc0, w FROM wpairs),
+deg AS MATERIALIZED (
+  SELECT src, COUNT(*) degree, CAST(SUM(w) AS BIGINT) wdeg
+  FROM edges GROUP BY 1),
+gq AS ({gopher_sql}),
+seeds AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) doc_id,
+                 CAST(CASE WHEN passes_gopher THEN 1000000 ELSE 0 END
+                      AS BIGINT) label_u
+          FROM gq WHERE doc_id % 7 = 0),
+r0 AS MATERIALIZED (SELECT d.src AS doc_id,
+              COALESCE(s.label_u, CAST(500000 AS BIGINT)) score_u
+       FROM deg d LEFT JOIN seeds s ON s.doc_id = d.src),
+{its_sql}
+SELECT d.src AS doc_id, CAST(d.degree AS BIGINT) degree,
+       s.doc_id IS NOT NULL AS is_seed,
+       ROUND({prev}.score_u / 1000000.0, 6) score
+FROM deg d
+LEFT JOIN seeds s ON s.doc_id = d.src
+JOIN {prev} ON {prev}.doc_id = d.src
 ORDER BY doc_id"""
 
 
@@ -5058,10 +5139,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     doc_cosine_tfidf, multimodal_rgb) head the round-12 queue, see
 #     NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 3 round-11 additions (nb_calibration landed after the
-    #    first rotation and displaced the round-7 tail name
-    #    dedup_collision to the round-12 queue head, per protocol)
+    # -- the 4 round-11 additions (nb_calibration and
+    #    quality_propagate_weighted landed after the first rotation and
+    #    displaced the round-7 tail names dedup_collision and
+    #    events_moving_avg to the round-12 queue head, per protocol)
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
+    "quality_propagate_weighted",
     # -- the 8 round-6-stale cosine-family names
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
@@ -5078,7 +5161,7 @@ _ROUND11_WINDOW = [
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
     "curation_funnel", "dedup_incremental", "vocab_coverage",
-    "unigram_logprob", "embedding_outliers", "events_moving_avg",
+    "unigram_logprob", "embedding_outliers",
 ]
 
 
@@ -5220,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_propagate_conv": q_quality_propagate_conv,
         "url_psl_domains": q_url_psl_domains,
         "nb_calibration": q_nb_calibration,
+        "quality_propagate_weighted": q_quality_propagate_weighted,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -8049,6 +8133,9 @@ UNION ALL SELECT 'mean_doc_tokens', ROUND(n_tokens / n_docs, 6) FROM m1"""
     # first-below-bound stopping replayed by unrolled CTEs
     out["quality_propagate_conv"] = _label_prop_conv_oracle(
         out["gopher_quality"], tol_u=5000, max_iter=8)
+    # edge-weighted variant: integer MinHash agreement counts as weights
+    out["quality_propagate_weighted"] = _label_prop_weighted_oracle(
+        out["gopher_quality"], n_iter=3)
     # domain-aware leakage-safe split: the split_leakage_safe closure
     # with same-registered-domain star edges UNIONed in (shared _url_cte
     # — the domain rule can never drift from the url_* contracts)

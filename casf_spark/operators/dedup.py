@@ -1657,6 +1657,112 @@ def label_propagation_converged(pairs: DataFrame, seeds: DataFrame,
                     F.lit(n_iters).cast("long").alias("n_iters")))
 
 
+def minhash_pair_weights(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 2, num_hashes: int = 12,
+                         bands: int = 4, seed: int = 42) -> DataFrame:
+    """MinHash candidate pairs WITH an integer similarity weight ->
+    (doc0, doc1, w): w = the number of agreeing signature components
+    (0..num_hashes; >= num_hashes/bands by construction, since
+    candidacy requires one full band to agree). w/num_hashes is the
+    standard MinHash Jaccard estimate — kept as the raw INTEGER count
+    so every downstream use (weighted propagation, thresholding) is
+    engine-exact with no float anywhere.
+
+    Scale shape: the banding join is :func:`minhash_lsh_pairs`
+    unchanged; the weight costs two signature joins keyed by doc at
+    CANDIDATE grain (the wide signature table is one shuffle, reused
+    for both sides).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes,
+                              bands, seed)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sig = sig.localCheckpoint()  # one signature pass feeds both joins
+    s0 = sig.select(F.col("doc").alias("doc0"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}")
+                      for i in range(num_hashes)])
+    s1 = sig.select(F.col("doc").alias("doc1"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}")
+                      for i in range(num_hashes)])
+    w = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("long")
+            for i in range(num_hashes))
+    return (pairs.join(s0, "doc0").join(s1, "doc1")
+            .select("doc0", "doc1", w.alias("w")))
+
+
+def label_propagation_weighted(pairs: DataFrame, seeds: DataFrame,
+                               n_iter: int = 3, id0: str = "doc0",
+                               id1: str = "doc1",
+                               weight_col: str = "w") -> DataFrame:
+    """Edge-WEIGHTED :func:`label_propagation`: each iteration a
+    non-seed becomes the weighted mean of its neighbors' previous
+    scores, ``floor(SUM(w * neighbor_u) / SUM(w) + 0.5)`` — closer
+    near-duplicates (higher MinHash agreement) pull harder than
+    marginal band collisions. Weights must be non-negative INTEGERS
+    (:func:`minhash_pair_weights` counts agreeing signature
+    components), so every term of the recurrence stays integer:
+    products and sums are order-independent, and the one float op per
+    node (BIGINT/BIGINT division) is IEEE-identical across engines on
+    identical operands — the same cross-engine discipline as the
+    unweighted operator, extended to the weighted numerator.
+
+    A node whose incident weights are all zero keeps the neutral prior
+    (candidate edges can't be zero-weight by construction, but the
+    operator doesn't rely on it). Output matches
+    :func:`label_propagation`: (doc_id, degree, is_seed, score) with
+    ``degree`` the plain edge count.
+
+    Scale shape unchanged: per iteration one edge⋈score join + one
+    destination-keyed integer aggregation; weights ride the
+    checkpointed edge table computed once.
+    """
+    scale_u = 1_000_000
+    neutral_u = scale_u // 2
+    edges = (pairs.select(F.col(id0).cast("long").alias("src"),
+                          F.col(id1).cast("long").alias("dst"),
+                          F.col(weight_col).cast("long").alias("w"))
+             .unionByName(
+                 pairs.select(F.col(id1).cast("long").alias("src"),
+                              F.col(id0).cast("long").alias("dst"),
+                              F.col(weight_col).cast("long").alias("w"))))
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").cast("long").alias("wdeg"))
+    sd = (seeds.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("label_u").cast("long").alias("label_u"))
+          .groupBy("doc_id").agg(F.min("label_u").alias("label_u")))
+    nodes = (deg.select(F.col("src").alias("doc_id"), "degree", "wdeg")
+             .join(sd, "doc_id", "left"))
+    nodes = nodes.localCheckpoint()
+    scores = nodes.select(
+        "doc_id",
+        F.coalesce("label_u", F.lit(neutral_u)).cast("long")
+        .alias("score_u"))
+    for i in range(n_iter):
+        inflow = (edges.join(scores, edges.src == scores.doc_id)
+                  .groupBy("dst")
+                  .agg(F.sum(F.col("w") * F.col("score_u")).cast("long")
+                       .alias("sum_wu")))
+        scores = (nodes.join(inflow, nodes.doc_id == inflow.dst, "left")
+                  .select(
+                      "doc_id",
+                      F.when(F.col("label_u").isNotNull(),
+                             F.col("label_u"))
+                      .when(F.col("wdeg") > 0,
+                            F.floor(F.coalesce("sum_wu", F.lit(0))
+                                    / F.col("wdeg") + 0.5).cast("long"))
+                      .otherwise(F.lit(neutral_u))
+                      .alias("score_u")))
+        if i < n_iter - 1:
+            scores = scores.localCheckpoint()
+    return (nodes.join(scores, "doc_id")
+            .select("doc_id",
+                    F.col("degree").cast("long").alias("degree"),
+                    F.col("label_u").isNotNull().alias("is_seed"),
+                    F.round(F.col("score_u") / F.lit(float(scale_u)), 6)
+                    .alias("score")))
+
+
 def first_stage_attribution(df: DataFrame, stage_cols: list[str],
                             out_col: str = "first_stage",
                             kept_label: str = "kept") -> DataFrame:

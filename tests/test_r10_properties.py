@@ -171,3 +171,64 @@ def test_label_propagation_converged_rejects_bad_args(spark):
         DD.label_propagation_converged(pairs, seeds, tol_u=-1)
     with pytest.raises(ValueError):
         DD.label_propagation_converged(pairs, seeds, max_iter=0)
+
+
+def test_label_propagation_weighted_uniform_equals_unweighted(spark):
+    """All-equal weights make the weighted mean the plain mean, so the
+    weighted operator must reproduce label_propagation exactly."""
+    pairs = _pairs(spark, [(2, 1), (3, 2), (4, 2), (4, 3)])
+    wpairs = pairs.withColumn("w", F.lit(7))
+    seeds = spark.createDataFrame([(1, 1_000_000), (4, 0)],
+                                  "doc_id long, label_u long")
+    want = sorted(DD.label_propagation(pairs, seeds, n_iter=3).collect())
+    got = sorted(DD.label_propagation_weighted(wpairs, seeds,
+                                               n_iter=3).collect())
+    assert got == want
+
+
+def test_label_propagation_weighted_hand_computed(spark):
+    """Star around node 2 with clamped leaves 1 (score 1.0, w=3) and
+    3 (score 0.0, w=1): node 2 = floor((3*1e6 + 1*0)/4 + .5) = 750000
+    -> 0.75 — the weighted pull toward the heavier edge."""
+    wpairs = spark.createDataFrame([(2, 1, 3), (3, 2, 1)],
+                                   "doc0 long, doc1 long, w long")
+    seeds = spark.createDataFrame([(1, 1_000_000), (3, 0)],
+                                  "doc_id long, label_u long")
+    out = {r.doc_id: r for r in
+           DD.label_propagation_weighted(wpairs, seeds,
+                                         n_iter=3).collect()}
+    assert out[2].score == 0.75
+    assert out[1].score == 1.0 and out[3].score == 0.0
+    assert out[2].degree == 2
+
+
+def test_label_propagation_weighted_zero_weight_stays_neutral(spark):
+    """A node whose only incident weights are zero keeps the neutral
+    prior instead of dividing by zero."""
+    wpairs = spark.createDataFrame([(2, 1, 0)],
+                                   "doc0 long, doc1 long, w long")
+    seeds = spark.createDataFrame([(1, 1_000_000)],
+                                  "doc_id long, label_u long")
+    out = {r.doc_id: r.score for r in
+           DD.label_propagation_weighted(wpairs, seeds,
+                                         n_iter=2).collect()}
+    assert out == {1: 1.0, 2: 0.5}
+
+
+def test_minhash_pair_weights_bounds(spark, sf_dir):
+    """Every candidate pair's weight is an integer in
+    [num_hashes/bands, num_hashes]: candidacy requires one full band
+    to agree; agreement can never exceed the signature length. Pair
+    set == minhash_lsh_pairs exactly."""
+    import __spark_entry__ as E
+
+    docs = E.load_table(spark, sf_dir, "documents")
+    w = DD.minhash_pair_weights(docs, "doc_id", "text",
+                                n=2, num_hashes=12, bands=4)
+    rows = w.collect()
+    assert rows, "plant has near-dup candidates"
+    assert all(3 <= r.w <= 12 for r in rows)
+    base = {(r.doc0, r.doc1) for r in
+            DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4).collect()}
+    assert {(r.doc0, r.doc1) for r in rows} == base
