@@ -1727,6 +1727,29 @@ def q_nb_calibration(spark, sf):
             .orderBy("bucket"))
 
 
+def q_nb_platt(spark, sf):
+    """Platt scaling by deterministic grid search (operators.classify
+    .platt_grid_fit — the post-hoc calibration FIT that composes with
+    nb_calibration's diagnosis): the 42-combo (a, b) loss surface over
+    the held-out fifth, log-loss folded to integer micro-units per
+    doc x combo BEFORE the per-combo sum (order-independent BIGINTs),
+    argmin tie-broken (loss_u, a, b) — the whole surface is emitted so
+    the contract checks every loss value, not just the winner. Grid
+    values are binary-exact fractions so z = a*log_odds + b is built
+    from identical operands on both engines. Map-side grid expansion;
+    the only aggregation is grid-sized."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    model = CL.nb_train(train, "doc_id", "text", "lang", "en",
+                        vocab_size=25)
+    scored = CL.nb_score(held, model, "doc_id", "text")
+    truth = held.select(F.col("doc_id").cast("string").alias("doc"),
+                        (F.col("lang") == "en").cast("int").alias("y"))
+    return (CL.platt_grid_fit(scored.join(truth, "doc"))
+            .orderBy("a", "b"))
+
+
 def q_curriculum_buckets(spark, sf):
     """Curriculum difficulty deciles (operators.curation
     .quantile_buckets over relevance.unigram_logprob): every document's
@@ -2508,6 +2531,13 @@ _PSL_PLANT_SUFFIXES = (
     "com.iq", "com.af", "ac.rw", "co.tz", "go.tz", "ac.mu", "com.na",
     "mil.ru", "cc.tx.us", "lib.ny.us", "cc.oh.us", "lib.wa.us",
     "com", "org", "io", "dev")
+
+
+# Platt grid VALUES for the nb_platt twin — generated from the SAME
+# tuples operators.classify.platt_grid_fit defaults to (one source of
+# truth; binary-exact fractions, see PLATT_A_GRID)
+_PLATT_GRID_SQL = ", ".join(
+    f"({a!r}, {b!r})" for a in CL.PLATT_A_GRID for b in CL.PLATT_B_GRID)
 
 
 def q_url_psl_domains(spark, sf):
@@ -5139,12 +5169,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     doc_cosine_tfidf, multimodal_rgb) head the round-12 queue, see
 #     NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 4 round-11 additions (nb_calibration and
-    #    quality_propagate_weighted landed after the first rotation and
-    #    displaced the round-7 tail names dedup_collision and
-    #    events_moving_avg to the round-12 queue head, per protocol)
+    # -- the 5 round-11 additions (nb_calibration,
+    #    quality_propagate_weighted, and nb_platt landed after the first
+    #    rotation and displaced the round-7 tail names dedup_collision,
+    #    events_moving_avg, and embedding_outliers to the round-12
+    #    queue head, per protocol)
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
-    "quality_propagate_weighted",
+    "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
     "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
     "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
@@ -5161,7 +5192,7 @@ _ROUND11_WINDOW = [
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
     "curation_funnel", "dedup_incremental", "vocab_coverage",
-    "unigram_logprob", "embedding_outliers",
+    "unigram_logprob",
 ]
 
 
@@ -5304,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_psl_domains": q_url_psl_domains,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
+        "nb_platt": q_nb_platt,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -7826,6 +7858,65 @@ etot AS (SELECT CAST(SUM(n * CAST(FLOOR(gap * 1000000.0 + 0.5)
 SELECT bucket, n, mean_abs_logodds, conf, acc, gap,
        CAST(FLOOR(sum_w_u / n_total + 0.5) AS BIGINT) / 1000000.0 ece
 FROM per2 CROSS JOIN etot ORDER BY bucket""",
+        # Platt grid fit over the same held-out scores: per doc x combo
+        # log-loss folded to integer micro-units BEFORE the combo sum;
+        # the grid VALUES are generated from the SAME tuples the Spark
+        # operator uses — one source of truth; argmin tie (loss_u, a, b)
+        "nb_platt": f"""
+WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+             FROM documents
+             WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+toklist AS (SELECT CAST(doc_id AS VARCHAR) doc, {_TOKS} a
+            FROM documents),
+ttoks AS (SELECT t.doc, unnest(t.a) w, l.y
+          FROM toklist t JOIN lab l USING (doc)),
+tc AS (SELECT w term, CAST(SUM(y) AS DOUBLE) c_pos,
+              CAST(SUM(1 - y) AS DOUBLE) c_neg, COUNT(*) cnt
+       FROM ttoks GROUP BY 1),
+vocab AS (SELECT * FROM tc ORDER BY cnt DESC, term ASC LIMIT 25),
+tot AS (SELECT SUM(c_pos) t_pos, SUM(c_neg) t_neg,
+               CAST(COUNT(*) AS DOUBLE) v
+        FROM vocab),
+model AS (SELECT term,
+                 CAST(FLOOR((ln((c_pos + 1.0) / (t_pos + v))
+                             - ln((c_neg + 1.0) / (t_neg + v)))
+                            * 1000000.0 + 0.5) AS BIGINT) lr_u
+          FROM vocab CROSS JOIN tot),
+prior AS (SELECT CAST(FLOOR((ln(n_pos) - ln(n_neg)) * 1000000.0 + 0.5)
+                      AS BIGINT) prior_u
+          FROM (SELECT CAST(SUM(y) AS DOUBLE) n_pos,
+                       CAST(SUM(1 - y) AS DOUBLE) n_neg
+                FROM lab)),
+held AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+         FROM documents WHERE doc_id % 5 = 0),
+stoks AS (SELECT t.doc, unnest(t.a) w
+          FROM toklist t JOIN held USING (doc)),
+hit AS (SELECT s.doc, CAST(SUM(m.lr_u) AS BIGINT) sum_u
+        FROM stoks s JOIN model m ON s.w = m.term GROUP BY 1),
+sc AS (SELECT h.doc, h.y,
+              ROUND((p.prior_u + COALESCE(x.sum_u, 0)) / 1000000.0, 6)
+                lo
+       FROM held h
+       LEFT JOIN hit x ON h.doc = x.doc
+       CROSS JOIN prior p),
+grid(ga, gb) AS (VALUES {_PLATT_GRID_SQL}),
+terms AS (
+  SELECT g.ga, g.gb,
+         CAST(FLOOR(-(s.y * ln(1.0 / (1.0
+                        + exp(-(g.ga * s.lo + g.gb))))
+                      + (1 - s.y) * ln(1.0 - 1.0 / (1.0
+                        + exp(-(g.ga * s.lo + g.gb)))))
+                    * 1000000.0 + 0.5) AS BIGINT) term_u
+  FROM sc s CROSS JOIN grid g),
+loss AS (SELECT ga, gb, CAST(SUM(term_u) AS BIGINT) loss_u
+         FROM terms GROUP BY 1, 2),
+best AS (SELECT loss_u bl, ga ba, gb bb FROM loss
+         ORDER BY loss_u, ga, gb LIMIT 1)
+SELECT ga AS a, gb AS b, loss_u / 1000000.0 AS loss,
+       (loss_u = bl AND ga = ba AND gb = bb) AS is_best
+FROM loss CROSS JOIN best ORDER BY a, b""",
         # adjacent-bigram PMI collocations (relevance.collocation_pmi):
         # bigram pairs via position self-join == Spark's arrays_zip shift
         "collocations_pmi": f"""

@@ -41,7 +41,9 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
 
-__all__ = ["nb_train", "nb_score", "calibration_report", "PRIOR_TERM"]
+__all__ = ["nb_train", "nb_score", "calibration_report",
+           "platt_grid_fit", "PLATT_A_GRID", "PLATT_B_GRID",
+           "PRIOR_TERM"]
 
 #: the model row carrying the class-prior log-odds (the empty string can
 #: never collide with a real token — the tokenizer drops empties).
@@ -210,3 +212,65 @@ def calibration_report(scored: DataFrame, label_col: str = "y",
             .select("bucket", "n", "mean_abs_logodds", "conf", "acc",
                     "gap",
                     (ece_u / F.lit(float(_SCALE_U))).alias("ece")))
+
+
+#: Platt grid defaults: binary-exact fractions (n/4, n/2) so the float
+#: products a * log_odds and the z operands are bit-identical on any
+#: IEEE engine; the range keeps |z| <= ~5 for NB log-odds in [-2, 2],
+#: so sigmoid never saturates and ln stays well-conditioned.
+PLATT_A_GRID = (0.25, 0.5, 0.75, 1.0, 1.5, 2.0)
+PLATT_B_GRID = (-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0)
+
+
+def platt_grid_fit(scored: DataFrame, label_col: str = "y",
+                   a_grid=PLATT_A_GRID,
+                   b_grid=PLATT_B_GRID) -> DataFrame:
+    """Platt scaling by deterministic grid search -> one row per (a, b)
+    combo ``(a, b, loss, is_best)`` — the standard post-hoc calibration
+    fit (Platt 1999): map a classifier's raw score to a probability
+    ``p = sigmoid(a * log_odds + b)`` and pick the (a, b) minimizing
+    held-out log-loss. A grid instead of Newton iterations because the
+    fit must be CROSS-ENGINE EXACT: every doc x combo loss term is
+    folded to integer micro-units (``floor(term * 1e6 + 0.5)``) before
+    the per-combo sum, so losses are order-independent BIGINTs and the
+    argmin — ties broken by (loss_u, a, b) — can never differ between
+    engines. Emitting the WHOLE grid (not just the winner) makes the
+    full loss surface part of the checked contract.
+
+    ``scored`` is :func:`nb_score` output with an integer truth column.
+    Scale shape: the grid (|a_grid| x |b_grid| rows) broadcasts into a
+    map-side expansion of the held-out scores; the only aggregation is
+    keyed by combo (grid-sized); the argmin is a 1-row min(struct)
+    broadcast back. Linear in held-out rows.
+    """
+    spark = scored.sparkSession
+    grid = spark.createDataFrame(
+        [(float(a), float(b)) for a in a_grid for b in b_grid],
+        "a double, b double")
+    # z deliberately NOT rounded: a and b are binary-exact and log_odds
+    # is the same 6dp double on both engines, so the multiply-add is
+    # bit-identical as-is — while ROUND(z, 6) would CREATE divergence
+    # (quarter-fraction grids times 6dp inputs land on exact decimal
+    # halfway points, where two engines' ROUND can split; observed as
+    # 1-micro-unit loss flips before this was removed)
+    z = F.col("a") * F.col("log_odds") + F.col("b")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.col(label_col).cast("int")
+    term = -(y * F.log(p) + (1 - y) * F.log(F.lit(1.0) - p))
+    loss = (scored
+            .select("log_odds", label_col)
+            .crossJoin(F.broadcast(grid))
+            .select("a", "b",
+                    F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    .alias("term_u"))
+            .groupBy("a", "b")
+            .agg(F.sum("term_u").cast("long").alias("loss_u")))
+    best = loss.agg(F.min(F.struct("loss_u", "a", "b")).alias("m")) \
+        .select(F.col("m.loss_u").alias("bl"), F.col("m.a").alias("ba"),
+                F.col("m.b").alias("bb"))
+    return (loss.crossJoin(F.broadcast(best))
+            .select("a", "b",
+                    (F.col("loss_u") / F.lit(1e6)).alias("loss"),
+                    ((F.col("loss_u") == F.col("bl"))
+                     & (F.col("a") == F.col("ba"))
+                     & (F.col("b") == F.col("bb"))).alias("is_best")))

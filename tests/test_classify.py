@@ -138,3 +138,31 @@ def test_calibration_report_hand_computed(spark):
           + math.floor(b4.gap * 1e6 + 0.5))
     want_ece = math.floor(su / 4 + 0.5) / 1e6
     assert all(abs(r.ece - want_ece) < 1e-9 for r in got.values())
+
+
+def test_platt_grid_fit_surface_and_argmin(spark):
+    """Exactly one is_best row; it carries the minimum loss; on
+    perfectly separated scores the steepest available sigmoid (max a,
+    b = 0 by the tie rule's loss ordering) wins because confidence can
+    only help when every prediction is right."""
+    rows = ([("p%d" % i, 2.0, 1) for i in range(8)]
+            + [("n%d" % i, -2.0, 0) for i in range(8)])
+    df = spark.createDataFrame(rows, "doc string, log_odds double, y int")
+    out = C.platt_grid_fit(df).collect()
+    assert len(out) == len(C.PLATT_A_GRID) * len(C.PLATT_B_GRID)
+    best = [r for r in out if r.is_best]
+    assert len(best) == 1
+    assert best[0].loss == min(r.loss for r in out)
+    assert best[0].a == max(C.PLATT_A_GRID)
+    assert best[0].b == 0.0
+
+
+def test_platt_grid_fit_prefers_shrinkage_when_overconfident(spark):
+    """Scores that are confidently WRONG half the time push the fit
+    toward the flattest a in the grid — shrinking toward p = 0.5 beats
+    trusting the score."""
+    rows = ([("p%d" % i, 2.0, 1) for i in range(4)]
+            + [("w%d" % i, 2.0, 0) for i in range(4)])
+    df = spark.createDataFrame(rows, "doc string, log_odds double, y int")
+    best = [r for r in C.platt_grid_fit(df).collect() if r.is_best][0]
+    assert best.a == min(C.PLATT_A_GRID)

@@ -78,6 +78,9 @@ PRODUCT_WHITELIST = {
     # same NB broadcasts + the 1-row ECE numerator/denominator agg
     # crossJoined onto the <= n_buckets-row bucket table
     "nb_calibration",
+    # the 42-row Platt grid broadcast (map-side expansion) + the 1-row
+    # argmin broadcast back onto the grid-sized loss table
+    "nb_platt",
     # 1-row candidate-total broadcast scoring the 64-row vocabulary cut
     "unigram_lm_scores",
     # 8-row deterministic-centroid broadcast in the quantizer assignment
@@ -134,7 +137,10 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     "corpus_card": 3,
                     # NB class-totals agg + prior agg + the 1-row ECE
                     # numerator/denominator agg over the bucket table
-                    "nb_calibration": 3}
+                    "nb_calibration": 3,
+                    # NB class-totals agg + prior agg + the 1-row
+                    # argmin-over-the-grid agg
+                    "nb_platt": 3}
 
 
 @pytest.fixture(scope="module")
