@@ -51,6 +51,11 @@ _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 # tokens list per document (DuckDB twin of functions.text.tokens)
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+# Bloom / Count-Min sketch shapes shared by the Spark queries and their
+# oracle twins (dedup_bloom, cms_term_counts)
+BLOOM_M, BLOOM_K = 1 << 16, 4
+CMS_W, CMS_D = 512, 4
+
 # content-defined chunks per document (DuckDB twin of
 # operators.curation.content_defined_chunks, divisor 16): boundary where
 # md5(token) % 16 == 0, final partial chunk always closed at n. Shared by
@@ -2925,6 +2930,80 @@ def q_dedup_incremental(spark, sf):
     return DD.incremental_dedup(new, hist, "doc_id", "text")
 
 
+def q_dedup_bloom(spark, sf):
+    """Bloom-gated incremental dedup (operators.sketches.bloom_build /
+    bloom_probe — the fixed-size-filter shape AI2's Dolma uses for
+    web-scale paragraph dedup): the src19 ingest batch is probed against
+    a 64Ki-bit / k=4 Bloom filter built over the REST of the corpus'
+    normalized-text hashes. Half the batch (doc_id % 40 == 19) is
+    planted as an exact copy of its history neighbor (doc_id - 1), so
+    both outcomes occur at every scale; exact membership is recomputed
+    with a real fingerprint join to label false positives (the audit
+    side of the contract, not part of the operator).
+
+    Contract rows per batch doc: bloom_hit, exact_hit, false_pos — with
+    no false negatives BY CONSTRUCTION (exact_hit implies bloom_hit;
+    the planted copies prove it at every scale). 100-TB story: the
+    history collapses into a ~1 Ki-word bitmap via ONE bounded-key
+    aggregation (map-side combine makes shuffle volume tasks x filter,
+    independent of history rows), and the probe is four broadcast hash
+    joins — map-only, whole-stage-codegen, no Python. Size m at ~1.44
+    * k * n_history bits (MAX_BLOOM_BITS guards the broadcast premise).
+    """
+    from casf_spark.operators import sketches as SKC
+    docs = load_table(spark, sf, "documents")
+    hist = docs.where(F.col("doc_id") % 20 != 19)
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("__prev_text"))
+    batch = (docs.where(F.col("doc_id") % 20 == 19)
+             .join(prev, "doc_id", "left")
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 40 == 19,
+                            F.col("__prev_text"))
+                     .otherwise(F.col("text")).alias("text")))
+    filt = SKC.bloom_build(hist, TX.normalize_text(F.col("text")),
+                           m_bits=BLOOM_M, k=BLOOM_K)
+    probed = SKC.bloom_probe(batch, TX.normalize_text(F.col("text")),
+                             filt, m_bits=BLOOM_M, k=BLOOM_K)
+    hfp = (hist.select(TX.fingerprint("text").alias("fp")).distinct()
+           .withColumn("__seen", F.lit(1)))
+    return (probed.withColumn("fp", TX.fingerprint("text"))
+            .join(hfp, "fp", "left")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("maybe_seen").alias("bloom_hit"),
+                    F.col("__seen").isNotNull().alias("exact_hit"),
+                    (F.col("maybe_seen") & F.col("__seen").isNull())
+                    .alias("false_pos")))
+
+
+def q_cms_term_counts(spark, sf):
+    """Count-Min sketch frequency estimation (operators.sketches.
+    cms_build / cms_estimate): a 4x512 CM sketch over every token
+    occurrence, point-queried for the exact top-20 tokens and compared
+    against their true counts. Contract: the whole estimate surface —
+    overcount = cms_est - exact_cnt is >= 0 for EVERY row in both
+    engines (the one-sided CM guarantee), and the cell arithmetic is
+    integer-only so the sketch tables are bit-identical. 100-TB story:
+    the sketch aggregation key space is bounded by depth*width, so
+    map-side combine collapses each task to <= 2048 cells before the
+    exchange — the VOCABULARY never shuffles (contrast text_heavy_
+    hitters' exact recount, which this complements as the
+    mergeable-summary alternative)."""
+    from casf_spark.operators import sketches as SKC
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("item"))
+    cms = SKC.cms_build(toks, "item", width=CMS_W, depth=CMS_D)
+    top = (toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), F.asc("item")).limit(20))
+    est = SKC.cms_estimate(top, "item", cms, width=CMS_W, depth=CMS_D)
+    return est.select(
+        F.col("item").alias("token"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+        .alias("overcount"))
+
+
 def q_curation_funnel(spark, sf):
     """One-pass cumulative filter funnel over documents: length -> script
     -> token-count survivor counts (operators.curation.curation_funnel)."""
@@ -3161,6 +3240,76 @@ SELECT CAST(a.id AS BIGINT) vec_id, CAST(cluster AS BIGINT) AS cluster,
        COALESCE(e.n_dup_neighbors, 0) n_dup_neighbors,
        COALESCE(e.max_prior_sim, 0.0) max_prior_sim
 FROM assign a LEFT JOIN edges e ON a.id = e.id0"""
+
+
+def _bloom_oracle() -> str:
+    """dedup_bloom twin: rebuilds the IDENTICAL Bloom bitmap (same
+    universal-hash constants via position_sql_exprs, same 63-bit word
+    packing) from the history side, probes the planted batch with k
+    word-table joins, and recomputes exact membership independently."""
+    from casf_spark.functions.hashing import position_sql_exprs
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    norm_b = "trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))"
+    h = f"CAST('0x' || substr(md5({norm}), 1, 15) AS BIGINT)"
+    pos = position_sql_exprs(h, BLOOM_K, BLOOM_M)
+    hpos = "\nUNION ALL\n".join(f"SELECT {p} AS p FROM hist" for p in pos)
+    bcols = ",\n         ".join(f"{p} AS p{i}" for i, p in enumerate(pos))
+    joins = "\n".join(f"LEFT JOIN words w{i} ON w{i}.w = b.p{i} // 63"
+                      for i in range(BLOOM_K))
+    hits = " AND ".join(
+        f"COALESCE(((w{i}.bits >> CAST(b.p{i} % 63 AS INT)) & 1) = 1, FALSE)"
+        for i in range(BLOOM_K))
+    return f"""
+WITH hist AS (SELECT text FROM documents WHERE doc_id % 20 <> 19),
+batch AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 40 = 19 THEN h.text ELSE b.text END AS text
+  FROM documents b LEFT JOIN documents h ON h.doc_id = b.doc_id - 1
+  WHERE b.doc_id % 20 = 19),
+hpos AS ({hpos}),
+words AS (SELECT p // 63 AS w,
+                 bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+          FROM hpos GROUP BY 1),
+bp AS (SELECT doc_id, text,
+         {bcols}
+       FROM batch),
+hfp AS (SELECT DISTINCT md5({norm}) AS fp FROM hist)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       ({hits}) AS bloom_hit,
+       (hfp.fp IS NOT NULL) AS exact_hit,
+       (({hits}) AND hfp.fp IS NULL) AS false_pos
+FROM bp b
+{joins}
+LEFT JOIN hfp ON hfp.fp = md5({norm_b})"""
+
+
+def _cms_oracle() -> str:
+    """cms_term_counts twin: the identical 4x512 integer cell table
+    (same constants, same md5-derived columns), point-queried for the
+    same deterministic top-20."""
+    from casf_spark.functions.hashing import position_sql_exprs
+
+    h = "CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)"
+    pos = position_sql_exprs(h, CMS_D, CMS_W, seed=11)
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row_idx, {p} AS col_idx FROM t"
+        for r, p in enumerate(pos))
+    qcells = "\nUNION ALL\n".join(
+        f"SELECT item, exact_cnt, {r} AS row_idx, {p} AS col_idx FROM top"
+        for r, p in enumerate(pos))
+    return f"""
+WITH t AS (SELECT unnest({_TOKS}) AS item FROM documents),
+top AS (SELECT item, COUNT(*) AS exact_cnt FROM t GROUP BY item
+        ORDER BY exact_cnt DESC, item LIMIT 20),
+cells AS ({cells}),
+cms AS (SELECT row_idx, col_idx, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+qc AS ({qcells})
+SELECT item AS token, exact_cnt,
+       MIN(COALESCE(cms.cnt, 0)) AS cms_est,
+       MIN(COALESCE(cms.cnt, 0)) - exact_cnt AS overcount
+FROM qc LEFT JOIN cms USING (row_idx, col_idx)
+GROUP BY item, exact_cnt"""
 
 
 def _incremental_oracle(batch: str = "src19") -> str:
@@ -5169,11 +5318,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     doc_cosine_tfidf, multimodal_rgb) head the round-12 queue, see
 #     NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 5 round-11 additions (nb_calibration,
-    #    quality_propagate_weighted, and nb_platt landed after the first
-    #    rotation and displaced the round-7 tail names dedup_collision,
-    #    events_moving_avg, and embedding_outliers to the round-12
-    #    queue head, per protocol)
+    # -- the 7 round-11 additions (nb_calibration,
+    #    quality_propagate_weighted, nb_platt, dedup_bloom, and
+    #    cms_term_counts landed after the first rotation and displaced
+    #    the round-7 tail names dedup_collision, events_moving_avg,
+    #    embedding_outliers, vocab_coverage, and unigram_logprob to the
+    #    round-12 queue head, per protocol)
+    "dedup_bloom", "cms_term_counts",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5191,8 +5342,7 @@ _ROUND11_WINDOW = [
     "events_profile", "events_rollup", "events_cube", "events_pivot",
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
-    "curation_funnel", "dedup_incremental", "vocab_coverage",
-    "unigram_logprob",
+    "curation_funnel", "dedup_incremental",
 ]
 
 
@@ -5209,6 +5359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "curation_funnel": q_curation_funnel,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_bloom": q_dedup_bloom,
+        "cms_term_counts": q_cms_term_counts,
         "vocab_coverage": q_vocab_coverage,
         "unigram_logprob": q_unigram_logprob,
         "embedding_outliers": q_embedding_outliers,
@@ -6761,6 +6913,8 @@ GROUP BY 2""",
         "dedup_ngram_jaccard": jaccard_sql,
         "dedup_minhash": _minhash_oracle(),
         "dedup_incremental": _incremental_oracle(),
+        "dedup_bloom": _bloom_oracle(),
+        "cms_term_counts": _cms_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_keep_best": _keep_best_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -63,6 +63,24 @@ def minhash_sql_exprs(hash_sql: str, num_hashes: int, seed: int = 42) -> list[st
     ]
 
 
+def position_exprs(hash_col: Column, k: int, modulus: int,
+                   seed: int = 7) -> list[Column]:
+    """``k`` table positions in ``[0, modulus)`` for a 60-bit hash column
+    — the universal-hash remix reduced mod the table size. Shared by the
+    Bloom-filter and Count-Min operators (:mod:`..operators.sketches`);
+    integer-only, so the DuckDB twin (:func:`position_sql_exprs`) is
+    engine-exact by construction."""
+    return [e % F.lit(modulus)
+            for e in minhash_exprs(hash_col, k, seed=seed)]
+
+
+def position_sql_exprs(hash_sql: str, k: int, modulus: int,
+                       seed: int = 7) -> list[str]:
+    """DuckDB-side twins of :func:`position_exprs` (same constants)."""
+    return [f"({e} % {modulus})"
+            for e in minhash_sql_exprs(hash_sql, k, seed=seed)]
+
+
 def minhash_band_plan(spark, num_hashes: int = 12, bands: int = 4,
                       step: float = 0.05):
     """Analytic MinHash-LSH banding design surface: for signature length

@@ -16,6 +16,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import hashing
+
 
 def frequent_items(items: DataFrame, item_col: str,
                    theta: float) -> DataFrame:
@@ -117,3 +119,192 @@ def grouped_frequent_items(items: DataFrame, group_col: str,
             .where(F.col("cnt") >= F.ceil(F.col("grp_n") * F.lit(theta)))
             .select(F.col("grp").alias(group_col),
                     F.col("item"), F.col("cnt").cast("long").alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate set membership) — the BFF-dedup shape
+# ---------------------------------------------------------------------------
+
+#: bits packed per bitmap word. 63 (not 64) because DuckDB's BIGINT ``<<``
+#: raises on overflow at bit 63 while Spark's wraps — bits 0..62 keep the
+#: word arithmetic identical (and positive) in both engines.
+BLOOM_WORD_BITS = 63
+
+#: hard cap on filter size: 2^27 bits -> ~2.1M words (~17 MiB broadcast).
+#: Above this the "tiny broadcast side table" premise breaks — raise
+#: loudly instead of silently building an un-broadcastable filter.
+MAX_BLOOM_BITS = 1 << 27
+
+
+def _check_bloom_args(m_bits: int, k: int) -> None:
+    if not 0 < m_bits <= MAX_BLOOM_BITS:
+        raise ValueError(f"m_bits must be in (0, {MAX_BLOOM_BITS}], "
+                         f"got {m_bits}")
+    if not 0 < k <= 16:
+        raise ValueError(f"k must be in (0, 16], got {k}")
+
+
+def bloom_build(df: DataFrame, key_col, m_bits: int, k: int,
+                seed: int = 7) -> DataFrame:
+    """Distributed Bloom-filter construction over a key column ->
+    ``(word_idx long, bits long)``: the non-zero words of an ``m_bits``
+    bitmap with ``k`` set positions per key.
+
+    This is the history side of Bloom-gated incremental dedup (the
+    shape AI2's Dolma pipeline uses for paragraph dedup at web scale):
+    the whole history collapses into a FIXED-size bitmap, built with one
+    aggregation whose key space is bounded by ``m_bits / 63`` words —
+    map-side combine collapses each task's contribution to at most the
+    filter size, so shuffle volume is ``tasks x filter``, never
+    ``rows``. At 100 TB the history never shuffles at row grain and the
+    resulting filter broadcasts to every executor.
+
+    Positions are ``functions.hashing.position_exprs`` universal-hash
+    remixes of the 60-bit md5 key hash — integer-only, so a DuckDB twin
+    rebuilds the identical bitmap. Bits pack 63 per word (see
+    :data:`BLOOM_WORD_BITS`).
+    """
+    _check_bloom_args(m_bits, k)
+    h = hashing.md5_long(key_col)
+    pos = F.explode(F.array(*hashing.position_exprs(h, k, m_bits,
+                                                    seed=seed)))
+    cells = df.select(pos.alias("__bloom_pos"))
+    word = (F.col("__bloom_pos") / F.lit(BLOOM_WORD_BITS)).cast("long")
+    # the Python shiftleft() helper only takes a literal shift count;
+    # a column-valued count needs the SQL spelling
+    setbit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(__bloom_pos % {BLOOM_WORD_BITS} AS INT))")
+    return (cells
+            .select(word.alias("word_idx"), setbit.alias("__bloom_w"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("__bloom_w").alias("bits")))
+
+
+def bloom_probe(df: DataFrame, key_col, filter_words: DataFrame,
+                m_bits: int, k: int, seed: int = 7,
+                out_col: str = "maybe_seen") -> DataFrame:
+    """Probe a built Bloom filter: adds boolean ``out_col`` — true iff
+    ALL ``k`` positions of the key are set (i.e. "possibly in the
+    history"; false is definitive absence).
+
+    Plan shape: ``k`` broadcast hash joins of the probe stream against
+    the (word-grain, tiny) filter table — every join is map-only, the
+    probe side never shuffles, and the whole test stays inside
+    whole-stage codegen (no Python, no explode, no aggregation). False
+    positives are inherent to the sketch (rate ~ (1-e^{-kn/m})^k);
+    callers needing exactness rescore the survivors, which is the whole
+    point — the filter turns a 100-TB anti-join into a map-only pass
+    plus a rescue join proportional to the (tiny) hit set.
+    """
+    _check_bloom_args(m_bits, k)
+    for c in df.columns:
+        if c.startswith("__bloom_"):
+            raise ValueError(f"bloom_probe: input column {c!r} collides "
+                             f"with internal __bloom_ names")
+    h = hashing.md5_long(key_col)
+    probe = df
+    hit_cols = []
+    for i, pos in enumerate(hashing.position_exprs(h, k, m_bits,
+                                                   seed=seed)):
+        probe = (probe
+                 .withColumn(f"__bloom_w{i}",
+                             (pos / F.lit(BLOOM_WORD_BITS)).cast("long"))
+                 .withColumn(f"__bloom_b{i}",
+                             pos % F.lit(BLOOM_WORD_BITS)))
+        side = F.broadcast(filter_words.select(
+            F.col("word_idx").alias(f"__bloom_fw{i}"),
+            F.col("bits").alias(f"__bloom_fb{i}")))
+        probe = probe.join(
+            side, probe[f"__bloom_w{i}"] == side[f"__bloom_fw{i}"], "left")
+        hit_cols.append(
+            F.coalesce(
+                F.expr(f"(shiftright(__bloom_fb{i}, "
+                       f"CAST(__bloom_b{i} AS INT)) & 1) = 1"),
+                F.lit(False)))
+    hit = hit_cols[0]
+    for c in hit_cols[1:]:
+        hit = hit & c
+    drop = [c for c in probe.columns if c.startswith("__bloom_")]
+    return probe.withColumn(out_col, hit).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies, mergeable)
+# ---------------------------------------------------------------------------
+
+#: depth x width cap keeping the sketch a broadcastable side table.
+MAX_CMS_CELLS = 1 << 22
+
+
+def _check_cms_args(width: int, depth: int) -> None:
+    if width <= 0 or depth <= 0 or width * depth > MAX_CMS_CELLS:
+        raise ValueError(f"cms: need width, depth > 0 and width*depth <= "
+                         f"{MAX_CMS_CELLS}, got {width}x{depth}")
+
+
+def cms_build(items: DataFrame, item_col: str, width: int, depth: int,
+              seed: int = 11) -> DataFrame:
+    """Count-Min sketch construction (Cormode & Muthukrishnan 2005) ->
+    the non-zero cells ``(row_idx int, col_idx long, cnt long)`` of a
+    ``depth x width`` counter table.
+
+    Each occurrence increments one cell per row: ``col = h_r(item)``
+    (``functions.hashing.position_exprs``, integer-only -> a DuckDB twin
+    rebuilds the identical table). The aggregation key space is bounded
+    by ``depth*width``, so Spark's partial (map-side) aggregation
+    collapses every task's stream to at most the sketch itself before
+    the exchange — shuffle volume is ``tasks x sketch``, independent of
+    the token count, which is exactly the mergeable-summaries property
+    (per-partition sketches merged by cell-wise sum). Contrast with an
+    exact ``groupBy(item)``: that shuffles the whole VOCABULARY; the
+    sketch never does, at the price of overestimation bounded by
+    eps = e/width with probability 1 - (1/e)^depth.
+    """
+    _check_cms_args(width, depth)
+    h = hashing.md5_long(F.col(item_col))
+    cols = hashing.position_exprs(h, depth, width, seed=seed)
+    cells = items.select(F.explode(F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row_idx"),
+                 c.alias("col_idx"))
+        for r, c in enumerate(cols)])).alias("__cms_cell"))
+    return (cells.groupBy(F.col("__cms_cell.row_idx").alias("row_idx"),
+                          F.col("__cms_cell.col_idx").alias("col_idx"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(queries: DataFrame, item_col: str, cms: DataFrame,
+                 width: int, depth: int, seed: int = 11,
+                 out_col: str = "cms_est") -> DataFrame:
+    """Point-query a built sketch: adds ``out_col`` = min over rows of
+    the queried item's cell — the classic CM estimate, >= the true
+    count ALWAYS (each cell only ever adds other items' collisions).
+
+    Plan: the item's ``depth`` cells are generated as a literal-array
+    explode, matched against the (broadcast, cell-grain) sketch table,
+    and min-folded per item — cost proportional to the QUERY set, which
+    is how sketches are used: build once at corpus scale, answer point
+    lookups for free. A missing cell means count 0 (impossible for
+    items that were in the build stream, inevitable for novel ones).
+    """
+    _check_cms_args(width, depth)
+    for c in queries.columns:
+        if c.startswith("__cms_"):
+            raise ValueError(f"cms_estimate: input column {c!r} collides "
+                             f"with internal __cms_ names")
+    h = hashing.md5_long(F.col(item_col))
+    cols = hashing.position_exprs(h, depth, width, seed=seed)
+    keyed = queries.withColumn("__cms_qid", F.monotonically_increasing_id())
+    cells = keyed.select(
+        "__cms_qid",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).cast("int").alias("row_idx"),
+                     c.alias("col_idx"))
+            for r, c in enumerate(cols)])).alias("__cms_cell"))
+    est = (cells
+           .join(F.broadcast(cms),
+                 (F.col("__cms_cell.row_idx") == cms["row_idx"]) &
+                 (F.col("__cms_cell.col_idx") == cms["col_idx"]), "left")
+           .groupBy("__cms_qid")
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                .alias(out_col)))
+    return keyed.join(est, "__cms_qid").drop("__cms_qid")

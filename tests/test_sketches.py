@@ -53,3 +53,158 @@ def test_grouped_heavy_hitters_matches_naive(spark):
            grouped_frequent_items(df, "g", "item", 0.2).collect()}
     # en: N=100 -> >=20: hot(60). de: N=100 -> >=20: der(30); hot only 5.
     assert got == {("en", "hot"): 60, ("de", "der"): 30}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _bloom_fixture(spark, n_members=200, n_novel=60, m_bits=1 << 12, k=4):
+    from casf_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(n_members)], "key string")
+    filt = bloom_build(members, "key", m_bits=m_bits, k=k)
+    probe = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(n_members)]
+        + [(f"novel-{i}",) for i in range(n_novel)], "key string")
+    out = bloom_probe(probe, "key", filt, m_bits=m_bits, k=k)
+    return {r.key: r.maybe_seen for r in out.collect()}
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key probes true — the Bloom guarantee that makes
+    a 'false' a definitive absence."""
+    seen = _bloom_fixture(spark)
+    assert all(seen[f"member-{i}"] for i in range(200))
+
+
+def test_bloom_novel_keys_mostly_absent(spark):
+    """Novel keys mostly probe false; the fp rate at this sizing
+    (kn/m ~ 0.2) is a few percent, bounded well below half."""
+    seen = _bloom_fixture(spark)
+    fps = sum(seen[f"novel-{i}"] for i in range(60))
+    assert fps <= 10
+
+
+def test_bloom_python_reference(spark):
+    """The distributed bitmap equals a single-threaded Python rebuild
+    using the same md5 + universal-hash arithmetic (the same formula the
+    DuckDB oracle twin runs)."""
+    import hashlib
+
+    from casf_spark.functions.hashing import MIX_PRIME, _lcg_params
+    from casf_spark.operators.sketches import BLOOM_WORD_BITS, bloom_build
+
+    m_bits, k = 1 << 10, 3
+    keys = [f"doc {i}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in keys], "key string") \
+        .repartition(7)
+    got = {r.word_idx: r.bits for r in
+           bloom_build(df, "key", m_bits=m_bits, k=k).collect()}
+
+    want: dict[int, int] = {}
+    params = _lcg_params(k, seed=7)
+    for s in keys:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for a, b in params:
+            pos = ((a * (h % MIX_PRIME) + b) % MIX_PRIME) % m_bits
+            w, bit = pos // BLOOM_WORD_BITS, pos % BLOOM_WORD_BITS
+            want[w] = want.get(w, 0) | (1 << bit)
+    assert got == want
+
+
+def test_bloom_arg_validation_and_collision(spark):
+    from casf_spark.operators.sketches import (MAX_BLOOM_BITS, bloom_build,
+                                               bloom_probe)
+
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "key", m_bits=MAX_BLOOM_BITS * 2, k=4)
+    with pytest.raises(ValueError, match="k"):
+        bloom_build(df, "key", m_bits=64, k=0)
+    filt = bloom_build(df, "key", m_bits=64, k=2)
+    bad = df.withColumn("__bloom_w0", F.lit(1))
+    with pytest.raises(ValueError, match="__bloom_"):
+        bloom_probe(bad, "key", filt, m_bits=64, k=2)
+
+
+def test_bloom_probe_plan_no_shuffle(spark):
+    """The probe is broadcast joins only: no Exchange on the probe path
+    (the map-only property the 100-TB story rests on)."""
+    from casf_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                               "key string")
+    filt = bloom_build(df, "key", m_bits=1 << 10, k=3).localCheckpoint()
+    plan = bloom_probe(df, "key", filt, m_bits=1 << 10, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_corpus(spark):
+    rows = (["alpha"] * 400 + ["beta"] * 150 + ["gamma"] * 40
+            + [f"tail{i % 97}" for i in range(410)])
+    return spark.createDataFrame([(x,) for x in rows], "item string") \
+        .repartition(8)
+
+
+def test_cms_estimate_one_sided(spark):
+    """CM estimates are >= the true count for EVERY queried item, and
+    exact for items whose cells happen to be collision-free."""
+    from casf_spark.operators.sketches import cms_build, cms_estimate
+
+    df = _cms_corpus(spark)
+    cms = cms_build(df, "item", width=32, depth=3)
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact, "item", cms, width=32, depth=3)
+    rows = est.collect()
+    assert len(rows) == exact.count()
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    # with width 32 and ~100 distinct items, collisions are certain
+    assert any(r.cms_est > r.exact_cnt for r in rows)
+
+
+def test_cms_novel_item_and_merge(spark):
+    """A never-inserted item still gets a (collision-driven, >= 0)
+    estimate with missing cells read as 0; and the sketch is MERGEABLE:
+    building over a union equals cell-wise summing the parts' sketches."""
+    from casf_spark.operators.sketches import cms_build, cms_estimate
+
+    df = _cms_corpus(spark)
+    half0 = df.where(F.crc32("item") % 2 == 0)
+    half1 = df.where(F.crc32("item") % 2 == 1)
+    whole = {(r.row_idx, r.col_idx): r.cnt for r in
+             cms_build(df, "item", width=32, depth=3).collect()}
+    merged: dict[tuple[int, int], int] = {}
+    for part in (half0, half1):
+        for r in cms_build(part, "item", width=32, depth=3).collect():
+            key = (r.row_idx, r.col_idx)
+            merged[key] = merged.get(key, 0) + r.cnt
+    assert whole == merged
+
+    cms = cms_build(df, "item", width=32, depth=3)
+    q = spark.createDataFrame([("never-seen-item",)], "item string")
+    [row] = cms_estimate(q, "item", cms, width=32, depth=3).collect()
+    assert row.cms_est >= 0
+
+
+def test_cms_arg_validation(spark):
+    from casf_spark.operators.sketches import (MAX_CMS_CELLS, cms_build,
+                                               cms_estimate)
+
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "item", width=0, depth=4)
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "item", width=MAX_CMS_CELLS, depth=2)
+    cms = cms_build(df, "item", width=16, depth=2)
+    bad = df.withColumn("__cms_qid", F.lit(1))
+    with pytest.raises(ValueError, match="__cms_"):
+        cms_estimate(bad, "item", cms, width=16, depth=2)
