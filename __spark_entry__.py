@@ -1999,6 +1999,28 @@ def q_unigram_logprob(spark, sf):
     return RV.unigram_logprob(docs, "doc_id", "text")
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet-style per-language perplexity tertiles (Wenzek et al. 2020
+    — operators.curation.rank_buckets over relevance.unigram_logprob):
+    every document scored by average unigram surprise, then each
+    language split into exact head/middle/tail thirds by RANK under
+    the (score, doc) total order — head is the most-fluent slice CCNet
+    keeps, tail is what its quality cascade drops. Rank bucketing (not
+    interpolated percentiles) keeps membership engine-exact: boundary
+    elements are real (6dp-rounded score, doc) pairs, ties broken by
+    doc id, bucket sizes exactly ceil(j*n/3) by integer arithmetic.
+    Scale: vocabulary-broadcast scoring (map-side), one per-doc agg,
+    one lang-grain boundary agg broadcast back — the corpus never
+    shuffles on a data-sized key after scoring."""
+    docs = load_table(spark, sf, "documents")
+    scored = (RV.unigram_logprob(docs, "doc_id", "text")
+              .join(docs.select(F.col("doc_id").cast("long").alias("doc"),
+                                "lang"), "doc"))
+    out = CU.rank_buckets(scored, "lang", "avg_neg_logprob", "doc")
+    return out.select(F.col("doc").alias("doc_id"), "lang", "n_tokens",
+                      "avg_neg_logprob", "bucket")
+
+
 def q_embedding_norms(spark, sf):
     """Per-label vector-norm profile (min/max/avg |v|): the embedding-
     table sanity report (norm collapse / un-normalized batches show up
@@ -5324,7 +5346,7 @@ _ROUND11_WINDOW = [
     #    the round-7 tail names dedup_collision, events_moving_avg,
     #    embedding_outliers, vocab_coverage, and unigram_logprob to the
     #    round-12 queue head, per protocol)
-    "dedup_bloom", "cms_term_counts",
+    "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5342,7 +5364,7 @@ _ROUND11_WINDOW = [
     "events_profile", "events_rollup", "events_cube", "events_pivot",
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
-    "curation_funnel", "dedup_incremental",
+    "curation_funnel",
 ]
 
 
@@ -5363,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": q_cms_term_counts,
         "vocab_coverage": q_vocab_coverage,
         "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
         "embedding_outliers": q_embedding_outliers,
         "events_moving_avg": q_events_moving_avg,
         "dedup_collision": q_dedup_collision,
@@ -6739,6 +6762,27 @@ tot AS (SELECT SUM(wc) tot FROM tc)
 SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
        ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
 FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc""",
+        "ccnet_buckets": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+tc AS (SELECT w, COUNT(*) wc FROM toks GROUP BY 1),
+tot AS (SELECT SUM(wc) tot FROM tc),
+scored AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
+         ROUND(-AVG(ln(tc.wc / tot.tot)), 6) avg_neg_logprob
+  FROM toks JOIN tc USING (w) CROSS JOIN tot GROUP BY doc),
+ranked AS (
+  SELECT s.doc, d.lang, s.n_tokens, s.avg_neg_logprob,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_neg_logprob, s.doc) rn,
+         COUNT(*) OVER (PARTITION BY d.lang) n
+  FROM scored s JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.doc)
+SELECT doc AS doc_id, lang, n_tokens, avg_neg_logprob,
+       CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+            WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked""",
         "embedding_norms": """
 WITH ee AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) x
             FROM embeddings),

@@ -1046,3 +1046,62 @@ def quantile_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
     return (df.crossJoin(F.broadcast(th))
             .withColumn(bucket_col, b.cast("long"))
             .drop("_th"))
+
+
+def rank_buckets(df: DataFrame, group_col: str, score_col: str,
+                 id_col: str,
+                 labels: Sequence[str] = ("head", "middle", "tail"),
+                 bucket_col: str = "bucket") -> DataFrame:
+    """Per-group EXACT-rank bucketing — the CCNet move (Wenzek et al.
+    2020): order each language's documents by LM surprise and split
+    into equal head/middle/tail thirds (head = most fluent, the slice
+    CCNet keeps). Generalized to ``len(labels)`` equal buckets.
+
+    Buckets are defined by RANK under the total order ``(score, id)``,
+    not by an interpolated quantile value: bucket j ends at rank
+    ``ceil(j * n / k)`` (integer arithmetic), and the boundary element
+    itself — (score, id), captured per group — is what rows compare
+    against. That makes membership engine-exact: no interpolated
+    percentile (two engines' ``a + (b-a)*frac`` vs ``a*(1-frac)+b*frac``
+    can differ in the last bit), no tie ambiguity (the id breaks
+    ties), and every bucket has exactly its integer share of rows.
+
+    Plan shape: one group aggregation captures each group's sorted
+    (score, id) list and picks the k-1 boundary elements; the
+    boundaries table (group-cardinality rows) broadcasts back and rows
+    fold map-only. The aggregation buffers each group — the same
+    bounded-group caveat as :func:`group_quantile_flag`; at extreme
+    per-group cardinality swap the boundary step for
+    ``percentile_approx`` thresholds (same plan shape, approximate
+    edges). Scores must be non-NULL (pre-round them — 6dp — so both
+    engines of an oracle pair sort identical values); a NULL group is
+    a real group (null-safe join, matching group_quantile_flag).
+    """
+    k = len(labels)
+    if k < 2:
+        raise ValueError("rank_buckets: need at least 2 labels")
+    for c in df.columns:
+        if c.startswith("__rb_"):
+            raise ValueError(f"rank_buckets: input column {c!r} collides "
+                             f"with internal __rb_ names")
+    sorted_pairs = F.sort_array(F.collect_list(
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))))
+    bounds = (df.groupBy(F.col(group_col).alias("__rb_g"))
+              .agg(F.count(F.lit(1)).alias("__rb_n"),
+                   sorted_pairs.alias("__rb_sorted"))
+              .select("__rb_g",
+                      *[F.expr(f"element_at(__rb_sorted, CAST((({j}) * "
+                               f"__rb_n + {k - 1}) div {k} AS INT))")
+                        .alias(f"__rb_b{j}") for j in range(1, k)]))
+    out = df.join(F.broadcast(bounds),
+                  F.col(group_col).eqNullSafe(F.col("__rb_g")))
+    s, i = F.col(score_col), F.col(id_col)
+    expr = None
+    for j, label in enumerate(labels[:-1], start=1):
+        b = F.col(f"__rb_b{j}")
+        le = (s < b["s"]) | ((s == b["s"]) & (i <= b["i"]))
+        expr = F.when(le, F.lit(label)) if expr is None else \
+            expr.when(le, F.lit(label))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    drop = [c for c in out.columns if c.startswith("__rb_")]
+    return out.withColumn(bucket_col, expr).drop(*drop)

@@ -651,3 +651,67 @@ def test_self_dedup_plant_guarantees_work(spark, sf_dir):
     removed = {r.doc_id for r in rows if r.n_removed > 0}
     assert eligible and eligible <= removed
     assert all(r.doc_id % 10 == 0 for r in rows if r.n_removed > 0)
+
+
+# ---------------------------------------------------------------------------
+# rank_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _rank_bucket_rows(spark, rows, labels=("head", "middle", "tail")):
+    from casf_spark.operators.curation import rank_buckets
+
+    df = spark.createDataFrame(rows, "grp string, score double, id long")
+    out = rank_buckets(df, "grp", "score", "id", labels=labels)
+    return {(r.grp, r.id): r.bucket for r in out.collect()}
+
+
+def test_rank_buckets_exact_thirds_and_python_reference(spark):
+    """Bucket sizes are exactly ceil(j*n/k) prefixes of the (score, id)
+    order — differential against a single-threaded reference."""
+    import math
+
+    rows = [("en", float((7 * i) % 10), i) for i in range(11)] \
+        + [("de", 1.0, 100 + i) for i in range(5)]
+    got = _rank_bucket_rows(spark, rows)
+
+    by_grp: dict[str, list[tuple[float, int]]] = {}
+    for g, s, i in rows:
+        by_grp.setdefault(g, []).append((s, i))
+    want = {}
+    for g, pairs in by_grp.items():
+        pairs.sort()
+        n = len(pairs)
+        k1, k2 = math.ceil(n / 3), math.ceil(2 * n / 3)
+        for rank, (_, i) in enumerate(pairs, start=1):
+            want[(g, i)] = ("head" if rank <= k1
+                            else "middle" if rank <= k2 else "tail")
+    assert got == want
+
+
+def test_rank_buckets_ties_break_by_id(spark):
+    """All-equal scores: membership is decided purely by id order, so
+    the split is still exact thirds (the interpolated-quantile approach
+    would put every row in one bucket)."""
+    rows = [("en", 5.0, i) for i in range(9)]
+    got = _rank_bucket_rows(spark, rows)
+    assert [got[("en", i)] for i in range(9)] == \
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_rank_buckets_null_group_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from casf_spark.operators.curation import rank_buckets
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 2), ("en", 1.0, 3)],
+        "grp string, score double, id long")
+    out = rank_buckets(df, "grp", "score", "id", labels=("low", "high"))
+    got = {r.id: r.bucket for r in out.collect()}
+    assert got == {1: "low", 2: "high", 3: "low"}
+
+    with pytest.raises(ValueError, match="labels"):
+        rank_buckets(df, "grp", "score", "id", labels=("only",))
+    bad = df.withColumn("__rb_n", F.lit(1))
+    with pytest.raises(ValueError, match="__rb_"):
+        rank_buckets(bad, "grp", "score", "id")
