@@ -5009,6 +5009,21 @@ def q_dsir_select(spark, sf):
                               F.col("source") == "src0", n_buckets=256)
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators.sampling.weighted_sample_wor — Efraimidis–Spirakis):
+    draw 50 documents with inclusion probability proportional to
+    n_chars, via hash-derived uniforms and the log-space priority
+    ln(u)/w. TakeOrderedAndProject partial top-k (no global sort);
+    the rank window runs over the 50 survivors only. The length-
+    proportional draw is the 'sample tokens, not documents' primitive
+    mixture pipelines need."""
+    docs = load_table(spark, sf, "documents")
+    out = SP.weighted_sample_wor(docs, F.col("doc_id"), "n_chars", k=50)
+    return out.select(F.col("key_val").cast("long").alias("doc_id"),
+                      "w", "priority", "rank")
+
+
 def q_dedup_remove_spans(spark, sf):
     """Exact substring dedup with removal
     (operators.dedup.remove_duplicated_spans): token positions covered by
@@ -5347,6 +5362,7 @@ _ROUND11_WINDOW = [
     #    embedding_outliers, vocab_coverage, and unigram_logprob to the
     #    round-12 queue head, per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
+    "weighted_sample",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5364,7 +5380,6 @@ _ROUND11_WINDOW = [
     "events_profile", "events_rollup", "events_cube", "events_pivot",
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
     "knn_classify", "mixture_resample", "budget_select", "dedup_spans",
-    "curation_funnel",
 ]
 
 
@@ -5455,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "gopher_quality": q_gopher_quality,
         "dsir_select": q_dsir_select,
+        "weighted_sample": q_weighted_sample,
         "dedup_remove_spans": q_dedup_remove_spans,
         "dedup_max_spans": q_dedup_max_spans,
         "dedup_keep_best": q_dedup_keep_best,
@@ -7377,6 +7393,18 @@ SELECT *,
        AND alpha_word_frac >= 0.8
        AND n_required_stopwords >= 2 AS passes_gopher
 FROM m""",
+        "weighted_sample": """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, CAST(n_chars AS DOUBLE) w,
+         ln(((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) >> 30) + 0.5) / 1073741824.0)
+           / CAST(n_chars AS DOUBLE) AS p
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+top AS (SELECT * FROM t ORDER BY p DESC, CAST(doc_id AS VARCHAR) LIMIT 50)
+SELECT doc_id, w, ROUND(p, 6) AS priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY p DESC, CAST(doc_id AS VARCHAR))
+            AS INT) AS "rank"
+FROM top""",
         "dsir_select": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc_id,
                   COALESCE(source = 'src0', FALSE) is_target,

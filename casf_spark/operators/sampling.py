@@ -184,3 +184,45 @@ def dsir_logweights(df: DataFrame, id_col: str, text_col: str,
         "doc_id", "is_target", "n_features", "log_weight",
         F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
         .alias("gumbel_key"))
+
+
+def weighted_sample_wor(df: DataFrame, key: Column | str, weight_col: str,
+                        k: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): each row gets priority
+    ``u^(1/w)`` for a uniform ``u`` (here hash-derived, so the sample is
+    rerun- and engine-stable), and the ``k`` highest priorities form
+    the sample; inclusion probabilities then follow the weights exactly
+    as sequential weighted draws without replacement would. We compare
+    in log space — ``ln(u)/w``, monotone in u^(1/w) — to stay finite.
+
+    The one-pass, distributed version of "draw k docs proportional to
+    length/quality": a TakeOrdered partial top-k per partition (no
+    global sort, no window over the corpus), with candidate volume k
+    per task. ``u = (h30 + 0.5) / 2^30`` strictly inside (0,1) (the
+    dsir_logweights convention — keeps ln finite and the double exact
+    in both engines). Rows with NULL or non-positive weight are
+    excluded (a zero weight can never be drawn; E-S is undefined
+    there). Ties (bit-equal priorities) break on the key.
+
+    Output: (key_val, w, priority, rank) — priority is the 6dp-rounded
+    log-space key (ordering uses the UNROUNDED value; the rank column
+    carries the contract when rounding collapses neighbors).
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample_wor: k must be positive, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    u = ((F.shiftright(md5_long(kc.cast("string")), HASH_BITS - 30)
+          + F.lit(0.5)) / F.lit(float(_BUCKETS)))
+    t = (df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+         .select(kc.cast("string").alias("key_val"),
+                 F.col(weight_col).cast("double").alias("w"),
+                 (F.log(u) / F.col(weight_col).cast("double"))
+                 .alias("__ws_p")))
+    top = t.orderBy(F.desc("__ws_p"), F.asc("key_val")).limit(k)
+    # rank window runs over <= k survivors only — never the corpus
+    from pyspark.sql import Window
+    win = Window.orderBy(F.desc("__ws_p"), F.asc("key_val"))
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .select("key_val", "w",
+                    F.round("__ws_p", 6).alias("priority"), "rank"))

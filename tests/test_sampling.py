@@ -146,3 +146,59 @@ def test_dsir_empty_docs_omitted(spark):
     out = SP.dsir_logweights(df, "doc_id", "text", F.col("tgt"),
                              n_buckets=16).collect()
     assert {r.doc_id for r in out} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_wor (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_python_reference(spark):
+    """Selected set, order, and ranks equal a single-threaded rebuild
+    with the same md5 arithmetic and math.log."""
+    import hashlib
+    import math
+
+    from casf_spark.operators.sampling import weighted_sample_wor
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, wt double").repartition(8)
+    got = [(r.key_val, r.rank) for r in
+           weighted_sample_wor(df, F.col("id"), "wt", k=25)
+           .orderBy("rank").collect()]
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = ((h >> 30) + 0.5) / float(1 << 30)
+        return math.log(u) / w
+
+    ref = sorted(((prio(i, w), str(i)) for i, w in rows),
+                 key=lambda t: (-t[0], t[1]))[:25]
+    assert got == [(key, rank) for rank, (_, key) in enumerate(ref, 1)]
+
+
+def test_weighted_sample_weight_tilt(spark):
+    """Heavily weighted keys dominate the sample (the E-S point):
+    500 keys at weight 100 vs 500 at weight 1 -> the top-100 is
+    overwhelmingly from the heavy half."""
+    from casf_spark.operators.sampling import weighted_sample_wor
+
+    rows = [(i, 100.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, wt double")
+    heavy = sum(1 for r in weighted_sample_wor(df, F.col("id"), "wt",
+                                               k=100).collect()
+                if int(r.key_val) < 500)
+    assert heavy >= 90
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest
+
+    from casf_spark.operators.sampling import weighted_sample_wor
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "id long, wt double")
+    rows = weighted_sample_wor(df, F.col("id"), "wt", k=10).collect()
+    assert [r.key_val for r in rows] == ["1"]
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_wor(df, F.col("id"), "wt", k=0)
