@@ -75,3 +75,67 @@ def test_power_iteration_report_contract(spark, mat):
     assert row.metric == "power_iter_top1"
     assert row.dim == 12 and row.n_rows == mat.shape[0]
     assert row.unit_norm and row.lambda_ge_mean and row.resid_bounded
+
+
+@pytest.fixture(scope="module")
+def mat2():
+    rng = np.random.RandomState(11)
+    # TWO strong planted directions with a clear spectral gap so 30
+    # deflated iterations converge tight against eigh
+    d = 12
+    q, _ = np.linalg.qr(rng.randn(d, 2))
+    u1, u2 = q[:, 0], q[:, 1]
+    x = (rng.randn(400, d) * 0.2
+         + np.outer(rng.randn(400) * 4.0, u1)
+         + np.outer(rng.randn(400) * 2.0, u2))
+    return x
+
+
+def test_pca_top2_contract_and_eigh(spark, mat2):
+    """Contract rows all-true on a healthy corpus, and the deflated
+    second direction matches numpy eigh's second eigenvector."""
+    import math
+
+    from casf_spark.operators.linalg import gram_matrix, pca_top2_report
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat2)],
+        "id INT, embedding ARRAY<DOUBLE>")
+    rows = sorted(pca_top2_report(df, "embedding", n_iter=30, dim=12,
+                                  resid_tol=0.05).collect(),
+                  key=lambda r: r.component)
+    assert [r.component for r in rows] == [1, 2]
+    for r in rows:
+        assert r.metric == "pca_top2"
+        assert r.dim == 12 and r.n_rows == mat2.shape[0]
+        assert (r.unit_norm and r.orthogonal_to_v1
+                and r.lambda_ordered and r.resid_bounded)
+
+    # replicate the deflated iteration to extract v2 and compare to eigh
+    g = gram_matrix(df, "embedding", dim=12)
+    d = 12
+
+    def dom(m, ortho=None):
+        v = np.full(d, 1.0 / math.sqrt(d))
+        if ortho is not None:
+            v = v - (ortho @ v) * ortho
+            v /= np.linalg.norm(v)
+        for _ in range(30):
+            w = m @ v
+            if ortho is not None:
+                w = w - (ortho @ w) * ortho
+            v = w / np.linalg.norm(w)
+        peak = int(np.argmax(np.abs(v)))
+        return -v if v[peak] < 0 else v
+
+    v1 = dom(g)
+    lam1 = float(v1 @ g @ v1)
+    v2 = dom(g - lam1 * np.outer(v1, v1), ortho=v1)
+
+    w, vec = np.linalg.eigh(g)
+    ref = vec[:, -2] / np.linalg.norm(vec[:, -2])
+    peak = int(np.argmax(np.abs(ref)))
+    if ref[peak] < 0:
+        ref = -ref
+    assert np.allclose(v2, ref, atol=1e-3)
+    assert abs(float(v1 @ v2)) < 1e-9
