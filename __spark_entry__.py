@@ -3026,6 +3026,21 @@ def q_cms_term_counts(spark, sf):
         .alias("overcount"))
 
 
+def q_t5_spans(spark, sf):
+    """T5 span-corruption examples (operators.curation.
+    t5_span_corruption — Raffel et al. 2020 denoising objective): every
+    document becomes a (input with <extra_id_K> sentinels, target =
+    sentinel + masked tokens) pair, spans hash-seeded (md5(doc:pos) %
+    20 starts a 3-token span => ~15% mask rate), overlapping spans
+    merged, sentinels numbered left to right. One token-grain explode
+    + per-doc windows + one re-assembly agg; everything string/integer
+    so both engines build byte-identical examples."""
+    docs = load_table(spark, sf, "documents")
+    out = CU.t5_span_corruption(docs, "doc_id", "text",
+                                every=20, span_len=3)
+    return out.withColumnRenamed("doc", "doc_id")
+
+
 def q_curation_funnel(spark, sf):
     """One-pass cumulative filter funnel over documents: length -> script
     -> token-count survivor counts (operators.curation.curation_funnel)."""
@@ -5376,7 +5391,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (11 names) — windowed immediately so no
+#   * every round-11 addition (12 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5384,19 +5399,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 31 names fit; the 18 displaced tail names (events_funnel,
+#     — 30 names fit; the 19 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
-#     dedup_spans, budget_select) head the round-12 queue, see NEXT.md.
+#     dedup_spans, budget_select, mixture_resample) head the round-12
+#     queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 11 round-11 additions, newest first (everything after
+    # -- the 12 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
+    "t5_spans",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5413,7 +5430,7 @@ _ROUND11_WINDOW = [
     "events_asof", "events_interval", "events_distinct_users",
     "events_profile", "events_rollup", "events_cube", "events_pivot",
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
-    "knn_classify", "mixture_resample",
+    "knn_classify",
 ]
 
 
@@ -5432,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
         "cms_term_counts": q_cms_term_counts,
+        "t5_spans": q_t5_spans,
         "vocab_coverage": q_vocab_coverage,
         "unigram_logprob": q_unigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
@@ -7020,6 +7038,49 @@ GROUP BY 2""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_bloom": _bloom_oracle(),
+        "t5_spans": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, generate_subscripts(a, 1) - 1 AS pos, unnest(a) w
+         FROM toklist),
+f AS (SELECT doc, pos, w,
+             (CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || ':' ||
+                    CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0)
+               AS start
+      FROM toks),
+m AS (SELECT doc, pos, w, start,
+             MAX(CASE WHEN start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY pos
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+               AS masked
+      FROM f),
+b AS (SELECT doc, pos, w, masked,
+             masked AND NOT COALESCE(
+               LAG(masked) OVER (PARTITION BY doc ORDER BY pos), FALSE)
+               AS begin_
+      FROM m),
+kk AS (SELECT doc, pos, w, masked, begin_,
+              SUM(CASE WHEN begin_ THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) - 1 AS k
+       FROM b),
+p AS (SELECT doc, pos, masked, begin_,
+             CASE WHEN NOT masked THEN w
+                  WHEN begin_ THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+             END AS inp,
+             CASE WHEN begin_
+                    THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || w
+                  WHEN masked THEN w
+             END AS tgt
+      FROM kk)
+SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(SUM(CASE WHEN begin_ THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       COALESCE(string_agg(inp, ' ' ORDER BY pos)
+                  FILTER (WHERE inp IS NOT NULL), '') AS input_text,
+       COALESCE(string_agg(tgt, ' ' ORDER BY pos)
+                  FILTER (WHERE tgt IS NOT NULL), '') AS target_text
+FROM p GROUP BY doc""",
         "cms_term_counts": _cms_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_keep_best": _keep_best_oracle(),

@@ -1105,3 +1105,78 @@ def rank_buckets(df: DataFrame, group_col: str, score_col: str,
     expr = expr.otherwise(F.lit(labels[-1]))
     drop = [c for c in out.columns if c.startswith("__rb_")]
     return out.withColumn(bucket_col, expr).drop(*drop)
+
+
+def t5_span_corruption(df: DataFrame, id_col: str, text_col: str,
+                       every: int = 20, span_len: int = 3) -> DataFrame:
+    """T5-style span-corruption example builder (Raffel et al. 2020):
+    deterministic masked spans -> (input_text with ``<extra_id_K>``
+    sentinels, target_text = sentinel + original tokens per span) — the
+    denoising-pretraining data op, hash-seeded so the same document
+    always yields the same example in every run and engine.
+
+    Span starts are positions whose md5(doc:pos) hash is divisible by
+    ``every`` (expected mask rate ~ span_len/every, the T5 ~15% at the
+    20/3 default); each start masks ``span_len`` tokens; overlapping
+    spans merge (maximal masked runs), and each run gets one sentinel,
+    numbered left to right. Example for a span at positions 4-6:
+    input ``... tok3 <extra_id_0> tok7 ...``, target
+    ``<extra_id_0> tok4 tok5 tok6``.
+
+    Plan shape: one token-grain explode + doc-partitioned windows (the
+    masked-run construction is the LAG/running-SUM idiom of
+    dedup.maximal_duplicated_spans — per-doc frames stay document-sized)
+    and one per-doc re-assembly aggregation; shuffle volume is the
+    token stream, the same class as any tokenize-and-shuffle operator.
+    Docs with zero tokens produce no row (nothing to corrupt); a doc
+    with no sampled start yields target_text = '' and input == tokens.
+
+    Output: (doc, n_tokens, n_masked, n_spans, input_text, target_text).
+    """
+    if every < 2 or span_len < 1:
+        raise ValueError(f"t5_span_corruption: need every >= 2 and "
+                         f"span_len >= 1, got every={every}, "
+                         f"span_len={span_len}")
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.posexplode(_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("pos", "w"))
+    flag = (md5_long(F.concat(F.col("doc").cast("string"), F.lit(":"),
+                              F.col("pos").cast("string")))
+            % F.lit(every) == 0)
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    t = toks.withColumn("__t5_start", flag)
+    masked = (F.max(F.col("__t5_start").cast("int"))
+              .over(wdoc.rowsBetween(-(span_len - 1), 0)) == 1)
+    t = t.withColumn("__t5_masked", masked)
+    begin = (F.col("__t5_masked") &
+             ~F.coalesce(F.lag("__t5_masked").over(wdoc), F.lit(False)))
+    t = t.withColumn("__t5_begin", begin)
+    k = (F.sum(F.col("__t5_begin").cast("int"))
+         .over(wdoc.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    sentinel = F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+    inp = (F.when(~F.col("__t5_masked"), F.col("w"))
+           .when(F.col("__t5_begin"), sentinel))
+    tgt = F.when(F.col("__t5_begin"),
+                 F.concat(sentinel, F.lit(" "), F.col("w"))) \
+        .when(F.col("__t5_masked"), F.col("w"))
+    t = t.select("doc", "pos", "__t5_masked", "__t5_begin",
+                 inp.alias("__t5_in"), tgt.alias("__t5_tg"))
+
+    def _joined(col):
+        pieces = F.when(F.col(col).isNotNull(),
+                        F.struct(F.col("pos"), F.col(col).alias("piece")))
+        return F.array_join(
+            F.transform(F.sort_array(F.collect_list(pieces)),
+                        lambda s: s["piece"]), " ")
+
+    return (t.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.col("__t5_masked").cast("int")).cast("long")
+                 .alias("n_masked"),
+                 F.sum(F.col("__t5_begin").cast("int")).cast("long")
+                 .alias("n_spans"),
+                 _joined("__t5_in").alias("input_text"),
+                 _joined("__t5_tg").alias("target_text")))

@@ -715,3 +715,84 @@ def test_rank_buckets_null_group_and_validation(spark):
     bad = df.withColumn("__rb_n", F.lit(1))
     with pytest.raises(ValueError, match="__rb_"):
         rank_buckets(bad, "grp", "score", "id")
+
+
+# ---------------------------------------------------------------------------
+# t5_span_corruption
+# ---------------------------------------------------------------------------
+
+def _t5_rows(spark, docs, every=5, span_len=3):
+    from casf_spark.operators.curation import t5_span_corruption
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r.doc: r for r in
+            t5_span_corruption(df, "doc_id", "text", every=every,
+                               span_len=span_len).collect()}
+
+
+def test_t5_spans_python_reference_and_reconstruction(spark):
+    """Masks equal a single-threaded md5 replay, and splicing each
+    target span back over its sentinel reconstructs the original
+    token stream exactly (the denoising-objective invariant)."""
+    import hashlib
+    import re
+
+    docs = [(i, " ".join(f"w{j}" for j in range(40))) for i in range(6)]
+    got = _t5_rows(spark, docs, every=5, span_len=3)
+
+    for doc_id, text in docs:
+        toks = text.split()
+        starts = set()
+        for pos in range(len(toks)):
+            h = int(hashlib.md5(f"{doc_id}:{pos}".encode())
+                    .hexdigest()[:15], 16)
+            if h % 5 == 0:
+                starts.add(pos)
+        masked = [any(p in starts for p in range(max(0, i - 2), i + 1))
+                  for i in range(len(toks))]
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == sum(masked)
+        # reconstruct: replace each sentinel in input by its target span
+        tgt_spans = {}
+        cur = None
+        for piece in r.target_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+            if m:
+                cur = int(m.group(1))
+                tgt_spans[cur] = []
+            else:
+                tgt_spans[cur].append(piece)
+        assert len(tgt_spans) == r.n_spans
+        rebuilt = []
+        for piece in r.input_text.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+            rebuilt.extend(tgt_spans[int(m.group(1))] if m else [piece])
+        assert rebuilt == toks
+
+
+def test_t5_spans_merge_and_edge_cases(spark):
+    """Overlapping spans collapse to ONE sentinel; a doc with no
+    sampled start keeps every token with an empty target; empty docs
+    emit no row; args validate."""
+    import pytest
+
+    from casf_spark.operators.curation import t5_span_corruption
+
+    # every=2 on a long doc: dense overlapping starts -> far fewer
+    # spans than starts (merging), still reconstructable counts
+    docs = [(1, " ".join(f"x{j}" for j in range(30))), (2, ""), (3, None)]
+    got = _t5_rows(spark, docs, every=2, span_len=3)
+    assert set(got) == {1}
+    r = got[1]
+    assert 0 < r.n_spans < r.n_masked  # merged runs: >1 token per span
+
+    # improbable starts: every=10**9 -> no masks
+    got2 = _t5_rows(spark, [(7, "a b c d e")], every=10**9)
+    assert got2[7].input_text == "a b c d e"
+    assert got2[7].target_text == ""
+    assert got2[7].n_spans == 0
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="every"):
+        t5_span_corruption(df, "doc_id", "text", every=1)
