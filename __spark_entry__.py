@@ -1887,6 +1887,21 @@ def q_unigram_lm_segment(spark, sf):
     return CU.unigram_lm_segment(docs, "doc_id", "text", pieces)
 
 
+def q_unigram_lm_em(spark, sf):
+    """One Viterbi-EM round of the SentencePiece unigram LM
+    (operators.curation.unigram_lm_em_round, Kudo 2018): E-step
+    segments every word occurrence under the frequency-seeded scores,
+    M-step re-estimates ln(use/total) from the pieces the segmentation
+    actually used — the re-estimation step that corrects the seed's
+    overlapping-substring double counting. OOV single-char fallback
+    pieces surface with NULL old_score (the expansion candidates).
+    Twin: the SAME chained-position-CTE Viterbi core as
+    unigram_lm_segment, then occurrence-weighted usage counts."""
+    docs = load_table(spark, sf, "documents")
+    return CU.unigram_lm_em_round(docs, "doc_id", "text",
+                                  max_piece_len=4, vocab_size=64)
+
+
 def q_diversity_kcenter(spark, sf):
     """Greedy k-center / farthest-point sampling (operators.similarity
     .kcenter_select, Gonzalez 1985): 8 maximally-spread representatives
@@ -3540,9 +3555,9 @@ c{j + 1} AS (SELECT vec_id cid, min_dist cdist FROM d{j}
     return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
-def _viterbi_oracle(max_word_len: int = 12, max_piece_len: int = 4,
-                    vocab_size: int = 64) -> str:
-    """unigram_lm_segment twin: the EXACT Viterbi DP as chained
+def _viterbi_cte_parts(max_word_len: int = 12, max_piece_len: int = 4,
+                       vocab_size: int = 64) -> list[str]:
+    """Shared Viterbi CTE core: the EXACT Viterbi DP as chained
     position CTEs — b{j} holds, per distinct word of length >= j, the
     single best (cost, segmentation) of its first j characters. Each
     b{j} extends b{j-k} (k = 1..min(max_piece_len, j)) with the piece
@@ -3620,9 +3635,18 @@ b0 AS (SELECT word, CAST(0.0 AS DOUBLE) c, '' seg, 0 np FROM words)"""
         "\n  UNION ALL\n  SELECT word, error('unigram_lm_segment oracle:"
         f" word exceeds max_word_len={max_word_len}: ' || word) seg,"
         f" 0 np FROM words WHERE length(word) > {max_word_len}")
-    tail = f"""final AS (
+    parts.append(f"""final AS (
 {finals}
-)
+)""")
+    return parts
+
+
+def _viterbi_oracle(max_word_len: int = 12, max_piece_len: int = 4,
+                    vocab_size: int = 64) -> str:
+    """unigram_lm_segment twin: the shared Viterbi CTE core + per-doc
+    piece-stream assembly (see :func:`_viterbi_cte_parts`)."""
+    parts = _viterbi_cte_parts(max_word_len, max_piece_len, vocab_size)
+    return "WITH " + ",\n".join(parts) + """
 SELECT dl.doc AS doc_id,
        CAST(COALESCE(SUM(f.np), 0) AS BIGINT) n_pieces,
        COALESCE(string_agg(f.seg, ' ' ORDER BY t.pos), '') pieces_str
@@ -3630,7 +3654,29 @@ FROM (SELECT DISTINCT doc FROM toklist) dl
 LEFT JOIN tk t ON t.doc = dl.doc
 LEFT JOIN final f ON f.word = t.w
 GROUP BY dl.doc"""
-    return "WITH " + ",\n".join(parts) + ",\n" + tail
+
+
+def _unigram_em_oracle(max_word_len: int = 12, max_piece_len: int = 4,
+                       vocab_size: int = 64) -> str:
+    """unigram_lm_em twin: the SAME Viterbi core (identical segments),
+    then piece-usage counts weighted by word occurrence, re-scored
+    ln(cnt/total); OOV fallback pieces carry a NULL old_score."""
+    parts = _viterbi_cte_parts(max_word_len, max_piece_len, vocab_size)
+    parts.append("""wc AS (SELECT w word, COUNT(*) occ FROM tk GROUP BY 1)""")
+    parts.append("""use AS (
+  SELECT unnest(string_split(f.seg, ' ')) piece, wc.occ
+  FROM final f JOIN wc ON wc.word = f.word)""")
+    parts.append("""ucnt AS (
+  SELECT piece, CAST(SUM(occ) AS BIGINT) cnt FROM use
+  WHERE piece <> '' GROUP BY 1)""")
+    parts.append("""utot AS (SELECT CAST(SUM(cnt) AS DOUBLE) t FROM ucnt)""")
+    return "WITH " + ",\n".join(parts) + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ucnt.piece) AS BIGINT)
+         AS "rank",
+       ucnt.piece AS piece, cnt, p.s AS old_score,
+       ROUND(ln(cnt / utot.t), 6) AS new_score
+FROM ucnt CROSS JOIN utot
+LEFT JOIN pieces p ON p.piece = ucnt.piece"""
 
 
 def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
@@ -5391,7 +5437,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (12 names) — windowed immediately so no
+#   * every round-11 addition (13 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5399,21 +5445,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 30 names fit; the 19 displaced tail names (events_funnel,
+#     — 29 names fit; the 20 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
-#     dedup_spans, budget_select, mixture_resample) head the round-12
-#     queue, see NEXT.md.
+#     dedup_spans, budget_select, mixture_resample, knn_classify) head
+#     the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 12 round-11 additions, newest first (everything after
+    # -- the 13 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
-    "t5_spans",
+    "t5_spans", "unigram_lm_em",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5430,7 +5476,7 @@ _ROUND11_WINDOW = [
     "events_asof", "events_interval", "events_distinct_users",
     "events_profile", "events_rollup", "events_cube", "events_pivot",
     "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
-    "knn_classify",
+   
 ]
 
 
@@ -5590,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_kcenter_64": q_diversity_kcenter_64,
         "unigram_lm_scores": q_unigram_lm_scores,
         "unigram_lm_segment": q_unigram_lm_segment,
+        "unigram_lm_em": q_unigram_lm_em,
         "crossmodal_integrity": q_crossmodal_integrity,
         "doc_quality_source_quantile": q_doc_quality_source_quantile,
         "cluster_profile": q_cluster_profile,
@@ -7324,6 +7371,7 @@ FROM agg1 JOIN agg2 USING (doc_id)""",
         # k=64, so any batching shortcut that isn't provably safe fails
         "diversity_kcenter_64": _kcenter_oracle(k=64),
         "unigram_lm_segment": _viterbi_oracle(max_word_len=12),
+        "unigram_lm_em": _unigram_em_oracle(max_word_len=12),
         "unigram_lm_scores": f"""
 WITH toklist AS (SELECT {_TOKS} a FROM documents),
 tk AS (SELECT unnest(a) w FROM toklist),

@@ -1180,3 +1180,50 @@ def t5_span_corruption(df: DataFrame, id_col: str, text_col: str,
                  .alias("n_spans"),
                  _joined("__t5_in").alias("input_text"),
                  _joined("__t5_tg").alias("target_text")))
+
+
+def unigram_lm_em_round(df: DataFrame, id_col: str, text_col: str,
+                        max_piece_len: int = 4,
+                        vocab_size: int = 64) -> DataFrame:
+    """ONE EM round of the SentencePiece unigram LM (Kudo 2018),
+    Viterbi-approximated: E-step segments every word occurrence under
+    the frequency-seeded piece scores (:func:`unigram_lm_pieces` →
+    :func:`unigram_lm_segment`); M-step re-estimates scores from the
+    pieces the segmentation ACTUALLY USED — ln(use_count / total_uses).
+    This is the re-estimation step the seed vocabulary is missing:
+    substring counts double-count overlapping candidates ('th' and
+    'the' both score high from the same occurrences), while usage
+    counts are a proper partition of the token stream, so one round
+    already shifts mass onto the pieces the model really segments with
+    (the hard-EM variant of Kudo's E-step, deterministic by the
+    longest-final-piece tie rule).
+
+    Out-of-vocabulary single-char fallback pieces are counted too
+    (old_score NULL) — exactly the candidates a pruning/expansion
+    schedule would consider next. Output: (rank, piece, cnt, old_score,
+    new_score); rank by (cnt desc, piece asc); the rank window runs
+    over <= vocab_size + alphabet rows.
+
+    Scale shape: the E-step is the segment pass (bounded side-input
+    model, ONE Arrow-batched corpus pass, no shuffle) plus a
+    piece-grain count aggregation (vocabulary-bounded key space →
+    map-side combine); the M-step is a 1-row total broadcast.
+    """
+    pieces = unigram_lm_pieces(df, id_col, text_col,
+                               max_piece_len=max_piece_len,
+                               vocab_size=vocab_size)
+    seg = unigram_lm_segment(df, id_col, text_col, pieces)
+    used = (seg.select(F.explode(F.split("pieces_str", " ")).alias("piece"))
+            .where(F.col("piece") != ""))
+    cnt = used.groupBy("piece").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("__em_t"))
+    old = pieces.select("piece", F.col("score").alias("old_score"))
+    win = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(old), "piece", "left")
+            .select("piece", "cnt", "old_score",
+                    F.round(F.log(F.col("cnt") / F.col("__em_t")), 6)
+                    .alias("new_score"))
+            .withColumn("rank", F.row_number().over(win).cast("long"))
+            .select("rank", "piece", "cnt", "old_score", "new_score"))

@@ -796,3 +796,50 @@ def test_t5_spans_merge_and_edge_cases(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="every"):
         t5_span_corruption(df, "doc_id", "text", every=1)
+
+
+# ---------------------------------------------------------------------------
+# unigram_lm_em_round
+# ---------------------------------------------------------------------------
+
+def test_unigram_em_usage_partition_and_concentration(spark):
+    """Usage counts are a PARTITION of the token stream (piece lengths
+    sum back to total token chars — the property seed substring counts
+    lack), and on a corpus of one repeated word the whole mass lands on
+    that word as a single piece."""
+    from casf_spark.operators.curation import unigram_lm_em_round
+
+    df = spark.createDataFrame(
+        [(i, "abab abab abab") for i in range(4)],
+        "doc_id long, text string")
+    rows = unigram_lm_em_round(df, "doc_id", "text", max_piece_len=4,
+                               vocab_size=16).collect()
+    got = {r.piece: r for r in rows}
+    # Viterbi's longest-final-piece rule segments 'abab' as one piece
+    assert set(got) == {"abab"}
+    assert got["abab"].cnt == 12  # 4 docs x 3 occurrences
+    assert got["abab"].old_score is not None
+    assert got["abab"].new_score == 0.0  # ln(12/12)
+    assert got["abab"].rank == 1
+    # conservation: piece chars == token chars
+    assert sum(r.cnt * len(r.piece) for r in rows) == 12 * 4
+
+
+def test_unigram_em_oov_fallback_counted_with_null_old_score(spark):
+    """Chars outside a starved vocabulary appear as single-char usage
+    rows with NULL old_score (the expansion candidates) — and the
+    partition property still holds."""
+    from casf_spark.operators.curation import unigram_lm_em_round
+
+    df = spark.createDataFrame(
+        [(1, "zz zz qx")], "doc_id long, text string")
+    rows = unigram_lm_em_round(df, "doc_id", "text", max_piece_len=2,
+                               vocab_size=1).collect()
+    got = {r.piece: r for r in rows}
+    # vocab_size=1 keeps only the top substring ('z': 4 occurrences),
+    # so 'zz' segments as 'z z'; q and x fall back OOV
+    assert set(got) == {"z", "q", "x"}
+    assert got["z"].cnt == 4 and got["z"].old_score is not None
+    oov = [r for r in rows if r.old_score is None]
+    assert {r.piece for r in oov} == {"q", "x"}
+    assert sum(r.cnt * len(r.piece) for r in rows) == 6
