@@ -2028,9 +2028,14 @@ def q_ccnet_buckets(spark, sf):
     one lang-grain boundary agg broadcast back — the corpus never
     shuffles on a data-sized key after scoring."""
     docs = load_table(spark, sf, "documents")
+    # rank_buckets consumes its input TWICE (boundary agg + flag join);
+    # materialize the narrow (doc, lang, score) projection once so the
+    # unigram scoring pipeline doesn't replay per consumer (the
+    # q_url_incremental plan-hygiene lesson)
     scored = (RV.unigram_logprob(docs, "doc_id", "text")
               .join(docs.select(F.col("doc_id").cast("long").alias("doc"),
-                                "lang"), "doc"))
+                                "lang"), "doc")
+              .localCheckpoint())
     out = CU.rank_buckets(scored, "lang", "avg_neg_logprob", "doc")
     return out.select(F.col("doc").alias("doc_id"), "lang", "n_tokens",
                       "avg_neg_logprob", "bucket")
@@ -3056,6 +3061,24 @@ def q_t5_spans(spark, sf):
     return out.withColumnRenamed("doc", "doc_id")
 
 
+def q_stream_bloom_state(spark, sf):
+    """End state of Bloom-gated streaming dedup (streaming.curation.
+    bloom_dedup_replay_batches — the batch twin test_streaming pins
+    against the REAL availableNow foreachBatch stream): documents split
+    into two micro-batches by doc_id parity; batch 0 keeps per-
+    fingerprint representatives and publishes its fixed-size Bloom
+    words; batch 1 dedups within itself then probes batch 0's bitmap
+    (k broadcast joins, map-only) and drops maybe-seen docs. The oracle
+    rebuilds the identical bitmap and replays both batches in SQL —
+    the streaming operator's full cross-batch semantics, hash-checked."""
+    from casf_spark.streaming.curation import bloom_dedup_replay_batches
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    return bloom_dedup_replay_batches([(0, b0), (1, b1)],
+                                      m_bits=BLOOM_M, k=BLOOM_K)
+
+
 def q_curation_funnel(spark, sf):
     """One-pass cumulative filter funnel over documents: length -> script
     -> token-count survivor counts (operators.curation.curation_funnel)."""
@@ -3334,6 +3357,47 @@ SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
 FROM bp b
 {joins}
 LEFT JOIN hfp ON hfp.fp = md5({norm_b})"""
+
+
+def _stream_bloom_oracle() -> str:
+    """stream_bloom_state twin: replay both micro-batches in SQL —
+    batch-0 per-fingerprint argmin representatives, the identical Bloom
+    bitmap over them, batch-1 argmin + bitmap probe. Positions derive
+    from the fingerprint's own md5 prefix (the same bytes Spark's
+    md5_long(normalize_text) reads)."""
+    from casf_spark.functions.hashing import position_sql_exprs
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    h = "CAST('0x' || substr(fp, 1, 15) AS BIGINT)"
+    pos = position_sql_exprs(h, BLOOM_K, BLOOM_M)
+    hpos = "\nUNION ALL\n".join(f"SELECT {p} AS p FROM k0" for p in pos)
+    bcols = ",\n         ".join(f"{p} AS p{i}" for i, p in enumerate(pos))
+    joins = "\n".join(f"LEFT JOIN words w{i} ON w{i}.w = b.p{i} // 63"
+                      for i in range(BLOOM_K))
+    hits = " AND ".join(
+        f"COALESCE(((w{i}.bits >> CAST(b.p{i} % 63 AS INT)) & 1) = 1, FALSE)"
+        for i in range(BLOOM_K))
+    return f"""
+WITH b0 AS (SELECT CAST(doc_id AS BIGINT) doc, md5({norm}) fp
+            FROM documents WHERE doc_id % 2 = 0),
+b1 AS (SELECT CAST(doc_id AS BIGINT) doc, md5({norm}) fp
+       FROM documents WHERE doc_id % 2 = 1),
+k0 AS (SELECT fp, MIN(doc) doc FROM b0 GROUP BY fp),
+hpos AS ({hpos}),
+words AS (SELECT p // 63 AS w,
+                 bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+          FROM hpos GROUP BY 1),
+k1 AS (SELECT fp, MIN(doc) doc FROM b1 GROUP BY fp),
+k1p AS (SELECT doc, fp,
+          {bcols}
+        FROM k1),
+k1s AS (SELECT b.doc, b.fp
+        FROM k1p b
+{joins}
+        WHERE NOT ({hits}))
+SELECT doc, 0 AS batch_id, fp FROM k0
+UNION ALL
+SELECT doc, 1 AS batch_id, fp FROM k1s"""
 
 
 def _cms_oracle() -> str:
@@ -5437,7 +5501,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (13 names) — windowed immediately so no
+#   * every round-11 addition (14 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5445,21 +5509,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 29 names fit; the 20 displaced tail names (events_funnel,
+#     — 28 names fit; the 21 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
-#     dedup_spans, budget_select, mixture_resample, knn_classify) head
-#     the round-12 queue, see NEXT.md.
+#     dedup_spans, budget_select, mixture_resample, knn_classify,
+#     bm25_rank) head the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 13 round-11 additions, newest first (everything after
+    # -- the 14 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
-    "t5_spans", "unigram_lm_em",
+    "t5_spans", "unigram_lm_em", "stream_bloom_state",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5475,8 +5539,7 @@ _ROUND11_WINDOW = [
     "events_hourly", "events_sliding", "events_sessions", "events_json",
     "events_asof", "events_interval", "events_distinct_users",
     "events_profile", "events_rollup", "events_cube", "events_pivot",
-    "events_zscore", "events_percentiles", "tfidf_terms", "bm25_rank",
-   
+    "events_zscore", "events_percentiles", "tfidf_terms",
 ]
 
 
@@ -5494,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
+        "stream_bloom_state": q_stream_bloom_state,
         "cms_term_counts": q_cms_term_counts,
         "t5_spans": q_t5_spans,
         "vocab_coverage": q_vocab_coverage,
@@ -7085,6 +7149,7 @@ GROUP BY 2""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_bloom": _bloom_oracle(),
+        "stream_bloom_state": _stream_bloom_oracle(),
         "t5_spans": f"""
 WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
                  FROM documents),

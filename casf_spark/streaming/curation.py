@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from casf_spark.functions import text as TX
 
 __all__ = ["dedup_stream_against_index", "near_dedup_stream_against_index",
-           "near_dedup_replay_batches"]
+           "near_dedup_replay_batches", "bloom_dedup_stream_against_index",
+           "bloom_dedup_replay_batches"]
 
 
 def _index_nonempty(index_dir: str) -> bool:
@@ -235,3 +236,106 @@ def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_sec)
+
+
+def bloom_dedup_stream_against_index(docs_stream: DataFrame,
+                                     index_dir: str, out_dir: str,
+                                     checkpoint: str,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     m_bits: int = 1 << 16, k: int = 4,
+                                     timeout_sec: int = 120) -> None:
+    """Bloom-gated streaming dedup — :func:`dedup_stream_against_index`
+    with the history compressed to a FIXED-size bitmap (the Dolma-BFF
+    shape in micro-batch form). The index directory stores each batch's
+    Bloom WORDS (word_idx, bits), <= m_bits/63 rows per batch; probing
+    re-aggregates them bit_or (word-grain, tiny) and tests the batch's
+    normalized-text hashes with k broadcast joins — map-only, so a batch
+    never shuffles against years of history, and the history costs
+    O(m) storage TOTAL regardless of corpus size.
+
+    The tradeoff is explicit: a Bloom false positive DROPS a genuinely
+    novel document (rate ~ (1-e^{-kn/m})^k — size m to the expected
+    corpus); there are no false negatives, so every true duplicate is
+    dropped. Within-batch dedup stays exact (fingerprint struct-argmin).
+    Replay-idempotent like the exact-index variant: survivors and words
+    land in batch-id partitions with dynamic overwrite, and the index
+    read excludes the current batch id.
+    """
+    from casf_spark.operators.sketches import bloom_build, bloom_probe
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = batch_df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("text"),
+            TX.fingerprint(text_col).alias("fp"))
+        keep = (fp.groupBy("fp")
+                .agg(F.min(F.struct("doc", "text")).alias("_w"))
+                .select("fp", F.col("_w.doc").alias("doc"),
+                        F.col("_w.text").alias("text")))
+        if _index_nonempty(index_dir):
+            words = (spark.read.parquet(index_dir)
+                     .where(F.col("_batch_id") != batch_id)
+                     .groupBy("word_idx")
+                     .agg(F.bit_or("bits").alias("bits")))
+            probed = bloom_probe(keep, TX.normalize_text(F.col("text")),
+                                 words, m_bits=m_bits, k=k)
+            keep = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        keep = keep.localCheckpoint()  # evaluate once; two sinks below
+        (keep.select("doc", "text", "fp")
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(out_dir))
+        (bloom_build(keep, TX.normalize_text(F.col("text")),
+                     m_bits=m_bits, k=k)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(index_dir))
+
+    q = (docs_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
+def bloom_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               m_bits: int = 1 << 16,
+                               k: int = 4) -> DataFrame:
+    """BATCH TWIN of :func:`bloom_dedup_stream_against_index`: replay the
+    exact per-micro-batch sink semantics over ordered (batch_id, docs)
+    pairs with in-memory word tables, returning the end state (doc,
+    batch_id, fp) of every surviving document — the hermetic contract
+    the stream test asserts equality against."""
+    from casf_spark.operators.sketches import bloom_build, bloom_probe
+
+    words_acc: DataFrame | None = None
+    out: DataFrame | None = None
+    for batch_id, df in batches:
+        fp = df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("text"),
+            TX.fingerprint(text_col).alias("fp"))
+        keep = (fp.groupBy("fp")
+                .agg(F.min(F.struct("doc", "text")).alias("_w"))
+                .select("fp", F.col("_w.doc").alias("doc"),
+                        F.col("_w.text").alias("text")))
+        if words_acc is not None:
+            merged = (words_acc.groupBy("word_idx")
+                      .agg(F.bit_or("bits").alias("bits")))
+            keep = (bloom_probe(keep, TX.normalize_text(F.col("text")),
+                                merged, m_bits=m_bits, k=k)
+                    .where(~F.col("maybe_seen")).drop("maybe_seen"))
+        keep = keep.localCheckpoint()
+        bw = bloom_build(keep, TX.normalize_text(F.col("text")),
+                         m_bits=m_bits, k=k)
+        words_acc = bw if words_acc is None else words_acc.unionByName(bw)
+        surv = keep.select("doc", F.lit(batch_id).alias("batch_id"), "fp")
+        out = surv if out is None else out.unionByName(surv)
+    if out is None:
+        raise ValueError("bloom_dedup_replay_batches: no batches")
+    return out

@@ -350,3 +350,54 @@ def test_streaming_quality_filters_equal_batch(spark, sf_dir, tmp_path):
     assert got.count() == want.count() == docs.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_dedup_stream_cross_batch_and_twin(spark, tmp_path):
+    """Bloom-gated streaming dedup: cross-batch content duplicates are
+    dropped through the fixed-size word index (no false negatives), the
+    index stores WORDS not fingerprints (rows bounded by m/63 per
+    batch), and the real availableNow stream's end state equals the
+    batch replay twin exactly."""
+    from casf_spark.streaming.curation import (
+        bloom_dedup_replay_batches, bloom_dedup_stream_against_index)
+
+    b1 = spark.createDataFrame(
+        [(i, f"bloom text number {i}") for i in range(40)],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(1000 + i, f"bloom text number {i}") for i in range(20, 60)],
+        "doc_id long, text string")
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = next(p for p in (tmp_path / f"s{i}").glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    idx = str(tmp_path / "bloom_index")
+    out = str(tmp_path / "kept")
+    bloom_dedup_stream_against_index(stream, idx, out,
+                                     str(tmp_path / "ckpt"),
+                                     m_bits=1 << 16, k=4)
+
+    kept = spark.read.parquet(out)
+    texts = [r["text"] for r in kept.collect()]
+    # 60 distinct texts; 20 cross-batch dups MUST drop (no false
+    # negatives); at m=64Ki/n=40 the fp rate is ~0, so novel texts
+    # survive — assert exact set equality
+    assert sorted(texts) == sorted(f"bloom text number {i}"
+                                   for i in range(60))
+    # index holds words, bounded by m/63 per batch — far fewer rows
+    # than a fingerprint index would need at corpus scale, and every
+    # row is (word_idx, bits, _batch_id)
+    index = spark.read.parquet(idx)
+    assert set(index.columns) == {"word_idx", "bits", "_batch_id"}
+    assert index.count() <= 2 * ((1 << 16) // 63 + 1)
+
+    twin = {(r.doc, r.batch_id, r.fp)
+            for r in bloom_dedup_replay_batches(
+                [(0, b1), (1, b2)], m_bits=1 << 16, k=4).collect()}
+    streamed = {(r.doc, r._batch_id, r.fp)
+                for r in kept.select("doc", "_batch_id", "fp").collect()}
+    assert streamed == twin
