@@ -91,6 +91,9 @@ PRODUCT_WHITELIST = {
     "curriculum_buckets",
     # 1-row corpus-token-total broadcast onto the bounded stratum table
     "mixture_plan",
+    # EM round: the 1-row usage-total broadcast onto the <= vocab +
+    # alphabet-sized usage-count table (unigram_lm_scores' class)
+    "unigram_lm_em",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -140,7 +143,11 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     "nb_calibration": 3,
                     # NB class-totals agg + prior agg + the 1-row
                     # argmin-over-the-grid agg
-                    "nb_platt": 3}
+                    "nb_platt": 3,
+                    # seed-vocab total agg + usage total agg (both
+                    # 1-row) + the rank window over the <= vocab +
+                    # alphabet usage rows
+                    "unigram_lm_em": 3}
 
 
 @pytest.fixture(scope="module")
