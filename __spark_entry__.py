@@ -3061,6 +3061,24 @@ def q_t5_spans(spark, sf):
     return out.withColumnRenamed("doc", "doc_id")
 
 
+def q_negative_samples(spark, sf):
+    """word2vec negative sampling (operators.relevance.
+    negative_sampling_table + negative_draws, Mikolov et al. 2013):
+    the count^0.75 distribution over the top-128 vocabulary laid out
+    as integer micro-unit cumulative ranges, then 5 deterministic
+    weighted draws per key doc (doc_id % 10 == 0) via md5(key:j) %
+    total. The range lookup is the bucketized interval-join idiom on a
+    1-D weight line: ranges explode into fixed-width buckets, draws
+    equi-join on their bucket — no inequality nested-loop, no product
+    against the vocabulary; bucket ids use integer `div` end to end."""
+    docs = load_table(spark, sf, "documents")
+    t = RV.negative_sampling_table(docs, "doc_id", "text", vocab_size=128)
+    keys = docs.select("doc_id").where(F.col("doc_id") % 10 == 0)
+    out = RV.negative_draws(t, keys, "doc_id", k=5)
+    return out.select(F.col("key_val").cast("long").alias("doc_id"),
+                      "j", "word")
+
+
 def q_stream_bloom_state(spark, sf):
     """End state of Bloom-gated streaming dedup (streaming.curation.
     bloom_dedup_replay_batches — the batch twin test_streaming pins
@@ -5501,7 +5519,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (14 names) — windowed immediately so no
+#   * every round-11 addition (15 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5509,21 +5527,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 28 names fit; the 21 displaced tail names (events_funnel,
+#     — 27 names fit; the 22 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
-#     bm25_rank) head the round-12 queue, see NEXT.md.
+#     bm25_rank, tfidf_terms) head the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 14 round-11 additions, newest first (everything after
+    # -- the 15 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
+    "negative_samples",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5539,7 +5558,7 @@ _ROUND11_WINDOW = [
     "events_hourly", "events_sliding", "events_sessions", "events_json",
     "events_asof", "events_interval", "events_distinct_users",
     "events_profile", "events_rollup", "events_cube", "events_pivot",
-    "events_zscore", "events_percentiles", "tfidf_terms",
+    "events_zscore", "events_percentiles",
 ]
 
 
@@ -5558,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
         "stream_bloom_state": q_stream_bloom_state,
+        "negative_samples": q_negative_samples,
         "cms_term_counts": q_cms_term_counts,
         "t5_spans": q_t5_spans,
         "vocab_coverage": q_vocab_coverage,
@@ -7150,6 +7170,34 @@ GROUP BY 2""",
         "dedup_incremental": _incremental_oracle(),
         "dedup_bloom": _bloom_oracle(),
         "stream_bloom_state": _stream_bloom_oracle(),
+        "negative_samples": f"""
+WITH t AS (SELECT unnest({_TOKS}) w FROM documents),
+top AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY 1
+        ORDER BY cnt DESC, word LIMIT 128),
+wt AS (SELECT word, cnt,
+              CAST(FLOOR(POWER(CAST(cnt AS DOUBLE), 0.75) * 1000000 + 0.5)
+                   AS BIGINT) wu
+       FROM top),
+cum AS (SELECT word, cnt, wu,
+               CAST(SUM(wu) OVER (ORDER BY cnt DESC, word
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) hi
+        FROM wt),
+rng AS (SELECT word, wu, hi, hi - wu AS lo FROM cum),
+tot AS (SELECT MAX(hi) t, MAX(hi) // COUNT(*) + 1 AS wdt FROM rng),
+idx AS (SELECT word, lo, hi,
+               unnest(range(lo // tot.wdt, (hi - 1) // tot.wdt + 1)) b
+        FROM rng CROSS JOIN tot),
+keys AS (SELECT CAST(doc_id AS BIGINT) kid FROM documents
+         WHERE doc_id % 10 = 0),
+draws AS (SELECT kid, j,
+                 CAST('0x' || substr(md5(CAST(kid AS VARCHAR) || ':' ||
+                        CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % tot.t u,
+                 tot.wdt
+          FROM keys CROSS JOIN (SELECT unnest(range(1, 6)) j)
+          CROSS JOIN tot)
+SELECT d.kid AS doc_id, CAST(d.j AS INT) AS j, i.word
+FROM draws d JOIN idx i ON i.b = d.u // d.wdt
+WHERE d.u >= i.lo AND d.u < i.hi""",
         "t5_spans": f"""
 WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
                  FROM documents),

@@ -523,3 +523,84 @@ def rrf_fuse(legs: Sequence[DataFrame], id_col: str = "item_id",
         F.round(F.col("score_u") / F.lit(float(scale_u)), 6)
         .alias("rrf_score"))
     return out.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(top_n)
+
+
+def negative_sampling_table(docs: DataFrame, id_col: str, text_col: str,
+                            vocab_size: int = 128,
+                            power: float = 0.75) -> DataFrame:
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    the top ``vocab_size`` words by count, weighted ``count^power``
+    (0.75 flattens Zipf so rare words get sampled at all), laid out as
+    INTEGER micro-unit cumulative ranges ``[lo_u, hi_u)`` — the
+    artifact a skip-gram trainer draws negatives from.
+
+    Weights fold to integers immediately (floor(cnt^power * 1e6 + .5))
+    so the cumulative layout and every downstream draw are engine-exact
+    BIGINT arithmetic; the cumulative window runs over the
+    ``vocab_size``-bounded table only (the cap is the word2vec norm —
+    production tables are ~1e5 rows — and what keeps this a broadcast
+    side input). Output: (word, cnt, w_u, lo_u, hi_u) ordered by the
+    (cnt desc, word) layout order.
+    """
+    if vocab_size <= 0:
+        raise ValueError("negative_sampling_table: vocab_size must be > 0")
+    toks = tokenize(docs, id_col, text_col).select("word")
+    top = (toks.groupBy("word")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_size))
+    w_u = F.floor(F.pow(F.col("cnt").cast("double"), F.lit(power))
+                  * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    win = (Window.orderBy(F.desc("cnt"), F.asc("word"))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    t = top.select("word", "cnt", w_u.alias("w_u"))
+    return (t.withColumn("hi_u", F.sum("w_u").over(win))
+            .withColumn("lo_u", F.col("hi_u") - F.col("w_u"))
+            .select("word", "cnt", "w_u", "lo_u", "hi_u"))
+
+
+def negative_draws(table: DataFrame, keys: DataFrame, key_col: str,
+                   k: int = 5) -> DataFrame:
+    """Deterministic weighted-categorical draws from a
+    :func:`negative_sampling_table`: for every key row, ``k`` words
+    sampled proportional to their range widths via
+    ``u_j = md5(key:j) % total`` — rerun- and engine-stable negatives.
+
+    The range lookup is the BUCKETIZED interval-join idiom (the
+    operators.joins.interval_join move, applied to a 1-D weight line):
+    each word's range explodes into the fixed-width buckets it spans
+    (vocab_size + spill rows total), draws join on their bucket
+    equi-key and filter lo <= u < hi — ONE broadcast equi-join, no
+    inequality nested-loop, no product against the vocabulary. The
+    only scalars are the 1-row total/width broadcast (the table is
+    bounded by construction).
+
+    Output: (key_val, j, word) — j in 1..k.
+    """
+    if k <= 0:
+        raise ValueError("negative_draws: k must be > 0")
+    from casf_spark.functions.hashing import md5_long
+
+    # integer `div` throughout: a double division truncated to long can
+    # round ACROSS an exact-multiple boundary; bucket ids must be exact
+    tot = table.agg(F.max("hi_u").alias("__ns_t"),
+                    (F.expr("max(hi_u) div count(1)") + F.lit(1))
+                    .cast("long").alias("__ns_w"))
+    idx = (table.crossJoin(F.broadcast(tot))
+           .select("word", "lo_u", "hi_u",
+                   F.explode(F.sequence(
+                       F.expr("lo_u div __ns_w"),
+                       F.expr("(hi_u - 1) div __ns_w"))).alias("__ns_b")))
+    kc = F.col(key_col).cast("string")
+    draws = (keys.select(kc.alias("key_val"))
+             .crossJoin(F.broadcast(tot))
+             .select("key_val", "__ns_w", "__ns_t",
+                     F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"))
+             .select("key_val", "j", "__ns_w",
+                     (md5_long(F.concat(F.col("key_val"), F.lit(":"),
+                                        F.col("j").cast("string")))
+                      % F.col("__ns_t")).alias("__ns_u"))
+             .withColumn("__ns_b", F.expr("__ns_u div __ns_w")))
+    joined = draws.join(F.broadcast(idx), "__ns_b")
+    return (joined.where((F.col("__ns_u") >= F.col("lo_u")) &
+                         (F.col("__ns_u") < F.col("hi_u")))
+            .select("key_val", F.col("j").cast("int").alias("j"), "word"))

@@ -94,6 +94,9 @@ PRODUCT_WHITELIST = {
     # EM round: the 1-row usage-total broadcast onto the <= vocab +
     # alphabet-sized usage-count table (unigram_lm_scores' class)
     "unigram_lm_em",
+    # the 1-row total/bucket-width scalar broadcast into both the
+    # bucket-index build (vocab_size rows) and the draw expansion
+    "negative_samples",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row

@@ -372,3 +372,82 @@ def test_hard_negative_mine_no_positive_in_pool(spark):
     assert len(got) == 2
     assert all(r.best_pos_sim is None and r.semi_hard is False
                for r in got)
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (word2vec unigram^0.75)
+# ---------------------------------------------------------------------------
+
+def test_negative_sampling_table_python_reference(spark):
+    """Layout equals a single-threaded rebuild: counts^0.75 folded to
+    integer micro-units, cumulative [lo, hi) in (cnt desc, word)
+    order."""
+    import math
+
+    from casf_spark.operators.relevance import negative_sampling_table
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb cc")], "doc_id long, text string")
+    rows = sorted(negative_sampling_table(docs, "doc_id", "text",
+                                          vocab_size=8).collect(),
+                  key=lambda r: r.lo_u)
+    counts = {"aa": 4, "bb": 2, "cc": 1}
+    order = sorted(counts, key=lambda w: (-counts[w], w))
+    lo = 0
+    for r, w in zip(rows, order):
+        wu = math.floor(counts[w] ** 0.75 * 1_000_000 + 0.5)
+        assert (r.word, r.cnt, r.w_u, r.lo_u, r.hi_u) == \
+            (w, counts[w], wu, lo, lo + wu)
+        lo += wu
+
+
+def test_negative_draws_exact_and_proportional(spark):
+    """Every (key, j) yields exactly ONE word (ranges partition the
+    line, bucket join + filter can't drop or duplicate), the draw
+    equals a python md5 replay, and a heavily weighted word dominates
+    the sample."""
+    import hashlib
+    import math
+
+    from casf_spark.operators.relevance import (negative_draws,
+                                                negative_sampling_table)
+
+    docs = spark.createDataFrame(
+        [(1, ("hot " * 60 + "cold " * 2 + "warm " * 2).strip())],
+        "doc_id long, text string")
+    t = negative_sampling_table(docs, "doc_id", "text", vocab_size=8)
+    keys = spark.createDataFrame([(i,) for i in range(200)],
+                                 "doc_id long")
+    got = {(int(r.key_val), r.j): r.word
+           for r in negative_draws(t, keys, "doc_id", k=3).collect()}
+    assert len(got) == 600  # exactly one word per (key, j)
+
+    # python replay
+    counts = {"hot": 60, "cold": 2, "warm": 2}
+    order = sorted(counts, key=lambda w: (-counts[w], w))
+    ranges, lo = [], 0
+    for w in order:
+        wu = math.floor(counts[w] ** 0.75 * 1_000_000 + 0.5)
+        ranges.append((w, lo, lo + wu))
+        lo += wu
+    for (key, j), word in got.items():
+        h = int(hashlib.md5(f"{key}:{j}".encode()).hexdigest()[:15], 16)
+        u = h % lo
+        [want] = [w for w, a, b in ranges if a <= u < b]
+        assert word == want
+    hot_share = sum(1 for w in got.values() if w == "hot") / len(got)
+    assert hot_share > 0.75  # 60^0.75 vs two 2^0.75 tails
+
+
+def test_negative_sampling_validation(spark):
+    import pytest
+
+    from casf_spark.operators.relevance import (negative_draws,
+                                                negative_sampling_table)
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        negative_sampling_table(docs, "doc_id", "text", vocab_size=0)
+    t = negative_sampling_table(docs, "doc_id", "text", vocab_size=4)
+    with pytest.raises(ValueError, match="k must be"):
+        negative_draws(t, docs.select("doc_id"), "doc_id", k=0)
