@@ -3061,6 +3061,19 @@ def q_t5_spans(spark, sf):
     return out.withColumnRenamed("doc", "doc_id")
 
 
+def q_lm_windows(spark, sf):
+    """Causal-LM pretraining windows (operators.curation.
+    lm_causal_windows): the corpus token stream in doc-id order cut
+    into fixed 64-token examples crossing document boundaries — the
+    concat-and-chunk objective's data shape (t5_spans covers the
+    denoising one). Global offsets via the two-level distributed
+    prefix sum (serial window only over chunk totals); integer-div
+    window ids; windows partition the stream exactly. Twin: the naive
+    single global window (equal by associativity of +)."""
+    docs = load_table(spark, sf, "documents")
+    return CU.lm_causal_windows(docs, "doc_id", "text", ctx=64)
+
+
 def q_negative_samples(spark, sf):
     """word2vec negative sampling (operators.relevance.
     negative_sampling_table + negative_draws, Mikolov et al. 2013):
@@ -5519,7 +5532,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (15 names) — windowed immediately so no
+#   * every round-11 addition (16 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5527,22 +5540,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 27 names fit; the 22 displaced tail names (events_funnel,
+#     — 26 names fit; the 23 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
-#     bm25_rank, tfidf_terms) head the round-12 queue, see NEXT.md.
+#     bm25_rank, tfidf_terms, events_percentiles) head the round-12
+#     queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 15 round-11 additions, newest first (everything after
+    # -- the 16 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
-    "negative_samples",
+    "negative_samples", "lm_windows",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5558,7 +5572,7 @@ _ROUND11_WINDOW = [
     "events_hourly", "events_sliding", "events_sessions", "events_json",
     "events_asof", "events_interval", "events_distinct_users",
     "events_profile", "events_rollup", "events_cube", "events_pivot",
-    "events_zscore", "events_percentiles",
+    "events_zscore",
 ]
 
 
@@ -5578,6 +5592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "stream_bloom_state": q_stream_bloom_state,
         "negative_samples": q_negative_samples,
+        "lm_windows": q_lm_windows,
         "cms_term_counts": q_cms_term_counts,
         "t5_spans": q_t5_spans,
         "vocab_coverage": q_vocab_coverage,
@@ -7170,6 +7185,23 @@ GROUP BY 2""",
         "dedup_incremental": _incremental_oracle(),
         "dedup_bloom": _bloom_oracle(),
         "stream_bloom_state": _stream_bloom_oracle(),
+        "lm_windows": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+st AS (SELECT doc, a,
+              COALESCE(SUM(len(a)) OVER (ORDER BY doc
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS start
+       FROM toklist),
+placed AS (SELECT doc, unnest(a) w,
+                  start + generate_subscripts(a, 1) - 1 AS gpos
+           FROM st)
+SELECT CAST(gpos // 64 AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+       MIN(doc) AS first_doc,
+       string_agg(w, ' ' ORDER BY gpos) AS tokens_str
+FROM placed GROUP BY 1""",
         "negative_samples": f"""
 WITH t AS (SELECT unnest({_TOKS}) w FROM documents),
 top AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY 1

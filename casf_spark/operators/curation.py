@@ -1238,3 +1238,57 @@ def unigram_lm_em_round(df: DataFrame, id_col: str, text_col: str,
                     .alias("new_score"))
             .withColumn("rank", F.row_number().over(win).cast("long"))
             .select("rank", "piece", "cnt", "old_score", "new_score"))
+
+
+def lm_causal_windows(df: DataFrame, id_col: str, text_col: str,
+                      ctx: int = 64, chunk: int = 1024) -> DataFrame:
+    """GPT-style concat-and-chunk pretraining examples: the corpus'
+    token stream in doc-id order is cut into fixed ``ctx``-token
+    windows that CROSS document boundaries (the causal-LM counterpart
+    of :func:`t5_span_corruption` — together they cover both
+    pretraining objectives' data shapes). Output one row per window:
+    (window_id, n_tokens, n_docs, first_doc, tokens_str); only the
+    final window may be partial, and windows partition the stream
+    exactly — no token dropped or duplicated.
+
+    Scale design: each doc's GLOBAL start offset comes from the same
+    two-level distributed prefix sum as :func:`pack_sequences` (per-
+    chunk exclusive cumsum in parallel, the serial window only over
+    the tiny chunk-totals table); tokens then explode with their
+    global position and group by ``gpos div ctx`` — integer `div`, one
+    token-grain shuffle, per-window frames bounded by ctx. The oracle
+    twin uses the naive single global window (equal by associativity
+    of +).
+    """
+    if ctx <= 0:
+        raise ValueError(f"lm_causal_windows: ctx must be > 0, got {ctx}")
+    from casf_spark.functions.text import tokens as _tokens
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+        F.floor(F.col(id_col).cast("long") / chunk).cast("long")
+        .alias("ck"))
+    base = base.withColumn("n_tok", F.size("toks").cast("long"))
+    in_chunk = Window.partitionBy("ck").orderBy("doc") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn(
+        "local_excl", F.coalesce(F.sum("n_tok").over(in_chunk), F.lit(0)))
+    totals = base.groupBy("ck").agg(F.sum("n_tok").alias("ck_tok"))
+    prior = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "ck", F.coalesce(F.sum("ck_tok").over(prior), F.lit(0)).alias("off"))
+    placed = (local.join(F.broadcast(offsets), "ck")
+              .select("doc",
+                      (F.col("off") + F.col("local_excl")).alias("start"),
+                      F.posexplode("toks").alias("pos", "w"))
+              .select("doc", "w",
+                      (F.col("start") + F.col("pos")).alias("gpos"))
+              .withColumn("window_id", F.expr(f"gpos div {ctx}")))
+    pieces = F.sort_array(F.collect_list(F.struct("gpos", "w")))
+    return (placed.groupBy("window_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.size(F.collect_set("doc")).cast("long").alias("n_docs"),
+                 F.min("doc").alias("first_doc"),
+                 F.array_join(F.transform(pieces, lambda s: s["w"]), " ")
+                 .alias("tokens_str")))

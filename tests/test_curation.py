@@ -843,3 +843,49 @@ def test_unigram_em_oov_fallback_counted_with_null_old_score(spark):
     oov = [r for r in rows if r.old_score is None]
     assert {r.piece for r in oov} == {"q", "x"}
     assert sum(r.cnt * len(r.piece) for r in rows) == 6
+
+
+# ---------------------------------------------------------------------------
+# lm_causal_windows
+# ---------------------------------------------------------------------------
+
+def test_lm_windows_partition_and_boundaries(spark):
+    """Windows partition the doc-order token stream exactly: full ctx
+    everywhere but the tail, concatenation reconstructs the stream,
+    and boundary-straddling windows report n_docs > 1."""
+    from casf_spark.operators.curation import lm_causal_windows
+
+    docs = [(i, " ".join(f"d{i}t{j}" for j in range(10)))
+            for i in range(7)]  # 70 tokens, ctx 16 -> 5 windows
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(4)
+    rows = sorted(lm_causal_windows(df, "doc_id", "text", ctx=16)
+                  .collect(), key=lambda r: r.window_id)
+    assert [r.window_id for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.n_tokens for r in rows] == [16, 16, 16, 16, 6]
+    stream = " ".join(r.tokens_str for r in rows).split()
+    want = [f"d{i}t{j}" for i in range(7) for j in range(10)]
+    assert stream == want
+    # window 0 spans docs 0 and 1 (10 + 6 tokens)
+    assert rows[0].n_docs == 2 and rows[0].first_doc == 0
+
+
+def test_lm_windows_chunking_invariant_and_validation(spark):
+    """The two-level prefix sum equals the naive global order at any
+    chunk size (chunk=1 stress: every doc its own chunk)."""
+    import pytest
+
+    from casf_spark.operators.curation import lm_causal_windows
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 5)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {(r.window_id, r.tokens_str, r.n_docs, r.first_doc)
+         for r in lm_causal_windows(df, "doc_id", "text", ctx=8,
+                                    chunk=1024).collect()}
+    b = {(r.window_id, r.tokens_str, r.n_docs, r.first_doc)
+         for r in lm_causal_windows(df, "doc_id", "text", ctx=8,
+                                    chunk=1).collect()}
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="ctx"):
+        lm_causal_windows(df, "doc_id", "text", ctx=0)
