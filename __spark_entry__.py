@@ -3074,6 +3074,33 @@ def q_lm_windows(spark, sf):
     return CU.lm_causal_windows(docs, "doc_id", "text", ctx=64)
 
 
+def q_fim_examples(spark, sf):
+    """Fill-in-the-middle examples (operators.curation.fim_examples —
+    Bavarian et al. 2022): every >= 8-token document splits at two
+    hash-derived cut points into PSM order '<PRE> p <SUF> s <MID> m' —
+    the infilling objective, completing the pretraining trio with
+    t5_spans (denoising) and lm_windows (causal). Map-only: slices +
+    joins in one projection, zero shuffle; byte-identical cross-engine
+    (degenerate cuts serialize empty segments in both)."""
+    docs = load_table(spark, sf, "documents")
+    out = CU.fim_examples(docs, "doc_id", "text", min_tokens=8)
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+def q_skipgram_cooc(spark, sf):
+    """Skip-gram window co-occurrence counts (operators.relevance.
+    skipgram_cooc — the word2vec positive-pair / GloVe count matrix;
+    negative_samples supplies the matching negatives): every (center,
+    context) pair within a +/-2 window, counted corpus-wide, floor 5.
+    The pair expansion is expression-only (each token emits <= 2w
+    pairs map-side — never a doc-keyed positions self-join whose
+    intermediates are quadratic in document length); the only shuffle
+    is the pair-grain count aggregation."""
+    docs = load_table(spark, sf, "documents")
+    return RV.skipgram_cooc(docs, "doc_id", "text", window=2,
+                            min_count=5)
+
+
 def q_negative_samples(spark, sf):
     """word2vec negative sampling (operators.relevance.
     negative_sampling_table + negative_draws, Mikolov et al. 2013):
@@ -5532,7 +5559,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (16 names) — windowed immediately so no
+#   * every round-11 addition (18 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5540,23 +5567,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 26 names fit; the 23 displaced tail names (events_funnel,
+#     — 24 names fit; the 25 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
 #     events_moving_avg, embedding_outliers, vocab_coverage,
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
-#     bm25_rank, tfidf_terms, events_percentiles) head the round-12
-#     queue, see NEXT.md.
+#     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
+#     events_pivot) head the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 16 round-11 additions, newest first (everything after
+    # -- the 18 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
-    "negative_samples", "lm_windows",
+    "negative_samples", "lm_windows", "fim_examples",
+    "skipgram_cooc",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5571,8 +5599,7 @@ _ROUND11_WINDOW = [
     "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
     "events_hourly", "events_sliding", "events_sessions", "events_json",
     "events_asof", "events_interval", "events_distinct_users",
-    "events_profile", "events_rollup", "events_cube", "events_pivot",
-    "events_zscore",
+    "events_profile", "events_rollup", "events_cube"
 ]
 
 
@@ -5592,6 +5619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "stream_bloom_state": q_stream_bloom_state,
         "negative_samples": q_negative_samples,
+        "skipgram_cooc": q_skipgram_cooc,
+        "fim_examples": q_fim_examples,
         "lm_windows": q_lm_windows,
         "cms_term_counts": q_cms_term_counts,
         "t5_spans": q_t5_spans,
@@ -7202,6 +7231,38 @@ SELECT CAST(gpos // 64 AS BIGINT) AS window_id,
        MIN(doc) AS first_doc,
        string_agg(w, ' ' ORDER BY gpos) AS tokens_str
 FROM placed GROUP BY 1""",
+        "fim_examples": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+base AS (SELECT doc, a, CAST(len(a) AS BIGINT) n FROM toklist
+         WHERE len(a) >= 8),
+cuts AS (SELECT doc, a, n,
+           CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || ':a'), 1, 15)
+                AS BIGINT) % (n + 1) AS ca,
+           CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || ':b'), 1, 15)
+                AS BIGINT) % (n + 1) AS cb
+         FROM base),
+pp AS (SELECT doc, a, n, LEAST(ca, cb) p1, GREATEST(ca, cb) p2 FROM cuts)
+SELECT doc AS doc_id, n AS n_tokens, p1, p2,
+       '<PRE> '
+         || COALESCE(array_to_string(list_slice(a, 1, p1), ' '), '')
+         || ' <SUF> '
+         || COALESCE(array_to_string(list_slice(a, p2 + 1, n), ' '), '')
+         || ' <MID> '
+         || COALESCE(array_to_string(list_slice(a, p1 + 1, p2), ' '), '')
+         AS fim_text
+FROM pp""",
+        "skipgram_cooc": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+tk AS (SELECT doc, generate_subscripts(a, 1) i, unnest(a) w
+       FROM toklist)
+SELECT t1.w AS center, t2.w AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tk t1 JOIN tk t2
+  ON t1.doc = t2.doc AND t2.i BETWEEN t1.i - 2 AND t1.i + 2
+ AND t2.i <> t1.i
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5""",
         "negative_samples": f"""
 WITH t AS (SELECT unnest({_TOKS}) w FROM documents),
 top AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY 1

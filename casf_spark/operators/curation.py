@@ -1292,3 +1292,54 @@ def lm_causal_windows(df: DataFrame, id_col: str, text_col: str,
                  F.min("doc").alias("first_doc"),
                  F.array_join(F.transform(pieces, lambda s: s["w"]), " ")
                  .alias("tokens_str")))
+
+
+def fim_examples(df: DataFrame, id_col: str, text_col: str,
+                 min_tokens: int = 8) -> DataFrame:
+    """Fill-in-the-middle example builder (Bavarian et al. 2022 — the
+    code-LM infilling objective; with :func:`lm_causal_windows` and
+    :func:`t5_span_corruption` this completes the pretraining-objective
+    trio): each document splits at two hash-derived token cut points
+    into (prefix, middle, suffix) and re-serializes in PSM order
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the trained model
+    learns to emit the middle given both sides.
+
+    Cut points are ``md5(doc:a) % (n+1)`` and ``md5(doc:b) % (n+1)``,
+    sorted — deterministic per document in every run and engine. Docs
+    shorter than ``min_tokens`` are excluded (a FIM split of a tiny doc
+    is noise — the published recipe transforms a fraction of documents,
+    which callers control by sampling upstream). Degenerate cuts
+    (p1 == p2, or a cut at the ends) are kept: empty segments are valid
+    FIM training cases and serialize as empty strings.
+
+    Map-only: one projection, array slices + joins, no shuffle at all.
+    Output: (doc, n_tokens, p1, p2, fim_text).
+    """
+    if min_tokens < 1:
+        raise ValueError("fim_examples: min_tokens must be >= 1")
+    from casf_spark.functions.text import tokens as _tokens
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"))
+    base = (base.withColumn("n_tokens", F.size("toks").cast("long"))
+            .where(F.col("n_tokens") >= min_tokens))
+    cut_a = md5_long(F.concat(F.col("doc").cast("string"), F.lit(":a"))) \
+        % (F.col("n_tokens") + 1)
+    cut_b = md5_long(F.concat(F.col("doc").cast("string"), F.lit(":b"))) \
+        % (F.col("n_tokens") + 1)
+    base = (base.withColumn("p1", F.least(cut_a, cut_b))
+            .withColumn("p2", F.greatest(cut_a, cut_b)))
+    # slice(arr, start, length) is 1-based; length 0 -> empty segment
+    pre = F.array_join(F.slice("toks", F.lit(1), F.col("p1")), " ")
+    mid = F.array_join(
+        F.slice("toks", F.col("p1") + 1, F.col("p2") - F.col("p1")), " ")
+    suf = F.array_join(
+        F.slice("toks", F.col("p2") + 1,
+                F.col("n_tokens") - F.col("p2")), " ")
+    fim = F.concat(F.lit("<PRE> "), pre, F.lit(" <SUF> "), suf,
+                   F.lit(" <MID> "), mid)
+    return base.select("doc", "n_tokens",
+                       F.col("p1").cast("long").alias("p1"),
+                       F.col("p2").cast("long").alias("p2"),
+                       fim.alias("fim_text"))

@@ -46,7 +46,8 @@ from casf_spark.operators import similarity as _sim
 
 __all__ = ["tfidf_terms", "bm25_rank", "tfidf_rank", "knn_classify",
            "vocab_coverage", "unigram_logprob", "bigram_logprob",
-           "label_centroid_outliers", "rrf_fuse", "collocation_pmi"]
+           "label_centroid_outliers", "rrf_fuse", "collocation_pmi",
+           "negative_sampling_table", "negative_draws", "skipgram_cooc"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -604,3 +605,45 @@ def negative_draws(table: DataFrame, keys: DataFrame, key_col: str,
     return (joined.where((F.col("__ns_u") >= F.col("lo_u")) &
                          (F.col("__ns_u") < F.col("hi_u")))
             .select("key_val", F.col("j").cast("int").alias("j"), "word"))
+
+
+def skipgram_cooc(docs: DataFrame, id_col: str, text_col: str,
+                  window: int = 2, min_count: int = 2) -> DataFrame:
+    """Skip-gram window co-occurrence counts — the word2vec positive-
+    pair / GloVe count-matrix builder (the companion of
+    :func:`negative_sampling_table`: together they are the full
+    word2vec training-data pipeline): every (center, context) pair
+    with the context within ±``window`` positions of the center, in
+    either direction, counted over the corpus.
+
+    The pair expansion is EXPRESSION-ONLY (nested array transforms, the
+    unigram_lm_pieces idiom) — each token emits at most ``2*window``
+    pairs map-side, so the shuffle is the (center, context)-grain count
+    aggregation and NOTHING is quadratic in document length (the naive
+    doc-keyed positions self-join materializes n_d^2 intermediates per
+    doc before its band filter). ``min_count`` applies the standard
+    rare-pair floor. Output: (center, context, cnt).
+    """
+    if window < 1:
+        raise ValueError("skipgram_cooc: window must be >= 1")
+    from casf_spark.functions.text import tokens as _tokens
+
+    toks = F.coalesce(_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                      F.array())
+    base = docs.select(toks.alias("__sg_toks"))
+    n = F.size("__sg_toks")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.filter(F.sequence(F.greatest(F.lit(1), i - window),
+                                F.least(n, i + window)),
+                     lambda j: j != i),
+            lambda j: F.struct(
+                F.element_at("__sg_toks", i).alias("center"),
+                F.element_at("__sg_toks", j).alias("context")))))
+    return (base.where(n > 0)
+            .select(F.explode(pairs).alias("__sg_p"))
+            .groupBy(F.col("__sg_p.center").alias("center"),
+                     F.col("__sg_p.context").alias("context"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .where(F.col("cnt") >= min_count))

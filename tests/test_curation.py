@@ -889,3 +889,63 @@ def test_lm_windows_chunking_invariant_and_validation(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="ctx"):
         lm_causal_windows(df, "doc_id", "text", ctx=0)
+
+
+# ---------------------------------------------------------------------------
+# fim_examples
+# ---------------------------------------------------------------------------
+
+def test_fim_python_reference_and_reconstruction(spark):
+    """Cut points equal the md5 replay, and (prefix, middle, suffix)
+    always reconstruct the token stream — including degenerate cuts
+    (empty segments)."""
+    import hashlib
+
+    from casf_spark.operators.curation import fim_examples
+
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(8 + i % 7)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc: r for r in
+            fim_examples(df, "doc_id", "text", min_tokens=8).collect()}
+    assert set(rows) == {i for i, _ in docs}
+
+    saw_empty = False
+    for doc_id, text in docs:
+        toks = text.split()
+        n = len(toks)
+
+        def cut(tag):
+            h = int(hashlib.md5(f"{doc_id}:{tag}".encode())
+                    .hexdigest()[:15], 16)
+            return h % (n + 1)
+
+        p1, p2 = sorted((cut("a"), cut("b")))
+        r = rows[doc_id]
+        assert (r.n_tokens, r.p1, r.p2) == (n, p1, p2)
+        want = (f"<PRE> {' '.join(toks[:p1])} "
+                f"<SUF> {' '.join(toks[p2:])} "
+                f"<MID> {' '.join(toks[p1:p2])}")
+        assert r.fim_text == want
+        pre, rest = r.fim_text.split(" <SUF> ")
+        suf, mid = rest.split(" <MID> ")
+        rebuilt = (pre.removeprefix("<PRE>").split()
+                   + mid.split() + suf.split())
+        assert rebuilt == toks
+        saw_empty = saw_empty or p1 == 0 or p1 == p2 or p2 == n
+    assert saw_empty  # degenerate cuts occurred and serialized fine
+
+
+def test_fim_min_tokens_and_validation(spark):
+    import pytest
+
+    from casf_spark.operators.curation import fim_examples
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "one two three four five six "
+                                      "seven eight")],
+        "doc_id long, text string")
+    rows = fim_examples(df, "doc_id", "text", min_tokens=8).collect()
+    assert [r.doc for r in rows] == [3]
+    with pytest.raises(ValueError, match="min_tokens"):
+        fim_examples(df, "doc_id", "text", min_tokens=0)

@@ -451,3 +451,47 @@ def test_negative_sampling_validation(spark):
     t = negative_sampling_table(docs, "doc_id", "text", vocab_size=4)
     with pytest.raises(ValueError, match="k must be"):
         negative_draws(t, docs.select("doc_id"), "doc_id", k=0)
+
+
+# ---------------------------------------------------------------------------
+# skipgram_cooc
+# ---------------------------------------------------------------------------
+
+def test_skipgram_python_reference_and_symmetry(spark):
+    from casf_spark.operators.relevance import skipgram_cooc
+
+    docs = [(i, " ".join(f"w{(i * 3 + j) % 7}" for j in range(12)))
+            for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(4)
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_cooc(df, "doc_id", "text", window=2,
+                                  min_count=1).collect()}
+    want: dict[tuple[str, str], int] = {}
+    for _, text in docs:
+        toks = text.split()
+        for i, c in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    k = (c, toks[j])
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
+    # window co-occurrence is symmetric by construction
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+
+
+def test_skipgram_min_count_and_validation(spark):
+    import pytest
+
+    from casf_spark.operators.relevance import skipgram_cooc
+
+    df = spark.createDataFrame([(1, "a b a b c")],
+                               "doc_id long, text string")
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_cooc(df, "doc_id", "text", window=1,
+                                  min_count=2).collect()}
+    # only (a,b)/(b,a) reach the floor within a +/-1 window: a@0->b@1,
+    # a@2->{b@1, b@3} and the mirrors; (b,c)/(c,b) stay at 1
+    assert got == {("a", "b"): 3, ("b", "a"): 3}
+    with pytest.raises(ValueError, match="window"):
+        skipgram_cooc(df, "doc_id", "text", window=0)
