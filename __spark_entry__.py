@@ -36,6 +36,7 @@ from casf_spark.operators import skew as SK
 from casf_spark.operators.pipeline import curate_documents
 from casf_spark.operators import relevance as RV
 from casf_spark.operators.profile import profile
+from casf_spark.operators import profile as PF
 from casf_spark import sql as CSQL
 from casf_spark.operators import similarity as SIM
 from casf_spark.sources.tables import load_table, matrix_from_lineitem
@@ -4356,6 +4357,21 @@ def q_text_zipf(spark, sf):
                     F.round(F.col("n") / F.col("tot"), 6).alias("share")))
 
 
+def q_corpus_drift_psi(spark, sf):
+    """Population Stability Index drift report (operators.profile.
+    psi_report): the length distribution of the src0-9 half of the
+    corpus vs the src10-19 half, 200-char bins — the
+    yesterday-vs-today monitoring gate a production pipeline runs
+    before trusting a mixture plan (PSI < 0.1 stable). Add-1-smoothed
+    shares over the union of observed bins; each bin's term folds to
+    integer nano-units BEFORE the total (order-independent BIGINT
+    sum); every aggregation/join/window runs at bin grain."""
+    docs = load_table(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 20 < 10)
+    new = docs.where(F.col("doc_id") % 20 >= 10)
+    return PF.psi_report(ref, new, "n_chars", 200.0)
+
+
 def q_doc_lang_source_lift(spark, sf):
     """Corpus-audit contingency: observed/expected lift of each
     (lang, source) cell — flags languages concentrated in one source
@@ -5559,7 +5575,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (18 names) — windowed immediately so no
+#   * every round-11 addition (19 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5567,7 +5583,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 24 names fit; the 25 displaced tail names (events_funnel,
+#     — 23 names fit; the 26 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
@@ -5575,16 +5591,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
 #     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
-#     events_pivot) head the round-12 queue, see NEXT.md.
+#     events_pivot, events_cube) head the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 18 round-11 additions, newest first (everything after
+    # -- the 19 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
     "negative_samples", "lm_windows", "fim_examples",
-    "skipgram_cooc",
+    "skipgram_cooc", "corpus_drift_psi",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5599,7 +5615,7 @@ _ROUND11_WINDOW = [
     "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
     "events_hourly", "events_sliding", "events_sessions", "events_json",
     "events_asof", "events_interval", "events_distinct_users",
-    "events_profile", "events_rollup", "events_cube"
+    "events_profile", "events_rollup"
 ]
 
 
@@ -5620,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom_state": q_stream_bloom_state,
         "negative_samples": q_negative_samples,
         "skipgram_cooc": q_skipgram_cooc,
+        "corpus_drift_psi": q_corpus_drift_psi,
         "fim_examples": q_fim_examples,
         "lm_windows": q_lm_windows,
         "cms_term_counts": q_cms_term_counts,
@@ -7252,6 +7269,29 @@ SELECT doc AS doc_id, n AS n_tokens, p1, p2,
          || COALESCE(array_to_string(list_slice(a, p1 + 1, p2), ' '), '')
          AS fim_text
 FROM pp""",
+        "corpus_drift_psi": """
+WITH rb AS (SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) bin, COUNT(*) c
+            FROM documents WHERE doc_id % 20 < 10 AND n_chars IS NOT NULL
+            GROUP BY 1),
+nb AS (SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) bin, COUNT(*) c
+       FROM documents WHERE doc_id % 20 >= 10 AND n_chars IS NOT NULL
+       GROUP BY 1),
+j AS (SELECT COALESCE(rb.bin, nb.bin) bin,
+             COALESCE(rb.c, 0) ref_cnt, COALESCE(nb.c, 0) new_cnt
+      FROM rb FULL OUTER JOIN nb ON rb.bin = nb.bin),
+tot AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) nr,
+               CAST(SUM(new_cnt) AS BIGINT) nn, COUNT(*) b FROM j),
+terms AS (SELECT bin, ref_cnt, new_cnt,
+            CAST(FLOOR(((ref_cnt + 1.0) / (nr + b)
+                        - (new_cnt + 1.0) / (nn + b))
+                       * ln(((ref_cnt + 1.0) / (nr + b))
+                            / ((new_cnt + 1.0) / (nn + b)))
+                       * 1000000000.0 + 0.5) AS BIGINT) term
+          FROM j CROSS JOIN tot)
+SELECT bin, CAST(ref_cnt AS BIGINT) AS ref_cnt,
+       CAST(new_cnt AS BIGINT) AS new_cnt, term AS psi_term_u,
+       CAST(SUM(term) OVER () AS BIGINT) AS psi_u
+FROM terms""",
         "skipgram_cooc": f"""
 WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
                  FROM documents),

@@ -129,3 +129,56 @@ def cluster_term_profile(docs: DataFrame, emb: DataFrame,
             .join(F.broadcast(ndocs), "cluster")
             .select(F.col("cluster").cast("long").alias("cluster"),
                     "n_docs", "rank", "term", "cnt"))
+
+
+def psi_report(ref: DataFrame, new: DataFrame, value_col,
+               bin_width: float) -> DataFrame:
+    """Population Stability Index drift report between two corpus
+    snapshots — the standard monitoring metric a production pipeline
+    runs between yesterday's and today's crawl before trusting a
+    mixture plan: ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over
+    fixed-width bins of a score/length column. Rule-of-thumb bands:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate.
+
+    Determinism: bins are integer ``floor(value / bin_width)``; shares
+    are add-1-smoothed over the UNION of observed bins (both sides
+    positive — ln is finite); each bin's PSI term folds to an integer
+    nano-unit BEFORE the total (order-independent BIGINT sum — the
+    cross-engine rule for float accumulations). Output: one row per
+    observed bin (bin, ref_cnt, new_cnt, psi_term_u) plus the shared
+    total ``psi_u``; psi = psi_u / 1e9.
+
+    Scale shape: each side is one bin-grain aggregation (map-side
+    combined — the key space is the bin count); the join, totals and
+    the total-PSI window all run over the bounded bin table.
+    """
+    if bin_width <= 0:
+        raise ValueError("psi_report: bin_width must be > 0")
+    from pyspark.sql import Window
+
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+
+    def bins(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.floor(vc / F.lit(bin_width)).cast("long")
+                          .alias("bin"))
+                .where(F.col("bin").isNotNull())
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    joined = (bins(ref, "ref_cnt").join(bins(new, "new_cnt"),
+                                        "bin", "full_outer")
+              .select("bin",
+                      F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+                      F.coalesce("new_cnt", F.lit(0)).alias("new_cnt")))
+    tot = joined.agg(F.sum("ref_cnt").alias("__psi_nr"),
+                     F.sum("new_cnt").alias("__psi_nn"),
+                     F.count(F.lit(1)).alias("__psi_b"))
+    t = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("ref_cnt") + 1) / (F.col("__psi_nr") + F.col("__psi_b"))
+    q = (F.col("new_cnt") + 1) / (F.col("__psi_nn") + F.col("__psi_b"))
+    term_u = F.floor((p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5)) \
+        .cast("long")
+    t = t.select("bin", "ref_cnt", "new_cnt", term_u.alias("psi_term_u"))
+    win = Window.orderBy().rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing)
+    return t.withColumn("psi_u", F.sum("psi_term_u").over(win))

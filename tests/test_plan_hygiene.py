@@ -97,11 +97,17 @@ PRODUCT_WHITELIST = {
     # the 1-row total/bucket-width scalar broadcast into both the
     # bucket-index build (vocab_size rows) and the draw expansion
     "negative_samples",
+    # the 1-row (n_ref, n_new, n_bins) totals broadcast onto the
+    # bounded bin table
+    "corpus_drift_psi",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
 #: scalar aggregates feeding the same plan)
 TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
+                    # the 1-row totals agg + the total-PSI window over
+                    # the bounded bin table
+                    "corpus_drift_psi",
                     # doc-checksum agg + vec-checksum agg (both 1-row,
                     # 25-row output total)
                     "adversarial_contract",

@@ -107,3 +107,57 @@ def test_cluster_term_profile_planted_topics(spark):
     tops = {min(rows, key=lambda r: r.rank).term
             for rows in by_cluster.values()}
     assert tops == {"piano", "gradient"}
+
+
+# ---------------------------------------------------------------------------
+# psi_report (distribution drift)
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_is_zero_and_python_reference(spark):
+    """Identical snapshots give PSI exactly 0 (p == q per bin -> every
+    term is floor(0.5) = 0); a shifted snapshot matches a python
+    replay and lands clearly above the 0.25 alarm band."""
+    import math
+
+    from casf_spark.operators.profile import psi_report
+
+    ref_rows = [(i, float(100 + (i * 13) % 400)) for i in range(300)]
+    df = spark.createDataFrame(ref_rows, "id long, v double")
+    same = {r.bin: r for r in psi_report(df, df, "v", 100.0).collect()}
+    assert all(r.psi_term_u == 0 and r.psi_u == 0 for r in same.values())
+
+    shifted = spark.createDataFrame(
+        [(i, v + 300.0) for i, v in ref_rows], "id long, v double")
+    rows = psi_report(df, shifted, "v", 100.0).collect()
+
+    rc: dict[int, int] = {}
+    nc: dict[int, int] = {}
+    for _, v in ref_rows:
+        rc[int(v // 100)] = rc.get(int(v // 100), 0) + 1
+        nc[int((v + 300) // 100)] = nc.get(int((v + 300) // 100), 0) + 1
+    bins = sorted(set(rc) | set(nc))
+    b, nr, nn = len(bins), sum(rc.values()), sum(nc.values())
+    want = {}
+    for bn in bins:
+        p = (rc.get(bn, 0) + 1.0) / (nr + b)
+        q = (nc.get(bn, 0) + 1.0) / (nn + b)
+        want[bn] = math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+    got = {r.bin: r.psi_term_u for r in rows}
+    assert got == want
+    assert rows[0].psi_u == sum(want.values())
+    assert rows[0].psi_u / 1e9 > 0.25  # a 3-bin shift is an alarm
+
+
+def test_psi_null_values_and_validation(spark):
+    import pytest
+
+    from casf_spark.operators.profile import psi_report
+
+    ref = spark.createDataFrame([(1, 10.0), (2, None), (3, 20.0)],
+                                "id long, v double")
+    new = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                "id long, v double")
+    rows = psi_report(ref, new, "v", 10.0).collect()
+    assert sum(r.ref_cnt for r in rows) == 2  # NULL excluded
+    with pytest.raises(ValueError, match="bin_width"):
+        psi_report(ref, new, "v", 0.0)
