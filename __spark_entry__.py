@@ -4357,6 +4357,37 @@ def q_text_zipf(spark, sf):
                     F.round(F.col("n") / F.col("tot"), 6).alias("share")))
 
 
+def q_retrieval_ndcg(spark, sf):
+    """Ranked-retrieval evaluation (operators.relevance.retrieval_ndcg):
+    nDCG@10 of the BM25 ranking for a 3-term query against graded
+    occurrence-capped relevance labels — the trust report a retrieval
+    stack runs before shipping a ranker (completes the eval family:
+    nb_lang_eval for classifiers, nb_calibration for scores, this for
+    rankings). DCG terms fold to integer nano-units before the
+    order-independent sum; ideal ordering is a TakeOrdered cut."""
+    docs = load_table(spark, sf, "documents")
+    return RV.retrieval_ndcg(docs, ["spark", "table", "hash"],
+                             "doc_id", "text", k=10, pool_n=20)
+
+
+def q_filter_agreement(spark, sf):
+    """Cohen's kappa between two quality gates (operators.curation.
+    filter_agreement_kappa): the Gopher rule filter vs a flat 240-char
+    length cut — the agreement-beyond-chance diagnostic that tells a
+    curation stack whether a second gate adds signal or is redundant.
+    One aggregation builds the 2x2 table; po/pe/kappa derive from the
+    integer counts with identical double arithmetic in both engines.
+    Twin composes the PROVEN gopher oracle body."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "passes_gopher")
+    t = g.join(docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                           "n_chars"), "doc_id")
+    return CU.filter_agreement_kappa(t, F.col("passes_gopher"),
+                                     F.col("n_chars") >= 240)
+
+
 def q_corpus_drift_psi(spark, sf):
     """Population Stability Index drift report (operators.profile.
     psi_report): the length distribution of the src0-9 half of the
@@ -5575,7 +5606,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (19 names) — windowed immediately so no
+#   * every round-11 addition (21 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5583,7 +5614,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 23 names fit; the 26 displaced tail names (events_funnel,
+#     — 21 names fit; the 28 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
@@ -5591,16 +5622,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
 #     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
-#     events_pivot, events_cube) head the round-12 queue, see NEXT.md.
+#     events_pivot, events_cube, events_profile, events_rollup) head
+#     the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 19 round-11 additions, newest first (everything after
+    # -- the 21 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
     "weighted_sample", "events_transitions", "embedding_pca2",
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
     "negative_samples", "lm_windows", "fim_examples",
-    "skipgram_cooc", "corpus_drift_psi",
+    "skipgram_cooc", "corpus_drift_psi", "retrieval_ndcg",
+    "filter_agreement",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5614,8 +5647,7 @@ _ROUND11_WINDOW = [
     "dedup_semantic_2l", "dedup_pagerank", "pipeline_curate_v2",
     "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
     "events_hourly", "events_sliding", "events_sessions", "events_json",
-    "events_asof", "events_interval", "events_distinct_users",
-    "events_profile", "events_rollup"
+    "events_asof", "events_interval", "events_distinct_users"
 ]
 
 
@@ -5637,6 +5669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "skipgram_cooc": q_skipgram_cooc,
         "corpus_drift_psi": q_corpus_drift_psi,
+        "retrieval_ndcg": q_retrieval_ndcg,
+        "filter_agreement": q_filter_agreement,
         "fim_examples": q_fim_examples,
         "lm_windows": q_lm_windows,
         "cms_term_counts": q_cms_term_counts,
@@ -7269,6 +7303,44 @@ SELECT doc AS doc_id, n AS n_tokens, p1, p2,
          || COALESCE(array_to_string(list_slice(a, p1 + 1, p2), ' '), '')
          AS fim_text
 FROM pp""",
+        "retrieval_ndcg": f"""
+WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
+                 FROM documents),
+toks AS (SELECT doc, unnest(a) w FROM toklist),
+dl AS (SELECT doc, COUNT(*) dl FROM toks GROUP BY 1),
+st AS (SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) n_docs,
+              AVG(dl) avgdl FROM dl),
+hits AS (SELECT doc, w term, CAST(COUNT(*) AS DOUBLE) tf FROM toks
+         WHERE w IN ('hash', 'spark', 'table') GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) df FROM hits GROUP BY 1),
+c AS (SELECT h.doc,
+        ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+          * h.tf * (1.2 + 1.0)
+          / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) contrib
+      FROM hits h JOIN dfreq d USING (term) JOIN dl USING (doc)
+      CROSS JOIN st),
+ranked AS (SELECT doc, ROUND(SUM(contrib), 6) score
+           FROM c GROUP BY 1 ORDER BY score DESC, doc LIMIT 20),
+rel AS (SELECT doc, LEAST(COUNT(*), 7) rel FROM toks
+        WHERE w IN ('hash', 'spark', 'table') GROUP BY 1),
+at_k AS (SELECT COALESCE(rel.rel, 0) rel, rk.r
+         FROM (SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) r
+               FROM ranked) rk
+         LEFT JOIN rel USING (doc)
+         WHERE rk.r <= 10),
+dcg AS (SELECT CAST(SUM(CAST(FLOOR(rel / log2(r + 1) * 1000000000.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) dcg_u
+        FROM at_k),
+ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc) r
+          FROM rel ORDER BY rel DESC, doc LIMIT 10),
+idcg AS (SELECT CAST(SUM(CAST(FLOOR(rel / log2(r + 1) * 1000000000.0
+                                    + 0.5) AS BIGINT)) AS BIGINT) idcg_u
+         FROM ideal)
+SELECT 10 AS k,
+       ROUND(dcg_u / 1000000000.0, 6) AS dcg,
+       ROUND(idcg_u / 1000000000.0, 6) AS idcg,
+       ROUND(CAST(dcg_u AS DOUBLE) / idcg_u, 6) AS ndcg
+FROM dcg CROSS JOIN idcg""",
         "corpus_drift_psi": """
 WITH rb AS (SELECT CAST(FLOOR(n_chars / 200.0) AS BIGINT) bin, COUNT(*) c
             FROM documents WHERE doc_id % 20 < 10 AND n_chars IS NOT NULL
@@ -8851,6 +8923,31 @@ UNION ALL SELECT 'exact_dup_rate', ROUND(1.0 - m2.n_kept / m1.n_docs, 6)
 UNION ALL SELECT 'gopher_pass_rate', ROUND(gopher_rate, 6) FROM m3
 UNION ALL SELECT 'mean_doc_tokens', ROUND(n_tokens / n_docs, 6) FROM m1"""
     # label propagation composes the PROVEN gopher body for its seeds
+    out["filter_agreement"] = f"""
+WITH gq AS ({{}}),
+fl AS (SELECT COALESCE(g.passes_gopher, FALSE) a,
+              COALESCE(d.n_chars >= 240, FALSE) b
+       FROM gq g JOIN documents d ON CAST(d.doc_id AS BIGINT) = g.doc_id),
+ct AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+              CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) n11,
+              CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) n10,
+              CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) n01,
+              CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) n00
+       FROM fl),
+pp AS (SELECT n, n11, n10, n01, n00,
+              (n11 + n00) * 1.0 / n AS po_raw,
+              ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                + (1 - (n11 + n10) * 1.0 / n)
+                  * (1 - (n11 + n01) * 1.0 / n) AS pe_raw
+       FROM ct)
+SELECT n, n11, n10, n01, n00,
+       ROUND(po_raw, 6) AS po, ROUND(pe_raw, 6) AS pe,
+       CASE WHEN pe_raw = 1.0 THEN NULL
+            ELSE ROUND((po_raw - pe_raw) / (1 - pe_raw), 6) END AS kappa
+FROM pp""".format(out["gopher_quality"])
     out["quality_propagate"] = _label_prop_oracle(out["gopher_quality"],
                                                   n_iter=3)
     # convergence-stopped variant: same recurrence, integer-exact

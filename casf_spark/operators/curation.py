@@ -1343,3 +1343,43 @@ def fim_examples(df: DataFrame, id_col: str, text_col: str,
                        F.col("p1").cast("long").alias("p1"),
                        F.col("p2").cast("long").alias("p2"),
                        fim.alias("fim_text"))
+
+
+def filter_agreement_kappa(df: DataFrame, flag_a: Column,
+                           flag_b: Column) -> DataFrame:
+    """Cohen's kappa between two boolean filters — the agreement-
+    beyond-chance diagnostic a curation stack runs before stacking
+    quality gates (two filters that agree only at chance level are
+    measuring different things; near-1 kappa means the second gate is
+    redundant). ``kappa = (po - pe) / (1 - pe)`` with ``po`` the
+    observed agreement rate and ``pe`` the chance rate implied by the
+    two filters' marginals.
+
+    ONE aggregation pass computes the full 2x2 confusion table (NULL
+    flags count as FALSE — a filter that abstains rejects); po/pe/
+    kappa derive from the integer counts with identical double
+    arithmetic in both engines, rounded 6dp at output only. Constant
+    filters (pe == 1) yield NULL kappa (undefined). Output: ONE row
+    (n, n11, n10, n01, n00, po, pe, kappa).
+    """
+    a = F.coalesce(flag_a, F.lit(False))
+    b = F.coalesce(flag_b, F.lit(False))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 cnt(a & b).alias("n11"),
+                 cnt(a & ~b).alias("n10"),
+                 cnt(~a & b).alias("n01"),
+                 cnt(~a & ~b).alias("n00"))
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pa = (F.col("n11") + F.col("n10")) / F.col("n")
+    pb = (F.col("n11") + F.col("n01")) / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    kappa = F.when(pe == 1.0, F.lit(None).cast("double")) \
+        .otherwise(F.round((po - pe) / (1 - pe), 6))
+    return agg.select("n", "n11", "n10", "n01", "n00",
+                      F.round(po, 6).alias("po"),
+                      F.round(pe, 6).alias("pe"),
+                      kappa.alias("kappa"))

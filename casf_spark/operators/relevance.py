@@ -647,3 +647,51 @@ def skipgram_cooc(docs: DataFrame, id_col: str, text_col: str,
                      F.col("__sg_p.context").alias("context"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .where(F.col("cnt") >= min_count))
+
+
+def retrieval_ndcg(docs: DataFrame, query_terms: Sequence[str],
+                   id_col: str, text_col: str, k: int = 10,
+                   pool_n: int = 20) -> DataFrame:
+    """Ranked-retrieval quality metric — nDCG@k of the BM25 ranking
+    against graded relevance labels (the evaluation step a retrieval
+    stack runs before trusting its ranker): relevance of a document =
+    the number of DISTINCT query terms it contains (0..len(terms), the
+    standard deterministic grading when no human labels exist);
+    ``DCG@k = sum_r rel_r / log2(r + 1)`` over the BM25 top-``pool_n``
+    ranking; ``IDCG@k`` from the corpus-wide ideal ordering
+    (rel desc, doc asc). Output: ONE row (k, dcg, idcg, ndcg).
+
+    Determinism: ranks come from the 6dp-rounded BM25 scores with doc
+    tie-break; each DCG term folds to integer nano-units BEFORE the
+    sum (order-independent BIGINT); the division to ndcg happens once
+    at output, rounded 6dp. Scale shape: inherits bm25_rank's
+    hit-filtered plan; relevance is one map-side distinct-term count;
+    the ideal ordering is a TakeOrdered cut, never a global sort.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    t_rel = (tokenize(docs, id_col, text_col)
+             .select(F.col("doc").cast("long").alias("doc"), "word")
+             .where(F.col("word").isin(terms))
+             .groupBy("doc")
+             .agg(F.least(F.count(F.lit(1)), F.lit(7)).cast("long")
+                  .alias("rel")))
+    ranked = (bm25_rank(docs, terms, id_col, text_col, top_n=pool_n)
+              .select("doc", "score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    at_k = (ranked.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .join(t_rel, "doc", "left")
+            .select(F.coalesce("rel", F.lit(0)).alias("rel"), "r"))
+    gain = F.floor(F.col("rel") / F.log2(F.col("r") + 1)
+                   * F.lit(1e9) + F.lit(0.5)).cast("long")
+    dcg = at_k.agg(F.sum(gain).alias("dcg_u"))
+    ideal = (t_rel.orderBy(F.desc("rel"), F.asc("doc")).limit(k)
+             .withColumn("r", F.row_number().over(
+                 Window.orderBy(F.desc("rel"), F.asc("doc")))))
+    idcg = ideal.agg(F.sum(gain).alias("idcg_u"))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select(F.lit(k).cast("int").alias("k"),
+                    F.round(F.col("dcg_u") / 1e9, 6).alias("dcg"),
+                    F.round(F.col("idcg_u") / 1e9, 6).alias("idcg"),
+                    F.round((F.col("dcg_u").cast("double")
+                             / F.col("idcg_u")), 6).alias("ndcg")))

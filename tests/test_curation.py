@@ -949,3 +949,31 @@ def test_fim_min_tokens_and_validation(spark):
     assert [r.doc for r in rows] == [3]
     with pytest.raises(ValueError, match="min_tokens"):
         fim_examples(df, "doc_id", "text", min_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_kappa
+# ---------------------------------------------------------------------------
+
+def test_kappa_hand_computed_and_edges(spark):
+    from casf_spark.operators.curation import filter_agreement_kappa
+
+    # 2x2 table: n11=4, n10=1, n01=1, n00=4 over n=10
+    rows = ([(True, True)] * 4 + [(True, False)]
+            + [(False, True)] + [(False, False)] * 4)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = filter_agreement_kappa(df, F.col("a"), F.col("b")).collect()
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (10, 4, 1, 1, 4)
+    assert r.po == 0.8 and r.pe == 0.5 and r.kappa == 0.6
+
+    # perfect agreement -> kappa 1; NULL flags count as FALSE
+    df2 = spark.createDataFrame(
+        [(True, True), (None, False), (False, None)],
+        "a boolean, b boolean")
+    [r2] = filter_agreement_kappa(df2, F.col("a"), F.col("b")).collect()
+    assert r2.kappa == 1.0 and r2.n00 == 2
+
+    # constant filters -> pe == 1 -> NULL kappa
+    df3 = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    [r3] = filter_agreement_kappa(df3, F.col("a"), F.col("b")).collect()
+    assert r3.kappa is None

@@ -100,6 +100,9 @@ PRODUCT_WHITELIST = {
     # the 1-row (n_ref, n_new, n_bins) totals broadcast onto the
     # bounded bin table
     "corpus_drift_psi",
+    # inherits bm25_rank's 1-row corpus-stats broadcast + the 1-row
+    # dcg x idcg crossJoin of the two nano-unit sums
+    "retrieval_ndcg",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -108,6 +111,10 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     # the 1-row totals agg + the total-PSI window over
                     # the bounded bin table
                     "corpus_drift_psi",
+                    # bm25's 1-row corpus-stats agg + the rank/ideal
+                    # windows over <= pool_n rows and the two 1-row
+                    # DCG sums (bounded)
+                    "retrieval_ndcg",
                     # doc-checksum agg + vec-checksum agg (both 1-row,
                     # 25-row output total)
                     "adversarial_contract",

@@ -495,3 +495,54 @@ def test_skipgram_min_count_and_validation(spark):
     assert got == {("a", "b"): 3, ("b", "a"): 3}
     with pytest.raises(ValueError, match="window"):
         skipgram_cooc(df, "doc_id", "text", window=0)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg
+# ---------------------------------------------------------------------------
+
+def test_ndcg_python_replica_and_bounds(spark):
+    """dcg/idcg/ndcg equal a single-threaded replica of the same BM25 +
+    capped-relevance + nano-fold pipeline, and ndcg <= 1 with equality
+    iff the ranking is ideal."""
+    import math
+
+    from casf_spark.operators.relevance import retrieval_ndcg
+
+    terms = ["apple", "pear"]
+    docs = [(i, ("apple " * (1 + i % 9) + "pear " * (i % 3)
+                 + "filler " * (i % 13)).strip()) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    [row] = retrieval_ndcg(df, terms, "doc_id", "text",
+                           k=5, pool_n=10).collect()
+
+    # python replica
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n_docs, avgdl = len(docs), sum(dl.values()) / len(docs)
+    tf = {}
+    for i, ws in toks.items():
+        for t in terms:
+            c = ws.count(t)
+            if c:
+                tf[(i, t)] = float(c)
+    dfreq = {t: float(sum(1 for (i, tt) in tf if tt == t)) for t in terms}
+    score = {}
+    for (i, t), f in tf.items():
+        idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        score[i] = score.get(i, 0.0) + idf * f * 2.2 / (
+            f + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl))
+    ranked = sorted(((round(s, 6), -i) for i, s in score.items()),
+                    reverse=True)[:10]
+    rel = {i: min(sum(toks[i].count(t) for t in terms), 7)
+           for i in score}
+    dcg_u = sum(math.floor(rel[-negi] / math.log2(r + 2) * 1e9 + 0.5)
+                for r, (_, negi) in enumerate(ranked[:5]))
+    ideal = sorted(((rel[i], -i) for i in rel), reverse=True)[:5]
+    idcg_u = sum(math.floor(rv / math.log2(r + 2) * 1e9 + 0.5)
+                 for r, (rv, _) in enumerate(ideal))
+    assert row.k == 5
+    assert row.dcg == round(dcg_u / 1e9, 6)
+    assert row.idcg == round(idcg_u / 1e9, 6)
+    assert row.ndcg == round(dcg_u / idcg_u, 6)
+    assert row.ndcg <= 1.0
