@@ -7274,12 +7274,15 @@ st AS (SELECT doc, a,
                          AND 1 PRECEDING), 0) AS start
        FROM toklist),
 placed AS (SELECT doc, unnest(a) w,
-                  start + generate_subscripts(a, 1) - 1 AS gpos
+                  start + generate_subscripts(a, 1) - 1 AS gpos,
+                  generate_subscripts(a, 1) = 1 AS doc_first
            FROM st)
 SELECT CAST(gpos // 64 AS BIGINT) AS window_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
        MIN(doc) AS first_doc,
+       COALESCE(string_agg(CAST(gpos % 64 AS VARCHAR), ' ' ORDER BY gpos)
+                  FILTER (WHERE doc_first), '') AS doc_starts_str,
        string_agg(w, ' ' ORDER BY gpos) AS tokens_str
 FROM placed GROUP BY 1""",
         "fim_examples": f"""

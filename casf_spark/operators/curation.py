@@ -1283,13 +1283,24 @@ def lm_causal_windows(df: DataFrame, id_col: str, text_col: str,
                       (F.col("off") + F.col("local_excl")).alias("start"),
                       F.posexplode("toks").alias("pos", "w"))
               .select("doc", "w",
-                      (F.col("start") + F.col("pos")).alias("gpos"))
+                      (F.col("start") + F.col("pos")).alias("gpos"),
+                      (F.col("pos") == 0).alias("doc_first"))
               .withColumn("window_id", F.expr(f"gpos div {ctx}")))
     pieces = F.sort_array(F.collect_list(F.struct("gpos", "w")))
+    # in-window offsets where a NEW document begins — the positions a
+    # trainer resets attention/loss at (a window whose first token
+    # continues the previous window's doc has no leading 0)
+    starts = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("doc_first"),
+                       F.col("gpos") % F.lit(ctx)))),
+            lambda x: x.cast("string")), " ")
     return (placed.groupBy("window_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.size(F.collect_set("doc")).cast("long").alias("n_docs"),
                  F.min("doc").alias("first_doc"),
+                 starts.alias("doc_starts_str"),
                  F.array_join(F.transform(pieces, lambda s: s["w"]), " ")
                  .alias("tokens_str")))
 

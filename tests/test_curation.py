@@ -868,6 +868,18 @@ def test_lm_windows_partition_and_boundaries(spark):
     assert stream == want
     # window 0 spans docs 0 and 1 (10 + 6 tokens)
     assert rows[0].n_docs == 2 and rows[0].first_doc == 0
+    # attention-reset offsets: doc i starts at global 10*i -> in-window
+    # offset (10*i) % 16 in window (10*i) // 16; window 1 starts
+    # mid-doc-1 so its list has no leading 0
+    starts = {r.window_id: r.doc_starts_str for r in rows}
+    want_starts: dict[int, list[int]] = {}
+    for i in range(7):
+        g = 10 * i
+        want_starts.setdefault(g // 16, []).append(g % 16)
+    for wid in starts:
+        offs = want_starts.get(wid, [])
+        assert starts[wid] == " ".join(str(o) for o in offs)
+    assert starts[0] == "0 10" and starts[4] == ""  # spot checks
 
 
 def test_lm_windows_chunking_invariant_and_validation(spark):
