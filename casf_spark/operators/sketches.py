@@ -168,7 +168,10 @@ def bloom_build(df: DataFrame, key_col, m_bits: int, k: int,
     h = hashing.md5_long(key_col)
     pos = F.explode(F.array(*hashing.position_exprs(h, k, m_bits,
                                                     seed=seed)))
-    cells = df.select(pos.alias("__bloom_pos"))
+    # a NULL key hashes to NULL positions — drop them (an absent key
+    # can never probe true, and NULL word rows would be dead weight)
+    cells = df.select(pos.alias("__bloom_pos")) \
+        .where(F.col("__bloom_pos").isNotNull())
     word = (F.col("__bloom_pos") / F.lit(BLOOM_WORD_BITS)).cast("long")
     # the Python shiftleft() helper only takes a literal shift count;
     # a column-valued count needs the SQL spelling
@@ -267,8 +270,9 @@ def cms_build(items: DataFrame, item_col: str, width: int, depth: int,
         F.struct(F.lit(r).cast("int").alias("row_idx"),
                  c.alias("col_idx"))
         for r, c in enumerate(cols)])).alias("__cms_cell"))
-    return (cells.groupBy(F.col("__cms_cell.row_idx").alias("row_idx"),
-                          F.col("__cms_cell.col_idx").alias("col_idx"))
+    return (cells.where(F.col("__cms_cell.col_idx").isNotNull())
+            .groupBy(F.col("__cms_cell.row_idx").alias("row_idx"),
+                     F.col("__cms_cell.col_idx").alias("col_idx"))
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 

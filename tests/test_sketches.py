@@ -208,3 +208,25 @@ def test_cms_arg_validation(spark):
     bad = df.withColumn("__cms_qid", F.lit(1))
     with pytest.raises(ValueError, match="__cms_"):
         cms_estimate(bad, "item", cms, width=16, depth=2)
+
+
+def test_bloom_and_cms_null_keys_are_inert(spark):
+    """NULL keys/items contribute nothing to either sketch (no junk
+    NULL-word rows), and a NULL key probes definitively false."""
+    from casf_spark.operators.sketches import (bloom_build, bloom_probe,
+                                               cms_build)
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "key string")
+    filt = bloom_build(df, "key", m_bits=1 << 10, k=3)
+    assert filt.where(F.col("word_idx").isNull()).count() == 0
+    out = {r.key: r.maybe_seen
+           for r in bloom_probe(df, "key", filt, m_bits=1 << 10,
+                                k=3).collect()}
+    assert out["a"] and out["b"] and not out[None]
+
+    items = spark.createDataFrame([("x",), (None,), ("x",)],
+                                  "item string")
+    cms = cms_build(items, "item", width=16, depth=2)
+    rows = cms.collect()
+    assert all(r.col_idx is not None for r in rows)
+    assert sum(r.cnt for r in rows) == 2 * 2  # 2 occurrences x depth
