@@ -1733,6 +1733,41 @@ def q_nb_calibration(spark, sf):
             .orderBy("bucket"))
 
 
+def q_nb_cv(spark, sf):
+    """5-fold deterministic cross-validation of the NB language
+    classifier (operators.classify.nb_train/nb_score over the hash
+    folds ``doc_id % 5``): per fold, train on the other four fifths
+    and score the held fold — the VARIANCE across folds is the
+    stability signal a single held-out split (nb_lang_eval) can't
+    show, and the standard protocol before trusting a learned filter's
+    reported accuracy. Per-fold rows (fold, n_heldout, n_correct,
+    accuracy); each fold is one bounded-model train + broadcast-join
+    score, so the whole CV is 5 independent small plans unioned."""
+    docs = load_table(spark, sf, "documents")
+    outs = []
+    for fold in range(5):
+        train = docs.where(F.col("doc_id") % 5 != fold)
+        held = docs.where(F.col("doc_id") % 5 == fold)
+        model = CL.nb_train(train, "doc_id", "text", "lang", "en",
+                            vocab_size=25)
+        scored = CL.nb_score(held, model, "doc_id", "text")
+        truth = held.select(F.col("doc_id").cast("string").alias("doc"),
+                            (F.col("lang") == "en").cast("int").alias("y"))
+        agg = (scored.join(truth, "doc")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_heldout"),
+                    F.sum((F.col("pred_pos").cast("int") == F.col("y"))
+                          .cast("int")).cast("long").alias("n_correct")))
+        outs.append(agg.select(
+            F.lit(fold).cast("int").alias("fold"), "n_heldout",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_heldout"), 6)
+            .alias("accuracy")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_nb_platt(spark, sf):
     """Platt scaling by deterministic grid search (operators.classify
     .platt_grid_fit — the post-hoc calibration FIT that composes with
@@ -3678,6 +3713,64 @@ c{j + 1} AS (SELECT vec_id cid, min_dist cdist FROM d{j}
     return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
+def _nb_cv_oracle(n_folds: int = 5) -> str:
+    """nb_cv twin: the PROVEN nb_lang_eval training/scoring body
+    replayed once per fold (CTEs suffixed per fold; the shared token
+    list MATERIALIZED — the DuckDB CTE re-expansion lesson)."""
+    parts = ["""toklist AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) doc,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') a
+  FROM documents)"""]
+    selects = []
+    for f in range(n_folds):
+        parts.append(f"""lab{f} AS (
+  SELECT CAST(doc_id AS VARCHAR) doc,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+  FROM documents WHERE doc_id % {n_folds} <> {f} AND lang IS NOT NULL),
+ttoks{f} AS (SELECT t.doc, unnest(t.a) w, l.y
+             FROM toklist t JOIN lab{f} l USING (doc)),
+tc{f} AS (SELECT w term, CAST(SUM(y) AS DOUBLE) c_pos,
+                 CAST(SUM(1 - y) AS DOUBLE) c_neg, COUNT(*) cnt
+          FROM ttoks{f} GROUP BY 1),
+vocab{f} AS MATERIALIZED (
+  SELECT * FROM tc{f} ORDER BY cnt DESC, term ASC LIMIT 25),
+tot{f} AS (SELECT SUM(c_pos) t_pos, SUM(c_neg) t_neg,
+                  CAST(COUNT(*) AS DOUBLE) v
+           FROM vocab{f}),
+model{f} AS (SELECT term,
+               CAST(FLOOR((ln((c_pos + 1.0) / (t_pos + v))
+                           - ln((c_neg + 1.0) / (t_neg + v)))
+                          * 1000000.0 + 0.5) AS BIGINT) lr_u
+             FROM vocab{f} CROSS JOIN tot{f}),
+prior{f} AS (SELECT CAST(FLOOR((ln(n_pos) - ln(n_neg)) * 1000000.0
+                               + 0.5) AS BIGINT) prior_u
+             FROM (SELECT CAST(SUM(y) AS DOUBLE) n_pos,
+                          CAST(SUM(1 - y) AS DOUBLE) n_neg
+                   FROM lab{f})),
+held{f} AS (SELECT CAST(doc_id AS VARCHAR) doc,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END y
+            FROM documents WHERE doc_id % {n_folds} = {f}),
+stoks{f} AS (SELECT t.doc, unnest(t.a) w
+             FROM toklist t JOIN held{f} USING (doc)),
+hit{f} AS (SELECT s.doc, CAST(SUM(m.lr_u) AS BIGINT) sum_u
+           FROM stoks{f} s JOIN model{f} m ON s.w = m.term GROUP BY 1),
+sc{f} AS (SELECT h.doc, h.y,
+                 ((p.prior_u + COALESCE(x.sum_u, 0)) >= 0) pred
+          FROM held{f} h
+          LEFT JOIN hit{f} x ON h.doc = x.doc
+          CROSS JOIN prior{f} p),
+cm{f} AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                 CAST(SUM(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END)
+                      AS BIGINT) n_correct
+          FROM sc{f})""")
+        selects.append(
+            f"SELECT {f} AS fold, n AS n_heldout, n_correct, "
+            f"ROUND(n_correct * 1.0 / n, 6) AS accuracy FROM cm{f}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 def _viterbi_cte_parts(max_word_len: int = 12, max_piece_len: int = 4,
                        vocab_size: int = 64) -> list[str]:
     """Shared Viterbi CTE core: the EXACT Viterbi DP as chained
@@ -5606,7 +5699,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 driver window (the driver's correctness harness checks the
 # FIRST 50 entries of queries()). Composition, per the round-10 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (21 names) — windowed immediately so no
+#   * every round-11 addition (22 names) — windowed immediately so no
 #     never-checked backlog accumulates;
 #   * the 8 stalest names anywhere: the cosine-family tail last
 #     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
@@ -5614,7 +5707,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * then the round-7 cohort in round-7 window order
 #     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
 #     in the round-10 window — the only r7 name fresher than round 7)
-#     — 21 names fit; the 28 displaced tail names (events_funnel,
+#     — 20 names fit; the 29 displaced tail names (events_funnel,
 #     events_retention, users_view_and_purchase, events_corr,
 #     events_value_hist, ann_ivf_pq, temperature_resample,
 #     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
@@ -5622,10 +5715,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     unigram_logprob, dedup_incremental, curation_funnel,
 #     dedup_spans, budget_select, mixture_resample, knn_classify,
 #     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
-#     events_pivot, events_cube, events_profile, events_rollup) head
-#     the round-12 queue, see NEXT.md.
+#     events_pivot, events_cube, events_profile, events_rollup,
+#     events_distinct_users) head the round-12 queue, see NEXT.md.
 _ROUND11_WINDOW = [
-    # -- the 21 round-11 additions, newest first (everything after
+    # -- the 22 round-11 additions, newest first (everything after
     #    quality_propagate_conv/url_psl_domains landed post-rotation
     #    and displaced the current window tail per protocol)
     "dedup_bloom", "cms_term_counts", "ccnet_buckets",
@@ -5633,7 +5726,7 @@ _ROUND11_WINDOW = [
     "t5_spans", "unigram_lm_em", "stream_bloom_state",
     "negative_samples", "lm_windows", "fim_examples",
     "skipgram_cooc", "corpus_drift_psi", "retrieval_ndcg",
-    "filter_agreement",
+    "filter_agreement", "nb_cv",
     "quality_propagate_conv", "url_psl_domains", "nb_calibration",
     "quality_propagate_weighted", "nb_platt",
     # -- the 8 round-6-stale cosine-family names
@@ -5647,7 +5740,7 @@ _ROUND11_WINDOW = [
     "dedup_semantic_2l", "dedup_pagerank", "pipeline_curate_v2",
     "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
     "events_hourly", "events_sliding", "events_sessions", "events_json",
-    "events_asof", "events_interval", "events_distinct_users"
+    "events_asof", "events_interval"
 ]
 
 
@@ -5806,6 +5899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
+        "nb_cv": q_nb_cv,
         # round-10 additions (windowed immediately)
         "quality_propagate": q_quality_propagate,
         "split_leakage_domain": q_split_leakage_domain,
@@ -8447,6 +8541,7 @@ SELECT doc_id, lang, n_vocab_tokens,
 FROM sc ORDER BY doc_id""",
         # held-out confusion report for the same model (the fifth the
         # training fold never saw)
+        "nb_cv": _nb_cv_oracle(),
         "nb_lang_eval": f"""
 WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END y

@@ -103,6 +103,10 @@ PRODUCT_WHITELIST = {
     # inherits bm25_rank's 1-row corpus-stats broadcast + the 1-row
     # dcg x idcg crossJoin of the two nano-unit sums
     "retrieval_ndcg",
+    # 5-fold CV: each fold inherits the NB class-totals + prior 1-row
+    # broadcasts (nb_lang_score's class), and each fold's final
+    # confusion agg crossJoins the prior scalar — 15 bounded products
+    "nb_cv",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -163,7 +167,11 @@ SP_CAP_OVERRIDES = {"data_quality_checks": 3,
                     # seed-vocab total agg + usage total agg (both
                     # 1-row) + the rank window over the <= vocab +
                     # alphabet usage rows
-                    "unigram_lm_em": 3}
+                    "unigram_lm_em": 3,
+                    # 5 independent folds x (class-totals agg + prior
+                    # agg) — every one a 1-row scalar; the fold output
+                    # is 1 row each
+                    "nb_cv": 10}
 
 
 @pytest.fixture(scope="module")
