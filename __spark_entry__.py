@@ -1693,7 +1693,8 @@ def q_nb_lang_eval(spark, sf):
                         vocab_size=25)
     scored = CL.nb_score(held, model, "doc_id", "text")
     truth = held.select(F.col("doc_id").cast("string").alias("doc"),
-                        (F.col("lang") == "en").cast("int").alias("y"))
+                        F.coalesce((F.col("lang") == "en").cast("int"),
+                                   F.lit(0)).alias("y"))
     j = scored.join(truth, "doc").select(
         F.col("pred_pos").cast("int").alias("p"), "y")
     agg = j.agg(
@@ -1728,7 +1729,8 @@ def q_nb_calibration(spark, sf):
                         vocab_size=25)
     scored = CL.nb_score(held, model, "doc_id", "text")
     truth = held.select(F.col("doc_id").cast("string").alias("doc"),
-                        (F.col("lang") == "en").cast("int").alias("y"))
+                        F.coalesce((F.col("lang") == "en").cast("int"),
+                                   F.lit(0)).alias("y"))
     return (CL.calibration_report(scored.join(truth, "doc"))
             .orderBy("bucket"))
 
@@ -1752,7 +1754,8 @@ def q_nb_cv(spark, sf):
                             vocab_size=25)
         scored = CL.nb_score(held, model, "doc_id", "text")
         truth = held.select(F.col("doc_id").cast("string").alias("doc"),
-                            (F.col("lang") == "en").cast("int").alias("y"))
+                            F.coalesce((F.col("lang") == "en").cast("int"),
+                                   F.lit(0)).alias("y"))
         agg = (scored.join(truth, "doc")
                .agg(F.count(F.lit(1)).cast("long").alias("n_heldout"),
                     F.sum((F.col("pred_pos").cast("int") == F.col("y"))
@@ -1786,7 +1789,8 @@ def q_nb_platt(spark, sf):
                         vocab_size=25)
     scored = CL.nb_score(held, model, "doc_id", "text")
     truth = held.select(F.col("doc_id").cast("string").alias("doc"),
-                        (F.col("lang") == "en").cast("int").alias("y"))
+                        F.coalesce((F.col("lang") == "en").cast("int"),
+                                   F.lit(0)).alias("y"))
     return (CL.platt_grid_fit(scored.join(truth, "doc"))
             .orderBy("a", "b"))
 
@@ -2651,6 +2655,53 @@ def q_url_psl_domains(spark, sf):
     df = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                      host.alias("host"))
     tbl = URL.public_suffix_table(spark, PSL.PSL_ICANN_FULL)
+    return (URL.registered_domain_join(df, "host", tbl)
+            .select("doc_id", "host", "reg_domain")
+            .orderBy("doc_id"))
+
+
+# host templates exercised by q_url_psl_rules — every wildcard /
+# exception branch of the PSL algorithm: a wildcard child that IS a
+# public suffix (0, 6, 11), registrable-under-wildcard at exactly one
+# more label (1, 7, 12), deep hosts under a wildcard (2, 8), exception
+# hosts at / under the rule (3-5, 9-10), literal interplay on the same
+# TLD as a wildcard's sibling (13-14), and the plain default (15).
+# Pinned against psl_data.PSL_RULES by tests/test_urls.py.
+_PSL_RULE_PLANT_HOSTS = (
+    "foo.ck", "bar.foo.ck", "x.bar.foo.ck",
+    "www.ck", "sub.www.ck", "a.b.www.ck",
+    "x9.kawasaki.jp", "a.x9.kawasaki.jp", "z.a.x9.kawasaki.jp",
+    "city.kawasaki.jp", "q.city.kawasaki.jp",
+    "s7.sch.uk", "my.s7.sch.uk",
+    "a.co.uk", "deep.x.tokyo.jp", "plain.org")
+
+
+def q_url_psl_rules(spark, sf):
+    """Registered-domain extraction under the FULL PSL rule set —
+    wildcard (``*.ck``, ``*.kawasaki.jp``, ``*.sch.uk``) and exception
+    (``!www.ck``, ``!city.kawasaki.jp``) rules resolved by the
+    side-table-join spelling (operators.urls.registered_domain_join
+    over psl_data.PSL_ICANN_FULL_RULES; the round-11 verdict's PSL
+    order — the expression spelling keeps rejecting rules loudly, and
+    that divergence is documented on both functions). The plant keys a
+    host template from _PSL_RULE_PLANT_HOSTS on doc_id % 16 (every
+    wildcard/exception branch: suffix-itself pass-through, registrable
+    at wildcard+1 labels, deep hosts, exception at and under the rule,
+    literal siblings, default) and appends a :8080 port on
+    doc_id % 11 == 0. The twin replays the FULL PSL precedence
+    (exception > longest rule > default) in SQL with IN-lists generated
+    from the SAME rule tuple. Scale shape: six broadcast hash
+    equi-joins, corpus never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    i = F.col("doc_id")
+    g = (i % 16).cast("int")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _PSL_RULE_PLANT_HOSTS]), g + 1)
+    host = F.when(i % 11 == 0,
+                  F.concat(host, F.lit(":8080"))).otherwise(host)
+    df = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     host.alias("host"))
+    tbl = URL.public_suffix_table(spark, PSL.PSL_ICANN_FULL_RULES)
     return (URL.registered_domain_join(df, "host", tbl)
             .select("doc_id", "host", "reg_domain")
             .orderBy("doc_id"))
@@ -5717,37 +5768,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
 #     events_pivot, events_cube, events_profile, events_rollup,
 #     events_distinct_users) head the round-12 queue, see NEXT.md.
-_ROUND11_WINDOW = [
-    # -- the 22 round-11 additions, newest first (everything after
-    #    quality_propagate_conv/url_psl_domains landed post-rotation
-    #    and displaced the current window tail per protocol)
-    "dedup_bloom", "cms_term_counts", "ccnet_buckets",
-    "weighted_sample", "events_transitions", "embedding_pca2",
-    "t5_spans", "unigram_lm_em", "stream_bloom_state",
-    "negative_samples", "lm_windows", "fim_examples",
-    "skipgram_cooc", "corpus_drift_psi", "retrieval_ndcg",
-    "filter_agreement", "nb_cv",
-    "quality_propagate_conv", "url_psl_domains", "nb_calibration",
-    "quality_propagate_weighted", "nb_platt",
-    # -- the 8 round-6-stale cosine-family names
-    "cosine_subset", "cosine_omit", "cosine_norm_none", "cosine_axis_x",
-    "cosine_topk", "cosine_threshold", "cosine_predict", "doc_cosine",
-    # -- the round-7 cohort (round-7 window order, 40 of 50;
-    #    tokens_to_ids skipped: round-10 green)
-    "dedup_semantic_32", "stream_near_dedup_state",
-    "stream_lifetime_state", "embedding_winsorize",
-    "doc_len_lang_quantile", "embedding_prep", "minhash_band_plan",
-    "dedup_semantic_2l", "dedup_pagerank", "pipeline_curate_v2",
-    "bpe_merges", "bpe_encode", "minhash_eval", "doc_cosine_lsh",
-    "events_hourly", "events_sliding", "events_sessions", "events_json",
-    "events_asof", "events_interval"
+_ROUND12_WINDOW = [
+    # -- round-12 additions land HERE (newest first), displacing the
+    #    tail per protocol (displaced names recorded in NEXT.md)
+    "url_psl_rules",
+    # -- the 29 names displaced from the round-11 window (VERDICT r11
+    #    item 1): the round-7 tail first, then the 20 displaced by the
+    #    late round-11 additions
+    "events_funnel", "events_retention", "users_view_and_purchase",
+    "events_corr", "events_value_hist", "ann_ivf_pq",
+    "temperature_resample", "doc_cosine_tfidf", "multimodal_rgb",
+    "dedup_collision", "events_moving_avg", "embedding_outliers",
+    "vocab_coverage", "unigram_logprob", "dedup_incremental",
+    "curation_funnel", "dedup_spans", "budget_select",
+    "mixture_resample", "knn_classify", "bm25_rank", "tfidf_terms",
+    "events_percentiles", "events_zscore", "events_pivot",
+    "events_cube", "events_profile", "events_rollup",
+    "events_distinct_users",
+    # -- the round-8 cohort head, CORRECTNESS_r08.json key order
+    #    (21 names to fill the 50; the rest queue for round 13)
+    "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
+    "unigram_lm_scores", "crossmodal_integrity",
+    "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
+    "curriculum_buckets", "unigram_lm_segment",
+    "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
+    "tokenizer_fertility", "collocations_pmi",
+    "multimodal_image_neardup", "multimodal_audio_neardup",
+    "corpus_card", "er_customer_link", "sample_per_source",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND11_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND12_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -5896,6 +5950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 additions (windowed immediately)
         "quality_propagate_conv": q_quality_propagate_conv,
         "url_psl_domains": q_url_psl_domains,
+        # round-12 additions (windowed immediately)
+        "url_psl_rules": q_url_psl_rules,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
@@ -5998,10 +6054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND11_WINDOW) == 50
-    missing = [n for n in _ROUND11_WINDOW if n not in base]
+    assert len(_ROUND12_WINDOW) == 50
+    missing = [n for n in _ROUND12_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND11_WINDOW}
+    out = {n: base[n] for n in _ROUND12_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
@@ -9202,4 +9258,51 @@ SELECT doc_id, host,
        WHEN {plast2} IN ({psl2_sql}) THEN {plabs}[-3] || '.' || {plast2}
        ELSE {plast2} END reg_domain
 FROM p5 ORDER BY doc_id"""
+    # full PSL rule algorithm (exception > longest rule > default)
+    # replayed in SQL; every IN-list is generated from the SAME
+    # psl_data.PSL_ICANN_FULL_RULES tuple the Spark join consumes
+    _lits = [s for s in PSL.PSL_ICANN_FULL_RULES
+             if not s.startswith(("*", "!"))]
+    _wild = [s[2:] for s in PSL.PSL_ICANN_FULL_RULES
+             if s.startswith("*.")]
+    _exc = [s[1:] for s in PSL.PSL_ICANN_FULL_RULES if s.startswith("!")]
+    rl2 = ", ".join(f"'{s}'" for s in _lits if s.count(".") == 1)
+    rl3 = ", ".join(f"'{s}'" for s in _lits if s.count(".") == 2)
+    rw1 = ", ".join(f"'{s}'" for s in _wild if "." not in s)
+    rw2 = ", ".join(f"'{s}'" for s in _wild if s.count(".") == 1)
+    re2 = ", ".join(f"'{s}'" for s in _exc if s.count(".") == 1)
+    re3 = ", ".join(f"'{s}'" for s in _exc if s.count(".") == 2)
+    rhosts = ", ".join(f"'{h}'" for h in _PSL_RULE_PLANT_HOSTS)
+    rlast1 = f"{plabs}[-1]"
+    out["url_psl_rules"] = f"""
+WITH p1 AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id,
+         ([{rhosts}])[CAST(doc_id % 16 AS INT) + 1] h0
+  FROM documents),
+p2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN h0 || ':8080' ELSE h0 END host
+  FROM p1),
+p3 AS (
+  SELECT doc_id, host,
+         regexp_replace(host, ':[0-9]+$', '') hnp
+  FROM p2),
+p4 AS (
+  SELECT doc_id, host, hnp, length({plabs}) n,
+         CASE WHEN {plast3} IN ({re3}) THEN 2
+              WHEN {plast2} IN ({re2}) THEN 1
+              WHEN {plast3} IN ({rl3}) THEN 3
+              WHEN {plast2} IN ({rw2})
+                   AND length({plabs}) >= 3 THEN 3
+              WHEN {plast2} IN ({rl2}) THEN 2
+              WHEN {rlast1} IN ({rw1})
+                   AND length({plabs}) >= 2 THEN 2
+              ELSE 1 END ps
+  FROM p3)
+SELECT doc_id, host,
+  CASE WHEN n <= ps THEN hnp
+       WHEN ps = 3 THEN {plabs}[-4] || '.' || {plast3}
+       WHEN ps = 2 THEN {plabs}[-3] || '.' || {plast2}
+       ELSE {plast2} END reg_domain
+FROM p4 ORDER BY doc_id"""
     return out

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from .urls import PUBLIC_SUFFIXES
 
-__all__ = ["PSL_ICANN_FULL"]
+__all__ = ["PSL_ICANN_FULL", "PSL_RULES", "PSL_ICANN_FULL_RULES"]
 
 # --- ccTLD second-level registrations (2-label literal entries) -------
 _CC_SECOND_LEVEL = {
@@ -306,3 +306,28 @@ PSL_ICANN_FULL = tuple(sorted(
     | {f"{sl}.{cc}" for cc, sls in _CC_SECOND_LEVEL.items()
        for sl in sls}
     | set(_THREE_LABEL)))
+
+# --- wildcard / exception rules (round 12) -----------------------------
+# The ICANN section's non-literal rules, vendored from public knowledge
+# of the list: ``*.x`` = "every direct child of x is a public suffix"
+# (so a registrable name under a wildcard TLD has THREE labels), and
+# ``!y.x`` = "y.x is registrable after all" (the exception overrides its
+# wildcard; PSL semantics: an exception rule beats every other matching
+# rule). Only ``registered_domain_join`` understands these — the
+# expression spelling (``registered_domain``) keeps its loud raise, see
+# ``_split_by_depth``.
+_WILDCARD_TLDS = ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+_JP_CITY_WILDCARDS = ("kawasaki.jp", "kitakyushu.jp", "kobe.jp",
+                      "nagoya.jp", "sapporo.jp", "sendai.jp",
+                      "yokohama.jp")
+PSL_RULES = tuple(sorted(
+    {f"*.{t}" for t in _WILDCARD_TLDS}
+    | {"!www.ck", "*.sch.uk"}
+    | {f"*.{c}" for c in _JP_CITY_WILDCARDS}
+    | {f"!city.{c}" for c in _JP_CITY_WILDCARDS}))
+
+#: the literal snapshot plus the rule entries — what the join spelling
+#: consumes for full-PSL behavior (the wildcard-TLD literal
+#: approximations in PSL_ICANN_FULL stay harmless next to the real
+#: wildcard rules: both yield the same public-suffix depth).
+PSL_ICANN_FULL_RULES = tuple(sorted(set(PSL_ICANN_FULL) | set(PSL_RULES)))

@@ -655,8 +655,8 @@ def retrieval_ndcg(docs: DataFrame, query_terms: Sequence[str],
     """Ranked-retrieval quality metric — nDCG@k of the BM25 ranking
     against graded relevance labels (the evaluation step a retrieval
     stack runs before trusting its ranker): relevance of a document =
-    the number of DISTINCT query terms it contains (0..len(terms), the
-    standard deterministic grading when no human labels exist);
+    its TOTAL count of query-term occurrences capped at 7 (0..7, a
+    deterministic grading proxy when no human labels exist);
     ``DCG@k = sum_r rel_r / log2(r + 1)`` over the BM25 top-``pool_n``
     ranking; ``IDCG@k`` from the corpus-wide ideal ordering
     (rel desc, doc asc). Output: ONE row (k, dcg, idcg, ndcg).

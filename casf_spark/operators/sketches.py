@@ -283,12 +283,15 @@ def cms_estimate(queries: DataFrame, item_col: str, cms: DataFrame,
     the queried item's cell — the classic CM estimate, >= the true
     count ALWAYS (each cell only ever adds other items' collisions).
 
-    Plan: the item's ``depth`` cells are generated as a literal-array
-    explode, matched against the (broadcast, cell-grain) sketch table,
-    and min-folded per item — cost proportional to the QUERY set, which
-    is how sketches are used: build once at corpus scale, answer point
-    lookups for free. A missing cell means count 0 (impossible for
-    items that were in the build stream, inevitable for novel ones).
+    Plan: ``depth`` broadcast hash joins of the query stream against
+    the (cell-grain, tiny) sketch table — one per sketch row, each
+    map-only on the item's ``h_r(item)`` cell — then ``F.least`` over
+    the ``depth`` coalesced counts (the ``bloom_probe`` pattern: the
+    query side NEVER shuffles, no aggregation, no row identity
+    needed). Cost proportional to the QUERY set, which is how sketches
+    are used: build once at corpus scale, answer point lookups for
+    free. A missing cell means count 0 (impossible for items that were
+    in the build stream, inevitable for novel ones).
     """
     _check_cms_args(width, depth)
     for c in queries.columns:
@@ -296,19 +299,19 @@ def cms_estimate(queries: DataFrame, item_col: str, cms: DataFrame,
             raise ValueError(f"cms_estimate: input column {c!r} collides "
                              f"with internal __cms_ names")
     h = hashing.md5_long(F.col(item_col))
-    cols = hashing.position_exprs(h, depth, width, seed=seed)
-    keyed = queries.withColumn("__cms_qid", F.monotonically_increasing_id())
-    cells = keyed.select(
-        "__cms_qid",
-        F.explode(F.array(*[
-            F.struct(F.lit(r).cast("int").alias("row_idx"),
-                     c.alias("col_idx"))
-            for r, c in enumerate(cols)])).alias("__cms_cell"))
-    est = (cells
-           .join(F.broadcast(cms),
-                 (F.col("__cms_cell.row_idx") == cms["row_idx"]) &
-                 (F.col("__cms_cell.col_idx") == cms["col_idx"]), "left")
-           .groupBy("__cms_qid")
-           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
-                .alias(out_col)))
-    return keyed.join(est, "__cms_qid").drop("__cms_qid")
+    probe = queries
+    cnt_cols = []
+    for r, pos in enumerate(hashing.position_exprs(h, depth, width,
+                                                   seed=seed)):
+        probe = probe.withColumn(f"__cms_c{r}", pos)
+        side = F.broadcast(
+            cms.where(F.col("row_idx") == r)
+               .select(F.col("col_idx").alias(f"__cms_sc{r}"),
+                       F.col("cnt").alias(f"__cms_n{r}")))
+        probe = probe.join(
+            side, probe[f"__cms_c{r}"] == side[f"__cms_sc{r}"], "left")
+        cnt_cols.append(F.coalesce(F.col(f"__cms_n{r}"),
+                                   F.lit(0).cast("long")))
+    est = cnt_cols[0] if depth == 1 else F.least(*cnt_cols)
+    drop = [c for c in probe.columns if c.startswith("__cms_")]
+    return probe.withColumn(out_col, est).drop(*drop)

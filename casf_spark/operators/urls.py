@@ -255,9 +255,13 @@ def registered_domain(host_col: Column,
 def public_suffix_table(spark, suffixes=PUBLIC_SUFFIXES) -> DataFrame:
     """The multi-part public-suffix table as a DataFrame ``(suffix,
     n_labels)`` — the broadcast side input :func:`registered_domain_join`
-    consumes. Swap ``suffixes`` for a full PSL dump in production; the
+    consumes. Entries may be literal suffixes (``co.uk``), wildcard
+    rules (``*.ck``), or exception rules (``!www.ck``) — the raw PSL
+    rule strings pass through verbatim (``n_labels`` counts the rule's
+    labels, ``*`` included); only the JOIN spelling interprets the
+    rules. Swap ``suffixes`` for a full PSL dump in production; the
     vendored :data:`PUBLIC_SUFFIXES` snapshot is the offline default."""
-    rows = [(s, s.count(".") + 1) for s in sorted(set(suffixes))]
+    rows = [(s, s.lstrip("!").count(".") + 1) for s in sorted(set(suffixes))]
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
@@ -266,22 +270,36 @@ def registered_domain_join(df: DataFrame, host_col: str,
                            out_col: str = "reg_domain") -> DataFrame:
     """Side-table spelling of :func:`registered_domain` for suffix lists
     too large or too dynamic to fold into an expression (the full PSL
-    refreshed from upstream): per row, generate the host's 2- and
-    3-label tails, broadcast-join them against the suffix table, and
-    take one more label than the DEEPEST match (no match = plain-TLD
-    default, last two labels).
+    refreshed from upstream): per row, generate the host's label tails,
+    broadcast-join them against the suffix table, and take one more
+    label than the public suffix the PSL rules resolve (no match =
+    plain-TLD default, last two labels).
 
-    Scale shape: TWO broadcast hash EQUI-joins (one per suffix depth —
-    the table is distinct per depth, so each join matches at most once:
-    no row multiplication, no dedup aggregation, and the corpus never
-    shuffles); everything else is expression work. Output: ``df`` plus
-    ``out_col``. Exactly equivalent to the expression form on any host —
-    pinned by a property test."""
+    Unlike the expression spelling (which loudly rejects them — see
+    ``_split_by_depth``), this form implements the FULL PSL rule set:
+    literal entries (``co.uk``), wildcard rules (``*.ck`` — every
+    direct child of ``ck`` is a public suffix, so ``foo.bar.ck``
+    registers at three labels), and exception rules (``!www.ck`` —
+    beats every other matching rule per the PSL algorithm, making
+    ``www.ck`` itself registrable). Rule precedence is exception >
+    longest rule > default; a host that IS a public suffix passes
+    through unchanged.
+
+    Scale shape: up to SIX broadcast hash EQUI-joins (one per
+    depth x kind class — literal-2/3, wildcard-parent-1/2,
+    exception-2/3; each class is distinct-keyed, so every join matches
+    at most once: no row multiplication, no dedup aggregation, and the
+    corpus never shuffles); joins for empty classes are skipped, and a
+    literal-only table compiles to exactly the two joins this function
+    always had. Output: ``df`` plus ``out_col``. Equivalent to the
+    expression form on literal-only tables — pinned by a property
+    test."""
     # collision-resistant internal names: a caller column named `_h` or
     # `_s2` would otherwise be silently overwritten and dropped (or hit
     # an ambiguous-reference error) — loud failure instead
-    tmp = ["__psl_h", "__psl_n", "__psl_t2", "__psl_t3", "__psl_t4",
-           "__psl_s2", "__psl_s3"]
+    tmp = ["__psl_h", "__psl_n", "__psl_t1", "__psl_t2", "__psl_t3",
+           "__psl_t4", "__psl_s2", "__psl_s3", "__psl_w1", "__psl_w2",
+           "__psl_e2", "__psl_e3"]
     clash = [c for c in df.columns if c in tmp]
     if clash:
         raise ValueError(
@@ -289,31 +307,76 @@ def registered_domain_join(df: DataFrame, host_col: str,
     h = F.regexp_replace(F.col(host_col), r":[0-9]+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2),
-                        F.element_at(labels, -1))
+    last1 = F.element_at(labels, -1)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), last1)
     last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
     last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
     sfx = suffix_table.select("suffix", "n_labels").distinct()
-    sfx2 = sfx.where(F.col("n_labels") == 2).select(
-        F.col("suffix").alias("__psl_s2"))
-    sfx3 = sfx.where(F.col("n_labels") == 3).select(
-        F.col("suffix").alias("__psl_s3"))
-    with_tails = (df.withColumn("__psl_h", h).withColumn("__psl_n", n)
-                  .withColumn("__psl_t2", F.when(n >= 2, last2))
-                  .withColumn("__psl_t3", F.when(n >= 3, last3))
-                  .withColumn("__psl_t4", F.when(n >= 4, last4)))
-    joined = (with_tails
-              .join(F.broadcast(sfx2),
-                    F.col("__psl_t2") == F.col("__psl_s2"), "left")
-              .join(F.broadcast(sfx3),
-                    F.col("__psl_t3") == F.col("__psl_s3"), "left"))
-    reg = (F.when(F.col("__psl_n") <= 2, F.col("__psl_h"))
-           .when(F.col("__psl_s3").isNotNull() & (F.col("__psl_n") >= 4),
-                 F.col("__psl_t4"))
-           .when(F.col("__psl_s3").isNotNull(), F.col("__psl_h"))
-           .when(F.col("__psl_s2").isNotNull(), F.col("__psl_t3"))
+    lit = sfx.where(~F.col("suffix").startswith("!")
+                    & ~F.col("suffix").startswith("*"))
+    # wildcard rules keyed by their PARENT (the labels after `*.`);
+    # exception rules keyed by the rule labels themselves
+    wild = (sfx.where(F.col("suffix").startswith("*."))
+            .select(F.expr("substring(suffix, 3)").alias("parent"),
+                    (F.col("n_labels") - 1).alias("p_labels")))
+    exc = (sfx.where(F.col("suffix").startswith("!"))
+           .select(F.expr("substring(suffix, 2)").alias("rule"),
+                   F.col("n_labels")))
+    classes = {
+        "__psl_s2": lit.where(F.col("n_labels") == 2)
+                       .select(F.col("suffix").alias("__psl_s2")),
+        "__psl_s3": lit.where(F.col("n_labels") == 3)
+                       .select(F.col("suffix").alias("__psl_s3")),
+        "__psl_w1": wild.where(F.col("p_labels") == 1)
+                        .select(F.col("parent").alias("__psl_w1")),
+        "__psl_w2": wild.where(F.col("p_labels") == 2)
+                        .select(F.col("parent").alias("__psl_w2")),
+        "__psl_e2": exc.where(F.col("n_labels") == 2)
+                       .select(F.col("rule").alias("__psl_e2")),
+        "__psl_e3": exc.where(F.col("n_labels") == 3)
+                       .select(F.col("rule").alias("__psl_e3")),
+    }
+    tails = {"__psl_s2": "__psl_t2", "__psl_s3": "__psl_t3",
+             "__psl_w1": "__psl_t1", "__psl_w2": "__psl_t2",
+             "__psl_e2": "__psl_t2", "__psl_e3": "__psl_t3"}
+    joined = (df.withColumn("__psl_h", h).withColumn("__psl_n", n)
+              .withColumn("__psl_t1", last1)
+              .withColumn("__psl_t2", F.when(n >= 2, last2))
+              .withColumn("__psl_t3", F.when(n >= 3, last3))
+              .withColumn("__psl_t4", F.when(n >= 4, last4)))
+    present = set()
+    for name, side in classes.items():
+        if side.isEmpty():   # skip joins for absent rule classes
+            continue
+        present.add(name)
+        joined = joined.join(F.broadcast(side),
+                             F.col(tails[name]) == F.col(name), "left")
+
+    def hit(name):
+        if name not in present:
+            return F.lit(False)
+        return F.col(name).isNotNull()
+
+    nn = F.col("__psl_n")
+    # public-suffix depth under PSL precedence: exception rule first
+    # (ps = rule labels - 1), then longest rule (a wildcard counts its
+    # parent + 1; it only matches when the host HAS that extra label),
+    # then the implicit `*` default (ps = 1)
+    ps = (F.when(hit("__psl_e3"), F.lit(2))
+          .when(hit("__psl_e2"), F.lit(1))
+          .when(hit("__psl_s3"), F.lit(3))
+          .when(hit("__psl_w2") & (nn >= 3), F.lit(3))
+          .when(hit("__psl_s2"), F.lit(2))
+          .when(hit("__psl_w1") & (nn >= 2), F.lit(2))
+          .otherwise(F.lit(1)))
+    joined = joined.withColumn("__psl_ps", ps)
+    psc = F.col("__psl_ps")
+    reg = (F.when(nn <= psc, F.col("__psl_h"))
+           .when(psc == 3, F.col("__psl_t4"))
+           .when(psc == 2, F.col("__psl_t3"))
            .otherwise(F.col("__psl_t2")))
-    return joined.withColumn(out_col, reg).drop(*tmp)
+    return (joined.withColumn(out_col, reg)
+            .drop(*tmp, "__psl_ps"))
 
 
 def url_incremental_dedup(new: DataFrame, history: DataFrame,

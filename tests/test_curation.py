@@ -989,3 +989,28 @@ def test_kappa_hand_computed_and_edges(spark):
     df3 = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
     [r3] = filter_agreement_kappa(df3, F.col("a"), F.col("b")).collect()
     assert r3.kappa is None
+
+
+def test_unigram_lm_segment_join_path_matches_broadcast(spark):
+    """The vocabulary-cap fallback (word-grain join + doc-grain
+    reassembly) is output-identical to the broadcast fast path —
+    forced by broadcast_vocab_max=0."""
+    from casf_spark.operators.curation import unigram_lm_segment
+
+    pieces = spark.createDataFrame(
+        [("ab", -1.0), ("abc", -5.0), ("c", -1.0),
+         ("a", -2.0), ("b", -2.0), ("cd", -1.5), ("d", -2.0)],
+        "piece string, score double")
+    docs = spark.createDataFrame(
+        [(1, "abc abcd ab"), (2, "abcd c abxc abcd"), (3, None),
+         (4, ""), (5, "d d d")],
+        "doc_id long, text string")
+    fast = {r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in unigram_lm_segment(docs, "doc_id", "text",
+                                        pieces).collect()}
+    join = {r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in unigram_lm_segment(docs, "doc_id", "text", pieces,
+                                        broadcast_vocab_max=0).collect()}
+    assert fast == join
+    assert fast[3] == (0, "") and fast[4] == (0, "")
+

@@ -230,3 +230,69 @@ def test_psl_plant_suffixes_pinned():
     assert all(s in PSL_ICANN_FULL for s in listed)
     assert not any(s in PUBLIC_SUFFIXES for s in listed)
     assert all(t not in PSL_ICANN_FULL for t in tails)
+
+
+def test_registered_domain_join_psl_rules(spark):
+    """Wildcard / exception PSL rules in the join spelling (round 12):
+    hand cases covering every branch of the rule precedence —
+    exception > longest rule > default — including suffix-itself
+    pass-through and ports. The expression spelling keeps raising."""
+    from casf_spark.operators.psl_data import PSL_ICANN_FULL_RULES
+
+    cases = {
+        # *.ck: every direct child of ck is a public suffix
+        "foo.ck": "foo.ck",                 # IS a public suffix
+        "bar.foo.ck": "bar.foo.ck",         # registrable at 3 labels
+        "x.bar.foo.ck": "bar.foo.ck",
+        "ck": "ck",                         # bare wildcard parent
+        # !www.ck beats *.ck
+        "www.ck": "www.ck",
+        "sub.www.ck": "www.ck",
+        "a.b.www.ck": "www.ck",
+        # *.kawasaki.jp (2-label wildcard parent) + !city.kawasaki.jp
+        "x9.kawasaki.jp": "x9.kawasaki.jp",
+        "a.x9.kawasaki.jp": "a.x9.kawasaki.jp",
+        "z.a.x9.kawasaki.jp": "a.x9.kawasaki.jp",
+        "kawasaki.jp": "kawasaki.jp",       # parent itself: default
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "q.city.kawasaki.jp": "city.kawasaki.jp",
+        # *.sch.uk next to literal co.uk on the same TLD
+        "s7.sch.uk": "s7.sch.uk",
+        "my.s7.sch.uk": "my.s7.sch.uk",
+        "a.co.uk": "a.co.uk",
+        "b.a.co.uk:9999": "a.co.uk",        # port stripped
+        # literal 2-label entry still wins at its depth
+        "deep.x.tokyo.jp": "x.tokyo.jp",
+        # default tail
+        "plain.org": "plain.org",
+        "deep.plain.org": "plain.org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    tbl = public_suffix_table(spark, PSL_ICANN_FULL_RULES)
+    got = {r.host: r.reg_domain for r in
+           registered_domain_join(df, "host", tbl).collect()}
+    assert got == cases, {h: (got[h], cases[h])
+                          for h in cases if got[h] != cases[h]}
+
+
+def test_registered_domain_expression_rejects_rules():
+    """The expression spelling's loud raise on rule entries is pinned
+    (the documented expression-vs-join divergence)."""
+    import pytest
+    from casf_spark.operators.psl_data import PSL_ICANN_FULL_RULES
+    from casf_spark.operators.urls import _split_by_depth
+
+    with pytest.raises(ValueError, match="wildcard/exception"):
+        _split_by_depth(PSL_ICANN_FULL_RULES)
+
+
+def test_psl_rule_plant_pinned():
+    """The url_psl_rules plant: every template resolves under a rule or
+    default branch that psl_data.PSL_RULES actually carries."""
+    import __spark_entry__ as E
+    from casf_spark.operators.psl_data import PSL_RULES
+
+    assert len(E._PSL_RULE_PLANT_HOSTS) == 16
+    assert {"*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp",
+            "*.sch.uk"} <= set(PSL_RULES)
+    assert all(r.startswith(("*.", "!")) for r in PSL_RULES)
