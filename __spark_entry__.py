@@ -2784,6 +2784,52 @@ def q_domain_quality(spark, sf):
             .orderBy("reg_domain"))
 
 
+def q_domain_boilerplate(spark, sf):
+    """Per-domain boilerplate line detection (operators.curation
+    .boilerplate_lines — the RefinedWeb/CCNet site-chrome strip,
+    document-frequency-within-domain rule): a line is chrome when it
+    appears in >= 50% of its registered domain's documents and in at
+    least 3 of them. The plant (exact-plant discipline): every doc's
+    line stream is a 'hdr <domain>' header (100% of the domain — MUST
+    be detected), a 'promo <domain>' line on doc_id % 5 < 2 (40% — MUST
+    stay under the 50% bar), then the 10-token pseudo-chunks of the
+    text (natural dup-group repeats detected only if they really cross
+    half the domain). Scale shape: ONE (domain, line)-grain
+    count_distinct agg + a broadcast domain-totals join; detection
+    output is the tiny over-threshold table. Output: (reg_domain,
+    line, line_docs, grp_docs)."""
+    docs = load_table(spark, sf, "documents")
+    u = _planted_urls(docs)
+    # ONE localCheckpoint of the (doc, domain) projection: the URL
+    # plant + PSL expression would otherwise replicate into all three
+    # union branches AND the join side (the q_url_incremental
+    # task-binary blowup; round-10 verdict item 2)
+    dom = u.select(F.col("doc_id").cast("long").alias("doc"),
+                   URL.registered_domain(
+                       URL.url_host(F.col("url"))).alias("reg_domain")) \
+        .localCheckpoint()
+    tok_df = docs.select(F.col("doc_id").cast("long").alias("doc"),
+                         TX.tokens("text").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    chunk_arr = F.when(
+        F.size("toks") > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * 10 + 1, 10), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = tok_df.select("doc", F.explode(chunk_arr).alias("line"))
+    hdr = dom.select("doc", F.concat(F.lit("hdr "), "reg_domain")
+                     .alias("line"))
+    promo = (dom.where(F.col("doc") % 5 < 2)
+             .select("doc", F.concat(F.lit("promo "), "reg_domain")
+                     .alias("line")))
+    lines = (hdr.unionByName(promo).unionByName(chunks)
+             .join(dom, "doc"))
+    return (CU.boilerplate_lines(lines, "reg_domain", "doc", "line",
+                                 min_frac=0.5, min_docs=3)
+            .orderBy("reg_domain", "line"))
+
+
 def q_pipeline_curate_v2(spark, sf):
     """Composed curation pipeline v2 — the round-6/7 operators chained
     the way a production corpus pass runs them: Gopher rules + C4 line
@@ -5616,6 +5662,24 @@ def q_lang_top_tokens(spark, sf):
             .select("lang", F.col("item").alias("token"), "cnt"))
 
 
+def q_lang_heavy_boundary(spark, sf):
+    """Per-group heavy hitters at a BOUNDARY theta (the round-11
+    verdict's pin): theta = 98/3549 is EXACTLY the within-group
+    frequency of (de, 'agg') at sf0.01, so ceil(grp_n * theta) lands on
+    that token's exact count and the >= comparison's inclusion flip is
+    decided by the last bit of the shared double product — both engines
+    must multiply the identical double and ceil identically or the hash
+    fails. The theta is spelled 98/3549 as a double DIVISION on both
+    sides (a decimal literal would parse as DECIMAL in DuckDB and
+    diverge). Same plan as lang_top_tokens: pigeonhole candidate
+    pruning, candidates-only shuffle."""
+    from casf_spark.operators.sketches import grouped_frequent_items
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(TX.tokens("text")).alias("token"))
+    return (grouped_frequent_items(toks, "lang", "token", theta=98 / 3549)
+            .select("lang", F.col("item").alias("token"), "cnt"))
+
+
 def q_text_ttr(spark, sf):
     """Lexical diversity (type-token ratio) per document: distinct over
     total tokens, a shuffle-free projection (array HOFs, no explode)."""
@@ -5771,7 +5835,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND12_WINDOW = [
     # -- round-12 additions land HERE (newest first), displacing the
     #    tail per protocol (displaced names recorded in NEXT.md)
-    "url_psl_rules",
+    "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5794,7 +5858,7 @@ _ROUND12_WINDOW = [
     "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
     "tokenizer_fertility", "collocations_pmi",
     "multimodal_image_neardup", "multimodal_audio_neardup",
-    "corpus_card", "er_customer_link", "sample_per_source",
+    "corpus_card",
 ]
 
 
@@ -5925,6 +5989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_percentiles": q_events_approx_percentiles,
         "text_heavy_hitters": q_text_heavy_hitters,
         "lang_top_tokens": q_lang_top_tokens,
+        "lang_heavy_boundary": q_lang_heavy_boundary,
         "dedup_edit_distance": q_dedup_edit_distance,
         "embedding_standardize": q_embedding_standardize,
         # round-8 additions (windowed immediately)
@@ -5952,6 +6017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_psl_domains": q_url_psl_domains,
         # round-12 additions (windowed immediately)
         "url_psl_rules": q_url_psl_rules,
+        "domain_boilerplate": q_domain_boilerplate,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
@@ -8253,6 +8319,13 @@ SELECT t.lang, token, COUNT(*) AS cnt
 FROM t JOIN tot USING (lang)
 GROUP BY t.lang, token, tot.n
 HAVING COUNT(*) >= CEIL(0.02 * tot.n)""",
+        "lang_heavy_boundary": f"""
+WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT lang, COUNT(*) n FROM t GROUP BY lang)
+SELECT t.lang, token, COUNT(*) AS cnt
+FROM t JOIN tot USING (lang)
+GROUP BY t.lang, token, tot.n
+HAVING COUNT(*) >= CEIL(tot.n * (CAST(98 AS DOUBLE) / 3549))""",
         "dedup_edit_distance": f"""
 WITH {_minhash_cte()}
 SELECT doc0, doc1,
@@ -9215,6 +9288,35 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # per-domain boilerplate detection: shared _url_cte domain + the
+    # text_line_dedup pseudo-chunking + the SAME hdr/promo plant
+    out["domain_boilerplate"] = f"""
+WITH {_url_cte()},
+dm AS (SELECT doc_id AS doc, reg_domain FROM u),
+t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
+chunks AS (
+  SELECT doc,
+         unnest(list_transform(range(CAST(ceil(len(a) / 10.0) AS BIGINT)),
+                i -> array_to_string(
+                       list_slice(a, i*10 + 1, i*10 + 10), ' '))) line
+  FROM t WHERE len(a) > 0),
+lns AS (
+  SELECT l.doc, l.line, dm.reg_domain
+  FROM (SELECT doc, 'hdr ' || reg_domain AS line FROM dm
+        UNION ALL
+        SELECT doc, 'promo ' || reg_domain FROM dm WHERE doc % 5 < 2
+        UNION ALL
+        SELECT doc, line FROM chunks) l
+  JOIN dm ON l.doc = dm.doc),
+per AS (SELECT reg_domain, line, COUNT(DISTINCT doc) line_docs
+        FROM lns GROUP BY reg_domain, line),
+gt AS (SELECT reg_domain, COUNT(DISTINCT doc) grp_docs
+       FROM lns GROUP BY reg_domain)
+SELECT per.reg_domain, line, CAST(line_docs AS BIGINT) AS line_docs,
+       CAST(grp_docs AS BIGINT) AS grp_docs
+FROM per JOIN gt USING (reg_domain)
+WHERE line_docs >= CEIL(grp_docs * 0.5) AND line_docs >= 3
+ORDER BY per.reg_domain, line"""
     # registered domains against the FULL vendored PSL snapshot: the
     # IN-lists are generated from the SAME psl_data tuple the Spark
     # side-table join consumes — one source of truth; the plant's

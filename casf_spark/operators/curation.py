@@ -67,6 +67,8 @@ __all__ = [
     "unigram_lm_segment",
     "mixture_plan",
     "quantile_buckets",
+    "boilerplate_lines",
+    "boilerplate_strip",
     "PII_PATTERNS",
 ]
 
@@ -1449,3 +1451,51 @@ def filter_agreement_kappa(df: DataFrame, flag_a: Column,
                       F.round(po, 6).alias("po"),
                       F.round(pe, 6).alias("pe"),
                       kappa.alias("kappa"))
+
+
+def boilerplate_lines(lines: DataFrame, group_col: str, doc_col: str,
+                      line_col: str, min_frac: float = 0.5,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-group boilerplate detection — the RefinedWeb/CCNet practice
+    of stripping site chrome (headers, nav, cookie banners) by DOCUMENT
+    frequency within a site: a line is boilerplate for a group (domain)
+    when it appears in >= ``min_frac`` of the group's documents AND in
+    at least ``min_docs`` documents (the floor keeps two-doc domains
+    from declaring every shared line chrome). Output one row per
+    detected (group, line): (group, line, line_docs, grp_docs).
+
+    Scale shape: ONE aggregation to (group, line) grain with a
+    count_distinct(doc) — map-side combined, keys bounded by DISTINCT
+    lines (Zipf-light: most lines are unique and collapse to count 1
+    in their map task) — plus a group-grain doc count joined back
+    (broadcast: group cardinality << corpus). The threshold compare is
+    ceil-based on exact integers, so both engines agree bit-for-bit.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"boilerplate_lines: min_frac must be in "
+                         f"(0, 1], got {min_frac}")
+    per = (lines.groupBy(group_col, line_col)
+           .agg(F.count_distinct(F.col(doc_col)).cast("long")
+                .alias("line_docs")))
+    gdocs = (lines.groupBy(group_col)
+             .agg(F.count_distinct(F.col(doc_col)).cast("long")
+                  .alias("grp_docs")))
+    return (per.join(F.broadcast(gdocs), group_col)
+            .where((F.col("line_docs")
+                    >= F.ceil(F.col("grp_docs") * F.lit(float(min_frac))))
+                   & (F.col("line_docs") >= F.lit(int(min_docs))))
+            .select(group_col, line_col, "line_docs", "grp_docs"))
+
+
+def boilerplate_strip(lines: DataFrame, group_col: str, doc_col: str,
+                      line_col: str, min_frac: float = 0.5,
+                      min_docs: int = 2) -> DataFrame:
+    """Remove detected boilerplate from the line stream: every input
+    line row survives unless its (group, line) pair is in the
+    :func:`boilerplate_lines` table — a broadcast LEFT ANTI join (the
+    boilerplate table is tiny: only over-threshold lines), so the
+    corpus-side stream never shuffles in the strip itself."""
+    bp = boilerplate_lines(lines, group_col, doc_col, line_col,
+                           min_frac=min_frac, min_docs=min_docs)
+    return lines.join(F.broadcast(bp.select(group_col, line_col)),
+                      [group_col, line_col], "left_anti")

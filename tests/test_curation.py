@@ -1014,3 +1014,42 @@ def test_unigram_lm_segment_join_path_matches_broadcast(spark):
     assert fast == join
     assert fast[3] == (0, "") and fast[4] == (0, "")
 
+
+
+def test_boilerplate_lines_threshold_and_floor(spark):
+    """Detection: >= min_frac of the group's docs AND >= min_docs;
+    under-threshold and under-floor lines survive the strip."""
+    from casf_spark.operators.curation import (boilerplate_lines,
+                                               boilerplate_strip)
+
+    rows = []
+    # domain A: 4 docs; 'hdr' in all 4 (boiler), 'promo' in 1 (kept)
+    for d in range(4):
+        rows += [("a.com", d, "hdr"), ("a.com", d, f"body {d}")]
+    rows.append(("a.com", 0, "promo"))
+    # domain B: 2 docs; 'hdr' in both — 100% but min_docs=3 floors it
+    rows += [("b.com", 10, "hdr"), ("b.com", 11, "hdr"),
+             ("b.com", 10, "body x")]
+    df = spark.createDataFrame(rows, "dom string, doc long, line string")
+    bp = {(r.dom, r.line): (r.line_docs, r.grp_docs)
+          for r in boilerplate_lines(df, "dom", "doc", "line",
+                                     min_frac=0.5, min_docs=3).collect()}
+    assert bp == {("a.com", "hdr"): (4, 4)}
+    kept = {(r.dom, r.doc, r.line)
+            for r in boilerplate_strip(df, "dom", "doc", "line",
+                                       min_frac=0.5,
+                                       min_docs=3).collect()}
+    assert ("a.com", 0, "hdr") not in kept
+    assert ("a.com", 0, "promo") in kept
+    assert ("b.com", 10, "hdr") in kept       # floored, survives
+    assert len(kept) == len(rows) - 4          # exactly the 4 hdr rows
+
+
+def test_boilerplate_lines_frac_validation(spark):
+    import pytest
+    from casf_spark.operators.curation import boilerplate_lines
+
+    df = spark.createDataFrame([("a", 1, "x")],
+                               "dom string, doc long, line string")
+    with pytest.raises(ValueError, match="min_frac"):
+        boilerplate_lines(df, "dom", "doc", "line", min_frac=0.0)
