@@ -1478,6 +1478,41 @@ def q_dedup_clusters(spark, sf):
     return DD.connected_components(edges)
 
 
+def q_dedup_cluster_ari(spark, sf):
+    """Adjusted Rand Index between the MinHash-LSH clustering and the
+    collision-key grouping (operators.profile.clustering_agreement,
+    Hubert & Arabie 1985) — the dedup-evaluation question 'how much of
+    the token-set duplicate structure does the cheap LSH clustering
+    recover, beyond chance?'. The measured answer on this corpus is
+    ~0 (ARI 0.003 at sf0.01: 444 key pairs, 59 LSH pairs, ONE shared)
+    — shingle-LSH is order-sensitive and misses order-scrambled
+    bag-of-words dups, which is precisely why dedup_waterfall runs the
+    key-collision stage AND the MinHash stage. Labels: A = min doc_id
+    per OpenRefine collision key (75/500 docs at sf0.01 share a key);
+    B = connected
+    component over the star-contracted MinHash candidate graph,
+    coalesced to the doc's own id for docs outside every bucket pair.
+    Everything up to the final division is integer pair combinatorics
+    (exact shiftright halves), so the twin — the SAME recursive-CTE
+    component walk the dedup_clusters oracle uses, plus a contingency
+    GROUP BY — matches bit-for-bit. One contingency-grain agg; the
+    corpus is touched once per labeling."""
+    docs = load_table(spark, sf, "documents")
+    fp = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     TX.collision_key("text").alias("fp"))
+    ex = fp.join(fp.groupBy("fp").agg(F.min("doc_id")
+                                      .alias("label_exact")), "fp") \
+        .select("doc_id", "label_exact")
+    edges = DD.minhash_lsh_star_edges(docs, "doc_id", "text",
+                                      n=2, num_hashes=12, bands=4)
+    cc = DD.connected_components(edges)
+    lab = (ex.join(cc, "doc_id", "left")
+           .select("doc_id", "label_exact",
+                   F.coalesce("cluster_id", F.col("doc_id"))
+                   .alias("label_mh")))
+    return PF.clustering_agreement(lab, "label_exact", "label_mh")
+
+
 def q_dedup_simhash(spark, sf):
     return (DD.simhash_pairs(load_table(spark, sf, "documents"),
                              "doc_id", "text", bits=32, max_hamming=3)
@@ -5785,6 +5820,26 @@ def q_embedding_power_iter(spark, sf):
     return power_iteration_report(emb, "embedding", n_iter=8, dim=64)
 
 
+def q_embedding_rp8(spark, sf):
+    """Johnson–Lindenstrauss sign random projection 64 → 8
+    (operators.linalg.random_projection, Achlioptas 2003): the
+    cheap-sketch step before LSH bucketing or off-cluster shipping.
+    The ±1 matrix is generated driver-side from md5 literals
+    (jl_sign_matrix) and folds into the plan as constants — map-only,
+    no shuffle, no per-row hashing; each input cell folds to integer
+    micro-units once so the signed per-dim sums are order-independent
+    BIGINTs and the twin (the SAME matrix spelled into SQL) matches
+    bit-for-bit. Distance preservation is pinned by a property test."""
+    emb = load_table(spark, sf, "embeddings")
+    from casf_spark.operators.linalg import random_projection
+    return (random_projection(emb, "vec_id", "embedding",
+                              in_dim=64, out_dim=8, seed=7)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.posexplode("proj").alias("dim", "y"))
+            .select("vec_id", F.col("dim").cast("int").alias("dim"), "y")
+            .orderBy("vec_id", "dim"))
+
+
 def q_embedding_pca2(spark, sf):
     """Top-2 principal directions via DEFLATED power iteration
     (operators.linalg.pca_top2_report): one distributed tree-reduced
@@ -5836,6 +5891,7 @@ _ROUND12_WINDOW = [
     # -- round-12 additions land HERE (newest first), displacing the
     #    tail per protocol (displaced names recorded in NEXT.md)
     "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
+    "embedding_rp8", "dedup_cluster_ari",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5857,8 +5913,7 @@ _ROUND12_WINDOW = [
     "curriculum_buckets", "unigram_lm_segment",
     "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
     "tokenizer_fertility", "collocations_pmi",
-    "multimodal_image_neardup", "multimodal_audio_neardup",
-    "corpus_card",
+    "multimodal_image_neardup",
 ]
 
 
@@ -6018,6 +6073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-12 additions (windowed immediately)
         "url_psl_rules": q_url_psl_rules,
         "domain_boilerplate": q_domain_boilerplate,
+        "embedding_rp8": q_embedding_rp8,
+        "dedup_cluster_ari": q_dedup_cluster_ari,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
@@ -9288,6 +9345,69 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # ARI between the MinHash clustering and exact-fingerprint groups:
+    # the dedup_clusters recursive walk + a contingency GROUP BY; the
+    # combinatorics stay integer (// halves) until the final division
+    out["dedup_cluster_ari"] = f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+  UNION ALL
+  SELECT doc1, doc0 FROM mh_cand),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+cl AS MATERIALIZED (SELECT node AS doc_id, MIN(label) AS cluster_id
+       FROM walk GROUP BY node),
+fp AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+              array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))), ' ') f
+       FROM documents),
+ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) label_exact
+       FROM fp),
+lab AS (SELECT ex.doc_id, label_exact,
+               COALESCE(cl.cluster_id, ex.doc_id) label_mh
+        FROM ex LEFT JOIN cl USING (doc_id)),
+cont AS MATERIALIZED (SELECT label_exact a, label_mh b, COUNT(*) nij
+         FROM lab GROUP BY 1, 2),
+cells AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) sc,
+                 CAST(SUM(nij) AS BIGINT) n FROM cont),
+am AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) sa
+       FROM (SELECT SUM(nij) ai FROM cont GROUP BY a)),
+bm AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) sb
+       FROM (SELECT SUM(nij) bj FROM cont GROUP BY b))
+SELECT n, sc AS sum_comb_cells, sa AS sum_comb_a, sb AS sum_comb_b,
+       CASE WHEN (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                 - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(n * (n - 1) // 2 AS DOUBLE) <> 0
+            THEN ROUND((CAST(sc AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(n * (n - 1) // 2 AS DOUBLE))
+                       / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                            / CAST(n * (n - 1) // 2 AS DOUBLE)), 6)
+       END AS ari
+FROM cells, am, bm"""
+    # JL random projection: the SAME jl_sign_matrix literals spelled
+    # into SQL — one source of truth for the ±1 matrix in both engines
+    from casf_spark.operators.linalg import jl_sign_matrix
+    _signs = jl_sign_matrix(64, 8, seed=7)
+    _rp_cols = ", ".join(
+        "ROUND((" + " ".join(
+            ("+" if _signs[i][j] == 1 else "-") + f" u[{i + 1}]"
+            for i in range(64)).lstrip("+ ")
+        + ") / (1000000.0 * sqrt(8.0)), 6)"
+        for j in range(8))
+    out["embedding_rp8"] = f"""
+WITH cells AS (
+  SELECT CAST(vec_id AS BIGINT) vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) u
+  FROM embeddings)
+SELECT vec_id, CAST(generate_subscripts(p, 1) - 1 AS INT) AS dim,
+       unnest(p) AS y
+FROM (SELECT vec_id, [{_rp_cols}] p FROM cells)
+ORDER BY vec_id, dim"""
     # per-domain boilerplate detection: shared _url_cte domain + the
     # text_line_dedup pseudo-chunking + the SAME hdr/promo plant
     out["domain_boilerplate"] = f"""

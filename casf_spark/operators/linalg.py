@@ -231,3 +231,62 @@ def pca_top2_report(df: DataFrame, vec_col: str = "embedding",
         "metric STRING, component INT, dim INT, n_rows BIGINT, "
         "unit_norm BOOLEAN, orthogonal_to_v1 BOOLEAN, "
         "lambda_ordered BOOLEAN, resid_bounded BOOLEAN")
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas
+    2003: a Rademacher projection satisfies the JL distance-preservation
+    lemma with the same guarantees as Gaussian): ``signs[i][j]`` for
+    input dim ``i``, output dim ``j``, derived from md5 of the literal
+    ``"{seed}:{i}:{j}"`` — computed DRIVER-SIDE in plain Python, so the
+    matrix is an engine-independent literal both Spark and any oracle
+    replay byte-identically (no per-row hashing at execution time; the
+    matrix folds into the plan as constants)."""
+    import hashlib
+
+    def s(i: int, j: int) -> int:
+        h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+        return 1 if h[0] % 2 == 0 else -1
+
+    return [[s(i, j) for j in range(out_dim)] for i in range(in_dim)]
+
+
+def random_projection(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", in_dim: int = 64,
+                      out_dim: int = 8, seed: int = 7) -> DataFrame:
+    """JL random projection of an embedding column to ``out_dim`` dims —
+    the cheap-sketch step before LSH bucketing, coarse clustering, or
+    shipping vectors off-cluster: ``y_j = (1/sqrt(out_dim)) *
+    sum_i sign[i][j] * x_i`` with the deterministic
+    :func:`jl_sign_matrix`. Pairwise distances are preserved within
+    (1 ± eps) for eps ~ sqrt(8 ln n / out_dim) w.h.p. (the JL lemma) —
+    pinned by a property test, not just claimed.
+
+    Determinism across engines: each input cell folds to integer
+    micro-units ONCE (floor(x*1e6 + 0.5), BIGINT), the per-output-dim
+    signed sums are order-independent integer arithmetic, and the
+    single division by (1e6 * sqrt(out_dim)) + 6dp round happens at
+    output — two engines summing in any order agree bit-for-bit.
+
+    Scale shape: map-only (a plan-literal matrix of in_dim x out_dim
+    constants; no join, no shuffle, no per-row hashing) — the projection
+    runs inside the scan at 100 TB. Output: (id, proj array<double>).
+    """
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError(f"random_projection: dims must be > 0, got "
+                         f"{in_dim}x{out_dim}")
+    signs = jl_sign_matrix(in_dim, out_dim, seed=seed)
+    xu = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * 1e6 + 0.5)
+                     .cast("long"))
+    cells = df.select(F.col(id_col), xu.alias("__jl_u"))
+    scale = 1e6 * math.sqrt(float(out_dim))
+    outs = []
+    for j in range(out_dim):
+        acc = None
+        for i in range(in_dim):
+            term = F.element_at("__jl_u", i + 1) if signs[i][j] == 1 \
+                else -F.element_at("__jl_u", i + 1)
+            acc = term if acc is None else acc + term
+        outs.append(F.round(acc.cast("double") / F.lit(scale), 6))
+    return cells.select(id_col, F.array(*outs).alias("proj"))

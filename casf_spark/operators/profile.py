@@ -182,3 +182,58 @@ def psi_report(ref: DataFrame, new: DataFrame, value_col,
     win = Window.orderBy().rowsBetween(Window.unboundedPreceding,
                                        Window.unboundedFollowing)
     return t.withColumn("psi_u", F.sum("psi_term_u").over(win))
+
+
+def clustering_agreement(labels: DataFrame, a_col: str,
+                         b_col: str) -> DataFrame:
+    """Adjusted Rand Index between two clusterings of the same items
+    (Hubert & Arabie 1985) — the evaluation a dedup pipeline runs to ask
+    "how well does the cheap clustering (LSH buckets, SimHash bands)
+    recover the expensive/ground-truth one?". Input: one row per item
+    with its label under clustering A (``a_col``) and B (``b_col``).
+    Output ONE row: (n, sum_comb_cells, sum_comb_a, sum_comb_b, ari).
+
+    ARI = (Σ C(n_ij,2) − E) / (½[Σ C(a_i,2) + Σ C(b_j,2)] − E) with
+    E = Σ C(a_i,2)·Σ C(b_j,2)/C(n,2); 1 = identical clusterings, ~0 =
+    chance agreement. Degenerate inputs where the denominator is 0
+    (both clusterings all-singletons or one single cluster on both
+    sides) yield NULL ari.
+
+    Determinism/scale: everything up to the final division is INTEGER
+    pair combinatorics — C(n,2) on exact BIGINT counts, summed in any
+    order — so two engines agree bit-for-bit; the plan is one
+    aggregation to (a, b) contingency grain (bounded by the cluster-
+    pair cardinality, not items), two marginal re-aggregations of that
+    tiny table, and a 1-row fold. The item table is touched once.
+    """
+    def comb2(c):
+        # c*(c-1) is even -> the shift is an EXACT integer halve (a
+        # `/ 2` would detour through double and lose exactness past
+        # 2^53); BIGINT holds C(n,2) up to n ~ 3e9 items per cluster
+        return F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
+
+    cont = (labels.groupBy(F.col(a_col).alias("a"),
+                           F.col(b_col).alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("nij")))
+    cells = cont.agg(F.sum(comb2(F.col("nij"))).alias("sum_comb_cells"),
+                     F.sum("nij").alias("n"))
+    ai = (cont.groupBy("a").agg(F.sum("nij").alias("ai"))
+          .agg(F.sum(comb2(F.col("ai"))).alias("sum_comb_a")))
+    bj = (cont.groupBy("b").agg(F.sum("nij").alias("bj"))
+          .agg(F.sum(comb2(F.col("bj"))).alias("sum_comb_b")))
+    row = cells.crossJoin(F.broadcast(ai)).crossJoin(F.broadcast(bj))
+    # every operand casts to double BEFORE multiply/divide (a
+    # BIGINT*BIGINT product would overflow long before double loses
+    # the leading digits that matter to the ratio)
+    tot = comb2(F.col("n")).cast("double")
+    sa = F.col("sum_comb_a").cast("double")
+    sb = F.col("sum_comb_b").cast("double")
+    e = sa * sb / tot
+    num = F.col("sum_comb_cells").cast("double") - e
+    den = (sa + sb) / F.lit(2.0) - e
+    return row.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_comb_cells").cast("long").alias("sum_comb_cells"),
+        F.col("sum_comb_a").cast("long").alias("sum_comb_a"),
+        F.col("sum_comb_b").cast("long").alias("sum_comb_b"),
+        F.when(den != 0, F.round(num / den, 6)).alias("ari"))

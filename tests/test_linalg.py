@@ -139,3 +139,48 @@ def test_pca_top2_contract_and_eigh(spark, mat2):
         ref = -ref
     assert np.allclose(v2, ref, atol=1e-3)
     assert abs(float(v1 @ v2)) < 1e-9
+
+
+def test_jl_sign_matrix_deterministic_and_balanced():
+    from casf_spark.operators.linalg import jl_sign_matrix
+
+    m1 = jl_sign_matrix(64, 8, seed=7)
+    m2 = jl_sign_matrix(64, 8, seed=7)
+    assert m1 == m2
+    assert all(v in (-1, 1) for row in m1 for v in row)
+    # roughly balanced signs (md5 bytes are uniform): no column all-same
+    cols = list(zip(*m1))
+    assert all(8 <= sum(1 for v in c if v == 1) <= 56 for c in cols)
+    assert jl_sign_matrix(64, 8, seed=8) != m1
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL lemma property: pairwise squared distances of the projected
+    vectors are within a loose (1 ± 0.8) band of the originals for a
+    deterministic 64-dim sample — sign projections concentrate, and a
+    violated band would mean the projection arithmetic is wrong (wrong
+    normalization, dropped dims), not bad luck."""
+    import itertools
+    import math
+    import random
+
+    from casf_spark.operators.linalg import random_projection
+
+    rng = random.Random(3)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(64)] for i in range(12)}
+    df = spark.createDataFrame([(i, v) for i, v in vecs.items()],
+                               "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.proj)
+           for r in random_projection(df, in_dim=64, out_dim=16,
+                                      seed=7).collect()}
+    assert all(len(p) == 16 for p in got.values())
+    ratios = []
+    for a, b in itertools.combinations(vecs, 2):
+        d_orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(got[a], got[b]))
+        ratios.append(d_proj / d_orig)
+    assert all(0.2 <= r <= 1.8 for r in ratios), \
+        (min(ratios), max(ratios))
+    # mean ratio near 1 (unbiasedness of the Rademacher projection)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 <= mean <= 1.3, mean

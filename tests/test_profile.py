@@ -161,3 +161,32 @@ def test_psi_null_values_and_validation(spark):
     assert sum(r.ref_cnt for r in rows) == 2  # NULL excluded
     with pytest.raises(ValueError, match="bin_width"):
         psi_report(ref, new, "v", 0.0)
+
+
+def test_clustering_agreement_hand_ari(spark):
+    """ARI on a hand case: A = {1,2,3}{4,5,6}, B = {1,2}{3,4,5}{6}.
+    Contingency 2/1/0, 0/2/1 -> sum C(nij,2)=2, sum C(ai,2)=6,
+    sum C(bj,2)=4, C(6,2)=15 -> E=1.6, ARI=(2-1.6)/(5-1.6)=0.117647."""
+    from casf_spark.operators.profile import clustering_agreement
+
+    rows = [(1, "x", "p"), (2, "x", "p"), (3, "x", "q"),
+            (4, "y", "q"), (5, "y", "q"), (6, "y", "r")]
+    df = spark.createDataFrame(rows, "item long, a string, b string")
+    r = clustering_agreement(df, "a", "b").collect()[0]
+    assert (r.n, r.sum_comb_cells, r.sum_comb_a, r.sum_comb_b) == \
+        (6, 2, 6, 4)
+    assert r.ari == round((2 - 1.6) / (5 - 1.6), 6)
+
+
+def test_clustering_agreement_identical_and_degenerate(spark):
+    from casf_spark.operators.profile import clustering_agreement
+
+    same = spark.createDataFrame(
+        [(1, "x", "u"), (2, "x", "u"), (3, "y", "v")],
+        "item long, a string, b string")
+    assert clustering_agreement(same, "a", "b").collect()[0].ari == 1.0
+    # all singletons on both sides: denominator 0 -> NULL
+    single = spark.createDataFrame(
+        [(1, "a1", "b1"), (2, "a2", "b2")],
+        "item long, a string, b string")
+    assert clustering_agreement(single, "a", "b").collect()[0].ari is None
