@@ -1381,6 +1381,41 @@ def q_decontaminate(spark, sf):
     return CU.contamination_flags(rest, bench, "doc_id", "text", n=4)
 
 
+def q_quality_bootstrap(spark, sf):
+    """Poisson bootstrap of the corpus mean token count
+    (operators.profile.bootstrap_means, Chamandy et al. 2012 — the
+    single-pass streaming bootstrap): 24 replicates, each row
+    contributing Poisson(1) copies drawn by inverting an INTEGER
+    threshold table against the 60-bit md5 of ``doc:b:seed`` — the
+    error bar a pipeline owner puts on a mean-quality shift before
+    acting on it. The whole replicate distribution is the contract
+    (24 rows: b, n_eff, mean), not just the CI endpoints. Map-side
+    bounded explode (x24), ONE 24-key aggregation; weighted sums are
+    order-independent BIGINT micro-units."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(F.col("doc_id").cast("string").alias("k"),
+                    TX.token_count("text").cast("double").alias("v"))
+    return PF.bootstrap_means(t, "k", "v", n_boot=24, seed=13) \
+        .orderBy("b")
+
+
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-gated decontamination (operators.curation
+    .contamination_flags_bloom, the Dolma-BFF plan shape): the SAME
+    GPT-3 appendix-C output as q_decontaminate — the oracle IS the
+    exact rule's SQL, proving the fixed-size Bloom gate + exact rescue
+    changes the plan, never the answer. Corpus grams are pre-filtered
+    map-only through a 2^18-bit bitmap of the src0 benchmark grams, so
+    the join input is contamination-sized (true hits + the fp
+    residue), not corpus-sized; an undersized filter degrades only the
+    gating rate, never correctness."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    rest = docs.where(F.col("source") != "src0")
+    return CU.contamination_flags_bloom(rest, bench, "doc_id", "text",
+                                        n=4, m_bits=1 << 18, k=5)
+
+
 def q_pack_bins(spark, sf):
     """Token-budget sequence packing via the two-level distributed prefix
     sum (operators.curation.pack_sequences — no global single-task
@@ -5891,7 +5926,8 @@ _ROUND12_WINDOW = [
     # -- round-12 additions land HERE (newest first), displacing the
     #    tail per protocol (displaced names recorded in NEXT.md)
     "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
-    "embedding_rp8", "dedup_cluster_ari",
+    "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
+    "quality_bootstrap",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5912,8 +5948,7 @@ _ROUND12_WINDOW = [
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
     "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
-    "tokenizer_fertility", "collocations_pmi",
-    "multimodal_image_neardup",
+    "tokenizer_fertility",
 ]
 
 
@@ -6075,6 +6110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_boilerplate": q_domain_boilerplate,
         "embedding_rp8": q_embedding_rp8,
         "dedup_cluster_ari": q_dedup_cluster_ari,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "quality_bootstrap": q_quality_bootstrap,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
@@ -7175,6 +7212,20 @@ b AS (SELECT DISTINCT g FROM dh WHERE source = 'src0'),
 d AS (SELECT doc, g FROM dh WHERE source <> 'src0')
 SELECT d.doc, CAST(COUNT(DISTINCT d.g) AS BIGINT) n_hits
 FROM d JOIN b USING (g) GROUP BY 1""",
+        # decontaminate_bloom's oracle IS the exact rule (grams, not
+        # hashes — same cardinality): the Bloom gate + rescue must be
+        # output-identical to exact decontamination
+        "decontaminate_bloom": f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, source, {_TOKS} a
+           FROM documents),
+g AS (SELECT doc, source, unnest(CASE WHEN len(a) >= 4
+        THEN list_transform(range(len(a) - 3),
+                            i -> array_to_string(a[i+1:i+4], ' '))
+        ELSE [] END) gram FROM t),
+b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+d AS (SELECT doc, gram FROM g WHERE source <> 'src0')
+SELECT d.doc, CAST(COUNT(DISTINCT d.gram) AS BIGINT) n_hits
+FROM d JOIN b USING (gram) GROUP BY 1""",
         "pack_bins": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc,
                   CAST(len({_TOKS}) AS BIGINT) n_tok FROM documents)
@@ -9345,6 +9396,29 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # Poisson bootstrap: the SAME integer Poisson(1) thresholds
+    # (profile._poisson1_thresholds) spelled into SQL — hash compares
+    # stay pure integer in both engines
+    from casf_spark.operators.profile import _poisson1_thresholds
+    _pth = _poisson1_thresholds()
+    _pw = " + ".join(f"CASE WHEN hv >= {t} THEN 1 ELSE 0 END"
+                     for t in _pth)
+    out["quality_bootstrap"] = f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) k,
+                  CAST(len({_TOKS}) AS BIGINT) * 1000000 xu
+           FROM documents),
+rep AS (SELECT k, xu, CAST(r.range AS INT) b
+        FROM t CROSS JOIN range(24) r),
+hs AS (SELECT b, xu,
+         CAST('0x' || substr(md5(k || ':' || CAST(b AS VARCHAR)
+                                 || ':13'), 1, 15) AS BIGINT) hv
+       FROM rep),
+ws AS (SELECT b, xu, ({_pw}) w FROM hs)
+SELECT b, CAST(SUM(w) AS BIGINT) n_eff,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(CAST(SUM(w * xu) AS BIGINT)
+                       / (CAST(SUM(w) AS BIGINT) * 1e6), 6) END AS mean
+FROM ws GROUP BY b ORDER BY b"""
     # ARI between the MinHash clustering and exact-fingerprint groups:
     # the dedup_clusters recursive walk + a contingency GROUP BY; the
     # combinatorics stay integer (// halves) until the final division

@@ -69,6 +69,7 @@ __all__ = [
     "quantile_buckets",
     "boilerplate_lines",
     "boilerplate_strip",
+    "contamination_flags_bloom",
     "PII_PATTERNS",
 ]
 
@@ -1499,3 +1500,41 @@ def boilerplate_strip(lines: DataFrame, group_col: str, doc_col: str,
                            min_frac=min_frac, min_docs=min_docs)
     return lines.join(F.broadcast(bp.select(group_col, line_col)),
                       [group_col, line_col], "left_anti")
+
+
+def contamination_flags_bloom(docs: DataFrame, benchmark: DataFrame,
+                              id_col: str, text_col: str, n: int = 13,
+                              min_hits: int = 1, m_bits: int = 1 << 20,
+                              k: int = 5, seed: int = 7) -> DataFrame:
+    """Bloom-gated test-set decontamination — OUTPUT-IDENTICAL to
+    :func:`contamination_flags` (pinned by a differential test), but
+    the corpus-side gram stream is pre-filtered MAP-ONLY through a
+    fixed-size Bloom filter of the benchmark grams (the Dolma-BFF
+    shape) before any join: at 100 TB the exact rule's broadcast of
+    the full benchmark gram-hash set (8 bytes x grams) is replaced by
+    an ``m_bits`` bitmap (fixed, independent of benchmark size), and
+    the join input shrinks from every corpus gram occurrence to the
+    maybe-hit residue (true contamination + the filter's fp rate).
+    The exact rescue join then removes every false positive, so the
+    gate changes the PLAN, never the answer.
+
+    Size ``m_bits`` to the benchmark gram count (fp ~ (1-e^{-kn/m})^k);
+    an undersized filter stays CORRECT — it just gates less and the
+    rescue join pays the difference.
+    """
+    from .sketches import bloom_build, bloom_probe
+
+    d = _shingles(docs, id_col, text_col, n, distinct=False)
+    b = _shingles(benchmark, id_col, text_col, n, distinct=True) \
+        .select("shingle").distinct()
+    filt = bloom_build(b, F.col("shingle"), m_bits=m_bits, k=k, seed=seed)
+    probed = bloom_probe(d, F.col("shingle"), filt, m_bits, k,
+                         seed=seed, out_col="__ct_maybe")
+    surv = probed.where(F.col("__ct_maybe")).drop("__ct_maybe")
+    # exact rescue: survivors are contamination-sized, so this join
+    # never sees corpus-scale input on either side (b is the benchmark
+    # gram set; let AQE pick broadcast vs shuffle by its actual size)
+    return (surv.join(b, "shingle")
+            .groupBy("doc")
+            .agg(F.countDistinct("shingle").alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits))

@@ -237,3 +237,73 @@ def clustering_agreement(labels: DataFrame, a_col: str,
         F.col("sum_comb_a").cast("long").alias("sum_comb_a"),
         F.col("sum_comb_b").cast("long").alias("sum_comb_b"),
         F.when(den != 0, F.round(num / den, 6)).alias("ari"))
+
+
+#: integer inverse-CDF thresholds for a Poisson(1) draw from a 60-bit
+#: uniform hash: draw = #(thresholds the hash is >=), capped at len().
+#: Computed once in plain Python (exact ints) so both engines compare
+#: INTEGERS — no float CDF boundary can ever split them.
+def _poisson1_thresholds(cap: int = 6) -> list[int]:
+    import math
+
+    acc, fact, thresholds = 0.0, 1.0, []
+    for k in range(cap):
+        fact = fact * k if k else 1.0
+        acc += math.exp(-1.0) / fact
+        thresholds.append(min(int(acc * (1 << 60)), (1 << 60) - 1))
+    return thresholds
+
+
+def bootstrap_means(df: DataFrame, key_col, value_col,
+                    n_boot: int = 24, seed: int = 13) -> DataFrame:
+    """Poisson bootstrap of a mean (Chamandy et al. 2012 — the
+    single-pass, streaming-friendly bootstrap Google built for exactly
+    this setting): each row contributes ``Poisson(1)`` copies to each
+    of ``n_boot`` replicates, giving the sampling distribution of the
+    corpus mean WITHOUT materializing resamples — the error bar a
+    pipeline owner wants on "mean quality / length / score" before
+    trusting a small metric shift. Output: one row per replicate
+    (b, n_eff, mean).
+
+    Determinism across engines: the Poisson draw inverts an integer
+    threshold table against the row's 60-bit md5 hash of
+    ``key:b:seed`` (pure integer compares — no float CDF boundary);
+    values fold to integer micro-units once, each replicate's weighted
+    sum is an order-independent BIGINT, and ONE division + 6dp round
+    happens at output.
+
+    Scale shape: the replicate expansion is a map-side explode of a
+    bounded ``n_boot`` literal range (rows x n_boot, no join), and the
+    only shuffle is the n_boot-key aggregation — map-combined to at
+    most n_boot rows per task regardless of corpus size.
+    """
+    if n_boot <= 0:
+        raise ValueError(f"bootstrap_means: n_boot must be > 0, "
+                         f"got {n_boot}")
+    from casf_spark.functions.hashing import md5_long
+
+    thresholds = _poisson1_thresholds()
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    xu = F.floor(val.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    base = df.select(key.cast("string").alias("__bs_k"),
+                     xu.alias("__bs_xu"))
+    rep = base.select(
+        "__bs_k", "__bs_xu",
+        F.explode(F.array(*[F.lit(b) for b in range(n_boot)]))
+        .alias("b"))
+    h = md5_long(F.concat_ws(":", "__bs_k", F.col("b").cast("string"),
+                             F.lit(str(seed))))
+    w = F.lit(0)
+    for t in thresholds:
+        w = w + F.when(h >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+    rep = rep.select("b", w.cast("long").alias("__bs_w"), "__bs_xu")
+    return (rep.groupBy("b")
+            .agg(F.sum("__bs_w").cast("long").alias("n_eff"),
+                 F.sum(F.col("__bs_w") * F.col("__bs_xu")).cast("long")
+                 .alias("__bs_su"))
+            .select(F.col("b").cast("int").alias("b"), "n_eff",
+                    F.when(F.col("n_eff") > 0,
+                           F.round(F.col("__bs_su")
+                                   / (F.col("n_eff") * F.lit(1e6)), 6))
+                    .alias("mean")))

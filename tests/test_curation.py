@@ -1053,3 +1053,29 @@ def test_boilerplate_lines_frac_validation(spark):
                                "dom string, doc long, line string")
     with pytest.raises(ValueError, match="min_frac"):
         boilerplate_lines(df, "dom", "doc", "line", min_frac=0.0)
+
+
+def test_contamination_flags_bloom_equals_exact(spark):
+    """Differential: the Bloom-gated rule is output-identical to the
+    exact rule (the rescue join removes every false positive), on a
+    corpus sized so the tiny filter MUST produce false positives."""
+    from casf_spark.operators.curation import (contamination_flags,
+                                               contamination_flags_bloom)
+
+    bench = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma{i} delta epsilon") for i in range(6)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 9} delta epsilon zed{i}")
+         for i in range(30)] + [(40, "totally unrelated words here")],
+        "doc_id long, text string")
+    exact = {(r.doc, r.n_hits)
+             for r in contamination_flags(docs, bench, "doc_id", "text",
+                                          n=4).collect()}
+    # m_bits=64, k=2: with ~18 benchmark grams the filter saturates ->
+    # heavy fp pressure, the rescue must still clean to exact
+    gated = {(r.doc, r.n_hits)
+             for r in contamination_flags_bloom(docs, bench, "doc_id",
+                                                "text", n=4, m_bits=64,
+                                                k=2).collect()}
+    assert gated == exact and exact  # non-empty and identical

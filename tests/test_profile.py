@@ -190,3 +190,38 @@ def test_clustering_agreement_identical_and_degenerate(spark):
         [(1, "a1", "b1"), (2, "a2", "b2")],
         "item long, a string, b string")
     assert clustering_agreement(single, "a", "b").collect()[0].ari is None
+
+
+def test_bootstrap_means_deterministic_and_sane(spark):
+    """Replicates are deterministic for a fixed seed; n_eff fluctuates
+    around n (Poisson(1) mass ~1 per row); every replicate mean stays
+    within the value range; two seeds differ."""
+    from casf_spark.operators.profile import bootstrap_means
+
+    rows = [(i, float(10 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    a = {r.b: (r.n_eff, r.mean)
+         for r in bootstrap_means(df, "k", "v", n_boot=8).collect()}
+    b = {r.b: (r.n_eff, r.mean)
+         for r in bootstrap_means(df, "k", "v", n_boot=8).collect()}
+    assert a == b and len(a) == 8
+    assert all(100 <= ne <= 320 for ne, _ in a.values())
+    assert all(10.0 <= m <= 16.0 for _, m in a.values())
+    c = {r.b: (r.n_eff, r.mean)
+         for r in bootstrap_means(df, "k", "v", n_boot=8,
+                                  seed=99).collect()}
+    assert c != a
+    # replicate means actually vary (the variance IS the signal)
+    assert len({m for _, m in a.values()}) > 1
+
+
+def test_poisson1_thresholds_are_exact_cdf_ints():
+    import math
+
+    from casf_spark.operators.profile import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    assert th == sorted(th) and len(th) == 6
+    # k=0 threshold ~ e^-1 * 2^60
+    assert abs(th[0] / (1 << 60) - math.exp(-1)) < 1e-12
+    assert th[-1] < (1 << 60)
