@@ -1381,6 +1381,43 @@ def q_decontaminate(spark, sf):
     return CU.contamination_flags(rest, bench, "doc_id", "text", n=4)
 
 
+def q_doc_quality_composite_quantile(spark, sf):
+    """Third contract point of the per-group quantile-cut family (the
+    NEXT.md backlog order): a COMPOSITE gopher score (alpha_word_frac −
+    symbol_word_ratio, both already 6dp metrics — rounded once more as
+    the composite) cut at the per-SOURCE 10th percentile via
+    operators.curation.group_quantile_flag. Pins the family at a new
+    (grouping, metric, q) coordinate: doc_len_lang_quantile = (lang,
+    tokens, .25), doc_quality_source_quantile = (source, alpha, .25),
+    this = (source, composite, .10). Same shape: map-only metric, one
+    source-grain percentile agg broadcast back, rounded-threshold
+    compare."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text").select(
+        "doc_id",
+        F.round(F.col("alpha_word_frac") - F.col("symbol_word_ratio"), 6)
+        .alias("composite"))
+    d = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source")
+         .join(g, "doc_id"))
+    return CU.group_quantile_flag(d, "source", "composite", q=0.1,
+                                  flag_col="below_p10")
+
+
+def q_source_keyness(spark, sf):
+    """Per-source keyword extraction by Dunning log-likelihood keyness
+    (operators.relevance.keyness_terms, Dunning 1993): the 10 terms
+    most over-represented in each source vs the rest of the corpus —
+    the 'what makes this slice different' mixture-audit report that
+    heavy-hitters (raw frequency) cannot answer. Each G² is a
+    closed-form double expression over four exact integers (no float
+    accumulation anywhere), 6dp-rounded before the per-group rank
+    window. One vocabulary-grain count agg; totals derive from it."""
+    docs = load_table(spark, sf, "documents")
+    return RV.keyness_terms(docs, "source", "doc_id", "text",
+                            top_k=10).orderBy("grp", "rank")
+
+
 def q_quality_bootstrap(spark, sf):
     """Poisson bootstrap of the corpus mean token count
     (operators.profile.bootstrap_means, Chamandy et al. 2012 — the
@@ -5927,7 +5964,8 @@ _ROUND12_WINDOW = [
     #    tail per protocol (displaced names recorded in NEXT.md)
     "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
-    "quality_bootstrap",
+    "quality_bootstrap", "source_keyness",
+    "doc_quality_composite_quantile",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5947,8 +5985,7 @@ _ROUND12_WINDOW = [
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
-    "retrieval_rrf_weighted", "nb_lang_score", "nb_lang_eval",
-    "tokenizer_fertility",
+    "retrieval_rrf_weighted", "nb_lang_score",
 ]
 
 
@@ -6112,6 +6149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_ari": q_dedup_cluster_ari,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
+        "source_keyness": q_source_keyness,
+        "doc_quality_composite_quantile": q_doc_quality_composite_quantile,
         "nb_calibration": q_nb_calibration,
         "quality_propagate_weighted": q_quality_propagate_weighted,
         "nb_platt": q_nb_platt,
@@ -9396,6 +9435,63 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # per-source composite-quantile cut: the PROVEN gopher metric
+    # bodies re-used, composite rounded once, quantile_cont at 0.1
+    out["doc_quality_composite_quantile"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, source, COALESCE(text, '') txt,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words
+  FROM documents),
+m AS (
+  SELECT doc_id, source,
+    ROUND(ROUND(len(list_filter(words,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                * 1.0 / GREATEST(len(words), 1), 6)
+          - ROUND((length(txt) - length(replace(txt, '#', ''))
+                   + (length(txt) - length(replace(txt, '...', ''))) / 3)
+                  / GREATEST(len(words), 1), 6), 6) composite
+  FROM w),
+st AS (SELECT source,
+              ROUND(quantile_cont(composite, 0.1), 6) q_threshold
+       FROM m GROUP BY 1)
+SELECT m.source, m.doc_id, m.composite, st.q_threshold,
+       m.composite < st.q_threshold AS below_p10
+FROM m JOIN st ON m.source IS NOT DISTINCT FROM st.source"""
+    # Dunning G² keyness: four exact integers per row feed ONE
+    # closed-form double expression with the SAME association order as
+    # the Spark side (e = c*(a+b)/(c+d), left-assoc) — no float sums
+    out["source_keyness"] = f"""
+WITH tk AS (SELECT CAST(doc_id AS BIGINT) doc, source,
+                   unnest({_TOKS}) word FROM documents),
+gt AS (SELECT source grp, word, CAST(COUNT(*) AS BIGINT) a
+       FROM tk GROUP BY 1, 2),
+tt AS (SELECT word, CAST(SUM(a) AS BIGINT) t_tot FROM gt GROUP BY 1),
+ct AS (SELECT grp, CAST(SUM(a) AS BIGINT) c FROM gt GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) n_all FROM ct),
+j AS (SELECT grp, word, a, t_tot - a AS b, c, n_all - c AS d
+      FROM gt JOIN tt USING (word) JOIN ct USING (grp) CROSS JOIN nt),
+sc AS (SELECT grp, word, a, b,
+         ROUND(2.0 * (CAST(a AS DOUBLE)
+                 * ln(CAST(a AS DOUBLE)
+                      / (CAST(c AS DOUBLE)
+                         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))))
+               + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                 * ln(CAST(b AS DOUBLE)
+                      / (CAST(d AS DOUBLE)
+                         * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))))
+                 ELSE 0.0 END), 6) g2
+       FROM j
+       WHERE CAST(a AS DOUBLE) / CAST(c AS DOUBLE)
+             > CAST(b AS DOUBLE) / CAST(d AS DOUBLE)),
+rk AS (SELECT grp, word AS term, a, b, g2,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY g2 DESC, word) rnk
+       FROM sc)
+SELECT grp, CAST(rnk AS BIGINT) AS rank, term, a, b, g2
+FROM rk WHERE rnk <= 10 ORDER BY grp, rank"""
     # Poisson bootstrap: the SAME integer Poisson(1) thresholds
     # (profile._poisson1_thresholds) spelled into SQL — hash compares
     # stay pure integer in both engines

@@ -47,7 +47,8 @@ from casf_spark.operators import similarity as _sim
 __all__ = ["tfidf_terms", "bm25_rank", "tfidf_rank", "knn_classify",
            "vocab_coverage", "unigram_logprob", "bigram_logprob",
            "label_centroid_outliers", "rrf_fuse", "collocation_pmi",
-           "negative_sampling_table", "negative_draws", "skipgram_cooc"]
+           "negative_sampling_table", "negative_draws", "skipgram_cooc",
+           "keyness_terms"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -695,3 +696,56 @@ def retrieval_ndcg(docs: DataFrame, query_terms: Sequence[str],
                     F.round(F.col("idcg_u") / 1e9, 6).alias("idcg"),
                     F.round((F.col("dcg_u").cast("double")
                              / F.col("idcg_u")), 6).alias("ndcg")))
+
+
+def keyness_terms(docs: DataFrame, group_col: str, id_col: str,
+                  text_col: str, top_k: int = 10) -> DataFrame:
+    """Per-group keyword extraction by Dunning log-likelihood keyness
+    (Dunning 1993, the corpus-linguistics G² statistic): for each group
+    (source, language, cluster), the ``top_k`` terms most
+    over-represented against the REST of the corpus — the "what makes
+    this slice different" report a mixture audit reads next to
+    heavy-hitters (which only answer "what is frequent").
+
+    G² = 2·(a·ln(a/E1) + b·ln(b/E2)) with a = term occurrences in the
+    group, b = in the rest, E1/E2 the expected splits under
+    independence; only over-represented terms (a/c > b/d) rank. Each
+    row's G² is computed from FOUR exact integers in one closed-form
+    double expression — no float accumulation exists, so engines agree
+    to the 6dp round. b = 0 contributes 0 (the x·ln x → 0 limit).
+
+    Scale shape: one map-combined (group, term) count aggregation
+    (vocabulary x groups keys); term totals derive from IT (no second
+    corpus pass); group totals broadcast; the top-k cut is a window
+    PARTITIONED BY group over the scored candidates — per-group work,
+    never a global sort. Output: (grp, rank, term, a, b, g2).
+    """
+    gt = (tokenize(docs, id_col, text_col)
+          .join(docs.select(F.col(id_col).cast("long").alias("doc"),
+                            F.col(group_col).alias("grp")), "doc")
+          .groupBy("grp", "word")
+          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    term_tot = gt.groupBy("word").agg(F.sum("a").alias("t_tot"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("a").alias("c"))
+    all_tot = grp_tot.agg(F.sum("c").alias("n_all"))
+    j = (gt.join(term_tot, "word")
+         .join(F.broadcast(grp_tot), "grp")
+         .crossJoin(F.broadcast(all_tot)))
+    a = F.col("a").cast("double")
+    b = (F.col("t_tot") - F.col("a")).cast("double")
+    c = F.col("c").cast("double")
+    d = (F.col("n_all") - F.col("c")).cast("double")
+    e1 = c * (a + b) / (c + d)
+    e2 = d * (a + b) / (c + d)
+    g2 = 2.0 * (a * F.log(a / e1)
+                + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0)))
+    scored = (j.where((a / c) > (b / d))
+              .select("grp", "word", F.col("a").alias("a_cnt"),
+                      (F.col("t_tot") - F.col("a")).alias("b_cnt"),
+                      F.round(g2, 6).alias("g2")))
+    w = Window.partitionBy("grp").orderBy(F.desc("g2"), F.asc("word"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= int(top_k))
+            .select("grp", "rank", F.col("word").alias("term"),
+                    F.col("a_cnt").cast("long").alias("a"),
+                    F.col("b_cnt").cast("long").alias("b"), "g2"))

@@ -546,3 +546,31 @@ def test_ndcg_python_replica_and_bounds(spark):
     assert row.idcg == round(idcg_u / 1e9, 6)
     assert row.ndcg == round(dcg_u / idcg_u, 6)
     assert row.ndcg <= 1.0
+
+
+def test_keyness_terms_hand_case(spark):
+    """G2 keyness on a hand corpus: 'zebra' is exclusive to src a ->
+    highest keyness there; shared terms with equal rates rank below or
+    are excluded by the over-representation guard."""
+    import math
+
+    from casf_spark.operators.relevance import keyness_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a", "zebra zebra common word"),
+         (2, "a", "zebra common word"),
+         (3, "b", "common word other other"),
+         (4, "b", "common word other")],
+        "doc_id long, source string, text string")
+    got = {(r.grp, r.term): (r.rank, r.a, r.b, r.g2)
+           for r in keyness_terms(docs, "source", "doc_id", "text",
+                                  top_k=3).collect()}
+    # zebra: a=3 in src a (c=7 tokens), b=0 elsewhere (d=7)
+    rank, a, b, g2 = got[("a", "zebra")]
+    assert (rank, a, b) == (1, 3, 0)
+    exp = round(2.0 * 3.0 * math.log(3.0 / (7.0 * 3.0 / 14.0)), 6)
+    assert g2 == exp
+    # 'other' is exclusive to b -> rank 1 there
+    assert got[("b", "other")][0] == 1
+    # evenly-spread terms are not over-represented anywhere
+    assert ("a", "common") not in got and ("b", "common") not in got
