@@ -1550,6 +1550,24 @@ def q_dedup_clusters(spark, sf):
     return DD.connected_components(edges)
 
 
+def q_dedup_kcore(spark, sf):
+    """2-core of the MinHash candidate graph (operators.dedup.kcore,
+    iterative peeling): docs whose near-dup neighborhood is DENSE —
+    >= 2 surviving neighbors after everyone with fewer peels away —
+    the template-cluster / SEO-farm signal, distinct from connected
+    components (a chain is one component but has an EMPTY 2-core).
+    Output (doc_id, core_deg, n_rounds); pure integer thresholding, no
+    floats. Twin: 8 unrolled MATERIALIZED peel rounds over the shared
+    mh_cand CTE (measured convergence: 2 rounds at sf0.01, 4 at
+    sf0.1), n_rounds re-derived as the count of strictly-shrinking
+    rounds. Per round: two endpoint semi-joins + one node-grain count
+    — graph-sized, checkpointed between rounds."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                 n=2, num_hashes=12, bands=4)
+    return DD.kcore(pairs.select("doc0", "doc1"), k=2).orderBy("doc_id")
+
+
 def q_dedup_cluster_ari(spark, sf):
     """Adjusted Rand Index between the MinHash-LSH clustering and the
     collision-key grouping (operators.profile.clustering_agreement,
@@ -5938,34 +5956,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-11 driver window (the driver's correctness harness checks the
-# FIRST 50 entries of queries()). Composition, per the round-10 verdict
+# Round-12 driver window (the driver's correctness harness checks the
+# FIRST 50 entries of queries()). Composition, per the round-11 verdict
 # item 1 + NEXT.md's authoritative queue:
-#   * every round-11 addition (22 names) — windowed immediately so no
-#     never-checked backlog accumulates;
-#   * the 8 stalest names anywhere: the cosine-family tail last
-#     driver-green in round 6 (cosine_subset/omit/norm_none/axis_x/
-#     topk/threshold/predict, doc_cosine);
-#   * then the round-7 cohort in round-7 window order
-#     (CORRECTNESS_r07.json keys), SKIPPING tokens_to_ids (re-greened
-#     in the round-10 window — the only r7 name fresher than round 7)
-#     — 20 names fit; the 29 displaced tail names (events_funnel,
-#     events_retention, users_view_and_purchase, events_corr,
-#     events_value_hist, ann_ivf_pq, temperature_resample,
-#     doc_cosine_tfidf, multimodal_rgb, dedup_collision,
-#     events_moving_avg, embedding_outliers, vocab_coverage,
-#     unigram_logprob, dedup_incremental, curation_funnel,
-#     dedup_spans, budget_select, mixture_resample, knn_classify,
-#     bm25_rank, tfidf_terms, events_percentiles, events_zscore,
-#     events_pivot, events_cube, events_profile, events_rollup,
-#     events_distinct_users) head the round-12 queue, see NEXT.md.
+#   * every round-12 addition (10 names, newest at head) — windowed
+#     immediately so no never-checked backlog accumulates;
+#   * the 29 names displaced from the round-11 window (the round-7
+#     tail + the 20 displaced by late round-11 additions);
+#   * then the round-8 cohort head in CORRECTNESS_r08.json key order
+#     (the 10 additions displaced its tail — bigram_logprob,
+#     sample_per_source, er_customer_link, corpus_card,
+#     multimodal_audio_neardup, multimodal_image_neardup,
+#     collocations_pmi, tokenizer_fertility, nb_lang_eval,
+#     nb_lang_score — which HEAD the round-13 queue, see NEXT.md).
 _ROUND12_WINDOW = [
     # -- round-12 additions land HERE (newest first), displacing the
     #    tail per protocol (displaced names recorded in NEXT.md)
     "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
     "quality_bootstrap", "source_keyness",
-    "doc_quality_composite_quantile",
+    "doc_quality_composite_quantile", "dedup_kcore",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5985,7 +5995,7 @@ _ROUND12_WINDOW = [
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
-    "retrieval_rrf_weighted", "nb_lang_score",
+    "retrieval_rrf_weighted",
 ]
 
 
@@ -6147,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_boilerplate": q_domain_boilerplate,
         "embedding_rp8": q_embedding_rp8,
         "dedup_cluster_ari": q_dedup_cluster_ari,
+        "dedup_kcore": q_dedup_kcore,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -9435,6 +9446,40 @@ SELECT doc, url_norm,
             WHEN doc > mdoc THEN 'batch_dup'
             ELSE 'new' END status
 FROM m ORDER BY doc"""
+    # 2-core of the MinHash candidate graph: 8 unrolled MATERIALIZED
+    # peel rounds (plain chained CTEs re-expand in DuckDB — the
+    # label-propagation lesson); n_rounds = strictly-shrinking rounds
+    _kc_rounds = 8
+    _kc = ["""sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+    UNION ALL SELECT doc1, doc0 FROM mh_cand)),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""]
+    for r in range(1, _kc_rounds + 1):
+        _kc.append(f"""d{r} AS MATERIALIZED (
+  SELECT e.src AS node, COUNT(*) deg FROM sym e
+  JOIN a{r - 1} x ON e.src = x.node
+  JOIN a{r - 1} y ON e.dst = y.node
+  GROUP BY 1),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= 2)""")
+    _kc_counts = ", ".join(
+        f"(SELECT COUNT(*) FROM a{r}) c{r}" for r in range(_kc_rounds + 1))
+    _kc_shrinks = " + ".join(
+        f"CASE WHEN c{r + 1} < c{r} THEN 1 ELSE 0 END"
+        for r in range(_kc_rounds))
+    out["dedup_kcore"] = f"""
+WITH {_minhash_cte()},
+{",".join(_kc)},
+fin AS (
+  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) core_deg FROM sym e
+  JOIN a{_kc_rounds} x ON e.src = x.node
+  JOIN a{_kc_rounds} y ON e.dst = y.node
+  GROUP BY 1),
+nr AS (SELECT {_kc_counts}),
+rounds AS (SELECT CAST({_kc_shrinks} AS BIGINT) n_rounds FROM nr)
+SELECT node AS doc_id, core_deg, rounds.n_rounds
+FROM fin CROSS JOIN rounds
+WHERE core_deg >= 2 ORDER BY doc_id"""
     # per-source composite-quantile cut: the PROVEN gopher metric
     # bodies re-used, composite rounded once, quantile_cont at 0.1
     out["doc_quality_composite_quantile"] = """

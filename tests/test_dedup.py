@@ -495,3 +495,27 @@ def test_er_customer_link_planted_matches(spark, sf_dir):
     natural = [r for r in rows if r.cust1 < 10_000_000]
     assert natural
     assert sum(r.is_match for r in natural) < 0.1 * len(natural)
+
+
+def test_kcore_hand_graph(spark):
+    """Triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the
+    triangle (4 and 5 peel in two rounds), each member at degree 2."""
+    from casf_spark.operators.dedup import kcore
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "doc0 long, doc1 long")
+    got = {r.doc_id: (r.core_deg, r.n_rounds)
+           for r in kcore(pairs, k=2).collect()}
+    assert got == {1: (2, 2), 2: (2, 2), 3: (2, 2)}
+    # k above the densest degree -> empty core
+    assert kcore(pairs, k=3).count() == 0
+
+
+def test_kcore_validation(spark):
+    import pytest
+    from casf_spark.operators.dedup import kcore
+
+    pairs = spark.createDataFrame([(1, 2)], "doc0 long, doc1 long")
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(pairs, k=0)

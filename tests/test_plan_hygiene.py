@@ -78,6 +78,11 @@ PRODUCT_WHITELIST = {
     # same NB broadcasts + the 1-row ECE numerator/denominator agg
     # crossJoined onto the <= n_buckets-row bucket table
     "nb_calibration",
+    # ARI: the three 1-row combinatoric aggregates (cells, row
+    # marginals, col marginals) crossJoin into the single output row
+    "dedup_cluster_ari",
+    # keyness: 1-row corpus-total broadcast into the G2 projection
+    "source_keyness",
     # the 42-row Platt grid broadcast (map-side expansion) + the 1-row
     # argmin broadcast back onto the grid-sized loss table
     "nb_platt",
@@ -144,6 +149,9 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)
 SP_CAP_OVERRIDES = {"data_quality_checks": 3,
+                    # ARI: cells / row-marginal / col-marginal 1-row
+                    # aggs (all over the tiny contingency table)
+                    "dedup_cluster_ari": 3,
                     # unigram vocab-total agg + the quantile-threshold
                     # agg + its re-aggregation after the total broadcast
                     # (all 1-row)
