@@ -3395,6 +3395,33 @@ def q_stream_bloom_state(spark, sf):
                                       m_bits=BLOOM_M, k=BLOOM_K)
 
 
+def q_stream_cms_state(spark, sf):
+    """End state of streaming Count-Min maintenance (streaming.curation
+    .cms_replay_batches — the batch twin test_streaming pins against
+    the REAL availableNow foreachBatch stream): documents split into
+    THREE micro-batches by doc_id % 3, each batch collapsing to its
+    own 4x256 cell table, merged cell-wise and point-queried for the
+    exact top-20 tokens. Because counter sums commute, the twin's
+    merged sketch is bit-identical to one built over the whole corpus
+    — the oracle replays the single build, so the contract IS the
+    mergeability property: a wrong per-batch build or merge flips the
+    hash. Overcount >= 0 pinned row-wise as in cms_term_counts."""
+    from casf_spark.streaming.curation import cms_replay_batches
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    batches = [(b, docs.where(F.col("doc_id") % 3 == b))
+               for b in range(3)]
+    toks = docs.select(F.explode(TX.tokens("text")).alias("item"))
+    top = (toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), F.asc("item")).limit(20))
+    est = cms_replay_batches(batches, top, width=256, depth=4)
+    return est.select(
+        F.col("item").alias("token"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+        .alias("overcount"))
+
+
 def q_curation_funnel(spark, sf):
     """One-pass cumulative filter funnel over documents: length -> script
     -> token-count survivor counts (operators.curation.curation_funnel)."""
@@ -3724,6 +3751,34 @@ def _cms_oracle() -> str:
 
     h = "CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)"
     pos = position_sql_exprs(h, CMS_D, CMS_W, seed=11)
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row_idx, {p} AS col_idx FROM t"
+        for r, p in enumerate(pos))
+    qcells = "\nUNION ALL\n".join(
+        f"SELECT item, exact_cnt, {r} AS row_idx, {p} AS col_idx FROM top"
+        for r, p in enumerate(pos))
+    return f"""
+WITH t AS (SELECT unnest({_TOKS}) AS item FROM documents),
+top AS (SELECT item, COUNT(*) AS exact_cnt FROM t GROUP BY item
+        ORDER BY exact_cnt DESC, item LIMIT 20),
+cells AS ({cells}),
+cms AS (SELECT row_idx, col_idx, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+qc AS ({qcells})
+SELECT item AS token, exact_cnt,
+       MIN(COALESCE(cms.cnt, 0)) AS cms_est,
+       MIN(COALESCE(cms.cnt, 0)) - exact_cnt AS overcount
+FROM qc LEFT JOIN cms USING (row_idx, col_idx)
+GROUP BY item, exact_cnt"""
+
+
+def _cms_stream_oracle() -> str:
+    """stream_cms_state twin: the single whole-corpus 4x256 build —
+    equal to the Spark side's merged per-batch sketches by counter-sum
+    commutativity (the mergeability property IS the contract)."""
+    from casf_spark.functions.hashing import position_sql_exprs
+
+    h = "CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)"
+    pos = position_sql_exprs(h, 4, 256, seed=11)
     cells = "\nUNION ALL\n".join(
         f"SELECT {r} AS row_idx, {p} AS col_idx FROM t"
         for r, p in enumerate(pos))
@@ -5975,7 +6030,7 @@ _ROUND12_WINDOW = [
     "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
     "quality_bootstrap", "source_keyness",
-    "doc_quality_composite_quantile", "dedup_kcore",
+    "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -5995,7 +6050,6 @@ _ROUND12_WINDOW = [
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
     "curriculum_buckets", "unigram_lm_segment",
-    "retrieval_rrf_weighted",
 ]
 
 
@@ -6158,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_rp8": q_embedding_rp8,
         "dedup_cluster_ari": q_dedup_cluster_ari,
         "dedup_kcore": q_dedup_kcore,
+        "stream_cms_state": q_stream_cms_state,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -7639,6 +7694,7 @@ GROUP BY 2""",
         "dedup_incremental": _incremental_oracle(),
         "dedup_bloom": _bloom_oracle(),
         "stream_bloom_state": _stream_bloom_oracle(),
+        "stream_cms_state": _cms_stream_oracle(),
         "lm_windows": f"""
 WITH toklist AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a
                  FROM documents),

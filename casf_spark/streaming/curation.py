@@ -339,3 +339,79 @@ def bloom_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
     if out is None:
         raise ValueError("bloom_dedup_replay_batches: no batches")
     return out
+
+
+def cms_stream_counts(docs_stream: DataFrame, index_dir: str,
+                      checkpoint: str, text_col: str = "text",
+                      width: int = 256, depth: int = 4, seed: int = 11,
+                      timeout_sec: int = 120) -> None:
+    """Streaming Count-Min maintenance — the frequency-monitoring
+    counterpart of :func:`bloom_dedup_stream_against_index`: each
+    micro-batch's token occurrences collapse to a ``depth x width``
+    cell table (operators.sketches.cms_build — the batch never ships
+    its vocabulary) that lands in a batch-id partition of the index;
+    the LIVE sketch at any moment is the cell-wise SUM across
+    partitions, exactly the mergeable-summaries property CM sketches
+    are built for. Storage is O(depth·width) per batch regardless of
+    batch size; replay-idempotent via dynamic partition overwrite
+    (re-running a batch id overwrites its own partition only).
+    """
+    from casf_spark.operators.sketches import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(TX.tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("item"))
+        (cms_build(toks, "item", width=width, depth=depth, seed=seed)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(index_dir))
+
+    q = (docs_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
+def cms_merged_estimates(spark, index_dir: str, queries_df: DataFrame,
+                         item_col: str = "item", width: int = 256,
+                         depth: int = 4, seed: int = 11) -> DataFrame:
+    """Point-query the LIVE merged sketch a :func:`cms_stream_counts`
+    run has accumulated: cell-wise SUM across batch partitions, then
+    the map-only probe (operators.sketches.cms_estimate)."""
+    from casf_spark.operators.sketches import cms_estimate
+
+    merged = (spark.read.parquet(index_dir)
+              .groupBy("row_idx", "col_idx")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    return cms_estimate(queries_df, item_col, merged,
+                        width=width, depth=depth, seed=seed)
+
+
+def cms_replay_batches(batches: list, queries_df: DataFrame,
+                       item_col: str = "item", text_col: str = "text",
+                       width: int = 256, depth: int = 4,
+                       seed: int = 11) -> DataFrame:
+    """BATCH TWIN of :func:`cms_stream_counts`: per-batch sketches
+    merged by cell-wise sum, then point-queried — the hermetic contract
+    the stream test asserts equality against. Because counter sums
+    commute, the merged sketch is BIT-IDENTICAL to one built over the
+    concatenated corpus: the oracle proves the mergeability property,
+    and any error in the per-batch build or the merge flips the hash.
+    """
+    from casf_spark.operators.sketches import cms_build, cms_estimate
+
+    acc: DataFrame | None = None
+    for _batch_id, df in batches:
+        toks = df.select(
+            F.explode(TX.tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("item"))
+        c = cms_build(toks, "item", width=width, depth=depth, seed=seed)
+        acc = c if acc is None else acc.unionByName(c)
+    if acc is None:
+        raise ValueError("cms_replay_batches: no batches")
+    merged = (acc.groupBy("row_idx", "col_idx")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    return cms_estimate(queries_df, item_col, merged,
+                        width=width, depth=depth, seed=seed)

@@ -401,3 +401,54 @@ def test_bloom_dedup_stream_cross_batch_and_twin(spark, tmp_path):
     streamed = {(r.doc, r._batch_id, r.fp)
                 for r in kept.select("doc", "_batch_id", "fp").collect()}
     assert streamed == twin
+
+
+def test_cms_stream_counts_merge_and_twin(spark, tmp_path):
+    """Streaming CMS maintenance: the real availableNow stream's merged
+    index answers point queries exactly equal to the batch replay twin
+    AND to a single whole-corpus build (mergeability), with the index
+    bounded by depth*width cells per batch and every estimate >= the
+    true count."""
+    from casf_spark.operators.sketches import cms_build, cms_estimate
+    from casf_spark.streaming.curation import (cms_merged_estimates,
+                                               cms_replay_batches,
+                                               cms_stream_counts)
+    from pyspark.sql import functions as F
+    from casf_spark.functions.text import tokens
+
+    b1 = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 9} gamma") for i in range(30)],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(100 + i, f"alpha delta w{i % 5}") for i in range(25)],
+        "doc_id long, text string")
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = next(p for p in (tmp_path / f"s{i}").glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    idx = str(tmp_path / "cms_index")
+    cms_stream_counts(stream, idx, str(tmp_path / "ckpt"),
+                      width=64, depth=4)
+
+    whole = b1.unionByName(b2)
+    toks = whole.select(F.explode(tokens("text")).alias("item"))
+    truth = toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    streamed = {(r.item, r.cms_est) for r in cms_merged_estimates(
+        spark, idx, truth, width=64, depth=4).collect()}
+    twin = {(r.item, r.cms_est) for r in cms_replay_batches(
+        [(0, b1), (1, b2)], truth, width=64, depth=4).collect()}
+    single = {(r.item, r.cms_est) for r in cms_estimate(
+        truth, "item", cms_build(toks, "item", width=64, depth=4),
+        width=64, depth=4).collect()}
+    assert streamed == twin == single
+    # one-sided guarantee on every item
+    est = dict(streamed)
+    for r in truth.collect():
+        assert est[r.item] >= r.exact_cnt
+    # index bounded by cells, not vocabulary
+    index = spark.read.parquet(idx)
+    assert index.count() <= 2 * 4 * 64
