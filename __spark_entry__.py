@@ -2779,8 +2779,7 @@ def q_url_psl_domains(spark, sf):
                   F.concat(host, F.lit(":8080"))).otherwise(host)
     df = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                      host.alias("host"))
-    tbl = URL.public_suffix_table(spark, PSL.PSL_ICANN_FULL)
-    return (URL.registered_domain_join(df, "host", tbl)
+    return (URL.registered_domain_join(df, "host", PSL.PSL_ICANN_FULL)
             .select("doc_id", "host", "reg_domain")
             .orderBy("doc_id"))
 
@@ -2826,8 +2825,8 @@ def q_url_psl_rules(spark, sf):
                   F.concat(host, F.lit(":8080"))).otherwise(host)
     df = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                      host.alias("host"))
-    tbl = URL.public_suffix_table(spark, PSL.PSL_ICANN_FULL_RULES)
-    return (URL.registered_domain_join(df, "host", tbl)
+    return (URL.registered_domain_join(df, "host",
+                                       PSL.PSL_ICANN_FULL_RULES)
             .select("doc_id", "host", "reg_domain")
             .orderBy("doc_id"))
 

@@ -266,14 +266,17 @@ def public_suffix_table(spark, suffixes=PUBLIC_SUFFIXES) -> DataFrame:
 
 
 def registered_domain_join(df: DataFrame, host_col: str,
-                           suffix_table: DataFrame,
+                           suffix_table=None,
                            out_col: str = "reg_domain") -> DataFrame:
     """Side-table spelling of :func:`registered_domain` for suffix lists
     too large or too dynamic to fold into an expression (the full PSL
     refreshed from upstream): per row, generate the host's label tails,
     broadcast-join them against the suffix table, and take one more
     label than the public suffix the PSL rules resolve (no match =
-    plain-TLD default, last two labels).
+    plain-TLD default, last two labels). ``suffix_table`` may be the
+    ``(suffix, n_labels)`` DataFrame (collected once — it is a bounded
+    side input) or a plain Python sequence of rule strings (zero plan-
+    build jobs; the spelling of the JOINS is identical either way).
 
     Unlike the expression spelling (which loudly rejects them — see
     ``_split_by_depth``), this form implements the FULL PSL rule set:
@@ -311,31 +314,29 @@ def registered_domain_join(df: DataFrame, host_col: str,
     last2 = F.concat_ws(".", F.element_at(labels, -2), last1)
     last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
     last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
-    sfx = suffix_table.select("suffix", "n_labels").distinct()
-    lit = sfx.where(~F.col("suffix").startswith("!")
-                    & ~F.col("suffix").startswith("*"))
-    # wildcard rules keyed by their PARENT (the labels after `*.`);
-    # exception rules keyed by the rule labels themselves
-    wild = (sfx.where(F.col("suffix").startswith("*."))
-            .select(F.expr("substring(suffix, 3)").alias("parent"),
-                    (F.col("n_labels") - 1).alias("p_labels")))
-    exc = (sfx.where(F.col("suffix").startswith("!"))
-           .select(F.expr("substring(suffix, 2)").alias("rule"),
-                   F.col("n_labels")))
-    classes = {
-        "__psl_s2": lit.where(F.col("n_labels") == 2)
-                       .select(F.col("suffix").alias("__psl_s2")),
-        "__psl_s3": lit.where(F.col("n_labels") == 3)
-                       .select(F.col("suffix").alias("__psl_s3")),
-        "__psl_w1": wild.where(F.col("p_labels") == 1)
-                        .select(F.col("parent").alias("__psl_w1")),
-        "__psl_w2": wild.where(F.col("p_labels") == 2)
-                        .select(F.col("parent").alias("__psl_w2")),
-        "__psl_e2": exc.where(F.col("n_labels") == 2)
-                       .select(F.col("rule").alias("__psl_e2")),
-        "__psl_e3": exc.where(F.col("n_labels") == 3)
-                       .select(F.col("rule").alias("__psl_e3")),
-    }
+    # the suffix table is a BOUNDED side input (the full PSL is ~10k
+    # rows — same driver-side contract as the BPE-merge / piece
+    # tables), so classify its rules ONCE in Python: six lazy
+    # DataFrame classes would otherwise cost six distinct+isEmpty jobs
+    # per call (measured 1.1 s -> 5.2 s warm at sf0.1 before this)
+    if isinstance(suffix_table, DataFrame):
+        rules = {(r[0], int(r[1])) for r in
+                 suffix_table.select("suffix", "n_labels").collect()}
+    else:
+        rules = {(s, s.lstrip("!").count(".") + 1)
+                 for s in set(suffix_table)}
+    classes: dict[str, list[str]] = {
+        "__psl_s2": [], "__psl_s3": [], "__psl_w1": [],
+        "__psl_w2": [], "__psl_e2": [], "__psl_e3": []}
+    for s, nl in rules:
+        if s.startswith("*."):
+            # wildcard keyed by its PARENT (the labels after `*.`)
+            classes.get(f"__psl_w{nl - 1}", []).append(s[2:])
+        elif s.startswith("!"):
+            # exception keyed by the rule labels themselves
+            classes.get(f"__psl_e{nl}", []).append(s[1:])
+        else:
+            classes.get(f"__psl_s{nl}", []).append(s)
     tails = {"__psl_s2": "__psl_t2", "__psl_s3": "__psl_t3",
              "__psl_w1": "__psl_t1", "__psl_w2": "__psl_t2",
              "__psl_e2": "__psl_t2", "__psl_e3": "__psl_t3"}
@@ -344,11 +345,14 @@ def registered_domain_join(df: DataFrame, host_col: str,
               .withColumn("__psl_t2", F.when(n >= 2, last2))
               .withColumn("__psl_t3", F.when(n >= 3, last3))
               .withColumn("__psl_t4", F.when(n >= 4, last4)))
+    spark = df.sparkSession
     present = set()
-    for name, side in classes.items():
-        if side.isEmpty():   # skip joins for absent rule classes
+    for name, vals in classes.items():
+        if not vals:   # skip joins for absent rule classes
             continue
         present.add(name)
+        side = spark.createDataFrame(
+            [(v,) for v in sorted(set(vals))], f"{name} string")
         joined = joined.join(F.broadcast(side),
                              F.col(tails[name]) == F.col(name), "left")
 
