@@ -1896,6 +1896,33 @@ def q_nb_cv(spark, sf):
     return out
 
 
+def q_nb_lang_confusion(spark, sf):
+    """MULTI-class NB language identification (operators.classify
+    .nb_train_multi / nb_score_multi — the CCNet per-language
+    classifier shape, generalizing the binary en-vs-rest family): one
+    model over ALL languages (per-(label, term) Laplace-smoothed
+    integer micro-unit log-probs on the shared top-25 vocabulary,
+    zero counts materialized — the smoothed floor is label-specific),
+    scored on the held-out fifth by integer argmax (ties -> label
+    asc). Output: the full 5x5 confusion matrix (lang, pred_lang, n) —
+    every cell is the contract, not just the diagonal. Twin: the
+    complete train+score replay in SQL. Model is labels x (vocab+1)
+    rows by construction; scoring is one broadcast join + a (doc,
+    label) integer-sum agg + a bounded per-doc fold."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    model = CL.nb_train_multi(train, "doc_id", "text", "lang",
+                              vocab_size=25)
+    pred = CL.nb_score_multi(held, model, "doc_id", "text")
+    truth = held.select(F.col("doc_id").cast("string").alias("doc"),
+                        "lang")
+    return (pred.join(truth, "doc")
+            .groupBy("lang", F.col("pred_label").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("lang", "pred_lang"))
+
+
 def q_nb_platt(spark, sf):
     """Platt scaling by deterministic grid search (operators.classify
     .platt_grid_fit — the post-hoc calibration FIT that composes with
@@ -6030,6 +6057,7 @@ _ROUND12_WINDOW = [
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
     "quality_bootstrap", "source_keyness",
     "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
+    "nb_lang_confusion",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -6048,7 +6076,7 @@ _ROUND12_WINDOW = [
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
-    "curriculum_buckets", "unigram_lm_segment",
+    "curriculum_buckets",
 ]
 
 
@@ -6212,6 +6240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_ari": q_dedup_cluster_ari,
         "dedup_kcore": q_dedup_kcore,
         "stream_cms_state": q_stream_cms_state,
+        "nb_lang_confusion": q_nb_lang_confusion,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -8884,6 +8913,56 @@ FROM sc ORDER BY doc_id""",
         # held-out confusion report for the same model (the fifth the
         # training fold never saw)
         "nb_cv": _nb_cv_oracle(),
+        # multi-class NB language ID: the full train + argmax-score
+        # replay; zero-count (label, vocab-term) pairs materialized in
+        # the grid CTE (the smoothed floor is label-specific)
+        "nb_lang_confusion": f"""
+WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc, lang cls
+             FROM documents
+             WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+toklist AS (SELECT CAST(doc_id AS VARCHAR) doc, {_TOKS} a
+            FROM documents),
+ttoks AS (SELECT t.doc, unnest(t.a) w, l.cls
+          FROM toklist t JOIN lab l USING (doc)),
+tc AS (SELECT cls, w term, CAST(COUNT(*) AS DOUBLE) c
+       FROM ttoks GROUP BY 1, 2),
+vocab AS (SELECT term FROM (SELECT term, SUM(c) cnt FROM tc GROUP BY 1)
+          ORDER BY cnt DESC, term ASC LIMIT 25),
+classes AS (SELECT DISTINCT cls FROM lab),
+grid AS (SELECT cls, term FROM classes CROSS JOIN vocab),
+cv AS (SELECT g.cls, g.term, COALESCE(tc.c, 0.0) c
+       FROM grid g LEFT JOIN tc ON g.cls = tc.cls
+                               AND g.term = tc.term),
+tcl AS (SELECT cls, SUM(c) t_c, CAST(COUNT(*) AS DOUBLE) v
+        FROM cv GROUP BY 1),
+model AS (SELECT cv.cls, term,
+                 CAST(FLOOR(ln((c + 1.0) / (t_c + v)) * 1000000.0
+                            + 0.5) AS BIGINT) ll_u
+          FROM cv JOIN tcl USING (cls)),
+pri AS (SELECT n.cls,
+               CAST(FLOOR(ln(n_c / n_tot) * 1000000.0 + 0.5)
+                    AS BIGINT) prior_u
+        FROM (SELECT cls, CAST(COUNT(*) AS DOUBLE) n_c
+              FROM lab GROUP BY 1) n
+        CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) n_tot FROM lab)),
+held AS (SELECT CAST(doc_id AS VARCHAR) doc, lang
+         FROM documents WHERE doc_id % 5 = 0),
+stoks AS (SELECT t.doc, unnest(t.a) w
+          FROM toklist t JOIN held USING (doc)),
+hit AS (SELECT s.doc, m.cls, CAST(SUM(m.ll_u) AS BIGINT) sum_u
+        FROM stoks s JOIN model m ON s.w = m.term GROUP BY 1, 2),
+sc AS (SELECT h.doc, p.cls,
+              p.prior_u + COALESCE(x.sum_u, 0) score_u
+       FROM held h CROSS JOIN pri p
+       LEFT JOIN hit x ON x.doc = h.doc AND x.cls = p.cls),
+pred AS (SELECT doc, cls pred_lang FROM (
+           SELECT doc, cls,
+                  ROW_NUMBER() OVER (PARTITION BY doc
+                                     ORDER BY score_u DESC, cls) rn
+           FROM sc) WHERE rn = 1)
+SELECT h.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) n
+FROM held h JOIN pred p USING (doc)
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "nb_lang_eval": f"""
 WITH lab AS (SELECT CAST(doc_id AS VARCHAR) doc,
                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END y

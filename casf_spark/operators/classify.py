@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
 
-__all__ = ["nb_train", "nb_score", "calibration_report",
+__all__ = ["nb_train", "nb_score", "nb_train_multi",
+           "nb_score_multi", "calibration_report",
            "platt_grid_fit", "PLATT_A_GRID", "PLATT_B_GRID",
            "PRIOR_TERM"]
 
@@ -274,3 +275,107 @@ def platt_grid_fit(scored: DataFrame, label_col: str = "y",
                     ((F.col("loss_u") == F.col("bl"))
                      & (F.col("a") == F.col("ba"))
                      & (F.col("b") == F.col("bb"))).alias("is_best")))
+
+
+def nb_train_multi(docs: DataFrame, id_col: str, text_col: str,
+                   label_col: str, vocab_size: int = 5000,
+                   pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Train MULTI-class multinomial NB -> model ``(label, term, ll_u)``
+    — the language-ID / domain-ID generalization of :func:`nb_train`
+    (CCNet trains exactly this shape per language). ``ll_u`` is the
+    integer micro-unit conditional log-probability
+    ``ln((c(label, term) + 1) / (t_label + V))`` with Laplace(+1)
+    smoothing over the SHARED capped vocabulary (top ``vocab_size``
+    terms by total training count, ties term asc) — every (label,
+    vocab-term) pair gets a row, zero counts included (the smoothed
+    floor is label-specific, so it cannot be implied by absence). One
+    row per label with ``term = PRIOR_TERM`` carries the prior
+    ``ln(n_label / n_total)``.
+
+    NULL labels are excluded from training. The model is
+    ``n_labels x (vocab_size + 1)`` rows BY CONSTRUCTION — a bounded
+    side input (labels are languages/domains: dozens, not millions).
+
+    Scale shape: one (label, term) count aggregation (map-side
+    combined; keys = labels x vocabulary), the vocabulary cut via
+    TakeOrderedAndProject, per-label totals re-aggregated from the
+    bounded class-term table; priors from one label-grain count.
+    """
+    lab = docs.select(F.col(id_col).cast("string").alias("doc"),
+                      F.col(label_col).alias("label")) \
+        .where(F.col("label").isNotNull())
+    toks = (tokenize(docs, id_col, text_col, pattern)
+            .select("doc", "word").join(lab, "doc"))
+    tc = (toks.groupBy("label", F.col("word").alias("term"))
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    vocab = (tc.groupBy("term").agg(F.sum("c").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_size)
+             .select("term"))
+    classes = lab.select("label").distinct()
+    grid = classes.crossJoin(F.broadcast(vocab))
+    cv = (grid.join(tc, ["label", "term"], "left")
+          .select("label", "term",
+                  F.coalesce("c", F.lit(0.0)).alias("c")))
+    t_c = cv.groupBy("label").agg(F.sum("c").alias("t_c"),
+                                  F.count(F.lit(1)).cast("double")
+                                  .alias("v"))
+    terms = (cv.join(F.broadcast(t_c), "label")
+             .select("label", "term",
+                     _round_half_up_u(
+                         F.log((F.col("c") + 1.0)
+                               / (F.col("t_c") + F.col("v"))))
+                     .alias("ll_u")))
+    n_tot = lab.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+    priors = (lab.groupBy("label")
+              .agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+              .crossJoin(F.broadcast(n_tot))
+              .select("label", F.lit(PRIOR_TERM).alias("term"),
+                      _round_half_up_u(
+                          F.log(F.col("n_c") / F.col("n_tot")))
+                      .alias("ll_u")))
+    return terms.unionByName(priors)
+
+
+def nb_score_multi(docs: DataFrame, model: DataFrame, id_col: str,
+                   text_col: str,
+                   pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Classify every document with a :func:`nb_train_multi` model ->
+    ``(doc, pred_label, best_u, margin_u)``: per-label integer score
+    ``prior_u + sum of ll_u over the doc's vocabulary-token
+    occurrences``; ``pred_label`` is the argmax (ties -> label asc,
+    via an integer struct-min — fully deterministic); ``margin_u`` the
+    integer gap to the runner-up (0 when only one label exists). OOV
+    tokens are ignored (capped-vocab convention); a doc with no
+    vocabulary tokens classifies by prior alone.
+
+    Scale shape: model broadcasts (bounded rows); tokenize ->
+    broadcast join -> one (doc, label) integer-sum aggregation ->
+    label-join of the bounded prior table -> per-doc fold over
+    n_labels rows (collect_list bounded by the label count).
+    """
+    terms = model.where(F.col("term") != PRIOR_TERM) \
+        .select("label", "term", "ll_u")
+    priors = model.where(F.col("term") == PRIOR_TERM) \
+        .select("label", F.col("ll_u").alias("prior_u"))
+    toks = tokenize(docs, id_col, text_col, pattern).select("doc", "word")
+    hit = (toks.join(F.broadcast(terms),
+                     toks["word"] == terms["term"])
+           .groupBy("doc", "label")
+           .agg(F.sum("ll_u").cast("long").alias("sum_u")))
+    base = (docs.select(F.col(id_col).cast("string").alias("doc"))
+            .crossJoin(F.broadcast(priors)))
+    sc = (base.join(hit, ["doc", "label"], "left")
+          .select("doc", "label",
+                  (F.col("prior_u") + F.coalesce("sum_u", F.lit(0)))
+                  .cast("long").alias("score_u")))
+    ranked = F.array_sort(F.collect_list(
+        F.struct((-F.col("score_u")).alias("ns"), F.col("label"))))
+    return (sc.groupBy("doc")
+            .agg(ranked.alias("r"))
+            .select(
+                "doc",
+                F.col("r")[0]["label"].alias("pred_label"),
+                (-F.col("r")[0]["ns"]).cast("long").alias("best_u"),
+                F.when(F.size("r") > 1,
+                       (F.col("r")[1]["ns"] - F.col("r")[0]["ns"]))
+                .otherwise(F.lit(0)).cast("long").alias("margin_u")))

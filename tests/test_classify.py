@@ -166,3 +166,40 @@ def test_platt_grid_fit_prefers_shrinkage_when_overconfident(spark):
     df = spark.createDataFrame(rows, "doc string, log_odds double, y int")
     best = [r for r in C.platt_grid_fit(df).collect() if r.is_best][0]
     assert best.a == min(C.PLATT_A_GRID)
+
+
+def test_nb_multi_hand_case_and_binary_consistency(spark):
+    """Multi-class NB: an unambiguous vocabulary classifies perfectly;
+    margins positive; every (label, vocab-term) pair materialized
+    (zero counts get the label-specific smoothed floor)."""
+    from casf_spark.operators.classify import (PRIOR_TERM,
+                                               nb_score_multi,
+                                               nb_train_multi)
+
+    train = spark.createDataFrame(
+        [(1, "aa aa bb", "x"), (2, "aa cc", "x"),
+         (3, "dd dd ee", "y"), (4, "dd ff", "y"),
+         (5, "gg hh gg", "z"), (6, "gg ii", "z")],
+        "doc_id long, text string, lab string")
+    model = nb_train_multi(train, "doc_id", "text", "lab",
+                           vocab_size=10)
+    rows = model.collect()
+    terms = [(r.label, r.term) for r in rows if r.term != PRIOR_TERM]
+    labels = {r.label for r in rows}
+    assert labels == {"x", "y", "z"}
+    # full grid: 3 labels x 9 distinct terms
+    assert len(terms) == 27 and len(set(terms)) == 27
+    priors = {r.label for r in rows if r.term == PRIOR_TERM}
+    assert priors == {"x", "y", "z"}
+
+    test = spark.createDataFrame(
+        [(10, "aa aa"), (11, "dd"), (12, "gg gg"), (13, "zz zz")],
+        "doc_id long, text string")
+    got = {r.doc: (r.pred_label, r.margin_u)
+           for r in nb_score_multi(test, model, "doc_id",
+                                   "text").collect()}
+    assert got["10"][0] == "x" and got["11"][0] == "y"
+    assert got["12"][0] == "z"
+    assert all(m >= 0 for _, m in got.values())
+    # OOV-only doc falls back to priors (all equal here) -> label asc
+    assert got["13"][0] == "x" and got["13"][1] == 0
