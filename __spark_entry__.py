@@ -1404,6 +1404,30 @@ def q_doc_quality_composite_quantile(spark, sf):
                                   flag_col="below_p10")
 
 
+def q_doc_quality_qnorm(spark, sf):
+    """Per-source quantile normalization of a quality score
+    (operators.curation.quantile_normalize — the cross-crawl score
+    harmonization CCNet-style pipelines apply before ranking documents
+    from different sources on one scale): each doc's alpha-word
+    fraction maps to the GLOBAL distribution's value at its
+    within-source decile midpoint, so 'top decile of src3' and 'top
+    decile of src17' carry the same calibrated number. Deterministic:
+    NTILE over the (score, doc) total order; the 10 global midpoint
+    percentiles are 6dp-rounded in one 1-row agg. One group-key
+    shuffle + a broadcast — never a global sort."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("doc_id"), "alpha_word_frac")
+    d = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source")
+         .join(g, "doc_id"))
+    return (CU.quantile_normalize(d, "source", "doc_id",
+                                  "alpha_word_frac", k=10)
+            .select("doc_id", "source", "alpha_word_frac", "tile",
+                    "score_norm")
+            .orderBy("doc_id"))
+
+
 def q_source_keyness(spark, sf):
     """Per-source keyword extraction by Dunning log-likelihood keyness
     (operators.relevance.keyness_terms, Dunning 1993): the 10 terms
@@ -6057,7 +6081,7 @@ _ROUND12_WINDOW = [
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
     "quality_bootstrap", "source_keyness",
     "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
-    "nb_lang_confusion",
+    "nb_lang_confusion", "doc_quality_qnorm",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -6076,7 +6100,6 @@ _ROUND12_WINDOW = [
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
     "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
-    "curriculum_buckets",
 ]
 
 
@@ -6241,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kcore": q_dedup_kcore,
         "stream_cms_state": q_stream_cms_state,
         "nb_lang_confusion": q_nb_lang_confusion,
+        "doc_quality_qnorm": q_doc_quality_qnorm,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -9637,6 +9661,32 @@ st AS (SELECT source,
 SELECT m.source, m.doc_id, m.composite, st.q_threshold,
        m.composite < st.q_threshold AS below_p10
 FROM m JOIN st ON m.source IS NOT DISTINCT FROM st.source"""
+    # per-source decile quantile normalization: the PROVEN alpha metric
+    # + ntile over the same total order + quantile_cont midpoints
+    _qn_mids = ", ".join(repr((i - 0.5) / 10) for i in range(1, 11))
+    out["doc_quality_qnorm"] = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, source,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words
+  FROM documents),
+m AS (SELECT doc_id, source,
+             ROUND(len(list_filter(words,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / GREATEST(len(words), 1), 6) alpha_word_frac
+      FROM w),
+gq AS (SELECT list_transform(quantile_cont(alpha_word_frac,
+                                           [{_qn_mids}]),
+                             t -> ROUND(t, 6)) g
+       FROM m),
+tl AS (SELECT doc_id, source, alpha_word_frac,
+              CAST(NTILE(10) OVER (PARTITION BY source
+                                   ORDER BY alpha_word_frac, doc_id)
+                   AS BIGINT) tile
+       FROM m WHERE alpha_word_frac IS NOT NULL)
+SELECT doc_id, source, alpha_word_frac, tile,
+       gq.g[CAST(tile AS INT)] AS score_norm
+FROM tl CROSS JOIN gq ORDER BY doc_id"""
     # Dunning G² keyness: four exact integers per row feed ONE
     # closed-form double expression with the SAME association order as
     # the Spark side (e = c*(a+b)/(c+d), left-assoc) — no float sums

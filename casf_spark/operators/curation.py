@@ -70,6 +70,7 @@ __all__ = [
     "boilerplate_lines",
     "boilerplate_strip",
     "contamination_flags_bloom",
+    "quantile_normalize",
     "PII_PATTERNS",
 ]
 
@@ -1538,3 +1539,48 @@ def contamination_flags_bloom(docs: DataFrame, benchmark: DataFrame,
             .groupBy("doc")
             .agg(F.countDistinct("shingle").alias("n_hits"))
             .where(F.col("n_hits") >= min_hits))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, doc_col: str,
+                       score_col: str, k: int = 10) -> DataFrame:
+    """Per-group quantile normalization — the score-harmonization step
+    a multi-crawl pipeline runs before ranking documents from
+    DIFFERENT sources on one scale (a 0.8 quality score from a clean
+    crawl and from a spam-heavy crawl mean different things;
+    CCNet-style pipelines compare ranks, not raw scores): every row's
+    score is replaced by the GLOBAL distribution's value at its
+    within-group quantile position. Discretized to ``k`` tiles: rows
+    get their within-group NTILE(k) (ordered by (score, doc) — total,
+    engine-stable), and map to the global quantile at the tile's
+    midpoint ((tile - 0.5) / k), so after normalization every group's
+    tile-j rows carry the same calibrated value.
+
+    Output: df columns plus (tile, score_norm). NULL scores get NULL
+    tile/score_norm (excluded from the window, invisible to the
+    percentiles).
+
+    Scale shape: ONE 1-row global aggregation (k midpoint percentiles,
+    6dp-rounded) broadcast back, plus one shuffle on the group key for
+    the NTILE window — per-group work, never a global sort. At extreme
+    per-group cardinality swap F.percentile for percentile_approx with
+    pinned accuracy; the shape is unchanged.
+    """
+    if k <= 1:
+        raise ValueError(f"quantile_normalize: k must be > 1, got {k}")
+    mids = [(i - 0.5) / k for i in range(1, k + 1)]
+    gq = df.agg(F.transform(
+        F.percentile(score_col, F.array(*[F.lit(q) for q in mids])),
+        lambda t: F.round(t, 6)).alias("__qn_g"))
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col),
+                                              F.col(doc_col))
+    scored = df.where(F.col(score_col).isNotNull())
+    out = (scored.withColumn("__qn_t", F.ntile(k).over(w))
+           .crossJoin(F.broadcast(gq))
+           .withColumn("score_norm",
+                       F.element_at("__qn_g", F.col("__qn_t")))
+           .withColumn("tile", F.col("__qn_t").cast("long"))
+           .drop("__qn_t", "__qn_g"))
+    nulls = (df.where(F.col(score_col).isNull())
+             .withColumn("tile", F.lit(None).cast("long"))
+             .withColumn("score_norm", F.lit(None).cast("double")))
+    return out.unionByName(nulls)

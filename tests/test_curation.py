@@ -1079,3 +1079,38 @@ def test_contamination_flags_bloom_equals_exact(spark):
                                                 "text", n=4, m_bits=64,
                                                 k=2).collect()}
     assert gated == exact and exact  # non-empty and identical
+
+
+def test_quantile_normalize_calibrates_across_groups(spark):
+    """Two groups with shifted score distributions land on the SAME
+    global midpoint values per tile; NULL scores pass through with
+    NULL tile; ntile ordering is (score, doc)-stable."""
+    from casf_spark.operators.curation import quantile_normalize
+
+    rows = ([(i, "a", float(i)) for i in range(10)]          # 0..9
+            + [(100 + i, "b", float(100 + i)) for i in range(10)]
+            + [(999, "a", None)])
+    df = spark.createDataFrame(rows, "doc long, grp string, s double")
+    got = {r.doc: (r.tile, r.score_norm)
+           for r in quantile_normalize(df, "grp", "doc", "s",
+                                       k=5).collect()}
+    assert got[999] == (None, None)
+    # group a docs 0..9 -> tiles 1..5 (2 per tile); group b likewise
+    assert got[0][0] == 1 and got[1][0] == 1 and got[2][0] == 2
+    assert got[100][0] == 1 and got[108][0] == 5
+    # calibration: same tile -> same normalized value across groups
+    for j in range(10):
+        assert got[j] == got[100 + j], (j, got[j], got[100 + j])
+    # normalized values are global percentiles -> monotone in tile
+    vals = [got[2 * t][1] for t in range(5)]
+    assert vals == sorted(vals)
+
+
+def test_quantile_normalize_validation(spark):
+    import pytest
+    from casf_spark.operators.curation import quantile_normalize
+
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "doc long, grp string, s double")
+    with pytest.raises(ValueError, match="k must be"):
+        quantile_normalize(df, "grp", "doc", "s", k=1)
