@@ -6015,6 +6015,22 @@ def q_embedding_power_iter(spark, sf):
     return power_iteration_report(emb, "embedding", n_iter=8, dim=64)
 
 
+def q_cluster_silhouette(spark, sf):
+    """Simplified (centroid-based) silhouette of the det-quantizer
+    clustering (operators.profile.cluster_silhouette) — the
+    cluster-quality diagnostic read before trusting SemDeDup prune
+    rates or IVF probe counts built on the same quantizer: per vector
+    a = rounded squared-L2 to its own centroid, b = to the nearest
+    other, s = (b-a)/max(a,b), folded to integer micro-units before
+    the per-cluster mean. Twin: the semdedup oracle's centroid/argmin
+    idiom + the same fold. O(N·k) map-only distances against the
+    broadcast centroid table; one cluster-grain agg."""
+    emb = load_table(spark, sf, "embeddings")
+    return (PF.cluster_silhouette(emb, "vec_id", "embedding",
+                                  n_clusters=8)
+            .orderBy("cluster"))
+
+
 def q_embedding_rp8(spark, sf):
     """Johnson–Lindenstrauss sign random projection 64 → 8
     (operators.linalg.random_projection, Achlioptas 2003): the
@@ -6081,7 +6097,7 @@ _ROUND12_WINDOW = [
     "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
     "quality_bootstrap", "source_keyness",
     "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
-    "nb_lang_confusion", "doc_quality_qnorm",
+    "nb_lang_confusion", "doc_quality_qnorm", "cluster_silhouette",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -6099,7 +6115,7 @@ _ROUND12_WINDOW = [
     #    (21 names to fill the 50; the rest queue for round 13)
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile", "cluster_profile", "mixture_plan",
+    "doc_quality_source_quantile", "cluster_profile",
 ]
 
 
@@ -6265,6 +6281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_state": q_stream_cms_state,
         "nb_lang_confusion": q_nb_lang_confusion,
         "doc_quality_qnorm": q_doc_quality_qnorm,
+        "cluster_silhouette": q_cluster_silhouette,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -9787,6 +9804,37 @@ SELECT n, sc AS sum_comb_cells, sa AS sum_comb_a, sb AS sum_comb_b,
                             / CAST(n * (n - 1) // 2 AS DOUBLE)), 6)
        END AS ari
 FROM cells, am, bm"""
+    # simplified silhouette: the semdedup oracle's det-centroid +
+    # rounded-argmin idiom, then the micro-unit per-cluster mean fold
+    out["cluster_silhouette"] = f"""
+WITH cent AS (
+  SELECT vec_id cid, embedding cemb
+  FROM embeddings
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+corp AS (SELECT vec_id id, embedding v FROM embeddings),
+ad AS (
+  SELECT id, cid, ROUND({_vsql_sqd('v', 'cemb')}, 6) d
+  FROM corp CROSS JOIN cent),
+rk AS (SELECT id, cid, d,
+              ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) rn
+       FROM ad),
+per AS (
+  SELECT a.id, a.cid AS "cluster", a.d AS da, b.d AS db
+  FROM (SELECT * FROM rk WHERE rn = 1) a
+  JOIN (SELECT * FROM rk WHERE rn = 2) b USING (id)),
+s AS (
+  SELECT "cluster",
+         CAST(FLOOR(CASE WHEN GREATEST(da, db) > 0
+                         THEN ROUND((db - da) / GREATEST(da, db), 6)
+                         ELSE 0.0 END * 1000000.0 + 0.5)
+              AS BIGINT) s_u
+  FROM per)
+SELECT CAST("cluster" AS BIGINT) "cluster",
+       CAST(COUNT(*) AS BIGINT) n_docs,
+       ROUND(CAST(SUM(s_u) AS BIGINT) / (COUNT(*) * 1e6), 6) mean_sil
+FROM s GROUP BY "cluster" ORDER BY "cluster" """
     # JL random projection: the SAME jl_sign_matrix literals spelled
     # into SQL — one source of truth for the ±1 matrix in both engines
     from casf_spark.operators.linalg import jl_sign_matrix

@@ -307,3 +307,64 @@ def bootstrap_means(df: DataFrame, key_col, value_col,
                            F.round(F.col("__bs_su")
                                    / (F.col("n_eff") * F.lit(1e6)), 6))
                     .alias("mean")))
+
+
+def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_clusters: int = 8) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the deterministic
+    coarse clustering — the cluster-quality diagnostic read before
+    trusting SemDeDup prune rates or IVF probe counts built on the
+    same quantizer: per vector, ``a`` = squared-L2 distance to its OWN
+    centroid, ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b - a) / max(a, b)`` (the standard simplified silhouette —
+    O(N·k) instead of the pairwise O(N²)); report per cluster
+    (cluster, n_docs, mean_sil). Values near 1 = compact/separated,
+    near 0 = boundary-heavy, negative = likely misassigned mass.
+
+    Determinism: centroids are the md5-smallest ``n_clusters`` corpus
+    vectors (the shared det quantizer); every distance rounds to 6dp
+    BEFORE the argmin (smaller-centroid-id ties) and each s folds to
+    integer micro-units before the per-cluster sum — order-independent
+    BIGINTs, one division at output. Vectors coincident with two
+    centroids (max(a,b) = 0) contribute s = 0.
+
+    Scale shape: centroids broadcast (bounded side input); the N x k
+    distance table reduces per id with a bounded collect_list fold (k
+    rows per id — n_clusters is dozens); ONE cluster-grain aggregation.
+    """
+    from casf_spark.functions import vectors as V
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    cent = (emb.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("cemb"), h.alias("ck"))
+            .orderBy("ck", "cid").limit(n_clusters)
+            .select("cid", "cemb"))
+    corp = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+    diff = F.zip_with(V.as_double("v"), V.as_double("cemb"),
+                      lambda a, b: (a - b) * (a - b))
+    d = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+    ad = corp.crossJoin(F.broadcast(cent)).select(
+        "id", F.col("cid"), d.alias("d"))
+    ranked = F.array_sort(F.collect_list(F.struct("d", "cid")))
+    per = (ad.groupBy("id").agg(ranked.alias("r"))
+           .select(
+               "id",
+               F.col("r")[0]["cid"].alias("cluster"),
+               F.col("r")[0]["d"].alias("a"),
+               F.col("r")[1]["d"].alias("b")))
+    s = F.when(F.greatest("a", "b") > 0,
+               F.round((F.col("b") - F.col("a"))
+                       / F.greatest("a", "b"), 6)).otherwise(F.lit(0.0))
+    su = F.floor(s * 1e6 + F.lit(0.5)).cast("long")
+    return (per.select("cluster", su.alias("s_u"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("s_u").alias("sum_u"))
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    "n_docs",
+                    F.round(F.col("sum_u")
+                            / (F.col("n_docs") * F.lit(1e6)), 6)
+                    .alias("mean_sil")))

