@@ -83,6 +83,16 @@ PRODUCT_WHITELIST = {
     "dedup_cluster_ari",
     # keyness: 1-row corpus-total broadcast into the G2 projection
     "source_keyness",
+    # multi-class NB: bounded classes x vocab grid (classes crossJoin
+    # the 25-term vocab) + the bounded prior table crossJoined onto
+    # the doc list
+    "nb_lang_confusion",
+    # quantile normalization: the 1-row global-midpoints agg
+    # crossJoined back for the tile lookup
+    "doc_quality_qnorm",
+    # silhouette: the bounded 8-row centroid table crossJoined for the
+    # N x k distance table (the quantizer's own deliberate product)
+    "cluster_silhouette",
     # the 42-row Platt grid broadcast (map-side expansion) + the 1-row
     # argmin broadcast back onto the grid-sized loss table
     "nb_platt",
