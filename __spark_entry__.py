@@ -1404,6 +1404,23 @@ def q_doc_quality_composite_quantile(spark, sf):
                                   flag_col="below_p10")
 
 
+def q_lm_heldout_jm(spark, sf):
+    """Held-out Jelinek–Mercer perplexity scoring (operators.relevance
+    .heldout_interpolated_logprob, lam = 0.75): the bigram/unigram LM
+    learned on the 4/5 train split scores the held fifth — genuine
+    unseen bigrams fall back to the unigram leg (the entire point of
+    interpolation; the self-scoring bigram_logprob never sees one).
+    Per-token -ln(p) folds to integer nano-units before the per-doc
+    sum. Unigram leg is vocabulary-grain/broadcastable; the bigram
+    joins carry the usual (prev, w) Zipf caveat."""
+    docs = load_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return (RV.heldout_interpolated_logprob(train, held, "doc_id",
+                                            "text", lam=0.75)
+            .orderBy("doc"))
+
+
 def q_doc_quality_qnorm(spark, sf):
     """Per-source quantile normalization of a quality score
     (operators.curation.quantile_normalize — the cross-crawl score
@@ -6098,6 +6115,7 @@ _ROUND12_WINDOW = [
     "quality_bootstrap", "source_keyness",
     "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
     "nb_lang_confusion", "doc_quality_qnorm", "cluster_silhouette",
+    "lm_heldout_jm",
     # -- the 29 names displaced from the round-11 window (VERDICT r11
     #    item 1): the round-7 tail first, then the 20 displaced by the
     #    late round-11 additions
@@ -6115,7 +6133,7 @@ _ROUND12_WINDOW = [
     #    (21 names to fill the 50; the rest queue for round 13)
     "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
     "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile", "cluster_profile",
+    "doc_quality_source_quantile",
 ]
 
 
@@ -6282,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_confusion": q_nb_lang_confusion,
         "doc_quality_qnorm": q_doc_quality_qnorm,
         "cluster_silhouette": q_cluster_silhouette,
+        "lm_heldout_jm": q_lm_heldout_jm,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -9678,6 +9697,48 @@ st AS (SELECT source,
 SELECT m.source, m.doc_id, m.composite, st.q_threshold,
        m.composite < st.q_threshold AS below_p10
 FROM m JOIN st ON m.source IS NOT DISTINCT FROM st.source"""
+    # held-out Jelinek-Mercer LM scoring: full train+score replay;
+    # binary-exact 0.75/0.25 mix, nano-unit per-token folds
+    out["lm_heldout_jm"] = f"""
+WITH tl AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a,
+                   doc_id % 5 = 0 AS held
+            FROM documents),
+tk AS (SELECT doc, held, generate_subscripts(a, 1) pos, unnest(a) w
+       FROM tl),
+tt AS (SELECT doc, pos, w FROM tk WHERE NOT held),
+tbi AS (SELECT t1.w prev, t2.w FROM tt t1
+        JOIN tt t2 ON t1.doc = t2.doc AND t2.pos = t1.pos + 1),
+bc AS (SELECT prev, w, CAST(COUNT(*) AS DOUBLE) bc
+       FROM tbi GROUP BY 1, 2),
+uc AS (SELECT prev, CAST(COUNT(*) AS DOUBLE) uc FROM tbi GROUP BY 1),
+uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) cu FROM tt GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) n,
+               CAST(COUNT(DISTINCT w) AS DOUBLE) v FROM tt),
+hk AS (SELECT doc, pos, w FROM tk WHERE held),
+hp AS (SELECT h.doc, h.w, p.w prev
+       FROM hk h LEFT JOIN hk p ON p.doc = h.doc
+                              AND p.pos = h.pos - 1),
+j AS (SELECT hp.doc, hp.prev,
+             (COALESCE(uni.cu, 0) + 1.0)
+               / (tot.n + tot.v + 1.0) p_uni,
+             CASE WHEN COALESCE(uc.uc, 0) > 0
+                  THEN COALESCE(bc.bc, 0) / uc.uc
+                  ELSE 0.0 END p_bi
+      FROM hp LEFT JOIN uni ON hp.w = uni.w
+      LEFT JOIN bc ON hp.prev = bc.prev AND hp.w = bc.w
+      LEFT JOIN uc ON hp.prev = uc.prev
+      CROSS JOIN tot),
+tx AS (SELECT doc,
+              CAST(FLOOR(-ln(CASE WHEN prev IS NULL THEN p_uni
+                                  ELSE CAST(0.75 AS DOUBLE) * p_bi
+                                       + CAST(0.25 AS DOUBLE) * p_uni
+                             END) * 1000000000.0 + 0.5)
+                   AS BIGINT) tu
+       FROM j)
+SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
+       ROUND(CAST(SUM(tu) AS BIGINT) / (COUNT(*) * 1e9), 6)
+         AS avg_neg_logprob
+FROM tx GROUP BY doc ORDER BY doc"""
     # per-source decile quantile normalization: the PROVEN alpha metric
     # + ntile over the same total order + quantile_cont midpoints
     _qn_mids = ", ".join(repr((i - 0.5) / 10) for i in range(1, 11))

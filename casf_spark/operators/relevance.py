@@ -48,7 +48,7 @@ __all__ = ["tfidf_terms", "bm25_rank", "tfidf_rank", "knn_classify",
            "vocab_coverage", "unigram_logprob", "bigram_logprob",
            "label_centroid_outliers", "rrf_fuse", "collocation_pmi",
            "negative_sampling_table", "negative_draws", "skipgram_cooc",
-           "keyness_terms"]
+           "keyness_terms", "heldout_interpolated_logprob"]
 
 
 def _doc_term_counts(docs: DataFrame, id_col: str, text_col: str,
@@ -749,3 +749,79 @@ def keyness_terms(docs: DataFrame, group_col: str, id_col: str,
             .select("grp", "rank", F.col("word").alias("term"),
                     F.col("a_cnt").cast("long").alias("a"),
                     F.col("b_cnt").cast("long").alias("b"), "g2"))
+
+
+def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
+                                 id_col: str, text_col: str,
+                                 lam: float = 0.75,
+                                 pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """Held-out Jelinek–Mercer interpolated LM scoring — the closest
+    exact-arithmetic stand-in for the CCNet/KenLM perplexity filter
+    this engine can oracle-check: an n-gram LM is built on ``train``
+    and every ``score`` document gets its average negative
+    log-likelihood under ``p(w|prev) = lam * p_bi(w|prev) +
+    (1-lam) * p_uni(w)``. Unlike the self-scoring
+    :func:`bigram_logprob`, the held-out split produces GENUINE unseen
+    bigrams — exactly what interpolation exists for: an unseen
+    transition falls back to the unigram leg instead of a uniform
+    smoothing floor, so word-salad (common words, impossible order)
+    scores high while fluent-but-novel text does not.
+
+    Probabilities: ``p_bi = c(prev, w) / c(prev·)`` (MLE over train
+    bigrams; 0 when the transition or the prefix is unseen);
+    ``p_uni = (c(w) + 1) / (N + V + 1)`` (add-one over the train
+    vocabulary with one OOV bucket — keeps every token finite). A
+    document's FIRST token scores on the unigram leg alone. Each
+    token's ``-ln(p)`` folds to integer nano-units before the per-doc
+    sum (order-independent BIGINT); one division at output. Output:
+    (doc, n_tokens, avg_neg_logprob).
+
+    Scale shape: unigram table is vocabulary-grain (broadcastable);
+    the bigram table grows toward corpus size and joins keyed by
+    (prev, w) — the usual Zipf/AQE-skew caveat; the scored stream
+    never shuffles except for its (doc)-grain sum.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    tt = tokenize(train, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "pos", "word")
+    nxt = tt.select("doc", (F.col("pos") + 1).alias("pos"),
+                    F.col("word").alias("prev"))
+    tbi = (tt.join(nxt, ["doc", "pos"])
+           .select("prev", F.col("word").alias("w")))
+    bc = tbi.groupBy("prev", "w").agg(F.count(F.lit(1)).cast("double")
+                                      .alias("bc"))
+    uc = tbi.groupBy("prev").agg(F.count(F.lit(1)).cast("double")
+                                 .alias("uc"))
+    uni = tt.groupBy(F.col("word").alias("w")) \
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    tot = tt.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.countDistinct("word").cast("double").alias("v"))
+
+    st = tokenize(score, id_col, text_col, pattern) \
+        .select(F.col("doc").cast("long").alias("doc"), "pos", "word")
+    sprev = st.select("doc", (F.col("pos") + 1).alias("pos"),
+                      F.col("word").alias("prev"))
+    pairs = (st.join(sprev, ["doc", "pos"], "left")
+             .select("doc", "pos", F.col("word").alias("w"), "prev"))
+    j = (pairs.join(uni, "w", "left")
+         .join(bc, ["prev", "w"], "left")
+         .join(uc, "prev", "left")
+         .crossJoin(F.broadcast(tot)))
+    p_uni = (F.coalesce("cu", F.lit(0.0)) + 1.0) \
+        / (F.col("n") + F.col("v") + 1.0)
+    p_bi = F.when(F.coalesce("uc", F.lit(0.0)) > 0,
+                  F.coalesce("bc", F.lit(0.0)) / F.col("uc")) \
+        .otherwise(F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), p_uni) \
+        .otherwise(F.lit(float(lam)) * p_bi
+                   + F.lit(1.0 - float(lam)) * p_uni)
+    term_u = F.floor(-F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (j.select("doc", term_u.alias("tu"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("tu").alias("su"))
+            .select("doc", "n_tokens",
+                    F.round(F.col("su") / (F.col("n_tokens")
+                                           * F.lit(1e9)), 6)
+                    .alias("avg_neg_logprob")))

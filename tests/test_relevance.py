@@ -574,3 +574,37 @@ def test_keyness_terms_hand_case(spark):
     assert got[("b", "other")][0] == 1
     # evenly-spread terms are not over-represented anywhere
     assert ("a", "common") not in got and ("b", "common") not in got
+
+
+def test_heldout_jm_unseen_bigram_falls_back_to_unigram(spark):
+    """A held doc whose transitions are unseen in train scores on the
+    (1-lam)-weighted unigram leg; a doc whose transitions were seen
+    scores lower (higher likelihood); lam=1 on an unseen transition
+    would be -ln(0) — the guard keeps p positive via the unigram
+    fallback."""
+    import math
+
+    from casf_spark.operators.relevance import heldout_interpolated_logprob
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b"),    # transition seen in train
+         (11, "b a")],   # both words known, transition unseen
+        "doc_id long, text string")
+    got = {r.doc: (r.n_tokens, r.avg_neg_logprob)
+           for r in heldout_interpolated_logprob(
+               train, score, "doc_id", "text", lam=0.75).collect()}
+    assert got[10][0] == 2 and got[11][0] == 2
+    # seen transitions -> strictly more likely
+    assert got[10][1] < got[11][1]
+    # hand check doc 10: N=6 train tokens, V=4; first token 'a':
+    # p = (2+1)/(6+4+1); then 'b'|'a': p_bi = 2/2 = 1, p_uni = 3/11
+    # -> p = .75*1 + .25*(3/11)
+    exp = (-(math.log(3 / 11))
+           + -(math.log(0.75 * 1.0 + 0.25 * (3 / 11))))
+    import math as m
+    t1 = m.floor(-(m.log(3 / 11)) * 1e9 + 0.5)
+    t2 = m.floor(-(m.log(0.75 + 0.25 * (3 / 11))) * 1e9 + 0.5)
+    assert got[10][1] == round((t1 + t2) / 2e9, 6)
