@@ -93,6 +93,9 @@ PRODUCT_WHITELIST = {
     # silhouette: the bounded 8-row centroid table crossJoined for the
     # N x k distance table (the quantizer's own deliberate product)
     "cluster_silhouette",
+    # held-out JM LM: the 1-row train-totals (N, V) agg crossJoined
+    # into the per-token probability projection
+    "lm_heldout_jm",
     # the 42-row Platt grid broadcast (map-side expansion) + the 1-row
     # argmin broadcast back onto the grid-sized loss table
     "nb_platt",
