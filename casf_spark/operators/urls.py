@@ -288,36 +288,26 @@ def registered_domain_join(df: DataFrame, host_col: str,
     longest rule > default; a host that IS a public suffix passes
     through unchanged.
 
-    Scale shape: up to SIX broadcast hash EQUI-joins (one per
-    depth x kind class — literal-2/3, wildcard-parent-1/2,
-    exception-2/3; each class is distinct-keyed, so every join matches
-    at most once: no row multiplication, no dedup aggregation, and the
-    corpus never shuffles); joins for empty classes are skipped, and a
-    literal-only table compiles to exactly the two joins this function
-    always had. Output: ``df`` plus ``out_col``. Equivalent to the
-    expression form on literal-only tables — pinned by a property
-    test."""
-    # collision-resistant internal names: a caller column named `_h` or
-    # `_s2` would otherwise be silently overwritten and dropped (or hit
-    # an ambiguous-reference error) — loud failure instead
-    tmp = ["__psl_h", "__psl_n", "__psl_t1", "__psl_t2", "__psl_t3",
-           "__psl_t4", "__psl_s2", "__psl_s3", "__psl_w1", "__psl_w2",
-           "__psl_e2", "__psl_e3"]
-    clash = [c for c in df.columns if c in tmp]
-    if clash:
-        raise ValueError(
-            f"registered_domain_join internal column collision: {clash}")
-    h = F.regexp_replace(F.col(host_col), r":[0-9]+$", "")
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    last1 = F.element_at(labels, -1)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), last1)
-    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
-    last4 = F.concat_ws(".", F.element_at(labels, -4), last3)
+    Scale shape: one broadcast hash EQUI-join per NON-EMPTY
+    depth x kind class (literal-k, wildcard-parent-k, exception-k for
+    every rule depth k the table actually carries — the vendored ICANN
+    snapshot compiles to six; a private-section dump with
+    ``*.compute.amazonaws.com``-style rules simply adds classes; each
+    class is distinct-keyed, so every join matches at most once: no row
+    multiplication, no dedup aggregation, and the corpus never
+    shuffles); joins for empty classes are skipped, and a literal-only
+    2/3-depth table compiles to exactly the two joins this function
+    always had. ``suffix_table=None`` defaults to the vendored full
+    ICANN rule set (:data:`casf_spark.operators.psl_data.PSL_ICANN_FULL_RULES`).
+    Output: ``df`` plus ``out_col``. Equivalent to the expression form
+    on literal-only tables — pinned by a property test."""
+    if suffix_table is None:
+        from casf_spark.operators.psl_data import PSL_ICANN_FULL_RULES
+        suffix_table = PSL_ICANN_FULL_RULES
     # the suffix table is a BOUNDED side input (the full PSL is ~10k
     # rows — same driver-side contract as the BPE-merge / piece
-    # tables), so classify its rules ONCE in Python: six lazy
-    # DataFrame classes would otherwise cost six distinct+isEmpty jobs
+    # tables), so classify its rules ONCE in Python: lazy DataFrame
+    # classes would otherwise cost one distinct+isEmpty job per class
     # per call (measured 1.1 s -> 5.2 s warm at sf0.1 before this)
     if isinstance(suffix_table, DataFrame):
         rules = {(r[0], int(r[1])) for r in
@@ -325,60 +315,91 @@ def registered_domain_join(df: DataFrame, host_col: str,
     else:
         rules = {(s, s.lstrip("!").count(".") + 1)
                  for s in set(suffix_table)}
-    classes: dict[str, list[str]] = {
-        "__psl_s2": [], "__psl_s3": [], "__psl_w1": [],
-        "__psl_w2": [], "__psl_e2": [], "__psl_e3": []}
+    # classify by (kind, depth) with NO depth ceiling: every rule lands
+    # in a class or raises — a silently-dropped rule is a silently
+    # wrong reg_domain (the _split_by_depth loud-failure contract)
+    lits: dict[int, set] = {}    # rule depth k -> suffixes (ps = k)
+    wilds: dict[int, set] = {}   # PARENT depth k -> parents (ps = k+1)
+    excs: dict[int, set] = {}    # rule depth k -> labels  (ps = k-1)
     for s, nl in rules:
+        body = s[2:] if s.startswith("*.") else s.lstrip("!")
+        if not body or "*" in body or nl < 1 or (s.startswith("!") and nl < 2):
+            raise ValueError(f"unsupported PSL rule shape: {s!r}")
         if s.startswith("*."):
-            # wildcard keyed by its PARENT (the labels after `*.`)
-            classes.get(f"__psl_w{nl - 1}", []).append(s[2:])
+            wilds.setdefault(nl - 1, set()).add(body)
         elif s.startswith("!"):
-            # exception keyed by the rule labels themselves
-            classes.get(f"__psl_e{nl}", []).append(s[1:])
-        else:
-            classes.get(f"__psl_s{nl}", []).append(s)
-    tails = {"__psl_s2": "__psl_t2", "__psl_s3": "__psl_t3",
-             "__psl_w1": "__psl_t1", "__psl_w2": "__psl_t2",
-             "__psl_e2": "__psl_t2", "__psl_e3": "__psl_t3"}
-    joined = (df.withColumn("__psl_h", h).withColumn("__psl_n", n)
-              .withColumn("__psl_t1", last1)
-              .withColumn("__psl_t2", F.when(n >= 2, last2))
-              .withColumn("__psl_t3", F.when(n >= 3, last3))
-              .withColumn("__psl_t4", F.when(n >= 4, last4)))
-    spark = df.sparkSession
-    present = set()
-    for name, vals in classes.items():
-        if not vals:   # skip joins for absent rule classes
+            excs.setdefault(nl, set()).add(body)
+        elif nl == 1:
+            # plain-TLD literals ("com") are the implicit `*` default
+            # (ps = 1) already — joining ~1500 of them from a raw full
+            # PSL dump would be pure cost with zero outcome change
             continue
-        present.add(name)
+        else:
+            lits.setdefault(nl, set()).add(body)
+    classes = {f"__psl_s{k}": (k, vs) for k, vs in lits.items()}
+    classes.update({f"__psl_w{k}": (k, vs) for k, vs in wilds.items()})
+    classes.update({f"__psl_e{k}": (k, vs) for k, vs in excs.items()})
+    # deepest tail any branch can need: literal-k reg = k+1 labels,
+    # wildcard-parent-k reg = k+2, exception-k reg = k
+    max_ps = max([1] + [k for k in lits] + [k + 1 for k in wilds]
+                 + [k - 1 for k in excs])
+    n_tails = max(2, max_ps + 1,
+                  max([1] + [k for k, _ in classes.values()]))
+    tmp = (["__psl_h", "__psl_n"] + [f"__psl_t{d}" for d in
+           range(1, n_tails + 1)] + sorted(classes))
+    # collision-resistant internal names: a caller column named
+    # `__psl_h` etc. would otherwise be silently overwritten and
+    # dropped (or hit an ambiguous-reference error) — loud failure
+    clash = [c for c in df.columns if c in tmp]
+    if clash:
+        raise ValueError(
+            f"registered_domain_join internal column collision: {clash}")
+    h = F.regexp_replace(F.col(host_col), r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    joined = (df.withColumn("__psl_h", h).withColumn("__psl_n", n)
+              .withColumn("__psl_t1", F.element_at(labels, -1)))
+    for d in range(2, n_tails + 1):
+        tail = F.concat_ws(".", F.element_at(labels, -d),
+                           F.col(f"__psl_t{d - 1}"))
+        joined = joined.withColumn(f"__psl_t{d}",
+                                   F.when(n >= d, tail))
+    spark = df.sparkSession
+    for name in sorted(classes):
+        depth, vals = classes[name]
         side = spark.createDataFrame(
-            [(v,) for v in sorted(set(vals))], f"{name} string")
+            [(v,) for v in sorted(vals)], f"{name} string")
         joined = joined.join(F.broadcast(side),
-                             F.col(tails[name]) == F.col(name), "left")
+                             F.col(f"__psl_t{depth}") == F.col(name),
+                             "left")
 
     def hit(name):
-        if name not in present:
-            return F.lit(False)
         return F.col(name).isNotNull()
 
     nn = F.col("__psl_n")
     # public-suffix depth under PSL precedence: exception rule first
-    # (ps = rule labels - 1), then longest rule (a wildcard counts its
-    # parent + 1; it only matches when the host HAS that extra label),
-    # then the implicit `*` default (ps = 1)
-    ps = (F.when(hit("__psl_e3"), F.lit(2))
-          .when(hit("__psl_e2"), F.lit(1))
-          .when(hit("__psl_s3"), F.lit(3))
-          .when(hit("__psl_w2") & (nn >= 3), F.lit(3))
-          .when(hit("__psl_s2"), F.lit(2))
-          .when(hit("__psl_w1") & (nn >= 2), F.lit(2))
-          .otherwise(F.lit(1)))
+    # (deepest exception wins; ps = rule labels - 1), then longest rule
+    # (a wildcard counts its parent + 1 and only matches when the host
+    # HAS that extra label), then the implicit `*` default (ps = 1)
+    ps = None
+    for k in sorted(excs, reverse=True):
+        cond, val = hit(f"__psl_e{k}"), F.lit(k - 1)
+        ps = F.when(cond, val) if ps is None else ps.when(cond, val)
+    for d in range(max_ps, 1, -1):
+        if d in lits:
+            cond, val = hit(f"__psl_s{d}"), F.lit(d)
+            ps = F.when(cond, val) if ps is None else ps.when(cond, val)
+        if d - 1 in wilds:
+            cond = hit(f"__psl_w{d - 1}") & (nn >= d)
+            ps = (F.when(cond, F.lit(d)) if ps is None
+                  else ps.when(cond, F.lit(d)))
+    ps = F.lit(1) if ps is None else ps.otherwise(F.lit(1))
     joined = joined.withColumn("__psl_ps", ps)
     psc = F.col("__psl_ps")
-    reg = (F.when(nn <= psc, F.col("__psl_h"))
-           .when(psc == 3, F.col("__psl_t4"))
-           .when(psc == 2, F.col("__psl_t3"))
-           .otherwise(F.col("__psl_t2")))
+    reg = F.when(nn <= psc, F.col("__psl_h"))
+    for d in range(max_ps, 1, -1):
+        reg = reg.when(psc == d, F.col(f"__psl_t{d + 1}"))
+    reg = reg.otherwise(F.col("__psl_t2"))
     return (joined.withColumn(out_col, reg)
             .drop(*tmp, "__psl_ps"))
 

@@ -296,3 +296,68 @@ def test_psl_rule_plant_pinned():
     assert {"*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp",
             "*.sch.uk"} <= set(PSL_RULES)
     assert all(r.startswith(("*.", "!")) for r in PSL_RULES)
+
+
+def test_registered_domain_join_deep_rules(spark):
+    """Depth-general rule classes (round-13 ADVICE): a real PSL dump
+    carries 4+-label literals, 3+-label wildcard parents
+    (*.compute.amazonaws.com) and 4-label exceptions — previously
+    silently dropped into throwaway lists (wrong reg_domain), now
+    first-class depth classes."""
+    rules = ("co.uk",                        # depth-2 literal baseline
+             "pvt.k12.ma.us",                # 4-label literal (ps 4)
+             "*.compute.amazonaws.com",      # wildcard parent depth 3
+             "!proxy.compute.amazonaws.com")  # 4-label exception
+    cases = {
+        # 4-label literal: registrable at 5 labels
+        "pvt.k12.ma.us": "pvt.k12.ma.us",
+        "school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        "www.school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        # wildcard *.compute.amazonaws.com: each region is a suffix
+        "compute.amazonaws.com": "amazonaws.com",   # parent: default
+        "eu-1.compute.amazonaws.com": "eu-1.compute.amazonaws.com",
+        "vm.eu-1.compute.amazonaws.com": "vm.eu-1.compute.amazonaws.com",
+        "x.vm.eu-1.compute.amazonaws.com": "vm.eu-1.compute.amazonaws.com",
+        # exception beats the wildcard: proxy.compute... is registrable
+        "proxy.compute.amazonaws.com": "proxy.compute.amazonaws.com",
+        "a.proxy.compute.amazonaws.com": "proxy.compute.amazonaws.com",
+        # depth-2 literal unaffected by deep classes
+        "b.a.co.uk": "a.co.uk",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.reg_domain for r in
+           registered_domain_join(df, "host", rules).collect()}
+    assert got == cases, {h: (got[h], cases[h])
+                          for h in cases if got[h] != cases[h]}
+
+
+def test_registered_domain_join_default_table(spark):
+    """suffix_table=None defaults to the vendored full ICANN rule set
+    instead of failing with a deep TypeError (round-13 ADVICE)."""
+    df = spark.createDataFrame(
+        [("a.example.co.uk",), ("bar.foo.ck",)], "host string")
+    got = {r.host: r.reg_domain for r in
+           registered_domain_join(df, "host").collect()}
+    assert got == {"a.example.co.uk": "example.co.uk",
+                   "bar.foo.ck": "bar.foo.ck"}
+
+
+def test_registered_domain_join_bad_rule_shapes(spark):
+    """Malformed rules raise loudly instead of classifying wrong:
+    bare `*`, embedded wildcards, and single-label exceptions."""
+    df = spark.createDataFrame([("x.com",)], "host string")
+    for bad in ("*", "a.*.b", "!com"):
+        with pytest.raises(ValueError, match="rule shape"):
+            registered_domain_join(df, "host", ("co.uk", bad))
+
+
+def test_registered_domain_join_skips_plain_tld_literals(spark):
+    """Single-label literal TLD rules ("com") are the implicit default
+    already; a raw full-PSL dump's ~1500 of them add no join class and
+    no outcome change."""
+    df = spark.createDataFrame(
+        [("deep.plain.org",), ("b.a.co.uk",)], "host string")
+    got = {r.host: r.reg_domain for r in
+           registered_domain_join(
+               df, "host", ("org", "com", "uk", "co.uk")).collect()}
+    assert got == {"deep.plain.org": "plain.org", "b.a.co.uk": "a.co.uk"}
