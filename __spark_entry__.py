@@ -1601,12 +1601,16 @@ def q_dedup_kcore(spark, sf):
     floats. Twin: 8 unrolled MATERIALIZED peel rounds over the shared
     mh_cand CTE (measured convergence: 2 rounds at sf0.01, 4 at
     sf0.1), n_rounds re-derived as the count of strictly-shrinking
-    rounds. Per round: two endpoint semi-joins + one node-grain count
-    — graph-sized, checkpointed between rounds."""
+    rounds. max_iter=8 matches the twin's unroll EXACTLY: a graph
+    needing more peel rounds makes kcore raise (round-13 convergence
+    contract) instead of the two engines silently returning different
+    non-fixpoints. Per round: two endpoint semi-joins + one node-grain
+    count — graph-sized, checkpointed between rounds."""
     docs = load_table(spark, sf, "documents")
     pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
                                  n=2, num_hashes=12, bands=4)
-    return DD.kcore(pairs.select("doc0", "doc1"), k=2).orderBy("doc_id")
+    return DD.kcore(pairs.select("doc0", "doc1"), k=2,
+                    max_iter=8).orderBy("doc_id")
 
 
 def q_dedup_cluster_ari(spark, sf):

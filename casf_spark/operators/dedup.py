@@ -1857,6 +1857,11 @@ def kcore(pairs: DataFrame, k: int = 2, id0: str = "doc0",
     connected_components / label propagation). Peeling converges in
     O(graph diameter) rounds — measured 2 (sf0.01) / 4 (sf0.1) on the
     MinHash candidate graph.
+
+    Non-convergence is LOUD (the label_propagation_converged
+    contract): if ``max_iter`` rounds exhaust while the alive set is
+    still shrinking, the table is not a fixpoint — a silently-returned
+    partial peel would be a wrong k-core — so this raises instead.
     """
     if k <= 0:
         raise ValueError(f"kcore: k must be > 0, got {k}")
@@ -1883,6 +1888,13 @@ def kcore(pairs: DataFrame, k: int = 2, id0: str = "doc0",
             break
         alive, n_alive = nxt, n_nxt
         rounds += 1
+        if n_alive == 0:   # empty set is trivially a fixpoint
+            break
+    else:
+        raise ValueError(
+            f"kcore: alive set still shrinking after max_iter="
+            f"{max_iter} peel rounds ({n_alive} nodes alive) — the "
+            f"result would not be a fixpoint; raise max_iter")
     if deg is None or n_alive == 0:
         empty = pairs.sparkSession.createDataFrame(
             [], "doc_id long, core_deg long, n_rounds long")

@@ -332,8 +332,22 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
     Scale shape: centroids broadcast (bounded side input); the N x k
     distance table reduces per id with a bounded collect_list fold (k
     rows per id — n_clusters is dozens); ONE cluster-grain aggregation.
+
+    ``n_clusters < 2`` is rejected loudly (round-13 ADVICE): with one
+    centroid there is no "nearest OTHER" distance — b would be NULL,
+    s NULL, and the row would count in n_docs while dropping from the
+    silhouette sum, a silently-deflated mean (and a divergence from
+    the oracle twin's inner-join spelling, which drops the row
+    entirely). A corpus smaller than ``n_clusters`` degrades the same
+    way (fewer than 2 actual centroids), so it raises too.
     """
     from casf_spark.functions import vectors as V
+
+    if n_clusters < 2:
+        raise ValueError(
+            f"cluster_silhouette: n_clusters must be >= 2 "
+            f"(got {n_clusters}) — silhouette needs a nearest-OTHER "
+            f"centroid")
 
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
                16, 10).cast("long")
@@ -341,6 +355,17 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
                        F.col(vec_col).alias("cemb"), h.alias("ck"))
             .orderBy("ck", "cid").limit(n_clusters)
             .select("cid", "cemb"))
+    # bounded side input (<= n_clusters rows): collect ONCE — validates
+    # the corpus actually yields >= 2 centroids (a 1-row corpus would
+    # silently reproduce the b-NULL deflation) and hands the crossJoin
+    # a LocalRelation instead of recomputing the top-k subquery
+    cent_rows = cent.collect()
+    if len(cent_rows) < 2:
+        raise ValueError(
+            f"cluster_silhouette: corpus yields {len(cent_rows)} "
+            f"centroid(s); need >= 2 (corpus smaller than n_clusters "
+            f"degrades the same way as n_clusters=1)")
+    cent = emb.sparkSession.createDataFrame(cent_rows, cent.schema)
     corp = emb.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
     diff = F.zip_with(V.as_double("v"), V.as_double("cemb"),
@@ -368,3 +393,119 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
                     F.round(F.col("sum_u")
                             / (F.col("n_docs") * F.lit(1e6)), 6)
                     .alias("mean_sil")))
+
+
+def vocab_richness(docs: DataFrame, group_col: str, id_col: str,
+                   text_col: str) -> DataFrame:
+    """Good-Turing / Chao1 vocabulary-richness report per group — the
+    coverage questions a corpus card answers before anyone trusts a
+    token budget: how much probability mass sits on UNSEEN words
+    (Good-Turing: p0 = N1/N, the hapax fraction — Good 1953), and how
+    large the underlying vocabulary plausibly is (bias-corrected Chao1
+    richness: V + N1*(N1-1)/(2*(N2+1)) — Chao 1984/2005, defined even
+    when no doubletons exist). A crawl slice with gt_unseen 0.4 is
+    nowhere near vocabulary saturation; one at 0.02 is re-crawling
+    itself.
+
+    Every statistic derives from four exact integers per group (token
+    total N, distinct V, hapax count N1, doubleton count N2) in one
+    closed-form expression — no float accumulation, engines agree to
+    the 6dp round.
+
+    Scale shape: one map-combined (group, word) count aggregation
+    (vocabulary x groups keys — the same grain every LM/keyness
+    operator here shuffles at), then a group-grain conditional-sum
+    rollup; output is GROUP-cardinality rows. Output: (grp, n_tokens,
+    v_distinct, n1, n2, gt_unseen, chao1).
+    """
+    from casf_spark.functions.text import tokenize
+
+    tok = tokenize(docs, id_col, text_col) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    gd = docs.select(F.col(id_col).cast("long").alias("doc"),
+                     F.col(group_col).alias("grp"))
+    gt = (tok.join(gd, "doc")
+          .groupBy("grp", "word")
+          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    one = F.count(F.when(F.col("a") == 1, 1)).cast("long")
+    two = F.count(F.when(F.col("a") == 2, 1)).cast("long")
+    per = gt.groupBy("grp").agg(
+        F.sum("a").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_distinct"),
+        one.alias("n1"), two.alias("n2"))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return per.select(
+        "grp", "n_tokens", "v_distinct", "n1", "n2",
+        F.round(n1 / F.col("n_tokens").cast("double"), 6)
+        .alias("gt_unseen"),
+        F.round(F.col("v_distinct").cast("double")
+                + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)), 6)
+        .alias("chao1"))
+
+
+def vocab_jsd(docs: DataFrame, group_col: str, id_col: str,
+              text_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between each group's unigram
+    distribution and the REST of the corpus — the symmetric, bounded
+    ([0, ln 2]) corpus-comparison number a mixture audit reads next to
+    PSI (which bins one scalar score) and keyness (which ranks
+    individual terms): "how different is this source's LANGUAGE,
+    overall". JSD(P,Q) = (KL(P||M) + KL(Q||M))/2 with M = (P+Q)/2.
+
+    Determinism: each in-group word's contribution is a closed-form
+    double from four exact integers (a = count in group, c = group
+    total, b = count in rest, d = rest total), folded to integer
+    NANO-units before the per-group sum (order-independent BIGINTs —
+    the Dunning-keyness discipline); the mass of words ABSENT from the
+    group needs no per-word rows at all: each contributes
+    (q/2)*ln 2 + 0, and their summed q closes to (n_all - S_g)/d where
+    S_g is the group's summed term totals — ONE more closed-form term
+    per group. b = 0 contributes 0 (the x*ln x -> 0 limit). A corpus
+    with a single group has an EMPTY rest distribution: d = 0 makes
+    jsd NULL (documented, not raised — per-group outputs remain
+    meaningful for every group that has a complement).
+
+    Scale shape: one map-combined (group, word) count aggregation,
+    term totals derived from it (no second corpus pass), group totals
+    broadcast; output is GROUP-cardinality rows. Output: (grp,
+    n_terms, jsd).
+    """
+    from casf_spark.functions.text import tokenize
+
+    tok = tokenize(docs, id_col, text_col) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    gd = docs.select(F.col(id_col).cast("long").alias("doc"),
+                     F.col(group_col).alias("grp"))
+    gt = (tok.join(gd, "doc")
+          .groupBy("grp", "word")
+          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    term_tot = gt.groupBy("word").agg(F.sum("a").alias("t_tot"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("a").alias("c"))
+    all_tot = grp_tot.agg(F.sum("c").alias("n_all"))
+    j = (gt.join(term_tot, "word")
+         .join(F.broadcast(grp_tot), "grp")
+         .crossJoin(F.broadcast(all_tot)))
+    a = F.col("a").cast("double")
+    b = (F.col("t_tot") - F.col("a")).cast("double")
+    c = F.col("c").cast("double")
+    d = (F.col("n_all") - F.col("c")).cast("double")
+    p = a / c
+    q = b / d          # NULL-free: d > 0 rows only reach the sum below
+    term = (0.5 * p * F.log(2.0 * p / (p + q))
+            + F.when(b > 0.0,
+                     0.5 * q * F.log(2.0 * q / (p + q)))
+            .otherwise(F.lit(0.0)))
+    tu = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = (j.groupBy("grp")
+           .agg(F.sum(tu).alias("su"),
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum("t_tot").cast("long").alias("s_g")))
+    per = (per.join(F.broadcast(grp_tot), "grp")
+           .crossJoin(F.broadcast(all_tot)))
+    d2 = (F.col("n_all") - F.col("c")).cast("double")
+    extra = (0.5 * F.log(F.lit(2.0))
+             * (F.col("n_all") - F.col("s_g")).cast("double") / d2)
+    eu = F.floor(extra * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return per.select(
+        "grp", "n_terms",
+        F.round((F.col("su") + eu) / F.lit(1e9), 6).alias("jsd"))

@@ -720,7 +720,12 @@ def keyness_terms(docs: DataFrame, group_col: str, id_col: str,
     PARTITIONED BY group over the scored candidates — per-group work,
     never a global sort. Output: (grp, rank, term, a, b, g2).
     """
+    # tokenize emits a STRING doc key; cast to long BEFORE the join so
+    # the equi-join is long==long — relying on Spark's implicit
+    # string/bigint coercion (via double) silently mismatches ids
+    # above 2^53 (round-13 ADVICE; heldout_interpolated_logprob's rule)
     gt = (tokenize(docs, id_col, text_col)
+          .select(F.col("doc").cast("long").alias("doc"), "word")
           .join(docs.select(F.col(id_col).cast("long").alias("doc"),
                             F.col(group_col).alias("grp")), "doc")
           .groupBy("grp", "word")

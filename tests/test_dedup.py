@@ -519,3 +519,20 @@ def test_kcore_validation(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc0 long, doc1 long")
     with pytest.raises(ValueError, match="k must be"):
         kcore(pairs, k=0)
+
+
+def test_kcore_cap_exhaustion_raises(spark):
+    """Round-13 convergence contract: a path graph peels one endpoint
+    pair per round, so a long path with max_iter=1 exhausts the cap
+    while still shrinking — kcore raises loudly instead of silently
+    returning a non-fixpoint (the label_propagation_converged
+    contract)."""
+    import pytest
+    from casf_spark.operators.dedup import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc0 long, doc1 long")
+    with pytest.raises(ValueError, match="still shrinking"):
+        kcore(path, k=2, max_iter=1)
+    # enough rounds: the 2-core of a path is empty, returned cleanly
+    assert kcore(path, k=2, max_iter=10).count() == 0

@@ -251,3 +251,20 @@ def test_cluster_silhouette_separated_vs_mixed(spark):
     assert sum(r.n_docs for r in got) == 40
     best = max(r.mean_sil for r in got)
     assert best > 0.9, got
+
+
+def test_cluster_silhouette_degenerate_raises(spark):
+    """Round-13 ADVICE: n_clusters=1 (no nearest-OTHER centroid) and a
+    corpus smaller than 2 vectors both raise loudly instead of
+    silently deflating mean_sil via NULL b."""
+    import pytest
+    from casf_spark.operators.profile import cluster_silhouette
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_clusters must be >= 2"):
+        cluster_silhouette(df, "vec_id", "embedding", n_clusters=1)
+    one = df.where("vec_id = 1")
+    with pytest.raises(ValueError, match="centroid"):
+        cluster_silhouette(one, "vec_id", "embedding", n_clusters=8)
