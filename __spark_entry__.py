@@ -6098,53 +6098,163 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_cosine(spark, "/root/testdata/sf0.001")
 
 
-# Round-12 driver window (the driver's correctness harness checks the
-# FIRST 50 entries of queries()). Composition, per the round-11 verdict
-# item 1 + NEXT.md's authoritative queue:
-#   * every round-12 addition (10 names, newest at head) — windowed
-#     immediately so no never-checked backlog accumulates;
-#   * the 29 names displaced from the round-11 window (the round-7
-#     tail + the 20 displaced by late round-11 additions);
-#   * then the round-8 cohort head in CORRECTNESS_r08.json key order
-#     (the 10 additions displaced its tail — bigram_logprob,
-#     sample_per_source, er_customer_link, corpus_card,
-#     multimodal_audio_neardup, multimodal_image_neardup,
-#     collocations_pmi, tokenizer_fertility, nb_lang_eval,
-#     nb_lang_score — which HEAD the round-13 queue, see NEXT.md).
-_ROUND12_WINDOW = [
-    # -- round-12 additions land HERE (newest first), displacing the
-    #    tail per protocol (displaced names recorded in NEXT.md)
-    "url_psl_rules", "lang_heavy_boundary", "domain_boilerplate",
-    "embedding_rp8", "dedup_cluster_ari", "decontaminate_bloom",
-    "quality_bootstrap", "source_keyness",
-    "doc_quality_composite_quantile", "dedup_kcore", "stream_cms_state",
-    "nb_lang_confusion", "doc_quality_qnorm", "cluster_silhouette",
-    "lm_heldout_jm",
-    # -- the 29 names displaced from the round-11 window (VERDICT r11
-    #    item 1): the round-7 tail first, then the 20 displaced by the
-    #    late round-11 additions
-    "events_funnel", "events_retention", "users_view_and_purchase",
-    "events_corr", "events_value_hist", "ann_ivf_pq",
-    "temperature_resample", "doc_cosine_tfidf", "multimodal_rgb",
-    "dedup_collision", "events_moving_avg", "embedding_outliers",
-    "vocab_coverage", "unigram_logprob", "dedup_incremental",
-    "curation_funnel", "dedup_spans", "budget_select",
-    "mixture_resample", "knn_classify", "bm25_rank", "tfidf_terms",
-    "events_percentiles", "events_zscore", "events_pivot",
-    "events_cube", "events_profile", "events_rollup",
-    "events_distinct_users",
-    # -- the round-8 cohort head, CORRECTNESS_r08.json key order
-    #    (21 names to fill the 50; the rest queue for round 13)
-    "adversarial_contract", "retrieval_rrf", "diversity_kcenter",
-    "unigram_lm_scores", "crossmodal_integrity",
-    "doc_quality_source_quantile",
+def q_doc_symbol_lang_quantile(spark, sf):
+    """Fourth contract point of the per-group quantile-cut family
+    (round-13 verdict item 8 — widen the (grouping, metric, q)
+    coverage): the Gopher symbol-to-word ratio cut at the per-LANGUAGE
+    90th percentile — an UPPER-tail coordinate (the spam-symbol cut
+    keeps rows BELOW p90, where the other three points cut the lower
+    tail of a quality metric). Family map: doc_len_lang_quantile =
+    (lang, tokens, .25), doc_quality_source_quantile = (source, alpha,
+    .25), doc_quality_composite_quantile = (source, composite, .10),
+    this = (lang, symbol_ratio, .90). Same shape: map-only metric, one
+    lang-grain percentile agg broadcast back, rounded-threshold
+    compare."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", "symbol_word_ratio")
+    d = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "lang")
+         .join(g, "doc_id"))
+    return CU.group_quantile_flag(d, "lang", "symbol_word_ratio",
+                                  q=0.9, flag_col="below_p90")
+
+
+def q_doc_quality_qmatch(spark, sf):
+    """Two-corpus quantile matching (operators.curation.quantile_match
+    — the cross-corpus counterpart of doc_quality_qnorm): every doc's
+    alpha-word fraction maps, at its within-SOURCE decile midpoint, to
+    the value the TRUSTED reference slice (src0's docs) carries at that
+    percentile — the calibration a pipeline applies before running
+    src0-tuned thresholds on the other 19 crawls. Deterministic: NTILE
+    over the (score, doc) total order; the 10 reference midpoint
+    percentiles are 6dp-rounded in ONE 1-row agg over the reference
+    (which never joins row-to-row). One source-key shuffle + a 1-row
+    broadcast."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", "alpha_word_frac")
+    d = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     "source")
+         .join(g, "doc_id"))
+    ref = d.where(F.col("source") == "src0")
+    return (CU.quantile_match(d, ref, "source", "doc_id",
+                              "alpha_word_frac", k=10)
+            .select("doc_id", "source", "alpha_word_frac", "tile",
+                    "score_matched")
+            .orderBy("doc_id"))
+
+
+def q_select_facility(spark, sf):
+    """Greedy facility-location selection over the embedding corpus
+    (operators.similarity.facility_location_select, Nemhauser 1978
+    greedy on the submodular coverage objective): the 4 exemplars,
+    from the md5-8 candidate pool, that maximize total corpus coverage
+    sum_x max_s sim(x, s) — the max-COVERAGE counterpart of the
+    diversity_kcenter query (spread hull vs mass exemplars).
+    Micro-unit integer gains, smaller-cid ties; the oracle twin
+    unrolls the 4 greedy rounds as chained MATERIALIZED CTEs. Output:
+    (sel_rank, sel_id, gain, coverage), coverage strictly increasing,
+    gain non-increasing (submodularity — pinned by test)."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.facility_location_select(emb, k=4, n_candidates=8)
+
+
+def q_vocab_good_turing(spark, sf):
+    """Good-Turing / Chao1 vocabulary-richness report per source
+    (operators.profile.vocab_richness): unseen-mass estimate p0 =
+    N1/N and bias-corrected Chao1 richness from four exact integers
+    per source — the vocabulary-saturation row of a corpus card (a
+    source with gt_unseen 0.4 is nowhere near saturated; 0.02 is
+    re-crawling itself). One (source, word) count agg + a source-grain
+    conditional rollup."""
+    docs = load_table(spark, sf, "documents")
+    return PF.vocab_richness(docs, "source", "doc_id", "text") \
+        .orderBy("grp")
+
+
+def q_source_vocab_jsd(spark, sf):
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the REST of the corpus (operators.profile.vocab_jsd): the
+    bounded symmetric "how different is this source's language"
+    number next to PSI (scalar drift) and keyness (per-term ranks).
+    Per-word closed-form contributions fold to nano-unit BIGINTs; the
+    absent-word mass closes to one per-source term — no groups x vocab
+    grid materializes. One (source, word) agg, source-grain output."""
+    docs = load_table(spark, sf, "documents")
+    return PF.vocab_jsd(docs, "source", "doc_id", "text") \
+        .orderBy("grp")
+
+
+def q_events_quantile_sketch(spark, sf):
+    """Mergeable fixed-boundary histogram quantile sketch
+    (operators.sketches.hist_sketch_*): the events value column binned
+    into 1000 cells over [0, 500) by four independent ingest shards
+    (event_id % 4 — four separate builds, the per-batch refresh
+    shape), merged cell-wise, then p50/p90/p99 read off the binned CDF
+    at nearest rank. The oracle twin is a SINGLE whole-corpus build —
+    equality IS the mergeability property (the stream_cms_state
+    contract: counter-sum commutativity), and the estimate itself is
+    deterministic closed-form (integer target rank, integer cumulative
+    counts, 6dp bin edge), unlike t-digest/GK whose state is
+    order-dependent. Sketch-grain work: the row stream never shuffles
+    beyond 4 bin-grain map-combined aggs."""
+    from casf_spark.operators import sketches as SKC
+    ev = load_table(spark, sf, "events")
+    parts = None
+    for i in range(4):
+        s = SKC.hist_sketch_build(
+            ev.where(F.col("event_id") % 4 == i), "value",
+            0.0, 500.0, 1000)
+        parts = s if parts is None else parts.unionByName(s)
+    merged = SKC.hist_sketch_merge(parts)
+    return SKC.hist_sketch_quantiles(merged, [0.5, 0.9, 0.99],
+                                     0.0, 500.0, 1000)
+
+
+# Round-13 driver window (the driver's correctness harness checks the
+# FIRST 50 entries of queries()). Composition, per the round-12 verdict
+# items 2 + 7 and the NEXT.md freshness SLO ("no name older than 5
+# driver rounds"): exactly the 44 names whose last driver green is
+# round 8 (the entire stale set — 14 of them are the round-12
+# displacement queue head, then the remaining 30 in CORRECTNESS_r08
+# key order) behind the 6 round-13 additions. 6 + 44 = 50, so
+# CORRECTNESS_r13 leaves NO name with last-driver-green <= r8 — the
+# SLO holds with zero slack this round, which is why round 13 adds
+# exactly six queries.
+_ROUND13_WINDOW = [
+    # -- round-13 additions (newest first), windowed immediately
+    "events_quantile_sketch", "source_vocab_jsd", "vocab_good_turing",
+    "select_facility", "doc_quality_qmatch", "doc_symbol_lang_quantile",
+    # -- the round-12 displacement queue head (NEXT.md order; its
+    #    15th name, doc_quality_source_quantile, re-greened in the
+    #    round-12 window and is NOT stale)
+    "bigram_logprob", "sample_per_source", "er_customer_link",
+    "corpus_card", "multimodal_audio_neardup", "multimodal_image_neardup",
+    "collocations_pmi", "tokenizer_fertility", "nb_lang_eval",
+    "nb_lang_score", "retrieval_rrf_weighted", "unigram_lm_segment",
+    "curriculum_buckets", "mixture_plan",
+    # -- the remaining 30 round-8-stale names, CORRECTNESS_r08.json
+    #    key order
+    "cluster_profile", "embedding_norms", "dedup_degrees",
+    "pack_greedy", "events_approx_distinct", "text_zipf",
+    "events_grouping_sets", "doc_lang_source_lift", "events_gap_stats",
+    "customer_running_spend", "events_mad_outliers",
+    "embedding_power_iter", "events_sketch_rollup",
+    "events_session_window", "events_forward_fill",
+    "dedup_cross_source", "text_ttr", "multimodal_pcm",
+    "events_click_purchase_days", "orders_price_position",
+    "events_unpivot", "text_novelty", "customer_order_counts_right",
+    "ann_ivf", "data_quality_checks", "cdc_snapshot",
+    "events_k_anonymity", "scd2_orders", "split_leakage_safe",
+    "dedup_triangles",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # (registration order below is the round-4 layout; the actual
-        # driver-facing order is _ROUND12_WINDOW first — see the reorder at
+        # driver-facing order is _ROUND13_WINDOW first — see the reorder at
         # the end of this function.)
         "tfidf_terms": q_tfidf_terms,
         "bm25_rank": q_bm25_rank,
@@ -6305,6 +6415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_qnorm": q_doc_quality_qnorm,
         "cluster_silhouette": q_cluster_silhouette,
         "lm_heldout_jm": q_lm_heldout_jm,
+        "doc_symbol_lang_quantile": q_doc_symbol_lang_quantile,
+        "doc_quality_qmatch": q_doc_quality_qmatch,
+        "select_facility": q_select_facility,
+        "vocab_good_turing": q_vocab_good_turing,
+        "source_vocab_jsd": q_source_vocab_jsd,
+        "events_quantile_sketch": q_events_quantile_sketch,
         "decontaminate_bloom": q_decontaminate_bloom,
         "quality_bootstrap": q_quality_bootstrap,
         "source_keyness": q_source_keyness,
@@ -6411,10 +6527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND12_WINDOW) == 50
-    missing = [n for n in _ROUND12_WINDOW if n not in base]
+    assert len(_ROUND13_WINDOW) == 50
+    missing = [n for n in _ROUND13_WINDOW if n not in base]
     assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND12_WINDOW}
+    out = {n: base[n] for n in _ROUND13_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
@@ -10039,4 +10155,170 @@ SELECT doc_id, host,
        WHEN ps = 2 THEN {plabs}[-3] || '.' || {plast2}
        ELSE {plast2} END reg_domain
 FROM p4 ORDER BY doc_id"""
+    # ---- round-13 additions ----
+    # fourth (grouping, metric, q) point of the per-group quantile-cut
+    # family: per-language symbol-ratio upper cut (q = .90)
+    out["doc_symbol_lang_quantile"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, lang, COALESCE(text, '') txt,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    ROUND((length(txt) - length(replace(txt, '#', ''))
+           + (length(txt) - length(replace(txt, '...', ''))) / 3)
+          / GREATEST(len(words), 1), 6) symbol_word_ratio
+  FROM w),
+st AS (SELECT lang,
+              ROUND(quantile_cont(symbol_word_ratio, 0.9), 6) q_threshold
+       FROM m GROUP BY 1)
+SELECT m.lang, m.doc_id, m.symbol_word_ratio, st.q_threshold,
+       m.symbol_word_ratio < st.q_threshold AS below_p90
+FROM m JOIN st ON m.lang IS NOT DISTINCT FROM st.lang"""
+    # two-corpus quantile matching: the qnorm NTILE body with the ten
+    # midpoint percentiles taken over the src0 REFERENCE slice only
+    out["doc_quality_qmatch"] = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) doc_id, source,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') words
+  FROM documents),
+m AS (SELECT doc_id, source,
+             ROUND(len(list_filter(words,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / GREATEST(len(words), 1), 6) alpha_word_frac
+      FROM w),
+gq AS (SELECT list_transform(quantile_cont(alpha_word_frac,
+                                           [{_qn_mids}]),
+                             t -> ROUND(t, 6)) g
+       FROM m WHERE source = 'src0'),
+tl AS (SELECT doc_id, source, alpha_word_frac,
+              CAST(NTILE(10) OVER (PARTITION BY source
+                                   ORDER BY alpha_word_frac, doc_id)
+                   AS BIGINT) tile
+       FROM m WHERE alpha_word_frac IS NOT NULL)
+SELECT doc_id, source, alpha_word_frac, tile,
+       gq.g[CAST(tile AS INT)] AS score_matched
+FROM tl CROSS JOIN gq ORDER BY doc_id"""
+    # Good-Turing / Chao1 vocabulary richness: four exact integers per
+    # source -> two closed-form doubles (same float-op order as Spark)
+    out["vocab_good_turing"] = f"""
+WITH tk AS (SELECT source grp, unnest({_TOKS}) w FROM documents),
+gt AS (SELECT grp, w, CAST(COUNT(*) AS BIGINT) a FROM tk GROUP BY 1, 2),
+per AS (SELECT grp,
+               CAST(SUM(a) AS BIGINT) n_tokens,
+               CAST(COUNT(*) AS BIGINT) v_distinct,
+               CAST(COUNT(*) FILTER (WHERE a = 1) AS BIGINT) n1,
+               CAST(COUNT(*) FILTER (WHERE a = 2) AS BIGINT) n2
+        FROM gt GROUP BY 1)
+SELECT grp, n_tokens, v_distinct, n1, n2,
+  ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) gt_unseen,
+  ROUND(CAST(v_distinct AS DOUBLE)
+        + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)), 6) chao1
+FROM per ORDER BY grp"""
+    # source-vs-rest Jensen-Shannon divergence: per-word closed-form
+    # contributions in nano-units + ONE closed-form absent-word term
+    # per source (same float-op order as the Spark side)
+    out["source_vocab_jsd"] = f"""
+WITH tk AS (SELECT source grp, unnest({_TOKS}) w FROM documents),
+gt AS (SELECT grp, w, CAST(COUNT(*) AS BIGINT) a FROM tk GROUP BY 1, 2),
+tt AS (SELECT w, CAST(SUM(a) AS BIGINT) t_tot FROM gt GROUP BY 1),
+ct AS (SELECT grp, CAST(SUM(a) AS BIGINT) c FROM gt GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) n_all FROM ct),
+pq AS (SELECT grp, t_tot,
+              CAST(a AS DOUBLE) / CAST(c AS DOUBLE) p,
+              CAST(t_tot - a AS DOUBLE) b,
+              CAST(t_tot - a AS DOUBLE) / CAST(n_all - c AS DOUBLE) q
+       FROM gt JOIN tt USING (w) JOIN ct USING (grp) CROSS JOIN nt),
+terms AS (SELECT grp, t_tot,
+                 CAST(FLOOR((0.5 * p * ln(2.0 * p / (p + q))
+                             + CASE WHEN b > 0.0
+                                    THEN 0.5 * q * ln(2.0 * q / (p + q))
+                                    ELSE 0.0 END) * 1e9 + 0.5)
+                      AS BIGINT) tu
+          FROM pq),
+per AS (SELECT grp, CAST(SUM(tu) AS BIGINT) su,
+               CAST(COUNT(*) AS BIGINT) n_terms,
+               CAST(SUM(t_tot) AS BIGINT) s_g
+        FROM terms GROUP BY 1)
+SELECT p.grp, p.n_terms,
+  ROUND((p.su + CAST(FLOOR(0.5 * ln(2.0)
+                           * (CAST(n.n_all - p.s_g AS DOUBLE)
+                              / CAST(n.n_all - c.c AS DOUBLE))
+                           * 1e9 + 0.5) AS BIGINT)) / 1e9, 6) jsd
+FROM per p JOIN ct c USING (grp) CROSS JOIN nt n ORDER BY p.grp"""
+    # mergeable histogram quantile sketch: the twin is ONE whole-corpus
+    # build — equality with the Spark side's 4-shard merge IS the
+    # mergeability property (counter-sum commutativity, the
+    # stream_cms_state contract); the estimate is closed-form
+    out["events_quantile_sketch"] = """
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 0.5),
+                             0), 999) AS INT) bin
+  FROM events WHERE value IS NOT NULL),
+sk AS (SELECT bin, CAST(COUNT(*) AS BIGINT) cnt FROM b GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) n FROM sk),
+cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) cum
+        FROM sk),
+qs AS (SELECT CAST(q AS DOUBLE) q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+tr AS (SELECT q, CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT) target_rank
+       FROM qs CROSS JOIN tot)
+SELECT tr.q, tr.target_rank,
+       ROUND(0.0 + (MIN(c.bin) + 1) * 0.5, 6) est
+FROM tr JOIN cum c ON c.cum >= tr.target_rank
+GROUP BY 1, 2 ORDER BY tr.q"""
+    # greedy facility location: candidates = md5-8 pool, similarities
+    # in integer micro-units, 4 greedy rounds as chained MATERIALIZED
+    # CTEs (the kcore/kcenter unroll discipline), argmax ties to the
+    # smaller candidate id
+    _fl_rounds = []
+    for r in range(1, 5):
+        _not_sel = " ".join(
+            f"AND s.cid <> (SELECT cid FROM p{j})" for j in range(1, r))
+        _fl_rounds.append(f"""g{r} AS MATERIALIZED (
+  SELECT s.cid, CAST(SUM(GREATEST(c.cu, s.su) - c.cu) AS BIGINT) gu
+  FROM sims s JOIN cov{r - 1} c USING (id)
+  WHERE TRUE {_not_sel}
+  GROUP BY 1),
+p{r} AS MATERIALIZED (SELECT cid, gu FROM g{r}
+                      ORDER BY gu DESC, cid LIMIT 1),
+cov{r} AS MATERIALIZED (
+  SELECT c.id, GREATEST(c.cu, COALESCE(s.su, 0)) cu
+  FROM cov{r - 1} c
+  LEFT JOIN (SELECT id, su FROM sims
+             WHERE cid = (SELECT cid FROM p{r})) s USING (id))""")
+    _fl_tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) sel_rank, "
+        f"CAST((SELECT cid FROM p{r}) AS BIGINT) sel_id, "
+        f"(SELECT gu FROM p{r}) / 1000000.0 gain, "
+        f"({' + '.join(f'(SELECT gu FROM p{j})' for j in range(1, r + 1))})"
+        f" / 1000000.0 coverage"
+        for r in range(1, 5))
+    out["select_facility"] = f"""
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) i,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings),
+nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+en AS MATERIALIZED (SELECT e.vec_id, e.i,
+              CASE WHEN n.nrm > 0 THEN e.x / n.nrm ELSE e.x END x
+       FROM ee e JOIN nn n USING (vec_id)),
+cand AS MATERIALIZED (
+  SELECT vec_id cid FROM nn
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id
+  LIMIT 8),
+sims AS MATERIALIZED (
+  SELECT a.vec_id id, b.vec_id cid,
+         GREATEST(CAST(FLOOR(ROUND(SUM(a.x * b.x), 6) * 1000000.0 + 0.5)
+                       AS BIGINT), 0) su
+  FROM en a JOIN en b ON a.i = b.i
+  WHERE b.vec_id IN (SELECT cid FROM cand)
+  GROUP BY 1, 2),
+cov0 AS (SELECT vec_id id, CAST(0 AS BIGINT) cu FROM nn),
+{",".join(_fl_rounds)}
+{_fl_tail}"""
     return out

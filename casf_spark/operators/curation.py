@@ -71,6 +71,7 @@ __all__ = [
     "boilerplate_strip",
     "contamination_flags_bloom",
     "quantile_normalize",
+    "quantile_match",
     "PII_PATTERNS",
 ]
 
@@ -1583,4 +1584,53 @@ def quantile_normalize(df: DataFrame, group_col: str, doc_col: str,
     nulls = (df.where(F.col(score_col).isNull())
              .withColumn("tile", F.lit(None).cast("long"))
              .withColumn("score_norm", F.lit(None).cast("double")))
+    return out.unionByName(nulls)
+
+
+def quantile_match(df: DataFrame, ref: DataFrame, group_col: str,
+                   doc_col: str, score_col: str,
+                   ref_score_col: str | None = None,
+                   k: int = 10) -> DataFrame:
+    """Two-corpus quantile matching — calibrate ``df``'s scores onto a
+    REFERENCE corpus's distribution (the cross-corpus counterpart of
+    :func:`quantile_normalize`, which calibrates onto the corpus's own
+    global distribution): a new crawl's quality scores are mapped so
+    that "p-th percentile of the new crawl, within its source" reads as
+    the REFERENCE distribution's value at that percentile — the
+    standard move before comparing or thresholding a fresh crawl with
+    cutoffs tuned on a trusted one (quantile mapping / distribution
+    matching, the same construction climate/statistics literature
+    calls quantile-quantile calibration).
+
+    Discretized to ``k`` tiles exactly like quantile_normalize: rows
+    get their within-group NTILE(k) over the (score, doc) total order
+    (engine-stable), and map to the REFERENCE corpus's quantile at the
+    tile midpoint ((tile - 0.5) / k, 6dp-rounded). NULL scores get
+    NULL tile/score_matched.
+
+    Scale shape: ONE 1-row aggregation over the reference (k midpoint
+    percentiles) broadcast back, plus one shuffle of ``df`` on the
+    group key for the NTILE window — the reference corpus never joins
+    row-to-row, never reshuffles ``df``. Output: df columns plus
+    (tile, score_matched).
+    """
+    if k <= 1:
+        raise ValueError(f"quantile_match: k must be > 1, got {k}")
+    rcol = ref_score_col if ref_score_col is not None else score_col
+    mids = [(i - 0.5) / k for i in range(1, k + 1)]
+    gq = ref.agg(F.transform(
+        F.percentile(rcol, F.array(*[F.lit(q) for q in mids])),
+        lambda t: F.round(t, 6)).alias("__qm_g"))
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col),
+                                              F.col(doc_col))
+    scored = df.where(F.col(score_col).isNotNull())
+    out = (scored.withColumn("__qm_t", F.ntile(k).over(w))
+           .crossJoin(F.broadcast(gq))
+           .withColumn("score_matched",
+                       F.element_at("__qm_g", F.col("__qm_t")))
+           .withColumn("tile", F.col("__qm_t").cast("long"))
+           .drop("__qm_t", "__qm_g"))
+    nulls = (df.where(F.col(score_col).isNull())
+             .withColumn("tile", F.lit(None).cast("long"))
+             .withColumn("score_matched", F.lit(None).cast("double")))
     return out.unionByName(nulls)

@@ -490,7 +490,9 @@ def vocab_jsd(docs: DataFrame, group_col: str, id_col: str,
     c = F.col("c").cast("double")
     d = (F.col("n_all") - F.col("c")).cast("double")
     p = a / c
-    q = b / d          # NULL-free: d > 0 rows only reach the sum below
+    # try_divide: a single-group corpus has d = 0 — the documented
+    # NULL-jsd edge, not an ANSI-mode DIVIDE_BY_ZERO crash
+    q = F.try_divide(b, d)
     term = (0.5 * p * F.log(2.0 * p / (p + q))
             + F.when(b > 0.0,
                      0.5 * q * F.log(2.0 * q / (p + q)))
@@ -504,7 +506,8 @@ def vocab_jsd(docs: DataFrame, group_col: str, id_col: str,
            .crossJoin(F.broadcast(all_tot)))
     d2 = (F.col("n_all") - F.col("c")).cast("double")
     extra = (0.5 * F.log(F.lit(2.0))
-             * (F.col("n_all") - F.col("s_g")).cast("double") / d2)
+             * F.try_divide((F.col("n_all") - F.col("s_g"))
+                            .cast("double"), d2))
     eu = F.floor(extra * F.lit(1e9) + F.lit(0.5)).cast("long")
     return per.select(
         "grp", "n_terms",

@@ -991,3 +991,83 @@ def kcenter_select(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def facility_location_select(emb: DataFrame, k: int = 4,
+                             n_candidates: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Greedy facility-location selection (lazy-free classic greedy on
+    the monotone submodular coverage objective ``F(S) = sum_x max_{s in
+    S} sim(x, s)`` — Nemhauser et al. 1978 gives the (1 - 1/e)
+    guarantee): pick ``k`` representatives that maximize how well the
+    WHOLE corpus is covered by its most-similar pick. The max-COVERAGE
+    counterpart of :func:`kcenter_select` (which maximizes spread): a
+    data-mixture selector that wants exemplars near the mass, not the
+    hull — the coreset construction behind exemplar-selection pipelines.
+
+    Candidates come from a BOUNDED pool: the ``n_candidates`` corpus
+    vectors with the md5-smallest ids (the shared det-quantizer rule —
+    unbiased under hashed ids, and both engines enumerate the identical
+    pool). Similarity = ``max(0, round(cos, 6))`` over L2-normalized
+    vectors, folded to integer MICRO-units, so per-candidate coverage
+    gains are order-independent BIGINT sums and the argmax (ties to the
+    smaller candidate id) is engine-exact.
+
+    Scale shape (the iterative-Spark rules): the corpus x candidates
+    similarity table (N x C rows, C bounded) materializes ONCE; each of
+    the k rounds is one candidate-grain gain aggregation over it joined
+    to the running per-row coverage (localCheckpointed, the
+    pagerank/BPE discipline) plus a 1-row argmax broadcast — bounded
+    scalars only to the driver, never row data. Output: (sel_rank,
+    sel_id, gain, coverage) — gain is the round's marginal coverage,
+    coverage the cumulative objective, both micro-exact 6dp.
+    """
+    if k < 1 or n_candidates < k:
+        raise ValueError(
+            f"facility_location_select: need 1 <= k <= n_candidates, "
+            f"got k={k}, n_candidates={n_candidates}")
+    ck = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("long")
+    cand = (emb.select(F.col(id_col).cast("long").alias("cid"),
+                       V.l2_normalize(vec_col).alias("cv"),
+                       ck.alias("ck"))
+            .orderBy("ck", "cid").limit(n_candidates)
+            .select("cid", "cv"))
+    corp = emb.select(F.col(id_col).cast("long").alias("id"),
+                      V.l2_normalize(vec_col).alias("v"))
+    simu = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.round(V.dot("v", "cv"), 6) * F.lit(1e6) + F.lit(0.5))
+        .cast("long"))
+    sims = (corp.crossJoin(F.broadcast(cand))
+            .select("id", "cid", simu.alias("su"))
+            .localCheckpoint())
+    cov = corp.select("id", F.lit(0).cast("long").alias("cu")) \
+        .localCheckpoint()
+    rows, selected, total = [], [], 0
+    for r in range(1, k + 1):
+        gains = (sims.where(~F.col("cid").isin(selected))
+                 if selected else sims)
+        g = (gains.join(cov, "id")
+             .groupBy("cid")
+             .agg(F.sum(F.greatest(F.col("su"), F.col("cu"))
+                        - F.col("cu")).alias("gu"))
+             .orderBy(F.desc("gu"), F.asc("cid")).limit(1)
+             .collect()[0])          # 1-row bounded argmax (BPE rule)
+        sel, gain_u = int(g.cid), int(g.gu)
+        selected.append(sel)
+        total += gain_u
+        rows.append((r, sel, gain_u / 1e6, total / 1e6))
+        if r == k:
+            break
+        upd = sims.where(F.col("cid") == sel).select(
+            "id", F.col("su").alias("__fl_su"))
+        cov = (cov.join(upd, "id", "left")
+               .select("id", F.greatest(
+                   F.col("cu"), F.coalesce(F.col("__fl_su"),
+                                           F.lit(0).cast("long")))
+                   .alias("cu"))
+               .localCheckpoint())
+    return emb.sparkSession.createDataFrame(
+        rows, "sel_rank long, sel_id long, gain double, coverage double")

@@ -315,3 +315,103 @@ def cms_estimate(queries: DataFrame, item_col: str, cms: DataFrame,
     est = cnt_cols[0] if depth == 1 else F.least(*cnt_cols)
     drop = [c for c in probe.columns if c.startswith("__cms_")]
     return probe.withColumn(out_col, est).drop(*drop)
+
+
+#: hard cap on histogram-sketch bins: the bin table is a broadcastable
+#: side summary (the Bloom/CMS contract); above this the "bounded
+#: summary" premise breaks — raise loudly instead.
+HIST_MAX_BINS = 1 << 20
+
+
+def _check_hist_args(lo: float, hi: float, n_bins: int) -> None:
+    if not (hi > lo):
+        raise ValueError(f"hist sketch: need hi > lo, got [{lo}, {hi}]")
+    if n_bins < 1 or n_bins > HIST_MAX_BINS:
+        raise ValueError(
+            f"hist sketch: n_bins must be in [1, {HIST_MAX_BINS}], "
+            f"got {n_bins}")
+
+
+def hist_sketch_build(df: DataFrame, value_col, lo: float, hi: float,
+                      n_bins: int) -> DataFrame:
+    """Fixed-boundary histogram quantile sketch — the deterministic
+    mergeable-summary answer to "p99 of a 100 TB column, refreshed per
+    batch": values clamp into ``n_bins`` equal-width bins over
+    ``[lo, hi)`` and the sketch is the non-empty ``(bin, cnt)`` rows.
+    Unlike t-digest/GK (whose internal state is order-dependent and
+    engine-specific), fixed boundaries make BUILD, MERGE and ESTIMATE
+    all exactly reproducible across engines — the property every
+    oracle-checked pipeline here is built on — at the price of error
+    bounded by one bin width (pick bins from the domain; 1000 bins on
+    a bounded score = 0.1% of range).
+
+    Merge is cell-wise SUM by counter commutativity (the CMS rule —
+    :func:`hist_sketch_merge`), so per-partition/per-batch sketches
+    compose into sliding windows and incremental refreshes for free.
+
+    Scale shape: ONE bin-grain aggregation; Spark's partial (map-side)
+    aggregation collapses every task's stream to at most the sketch
+    itself before the exchange — shuffle volume is ``tasks x bins``,
+    independent of the row count. NULL values are skipped (they carry
+    no rank). Output: (bin int, cnt long), bin in [0, n_bins-1].
+    """
+    _check_hist_args(lo, hi, n_bins)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (hi - lo) / n_bins
+    b = F.least(F.greatest(F.floor((v.cast("double") - F.lit(lo))
+                                   / F.lit(w)), F.lit(0)),
+                F.lit(n_bins - 1)).cast("int")
+    return (df.where(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def hist_sketch_merge(sketches: DataFrame) -> DataFrame:
+    """Merge any number of histogram sketches stacked in one DataFrame
+    (bin, cnt) — cell-wise SUM, associative/commutative, the mergeable-
+    summaries property: merged(build(A) ++ build(B)) == build(A ++ B)
+    exactly (integer counters). Bin-grain work only."""
+    return (sketches.groupBy("bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def hist_sketch_quantiles(sketch: DataFrame, qs, lo: float, hi: float,
+                          n_bins: int) -> DataFrame:
+    """Nearest-rank quantile estimates off a histogram sketch: for each
+    ``q`` the estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches ``ceil(q * n)`` — a deterministic
+    closed-form read both engines agree on exactly (integer target
+    rank, integer cumulative counts, 6dp-rounded edge), biased at most
+    one bin width above the true quantile. Output: (q, target_rank,
+    est) — one row per requested quantile.
+
+    Scale shape: the sketch is bin-grain (bounded); the cumulative
+    walk is a window over AT MOST n_bins rows. The row stream is never
+    touched — estimates cost O(bins), which is the entire point of
+    keeping a mergeable summary next to a 100 TB table.
+    """
+    _check_hist_args(lo, hi, n_bins)
+    from pyspark.sql import Window
+    spark = sketch.sparkSession
+    w = (hi - lo) / n_bins
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tot = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    # qs x bins product: both sides bounded (a handful of quantiles,
+    # bin-grain sketch) — the first bin whose cum reaches the target
+    # rank wins via min(bin)
+    j = (qdf.crossJoin(F.broadcast(tot))
+         .withColumn("target_rank",
+                     F.ceil(F.col("q") * F.col("n")).cast("long"))
+         .join(F.broadcast(cum),
+               F.col("cum") >= F.col("target_rank")))
+    return (j.groupBy("q", "target_rank")
+            .agg(F.min("bin").alias("__hs_bin"))
+            .select("q", "target_rank",
+                    F.round(F.lit(lo) + (F.col("__hs_bin") + 1)
+                            * F.lit(w), 6).alias("est"))
+            .orderBy("q"))

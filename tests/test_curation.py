@@ -1114,3 +1114,26 @@ def test_quantile_normalize_validation(spark):
                                "doc long, grp string, s double")
     with pytest.raises(ValueError, match="k must be"):
         quantile_normalize(df, "grp", "doc", "s", k=1)
+
+
+def test_quantile_match_maps_onto_reference(spark):
+    """Scores 0..9 in one source map, at their decile midpoints, onto
+    the REFERENCE corpus's (uniform 100..200) percentiles — the
+    two-corpus calibration contract; NULL scores pass through with
+    NULL tile/score_matched; k <= 1 raises."""
+    import pytest
+    from casf_spark.operators.curation import quantile_match
+
+    df = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(10)] + [(99, "s", None)],
+        "doc long, src string, score double")
+    ref = spark.createDataFrame([(i, 100.0 + i) for i in range(101)],
+                                "doc long, score double")
+    got = {r.doc: (r.tile, r.score_matched) for r in
+           quantile_match(df, ref, "src", "doc", "score", k=5).collect()}
+    # ref percentiles at midpoints .1/.3/.5/.7/.9 of 100..200
+    assert got[0] == (1, 110.0) and got[1] == (1, 110.0)
+    assert got[4] == (3, 150.0) and got[9] == (5, 190.0)
+    assert got[99] == (None, None)
+    with pytest.raises(ValueError, match="k must be > 1"):
+        quantile_match(df, ref, "src", "doc", "score", k=1)

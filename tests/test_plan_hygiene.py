@@ -125,6 +125,17 @@ PRODUCT_WHITELIST = {
     # broadcasts (nb_lang_score's class), and each fold's final
     # confusion agg crossJoins the prior scalar — 15 bounded products
     "nb_cv",
+    # JSD: the 1-row corpus-total agg crossJoined into the per-word
+    # projection AND the per-group closing term (two bounded products)
+    "source_vocab_jsd",
+    # two-corpus quantile matching: the 1-row reference-percentiles
+    # agg crossJoined back for the tile lookup (doc_quality_qnorm's
+    # class)
+    "doc_quality_qmatch",
+    # histogram quantile sketch: the 3-row quantile table crossJoins
+    # the 1-row total, then range-joins (cum >= target_rank) the
+    # bin-grain sketch — every side bounded by the sketch, never rows
+    "events_quantile_sketch",
 }
 
 #: queries allowed two single-partition exchanges (two independent 1-row
@@ -157,7 +168,13 @@ TWO_SP_WHITELIST = {"bm25_rank", "doc_cosine_tfidf",
                     "nb_lang_eval",
                     # PMI: the 1-row N1 (unigram total) and N2 (bigram
                     # total) aggs broadcast into the scoring projection
-                    "collocations_pmi"}
+                    "collocations_pmi",
+                    # JSD: the 1-row corpus-total agg feeds two
+                    # consumers (per-word projection + closing term)
+                    "source_vocab_jsd",
+                    # sketch quantiles: the 1-row total agg + the
+                    # cumulative window over the bounded bin table
+                    "events_quantile_sketch"}
 
 #: explicit higher caps: each declared check family contributes its own
 #: deliberate 1-row aggregate (row-level fused agg + unique + fk)

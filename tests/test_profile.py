@@ -268,3 +268,60 @@ def test_cluster_silhouette_degenerate_raises(spark):
     one = df.where("vec_id = 1")
     with pytest.raises(ValueError, match="centroid"):
         cluster_silhouette(one, "vec_id", "embedding", n_clusters=8)
+
+
+def test_vocab_richness_hand(spark):
+    """Good-Turing / Chao1 from four exact integers: group a has N=8,
+    V=6, N1=5, N2=0 -> gt_unseen 0.625, bias-corrected chao1
+    6 + 5*4/2 = 16; group b N=8, V=5, N1=3, N2=1 -> 0.375, 6.5."""
+    from casf_spark.operators.profile import vocab_richness
+
+    df = spark.createDataFrame(
+        [(1, "a", "apple banana apple cherry dog"),
+         (2, "a", "apple egg fig"),
+         (3, "b", "zebra yak zebra xylo walrus walrus"),
+         (4, "b", "apple zebra")],
+        "doc_id long, source string, text string")
+    got = {r.grp: r for r in
+           vocab_richness(df, "source", "doc_id", "text").collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_tokens, a.v_distinct, a.n1, a.n2) == (8, 6, 5, 0)
+    assert (a.gt_unseen, a.chao1) == (0.625, 16.0)
+    assert (b.n_tokens, b.v_distinct, b.n1, b.n2) == (8, 5, 3, 1)
+    assert (b.gt_unseen, b.chao1) == (0.375, 6.5)
+
+
+def test_vocab_jsd_two_groups_symmetric_and_exact(spark):
+    """With exactly two groups, JSD(a vs rest) == JSD(b vs rest) by
+    symmetry; value matches an independent per-word Python fold
+    (including the closed-form absent-word mass). Identical groups
+    measure 0; a single group has an empty complement -> NULL."""
+    import math
+    from collections import Counter
+    from casf_spark.operators.profile import vocab_jsd
+
+    ta = "apple banana apple cherry dog apple egg fig"
+    tb = "zebra yak zebra xylo walrus walrus apple zebra"
+    df = spark.createDataFrame(
+        [(1, "a", ta), (2, "b", tb)],
+        "doc_id long, source string, text string")
+    got = {r.grp: r.jsd for r in
+           vocab_jsd(df, "source", "doc_id", "text").collect()}
+    ga, gb = Counter(ta.split()), Counter(tb.split())
+    ref = 0.0
+    for w in set(ga) | set(gb):
+        p, q = ga.get(w, 0) / 8, gb.get(w, 0) / 8
+        m = (p + q) / 2
+        ref += (0.5 * p * math.log(p / m) if p else 0.0) \
+            + (0.5 * q * math.log(q / m) if q else 0.0)
+    assert got["a"] == got["b"] == round(ref, 6)
+    same = spark.createDataFrame(
+        [(1, "a", ta), (2, "b", ta)],
+        "doc_id long, source string, text string")
+    got2 = {r.grp: r.jsd for r in
+            vocab_jsd(same, "source", "doc_id", "text").collect()}
+    assert got2 == {"a": 0.0, "b": 0.0}
+    solo = spark.createDataFrame([(1, "a", ta)],
+                                 "doc_id long, source string, text string")
+    assert vocab_jsd(solo, "source", "doc_id", "text") \
+        .collect()[0].jsd is None

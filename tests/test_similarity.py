@@ -240,3 +240,55 @@ def test_kcenter_batched_duplicates_and_small_pool(spark):
     over = kcenter_select_batched(df, k=9, buffer=2).collect()
     assert sorted(r.vec_id for r in over) == [0, 1, 2, 3]
     assert sorted(r.sel_rank for r in over) == [1, 2, 3, 4]
+
+
+def test_facility_location_matches_python_greedy(spark):
+    """The distributed greedy matches an independent Python fold over
+    the identical micro-unit similarities (same md5 candidate pool,
+    same smaller-id ties), and the gain sequence is non-increasing —
+    the submodularity signature classic greedy guarantees."""
+    import hashlib
+    import numpy as np
+    from casf_spark.operators.similarity import facility_location_select
+
+    ids = list(range(20))
+    vecs = {i: np.array([float((i * 7 + j * 3) % 5 - 2)
+                         for j in range(4)]) for i in ids}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<double>")
+    got = facility_location_select(emb, k=3, n_candidates=5).collect()
+
+    nv = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    pool = sorted(ids, key=lambda i: (
+        int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i))[:5]
+    su = {(x, c): max(0, int(np.floor(
+        round(float(nv[x] @ nv[c]), 6) * 1e6 + 0.5)))
+        for x in ids for c in pool}
+    cov = {x: 0 for x in ids}
+    sel, tot, expect = [], 0, []
+    for r in range(3):
+        best = None
+        for c in sorted(set(pool) - set(sel)):
+            g = sum(max(cov[x], su[(x, c)]) - cov[x] for x in ids)
+            if best is None or g > best[1]:
+                best = (c, g)
+        sel.append(best[0])
+        tot += best[1]
+        expect.append((r + 1, best[0], best[1] / 1e6, tot / 1e6))
+        for x in ids:
+            cov[x] = max(cov[x], su[(x, best[0])])
+    assert [(r.sel_rank, r.sel_id, r.gain, r.coverage)
+            for r in got] == expect
+    gains = [r.gain for r in got]
+    assert gains == sorted(gains, reverse=True)  # submodularity
+
+
+def test_facility_location_validates(spark):
+    import pytest
+    from casf_spark.operators.similarity import facility_location_select
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k <= n_candidates"):
+        facility_location_select(emb, k=5, n_candidates=3)

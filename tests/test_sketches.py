@@ -230,3 +230,47 @@ def test_bloom_and_cms_null_keys_are_inert(spark):
     rows = cms.collect()
     assert all(r.col_idx is not None for r in rows)
     assert sum(r.cnt for r in rows) == 2 * 2  # 2 occurrences x depth
+
+
+def test_hist_sketch_build_merge_estimate(spark):
+    """Mergeability is EXACT (integer counters): sharded builds merged
+    cell-wise equal the whole-corpus build; nearest-rank estimates off
+    the binned CDF land within one bin width of the true quantile."""
+    from casf_spark.operators.sketches import (
+        hist_sketch_build, hist_sketch_merge, hist_sketch_quantiles)
+
+    vals = spark.createDataFrame([(float(i),) for i in range(100)],
+                                 "v double")
+    whole = hist_sketch_build(vals, "v", 0.0, 100.0, 10)
+    parts = hist_sketch_build(vals.where("v < 37"), "v", 0.0, 100.0, 10) \
+        .unionByName(hist_sketch_build(vals.where("v >= 37"), "v",
+                                       0.0, 100.0, 10))
+    merged = hist_sketch_merge(parts)
+    assert {(r.bin, r.cnt) for r in merged.collect()} == \
+        {(r.bin, r.cnt) for r in whole.collect()}
+    est = {r.q: (r.target_rank, r.est) for r in
+           hist_sketch_quantiles(merged, [0.5, 0.9, 0.99],
+                                 0.0, 100.0, 10).collect()}
+    assert est == {0.5: (50, 50.0), 0.9: (90, 90.0), 0.99: (99, 100.0)}
+
+
+def test_hist_sketch_clamps_and_validates(spark):
+    """Out-of-range values clamp into the edge bins (no silent drops);
+    NULLs are skipped; bad domains and bin counts raise loudly."""
+    import pytest
+    from casf_spark.operators.sketches import (
+        HIST_MAX_BINS, hist_sketch_build, hist_sketch_quantiles)
+
+    vals = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (25.0,), (None,)], "v double")
+    got = {r.bin: r.cnt for r in
+           hist_sketch_build(vals, "v", 0.0, 10.0, 10).collect()}
+    assert got == {0: 2, 9: 2}  # -5 clamps to bin 0, 25 to bin 9
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_sketch_build(vals, "v", 1.0, 1.0, 10)
+    with pytest.raises(ValueError, match="n_bins"):
+        hist_sketch_build(vals, "v", 0.0, 1.0, HIST_MAX_BINS + 1)
+    with pytest.raises(ValueError, match="n_bins"):
+        hist_sketch_quantiles(
+            hist_sketch_build(vals, "v", 0.0, 10.0, 10),
+            [0.5], 0.0, 10.0, 0)
