@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from casf_spark.functions.text import TOKEN_SPLIT_PATTERN, tokenize
 
-__all__ = ["nb_train", "nb_score", "nb_train_multi",
+__all__ = ["nb_train", "nb_score", "nb_cv_folds", "nb_train_multi",
            "nb_score_multi", "calibration_report",
            "platt_grid_fit", "PLATT_A_GRID", "PLATT_B_GRID",
            "PRIOR_TERM"]
@@ -379,3 +379,123 @@ def nb_score_multi(docs: DataFrame, model: DataFrame, id_col: str,
                 F.when(F.size("r") > 1,
                        (F.col("r")[1]["ns"] - F.col("r")[0]["ns"]))
                 .otherwise(F.lit(0)).cast("long").alias("margin_u")))
+
+
+def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
+                label_col: str, positive, n_folds: int = 5,
+                vocab_size: int = 5000,
+                pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+    """k-fold cross-validation of the binary NB classifier in TWO
+    corpus passes instead of 2k — output-identical to looping
+    :func:`nb_train` + :func:`nb_score` over the hash folds
+    ``id % n_folds`` (pinned by test), but fused leave-one-out style:
+
+    * ONE tokenize pass builds the (fold, term) count table; every
+      fold's training counts are then ``totals − that fold's row`` —
+      pure integer arithmetic on the vocabulary-grain table, so the
+      per-fold Laplace log-ratios are bit-identical to independent
+      training (exact integers in, the same double expression out).
+      The per-fold top-``vocab_size`` cut is one window PARTITIONED BY
+      fold over terms with a positive training count (a term seen only
+      in the held fold has no training row — the ``cnt > 0`` filter
+      mirrors its absence from nb_train's count table).
+    * ONE more tokenize pass scores every document against ITS OWN
+      fold's model — each doc is held out exactly once, so all k
+      scoring joins collapse into one broadcast join keyed (fold,
+      term) against the k x vocab_size model table.
+
+    Truth for accuracy coalesces a NULL label to the negative class
+    (the nb_lang_eval convention); training still EXCLUDES NULL-label
+    rows (they carry no class evidence), exactly like nb_train.
+
+    Output: (fold, n_heldout, n_correct, accuracy) — one row per fold.
+    Scale shape: two token-grain aggregations (map-combined to fold x
+    vocabulary / doc keys) + bounded-table model algebra; the round-12
+    per-fold spelling cost ~2k corpus scans and 2k 1-row scalar aggs
+    (measured 5.9 s standalone at sf0.1 — the round-12 verdict's watch
+    threshold), this is the fusion it prescribed.
+    """
+    from pyspark.sql import Window
+
+    if n_folds < 2:
+        raise ValueError(f"nb_cv_folds: n_folds must be >= 2, "
+                         f"got {n_folds}")
+    fold = (F.col(id_col) % n_folds).cast("int")
+    base = docs.select(F.col(id_col).cast("string").alias("doc"),
+                       fold.alias("fold"),
+                       F.when(F.col(label_col).isNull(), F.lit(None))
+                       .otherwise((F.col(label_col) == F.lit(positive))
+                                  .cast("int")).alias("y"))
+    toks = tokenize(docs, id_col, text_col, pattern).select("doc", "word")
+    # pass 1: (fold, term) training-count table (train rows only)
+    lab = base.where(F.col("y").isNotNull())
+    ftc = (toks.join(lab, "doc")
+           .groupBy("fold", F.col("word").alias("term"))
+           .agg(F.sum("y").cast("long").alias("s_pos"),
+                F.sum(1 - F.col("y")).cast("long").alias("s_neg"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    tot = ftc.groupBy("term").agg(F.sum("s_pos").alias("p_all"),
+                                  F.sum("s_neg").alias("g_all"),
+                                  F.sum("n").alias("n_all"))
+    folds_df = docs.sparkSession.createDataFrame(
+        [(f,) for f in range(n_folds)], "fold int")
+    # per-fold training counts = totals - the fold's own counts
+    pf = (tot.crossJoin(F.broadcast(folds_df))
+          .join(ftc, ["fold", "term"], "left")
+          .select("fold", "term",
+                  (F.col("p_all") - F.coalesce("s_pos", F.lit(0)))
+                  .cast("double").alias("c_pos"),
+                  (F.col("g_all") - F.coalesce("s_neg", F.lit(0)))
+                  .cast("double").alias("c_neg"),
+                  (F.col("n_all") - F.coalesce("n", F.lit(0)))
+                  .alias("cnt")))
+    w = Window.partitionBy("fold").orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (pf.where(F.col("cnt") > 0)
+             .withColumn("__nbcv_r", F.row_number().over(w))
+             .where(F.col("__nbcv_r") <= vocab_size)
+             .drop("__nbcv_r"))
+    totals = vocab.groupBy("fold").agg(
+        F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"))
+    terms = (vocab.join(F.broadcast(totals), "fold")
+             .select("fold", "term",
+                     _round_half_up_u(
+                         F.log((F.col("c_pos") + 1.0)
+                               / (F.col("t_pos") + F.col("v")))
+                         - F.log((F.col("c_neg") + 1.0)
+                                 / (F.col("t_neg") + F.col("v")))
+                     ).alias("lr_u")))
+    labc = lab.groupBy("fold").agg(
+        F.sum("y").cast("long").alias("fp"),
+        F.sum(1 - F.col("y")).cast("long").alias("fn"))
+    ltot = labc.agg(F.sum("fp").alias("ap"), F.sum("fn").alias("an"))
+    prior = (labc.crossJoin(F.broadcast(ltot))
+             .select("fold",
+                     _round_half_up_u(
+                         F.log((F.col("ap") - F.col("fp"))
+                               .cast("double"))
+                         - F.log((F.col("an") - F.col("fn"))
+                                 .cast("double"))).alias("prior_u")))
+    # pass 2: score every doc against its own fold's model
+    fm = base.select("doc", "fold",
+                     F.coalesce("y", F.lit(0)).alias("y0"))
+    hit = (toks.join(fm.select("doc", "fold"), "doc")
+           .join(F.broadcast(terms.withColumnRenamed("term", "word")),
+                 ["fold", "word"])
+           .groupBy("doc", "fold")
+           .agg(F.sum("lr_u").alias("sum_u")))
+    scored = (fm.join(hit, ["doc", "fold"], "left")
+              .join(F.broadcast(prior), "fold")
+              .select("fold", "y0",
+                      ((F.col("prior_u")
+                        + F.coalesce("sum_u", F.lit(0)))
+                       .cast("long") >= 0).cast("int").alias("pred")))
+    return (scored.groupBy("fold")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_heldout"),
+                 F.sum((F.col("pred") == F.col("y0")).cast("int"))
+                 .cast("long").alias("n_correct"))
+            .select(F.col("fold").cast("int").alias("fold"),
+                    "n_heldout", "n_correct",
+                    F.round(F.col("n_correct") / F.col("n_heldout"), 6)
+                    .alias("accuracy"))
+            .orderBy("fold"))

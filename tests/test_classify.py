@@ -203,3 +203,46 @@ def test_nb_multi_hand_case_and_binary_consistency(spark):
     assert all(m >= 0 for _, m in got.values())
     # OOV-only doc falls back to priors (all equal here) -> label asc
     assert got["13"][0] == "x" and got["13"][1] == 0
+
+
+def test_nb_cv_folds_equals_per_fold_loop(spark):
+    """The fused leave-one-out CV (round-13: two corpus passes) is
+    output-IDENTICAL to independently training/scoring each fold with
+    nb_train/nb_score — same folds, same vocab cuts, same integer
+    micro-unit ratios, same truth coalescing. Also pins n_folds
+    validation."""
+    import pytest
+    from pyspark.sql import functions as F
+    from casf_spark.operators.classify import (nb_cv_folds, nb_score,
+                                               nb_train)
+
+    rows = []
+    texts = {1: "the cat sat on the mat", 0: "le chat dort sur le tapis"}
+    for i in range(40):
+        y = i % 3 != 0
+        rows.append((i, "en" if y else ("fr" if i % 6 else None),
+                     texts[int(y)] + f" tok{i % 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    naive = []
+    for fold in range(4):
+        train = docs.where(F.col("doc_id") % 4 != fold)
+        held = docs.where(F.col("doc_id") % 4 == fold)
+        model = nb_train(train, "doc_id", "text", "lang", "en",
+                         vocab_size=6)
+        scored = nb_score(held, model, "doc_id", "text")
+        truth = held.select(
+            F.col("doc_id").cast("string").alias("doc"),
+            F.coalesce((F.col("lang") == "en").cast("int"),
+                       F.lit(0)).alias("y"))
+        a = (scored.join(truth, "doc")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("pred_pos").cast("int") == F.col("y"))
+                        .cast("int")).alias("c"))).collect()[0]
+        naive.append((fold, a.n, a.c, round(a.c / a.n, 6)))
+    fused = [(r.fold, r.n_heldout, r.n_correct, r.accuracy)
+             for r in nb_cv_folds(docs, "doc_id", "text", "lang", "en",
+                                  n_folds=4, vocab_size=6).collect()]
+    assert fused == naive
+    with pytest.raises(ValueError, match="n_folds"):
+        nb_cv_folds(docs, "doc_id", "text", "lang", "en", n_folds=1)
