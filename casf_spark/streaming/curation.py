@@ -35,7 +35,9 @@ from casf_spark.functions import text as TX
 
 __all__ = ["dedup_stream_against_index", "near_dedup_stream_against_index",
            "near_dedup_replay_batches", "bloom_dedup_stream_against_index",
-           "bloom_dedup_replay_batches"]
+           "bloom_dedup_replay_batches", "cms_stream_counts",
+           "cms_merged_estimates", "cms_replay_batches",
+           "hist_stream_sketch", "hist_merged_quantiles"]
 
 
 def _index_nonempty(index_dir: str) -> bool:
@@ -415,3 +417,51 @@ def cms_replay_batches(batches: list, queries_df: DataFrame,
               .agg(F.sum("cnt").cast("long").alias("cnt")))
     return cms_estimate(queries_df, item_col, merged,
                         width=width, depth=depth, seed=seed)
+
+
+def hist_stream_sketch(values_stream: DataFrame, index_dir: str,
+                       checkpoint: str, value_col: str = "value",
+                       lo: float = 0.0, hi: float = 500.0,
+                       n_bins: int = 1000,
+                       timeout_sec: int = 120) -> None:
+    """Streaming histogram-quantile-sketch maintenance — the quantile
+    counterpart of :func:`cms_stream_counts` (the same
+    mergeable-summaries shape): each micro-batch collapses to its
+    ``(bin, cnt)`` cell table (operators.sketches.hist_sketch_build —
+    the batch never ships rows) landing in a batch-id partition; the
+    LIVE sketch is the cell-wise SUM across partitions, so a p99
+    monitor over a continuously-ingesting column costs O(bins) per
+    refresh forever. Storage O(n_bins) per batch regardless of batch
+    size; replay-idempotent via dynamic partition overwrite.
+    """
+    from casf_spark.operators.sketches import hist_sketch_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (hist_sketch_build(batch_df, value_col, lo, hi, n_bins)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(index_dir))
+
+    q = (values_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+
+
+def hist_merged_quantiles(spark, index_dir: str, qs,
+                          lo: float = 0.0, hi: float = 500.0,
+                          n_bins: int = 1000) -> DataFrame:
+    """Quantile estimates off the LIVE merged sketch a
+    :func:`hist_stream_sketch` run has accumulated: cell-wise SUM
+    across batch partitions (operators.sketches.hist_sketch_merge),
+    then the closed-form nearest-rank read — by counter-sum
+    commutativity the result equals a single whole-corpus build
+    exactly (the events_quantile_sketch oracle contract), pinned
+    against the real stream by test_streaming."""
+    from casf_spark.operators.sketches import (hist_sketch_merge,
+                                               hist_sketch_quantiles)
+
+    sk = hist_sketch_merge(
+        spark.read.parquet(index_dir).select("bin", "cnt"))
+    return hist_sketch_quantiles(sk, qs, lo, hi, n_bins)

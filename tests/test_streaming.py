@@ -452,3 +452,51 @@ def test_cms_stream_counts_merge_and_twin(spark, tmp_path):
     # index bounded by cells, not vocabulary
     index = spark.read.parquet(idx)
     assert index.count() <= 2 * 4 * 64
+
+
+def test_hist_stream_sketch_merge_equals_single_build(spark, tmp_path):
+    """Streaming histogram-sketch maintenance (round 13): the real
+    availableNow stream's merged index yields quantile estimates
+    exactly equal to a single whole-corpus build (counter-sum
+    commutativity — the events_quantile_sketch contract), the index
+    stays bounded by bins per batch, and every estimate is within one
+    bin width above the true nearest-rank quantile."""
+    import math
+    from casf_spark.operators.sketches import (hist_sketch_build,
+                                               hist_sketch_quantiles)
+    from casf_spark.streaming.curation import (hist_merged_quantiles,
+                                               hist_stream_sketch)
+
+    xs1 = [float((i * 17) % 90) for i in range(200)]
+    xs2 = [float(60 + (i * 7) % 40) for i in range(150)]
+    b1 = spark.createDataFrame([(i, x) for i, x in enumerate(xs1)],
+                               "event_id long, value double")
+    b2 = spark.createDataFrame([(1000 + i, x) for i, x in enumerate(xs2)],
+                               "event_id long, value double")
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = next(p for p in (tmp_path / f"s{i}").glob("*.parquet"))
+        (land / f"f{i}.parquet").symlink_to(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(land)))
+    idx = str(tmp_path / "hist_index")
+    hist_stream_sketch(stream, idx, str(tmp_path / "ckpt"),
+                       lo=0.0, hi=100.0, n_bins=50)
+
+    qs = [0.5, 0.9, 0.99]
+    streamed = {r.q: (r.target_rank, r.est) for r in
+                hist_merged_quantiles(spark, idx, qs,
+                                      0.0, 100.0, 50).collect()}
+    whole = b1.unionByName(b2)
+    single = {r.q: (r.target_rank, r.est) for r in hist_sketch_quantiles(
+        hist_sketch_build(whole, "value", 0.0, 100.0, 50),
+        qs, 0.0, 100.0, 50).collect()}
+    assert streamed == single
+    xs = sorted(xs1 + xs2)
+    for q in qs:
+        true = xs[math.ceil(q * len(xs)) - 1]
+        assert true < streamed[q][1] <= true + 2.0  # one 2.0-wide bin
+    index = spark.read.parquet(idx)
+    assert index.count() <= 2 * 50  # <= bins per batch
