@@ -757,10 +757,38 @@ def keyness_terms(docs: DataFrame, group_col: str, id_col: str,
                     F.col("b_cnt").cast("long").alias("b"), "g2"))
 
 
+def _lm_score_joins(pairs: DataFrame, legs, n_salt: int) -> DataFrame:
+    """Left-join the scored-token stream against each LM count table.
+
+    ``n_salt == 0`` is the plain keyed join (the default, and the
+    oracle-pinned plan). ``n_salt > 0`` routes every leg through
+    :func:`casf_spark.operators.skew.salted_join`: real-Zipf corpora
+    concentrate a huge share of bigram occurrences under a handful of
+    prefixes ("the", "of"), so the (prev, w) / (prev) exchanges hand
+    one reducer most of the stream — salting splits each hot key into
+    ``n_salt`` sub-keys at the cost of replicating the count tables
+    ``n_salt`` times. Output values are IDENTICAL either way (each
+    stream row still meets exactly its one matching count row — pinned
+    by test); only the exchange layout changes.
+    """
+    if n_salt < 0:
+        raise ValueError(f"n_salt must be >= 0, got {n_salt}")
+    if n_salt > 0:
+        from casf_spark.operators.skew import salted_join
+        for side, keys in legs:
+            pairs = salted_join(pairs, side, keys, n_salt=n_salt,
+                                how="left")
+        return pairs
+    for side, keys in legs:
+        pairs = pairs.join(side, keys, "left")
+    return pairs
+
+
 def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
                                  id_col: str, text_col: str,
                                  lam: float = 0.75,
-                                 pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+                                 pattern: str = TOKEN_SPLIT_PATTERN,
+                                 n_salt: int = 0) -> DataFrame:
     """Held-out Jelinek–Mercer interpolated LM scoring — the closest
     exact-arithmetic stand-in for the CCNet/KenLM perplexity filter
     this engine can oracle-check: an n-gram LM is built on ``train``
@@ -785,7 +813,10 @@ def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
     Scale shape: unigram table is vocabulary-grain (broadcastable);
     the bigram table grows toward corpus size and joins keyed by
     (prev, w) — the usual Zipf/AQE-skew caveat; the scored stream
-    never shuffles except for its (doc)-grain sum.
+    never shuffles except for its (doc)-grain sum. On real-Zipf
+    corpora where AQE's skew splitting is not enough, ``n_salt > 0``
+    salts the count-table joins (:func:`_lm_score_joins` — values
+    identical, exchanges rebalanced).
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
@@ -810,9 +841,8 @@ def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
                       F.col("word").alias("prev"))
     pairs = (st.join(sprev, ["doc", "pos"], "left")
              .select("doc", "pos", F.col("word").alias("w"), "prev"))
-    j = (pairs.join(uni, "w", "left")
-         .join(bc, ["prev", "w"], "left")
-         .join(uc, "prev", "left")
+    j = (_lm_score_joins(pairs, [(uni, ["w"]), (bc, ["prev", "w"]),
+                                 (uc, ["prev"])], n_salt)
          .crossJoin(F.broadcast(tot)))
     p_uni = (F.coalesce("cu", F.lit(0.0)) + 1.0) \
         / (F.col("n") + F.col("v") + 1.0)
@@ -836,7 +866,8 @@ def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
 def heldout_kneser_ney_logprob(train: DataFrame, score: DataFrame,
                                id_col: str, text_col: str,
                                discount: float = 0.75,
-                               pattern: str = TOKEN_SPLIT_PATTERN) -> DataFrame:
+                               pattern: str = TOKEN_SPLIT_PATTERN,
+                               n_salt: int = 0) -> DataFrame:
     """Held-out interpolated Kneser–Ney scoring — the third point of
     the smoothing family next to add-one (:func:`bigram_logprob`) and
     Jelinek–Mercer (:func:`heldout_interpolated_logprob`), and the one
@@ -886,9 +917,10 @@ def heldout_kneser_ney_logprob(train: DataFrame, score: DataFrame,
     Scale shape (identical to the JM operator): the continuation and
     prefix tables are vocabulary-grain (broadcastable); the bc table
     is bigram-TYPE grain and joins keyed (prev, w) — the usual Zipf
-    caveat, mitigable with ``salt_buckets``-style salting or AQE
-    skew-join; the scored stream shuffles only for its doc-grain sum.
-    Totals are a 1-row broadcast, never a driver collect.
+    caveat, mitigable with ``n_salt > 0`` (salted count-table joins,
+    values identical) or AQE skew-join; the scored stream shuffles
+    only for its doc-grain sum. Totals are a 1-row broadcast, never a
+    driver collect.
     """
     if not 0.0 < discount < 1.0:
         raise ValueError(
@@ -919,9 +951,8 @@ def heldout_kneser_ney_logprob(train: DataFrame, score: DataFrame,
                       F.col("word").alias("prev"))
     pairs = (st.join(sprev, ["doc", "pos"], "left")
              .select("doc", "pos", F.col("word").alias("w"), "prev"))
-    j = (pairs.join(cont, "w", "left")
-         .join(bc, ["prev", "w"], "left")
-         .join(pstat, "prev", "left")
+    j = (_lm_score_joins(pairs, [(cont, ["w"]), (bc, ["prev", "w"]),
+                                 (pstat, ["prev"])], n_salt)
          .crossJoin(F.broadcast(tot)))
     d = F.lit(float(discount))
     p_cont = (F.coalesce("cw", F.lit(0.0)) + 1.0) \

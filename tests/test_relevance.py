@@ -725,3 +725,25 @@ SELECT doc, CAST(COUNT(*) AS BIGINT) n_tokens,
 FROM tx GROUP BY doc ORDER BY doc""").fetchall()
     con.close()
     assert got == [(int(d), int(n), float(p)) for d, n, p in exp]
+
+
+def test_heldout_lm_salted_joins_are_value_identical(spark, sf_dir):
+    """n_salt > 0 must only rebalance exchanges: both heldout scorers
+    return identical rows with and without salting on the real
+    documents table (each stream row meets exactly one replica of its
+    matching count row), and a negative n_salt raises."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    for fn in (RV.heldout_interpolated_logprob,
+               RV.heldout_kneser_ney_logprob):
+        plain = sorted(map(tuple, fn(train, held, "doc_id", "text")
+                           .collect()))
+        salted = sorted(map(tuple, fn(train, held, "doc_id", "text",
+                                      n_salt=4).collect()))
+        assert plain == salted and len(plain) > 0
+    with pytest.raises(ValueError):
+        RV.heldout_interpolated_logprob(train, held, "doc_id", "text",
+                                        n_salt=-1)
