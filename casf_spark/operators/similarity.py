@@ -993,6 +993,37 @@ def kcenter_select(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     return out
 
 
+def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
+             vec_col: str, caller: str):
+    """Shared facility-location setup: validate, pick the bounded
+    md5-smallest candidate pool, and materialize the corpus x
+    candidates micro-unit similarity table plus the zeroed coverage
+    table (both localCheckpointed — they anchor every greedy round)."""
+    if k < 1 or n_candidates < k:
+        raise ValueError(
+            f"{caller}: need 1 <= k <= n_candidates, "
+            f"got k={k}, n_candidates={n_candidates}")
+    ck = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("long")
+    cand = (emb.select(F.col(id_col).cast("long").alias("cid"),
+                       V.l2_normalize(vec_col).alias("cv"),
+                       ck.alias("ck"))
+            .orderBy("ck", "cid").limit(n_candidates)
+            .select("cid", "cv"))
+    corp = emb.select(F.col(id_col).cast("long").alias("id"),
+                      V.l2_normalize(vec_col).alias("v"))
+    simu = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.round(V.dot("v", "cv"), 6) * F.lit(1e6) + F.lit(0.5))
+        .cast("long"))
+    sims = (corp.crossJoin(F.broadcast(cand))
+            .select("id", "cid", simu.alias("su"))
+            .localCheckpoint())
+    cov = corp.select("id", F.lit(0).cast("long").alias("cu")) \
+        .localCheckpoint()
+    return sims, cov
+
+
 def facility_location_select(emb: DataFrame, k: int = 4,
                              n_candidates: int = 8,
                              id_col: str = "vec_id",
@@ -1023,28 +1054,8 @@ def facility_location_select(emb: DataFrame, k: int = 4,
     sel_id, gain, coverage) — gain is the round's marginal coverage,
     coverage the cumulative objective, both micro-exact 6dp.
     """
-    if k < 1 or n_candidates < k:
-        raise ValueError(
-            f"facility_location_select: need 1 <= k <= n_candidates, "
-            f"got k={k}, n_candidates={n_candidates}")
-    ck = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-                16, 10).cast("long")
-    cand = (emb.select(F.col(id_col).cast("long").alias("cid"),
-                       V.l2_normalize(vec_col).alias("cv"),
-                       ck.alias("ck"))
-            .orderBy("ck", "cid").limit(n_candidates)
-            .select("cid", "cv"))
-    corp = emb.select(F.col(id_col).cast("long").alias("id"),
-                      V.l2_normalize(vec_col).alias("v"))
-    simu = F.greatest(
-        F.lit(0).cast("long"),
-        F.floor(F.round(V.dot("v", "cv"), 6) * F.lit(1e6) + F.lit(0.5))
-        .cast("long"))
-    sims = (corp.crossJoin(F.broadcast(cand))
-            .select("id", "cid", simu.alias("su"))
-            .localCheckpoint())
-    cov = corp.select("id", F.lit(0).cast("long").alias("cu")) \
-        .localCheckpoint()
+    sims, cov = _fl_pool(emb, k, n_candidates, id_col, vec_col,
+                         "facility_location_select")
     rows, selected, total = [], [], 0
     for r in range(1, k + 1):
         gains = (sims.where(~F.col("cid").isin(selected))
@@ -1069,5 +1080,83 @@ def facility_location_select(emb: DataFrame, k: int = 4,
                                            F.lit(0).cast("long")))
                    .alias("cu"))
                .localCheckpoint())
+    return emb.sparkSession.createDataFrame(
+        rows, "sel_rank long, sel_id long, gain double, coverage double")
+
+
+def facility_location_select_lazy(emb: DataFrame, k: int = 4,
+                                  n_candidates: int = 8,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> DataFrame:
+    """Lazy-greedy facility location (Minoux 1978) — the accelerated
+    twin of :func:`facility_location_select`, OUTPUT-IDENTICAL by
+    construction (pinned by test): submodularity makes every
+    candidate's marginal gain non-increasing as coverage grows, so a
+    gain computed in an earlier round is a valid UPPER BOUND later. A
+    driver-side priority queue (bounded: one scalar per candidate,
+    never row data) keeps stale bounds; each round pops the best bound
+    and recomputes ONLY that candidate's exact gain until the top of
+    the queue is fresh — typically 1-2 single-candidate aggregations
+    instead of re-scoring all C candidates.
+
+    Why it exists: classic greedy costs k aggregations over the FULL
+    N x C similarity table. Lazy greedy's per-recompute aggregation
+    scans only one candidate's N rows, and on real (clustered) data
+    the number of recomputes per round is famously near 1 — the
+    standard large-C accelerant in submodular selection. Worst case
+    (adversarially flat gains) recomputes every candidate, matching
+    classic greedy's total work in 1/C-sized steps.
+
+    Tie-break equivalence: the queue orders by (gain desc, cid asc),
+    exactly the classic argmax. A fresh entry pops only when its TRUE
+    gain beats (or ties with a larger cid than) every other bound, and
+    bounds never understate true gains — so the selected sequence, the
+    per-round gains, and the cumulative coverage all match classic
+    greedy exactly, including ties.
+
+    Same scale shape as the classic: the N x C micro-unit similarity
+    table materializes once, coverage updates are localCheckpointed,
+    and only bounded scalars (one gain per recompute, C ids up front)
+    reach the driver. Output: (sel_rank, sel_id, gain, coverage).
+    """
+    import heapq
+
+    sims, cov = _fl_pool(emb, k, n_candidates, id_col, vec_col,
+                         "facility_location_select_lazy")
+    # round 1 exact gains for every candidate in ONE aggregation (with
+    # cov == 0 the gain is just sum(su)) — the standard lazy-greedy
+    # seeding; C bounded scalars to the driver
+    first = (sims.groupBy("cid").agg(F.sum("su").alias("gu"))
+             .collect())
+    heap = [(-int(r.gu), int(r.cid), 1) for r in first]
+    heapq.heapify(heap)
+    rows, total = [], 0
+    for r in range(1, k + 1):
+        while True:
+            neg_gu, cid, fresh = heapq.heappop(heap)
+            if fresh == r:
+                break
+            # stale bound on top: recompute this ONE candidate's exact
+            # gain against the current coverage (1-row scalar agg)
+            g = (sims.where(F.col("cid") == cid).join(cov, "id")
+                 .agg(F.sum(F.greatest(F.col("su"), F.col("cu"))
+                            - F.col("cu")).alias("gu"))
+                 .collect()[0])
+            heapq.heappush(heap, (-int(g.gu), cid, r))
+        sel, gain_u = cid, -neg_gu
+        total += gain_u
+        rows.append((r, sel, gain_u / 1e6, total / 1e6))
+        if r == k:
+            break
+        upd = sims.where(F.col("cid") == sel).select(
+            "id", F.col("su").alias("__fl_su"))
+        cov = (cov.join(upd, "id", "left")
+               .select("id", F.greatest(
+                   F.col("cu"), F.coalesce(F.col("__fl_su"),
+                                           F.lit(0).cast("long")))
+                   .alias("cu"))
+               .localCheckpoint())
+        # entries seeded in round 1 stay valid bounds for round r+1;
+        # the selected candidate was popped and never pushed back
     return emb.sparkSession.createDataFrame(
         rows, "sel_rank long, sel_id long, gain double, coverage double")

@@ -292,3 +292,25 @@ def test_facility_location_validates(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="k <= n_candidates"):
         facility_location_select(emb, k=5, n_candidates=3)
+
+
+def test_facility_location_lazy_matches_classic(spark, sf_dir):
+    """Minoux lazy greedy must reproduce classic greedy EXACTLY —
+    selection sequence, per-round gains, cumulative coverage — on the
+    real embeddings at the windowed config (k=4, C=8) and at a larger
+    pool (k=5, C=24) where laziness actually skips recomputes; the
+    shared-validation contract also still raises on k > C."""
+    import pytest
+
+    from casf_spark.operators.similarity import (
+        facility_location_select, facility_location_select_lazy)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for k, c in ((4, 8), (5, 24)):
+        classic = [tuple(r) for r in facility_location_select(
+            emb, k=k, n_candidates=c).collect()]
+        lazy = [tuple(r) for r in facility_location_select_lazy(
+            emb, k=k, n_candidates=c).collect()]
+        assert classic == lazy and len(classic) == k
+    with pytest.raises(ValueError):
+        facility_location_select_lazy(emb, k=9, n_candidates=8)
