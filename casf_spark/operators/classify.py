@@ -388,7 +388,11 @@ def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
     """k-fold cross-validation of the binary NB classifier in TWO
     corpus passes instead of 2k — output-identical to looping
     :func:`nb_train` + :func:`nb_score` over the hash folds
-    ``id % n_folds`` (pinned by test), but fused leave-one-out style:
+    ``pmod(id, n_folds)`` (pinned by test; identical to ``id %
+    n_folds`` for non-negative ids, and a negative id still lands in a
+    VALID fold instead of minting a spurious ``fold=-N`` row scored
+    against a model that does not exist), but fused leave-one-out
+    style:
 
     * ONE tokenize pass builds the (fold, term) count table; every
       fold's training counts are then ``totals − that fold's row`` —
@@ -420,7 +424,7 @@ def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
     if n_folds < 2:
         raise ValueError(f"nb_cv_folds: n_folds must be >= 2, "
                          f"got {n_folds}")
-    fold = (F.col(id_col) % n_folds).cast("int")
+    fold = F.pmod(F.col(id_col), F.lit(n_folds)).cast("int")
     base = docs.select(F.col(id_col).cast("string").alias("doc"),
                        fold.alias("fold"),
                        F.when(F.col(label_col).isNull(), F.lit(None))
@@ -469,12 +473,20 @@ def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
         F.sum("y").cast("long").alias("fp"),
         F.sum(1 - F.col("y")).cast("long").alias("fn"))
     ltot = labc.agg(F.sum("fp").alias("ap"), F.sum("fn").alias("an"))
-    prior = (labc.crossJoin(F.broadcast(ltot))
+    # every fold gets a prior row even when it holds NO labeled docs
+    # (its training set is then ALL labeled docs — exactly what the
+    # naive per-fold loop trains on); building the prior from labc
+    # alone would inner-join such a fold's documents out of the output
+    # entirely, silently breaking the partition invariant.
+    prior = (folds_df.crossJoin(F.broadcast(ltot))
+             .join(F.broadcast(labc), "fold", "left")
              .select("fold",
                      _round_half_up_u(
-                         F.log((F.col("ap") - F.col("fp"))
+                         F.log((F.col("ap")
+                                - F.coalesce("fp", F.lit(0)))
                                .cast("double"))
-                         - F.log((F.col("an") - F.col("fn"))
+                         - F.log((F.col("an")
+                                  - F.coalesce("fn", F.lit(0)))
                                  .cast("double"))).alias("prior_u")))
     # pass 2: score every doc against its own fold's model
     fm = base.select("doc", "fold",

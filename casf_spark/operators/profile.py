@@ -395,6 +395,23 @@ def cluster_silhouette(emb: DataFrame, id_col: str = "vec_id",
                     .alias("mean_sil")))
 
 
+def _group_term_counts(docs: DataFrame, group_col: str, id_col: str,
+                       text_col: str) -> DataFrame:
+    """The (group, word) count table ``(grp, word, a)`` both vocabulary
+    reports aggregate at — ONE tokenize pass + ONE map-combined
+    aggregation at the vocabulary x groups grain (the same grain every
+    LM/keyness operator here shuffles at)."""
+    from casf_spark.functions.text import tokenize
+
+    tok = tokenize(docs, id_col, text_col) \
+        .select(F.col("doc").cast("long").alias("doc"), "word")
+    gd = docs.select(F.col(id_col).cast("long").alias("doc"),
+                     F.col(group_col).alias("grp"))
+    return (tok.join(gd, "doc")
+            .groupBy("grp", "word")
+            .agg(F.count(F.lit(1)).cast("long").alias("a")))
+
+
 def vocab_richness(docs: DataFrame, group_col: str, id_col: str,
                    text_col: str) -> DataFrame:
     """Good-Turing / Chao1 vocabulary-richness report per group — the
@@ -418,15 +435,7 @@ def vocab_richness(docs: DataFrame, group_col: str, id_col: str,
     rollup; output is GROUP-cardinality rows. Output: (grp, n_tokens,
     v_distinct, n1, n2, gt_unseen, chao1).
     """
-    from casf_spark.functions.text import tokenize
-
-    tok = tokenize(docs, id_col, text_col) \
-        .select(F.col("doc").cast("long").alias("doc"), "word")
-    gd = docs.select(F.col(id_col).cast("long").alias("doc"),
-                     F.col(group_col).alias("grp"))
-    gt = (tok.join(gd, "doc")
-          .groupBy("grp", "word")
-          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    gt = _group_term_counts(docs, group_col, id_col, text_col)
     one = F.count(F.when(F.col("a") == 1, 1)).cast("long")
     two = F.count(F.when(F.col("a") == 2, 1)).cast("long")
     per = gt.groupBy("grp").agg(
@@ -470,15 +479,7 @@ def vocab_jsd(docs: DataFrame, group_col: str, id_col: str,
     broadcast; output is GROUP-cardinality rows. Output: (grp,
     n_terms, jsd).
     """
-    from casf_spark.functions.text import tokenize
-
-    tok = tokenize(docs, id_col, text_col) \
-        .select(F.col("doc").cast("long").alias("doc"), "word")
-    gd = docs.select(F.col(id_col).cast("long").alias("doc"),
-                     F.col(group_col).alias("grp"))
-    gt = (tok.join(gd, "doc")
-          .groupBy("grp", "word")
-          .agg(F.count(F.lit(1)).cast("long").alias("a")))
+    gt = _group_term_counts(docs, group_col, id_col, text_col)
     term_tot = gt.groupBy("word").agg(F.sum("a").alias("t_tot"))
     grp_tot = gt.groupBy("grp").agg(F.sum("a").alias("c"))
     all_tot = grp_tot.agg(F.sum("c").alias("n_all"))

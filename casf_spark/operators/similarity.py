@@ -1009,7 +1009,20 @@ def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
                        V.l2_normalize(vec_col).alias("cv"),
                        ck.alias("ck"))
             .orderBy("ck", "cid").limit(n_candidates)
-            .select("cid", "cv"))
+            .select("cid", "cv")
+            # materialized once (<= n_candidates rows): the count below
+            # and the broadcast cross-join both read the checkpoint, so
+            # validation costs no extra corpus scan
+            .localCheckpoint())
+    # the ACTUAL pool can be smaller than n_candidates (tiny corpus);
+    # a pool below k would exhaust mid-greedy with a bare IndexError /
+    # empty heap — validate loudly instead (the cluster_silhouette
+    # convention).
+    n_pool = cand.count()
+    if n_pool < k:
+        raise ValueError(
+            f"{caller}: corpus yields only {n_pool} candidate "
+            f"vectors (< k={k}) — reduce k or supply more rows")
     corp = emb.select(F.col(id_col).cast("long").alias("id"),
                       V.l2_normalize(vec_col).alias("v"))
     simu = F.greatest(

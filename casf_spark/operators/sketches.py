@@ -332,6 +332,33 @@ def _check_hist_args(lo: float, hi: float, n_bins: int) -> None:
             f"got {n_bins}")
 
 
+def _check_hist_qs(qs) -> None:
+    """An out-of-range q would not crash — it would silently VANISH
+    from the output (q > 1: no bin's cumulative count reaches the
+    target rank; q <= 0: rank 0 matches the first bin) — so validate
+    loudly like every other histogram argument."""
+    if not qs:
+        raise ValueError("hist sketch: qs must be non-empty")
+    bad = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"hist sketch: every q must be in (0, 1], got {bad}")
+
+
+def _hist_bin(v, lo: float, w: float, n_bins: int):
+    """The ONE clamp-bin expression both builds share: equal-width bins
+    over [lo, hi), out-of-range values clamped to the edge bins."""
+    return F.least(F.greatest(F.floor((v.cast("double") - F.lit(lo))
+                                      / F.lit(w)), F.lit(0)),
+                   F.lit(n_bins - 1)).cast("int")
+
+
+def _hist_est(bin_col, lo: float, w: float):
+    """Nearest-rank estimate read both quantile functions share: the
+    UPPER EDGE of the winning bin, rounded to 6dp."""
+    return F.round(F.lit(lo) + (bin_col + 1) * F.lit(w), 6)
+
+
 def hist_sketch_build(df: DataFrame, value_col, lo: float, hi: float,
                       n_bins: int) -> DataFrame:
     """Fixed-boundary histogram quantile sketch — the deterministic
@@ -358,11 +385,8 @@ def hist_sketch_build(df: DataFrame, value_col, lo: float, hi: float,
     _check_hist_args(lo, hi, n_bins)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     w = (hi - lo) / n_bins
-    b = F.least(F.greatest(F.floor((v.cast("double") - F.lit(lo))
-                                   / F.lit(w)), F.lit(0)),
-                F.lit(n_bins - 1)).cast("int")
     return (df.where(v.isNotNull())
-            .select(b.alias("bin"))
+            .select(_hist_bin(v, lo, w, n_bins).alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
@@ -392,6 +416,7 @@ def hist_sketch_quantiles(sketch: DataFrame, qs, lo: float, hi: float,
     keeping a mergeable summary next to a 100 TB table.
     """
     _check_hist_args(lo, hi, n_bins)
+    _check_hist_qs(qs)
     from pyspark.sql import Window
     spark = sketch.sparkSession
     w = (hi - lo) / n_bins
@@ -412,8 +437,7 @@ def hist_sketch_quantiles(sketch: DataFrame, qs, lo: float, hi: float,
     return (j.groupBy("q", "target_rank")
             .agg(F.min("bin").alias("__hs_bin"))
             .select("q", "target_rank",
-                    F.round(F.lit(lo) + (F.col("__hs_bin") + 1)
-                            * F.lit(w), 6).alias("est"))
+                    _hist_est(F.col("__hs_bin"), lo, w).alias("est"))
             .orderBy("q"))
 
 
@@ -440,11 +464,9 @@ def hist_sketch_build_grouped(df: DataFrame, group_col: str, value_col,
     _check_hist_args(lo, hi, n_bins)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     w = (hi - lo) / n_bins
-    b = F.least(F.greatest(F.floor((v.cast("double") - F.lit(lo))
-                                   / F.lit(w)), F.lit(0)),
-                F.lit(n_bins - 1)).cast("int")
     return (df.where(v.isNotNull() & F.col(group_col).isNotNull())
-            .select(F.col(group_col).alias("grp"), b.alias("bin"))
+            .select(F.col(group_col).alias("grp"),
+                    _hist_bin(v, lo, w, n_bins).alias("bin"))
             .groupBy("grp", "bin")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
@@ -475,6 +497,7 @@ def hist_sketch_quantiles_grouped(sketch: DataFrame, qs, lo: float,
     this runs.
     """
     _check_hist_args(lo, hi, n_bins)
+    _check_hist_qs(qs)
     from pyspark.sql import Window
     spark = sketch.sparkSession
     w = (hi - lo) / n_bins
@@ -497,6 +520,5 @@ def hist_sketch_quantiles_grouped(sketch: DataFrame, qs, lo: float,
     return (j.groupBy("grp", "q", "target_rank")
             .agg(F.min("bin").alias("__hs_bin"))
             .select("grp", "q", "target_rank",
-                    F.round(F.lit(lo) + (F.col("__hs_bin") + 1)
-                            * F.lit(w), 6).alias("est"))
+                    _hist_est(F.col("__hs_bin"), lo, w).alias("est"))
             .orderBy("grp", "q"))

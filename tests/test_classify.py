@@ -246,3 +246,32 @@ def test_nb_cv_folds_equals_per_fold_loop(spark):
     assert fused == naive
     with pytest.raises(ValueError, match="n_folds"):
         nb_cv_folds(docs, "doc_id", "text", "lang", "en", n_folds=1)
+
+
+def test_nb_cv_folds_covers_unlabeled_and_negative_folds(spark):
+    """Two edges the fused spelling must not silently drop: a fold
+    whose documents are ALL unlabeled still appears in the output
+    (its model trains on every labeled doc — the naive-loop behavior;
+    an inner join on a labeled-only prior table would delete the
+    fold), and a negative doc id lands in a VALID pmod fold rather
+    than minting a spurious fold=-N row."""
+    from pyspark.sql import functions as F
+    from casf_spark.operators.classify import nb_cv_folds
+
+    rows = []
+    for i in range(12):
+        # fold 2 (i % 3 == 2) gets NULL labels only
+        lab = None if i % 3 == 2 else ("en" if i % 2 else "fr")
+        rows.append((i, lab, "the cat sat" if i % 2 else "le chat dort"))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    out = nb_cv_folds(docs, "doc_id", "text", "lang", "en",
+                      n_folds=3, vocab_size=8).collect()
+    assert [r.fold for r in out] == [0, 1, 2]
+    assert sum(r.n_heldout for r in out) == 12  # partition invariant
+
+    neg = docs.withColumn("doc_id", F.col("doc_id") - F.lit(6))
+    out2 = nb_cv_folds(neg, "doc_id", "text", "lang", "en",
+                       n_folds=3, vocab_size=8).collect()
+    assert [r.fold for r in out2] == [0, 1, 2]
+    assert sum(r.n_heldout for r in out2) == 12

@@ -286,12 +286,23 @@ def test_facility_location_matches_python_greedy(spark):
 
 def test_facility_location_validates(spark):
     import pytest
-    from casf_spark.operators.similarity import facility_location_select
+    from casf_spark.operators.similarity import (
+        facility_location_select, facility_location_select_lazy)
 
     emb = spark.createDataFrame([(1, [1.0, 0.0])],
                                 "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="k <= n_candidates"):
         facility_location_select(emb, k=5, n_candidates=3)
+    # a corpus SMALLER than k passes the k <= n_candidates check but
+    # would exhaust the pool mid-greedy (bare IndexError / empty heap)
+    # — both variants must refuse loudly up front instead
+    three = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="only 3 candidate"):
+        facility_location_select(three, k=4, n_candidates=8)
+    with pytest.raises(ValueError, match="only 3 candidate"):
+        facility_location_select_lazy(three, k=4, n_candidates=8)
 
 
 def test_facility_location_lazy_matches_classic(spark, sf_dir):

@@ -274,6 +274,19 @@ def test_hist_sketch_clamps_and_validates(spark):
         hist_sketch_quantiles(
             hist_sketch_build(vals, "v", 0.0, 10.0, 10),
             [0.5], 0.0, 10.0, 0)
+    # an out-of-range q would silently VANISH from the output (q > 1
+    # matches no bin, q <= 0 matches the first) — both reads raise
+    from casf_spark.operators.sketches import (
+        hist_sketch_build_grouped, hist_sketch_quantiles_grouped)
+    sk = hist_sketch_build(vals, "v", 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="every q"):
+        hist_sketch_quantiles(sk, [0.5, 1.5], 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="non-empty"):
+        hist_sketch_quantiles(sk, [], 0.0, 10.0, 10)
+    gvals = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+    gsk = hist_sketch_build_grouped(gvals, "grp", "v", 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="every q"):
+        hist_sketch_quantiles_grouped(gsk, [0.0], 0.0, 10.0, 10)
 
 
 def test_hist_sketch_grouped_single_group_matches_ungrouped(spark):
