@@ -827,7 +827,13 @@ def kcenter_select_batched(emb: DataFrame, k: int = 64,
     base = emb.select(F.col(id_col).cast("long").alias("vec_id"),
                       V.l2_normalize(vec_col).alias("v"),
                       F.lit(2.0).alias("min_dist"))
-    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = base.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # an empty corpus would otherwise surface as a bare IndexError
+        # here — refuse loudly (a corpus SMALLER than k is fine: the
+        # documented contract returns fewer picks)
+        raise ValueError("kcenter_select_batched: corpus is empty")
+    seed = seed_rows[0]
     selected = [(1, int(seed.vec_id), 0.0)]
     pend_vecs = [np.asarray(seed.v, dtype=np.float64)]
     pend_ids = [int(seed.vec_id)]

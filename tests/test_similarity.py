@@ -240,6 +240,11 @@ def test_kcenter_batched_duplicates_and_small_pool(spark):
     over = kcenter_select_batched(df, k=9, buffer=2).collect()
     assert sorted(r.vec_id for r in over) == [0, 1, 2, 3]
     assert sorted(r.sel_rank for r in over) == [1, 2, 3, 4]
+    # an EMPTY corpus refuses loudly instead of a bare IndexError
+    import pytest
+    empty = df.where("vec_id < 0")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        kcenter_select_batched(empty, k=2, buffer=2)
 
 
 def test_facility_location_matches_python_greedy(spark):
