@@ -6244,6 +6244,38 @@ _ROUND13_WINDOW = [
     "dedup_triangles",
 ]
 
+# Staged for the ROUND-14 rotation (the driver gates on _DRIVER_WINDOW,
+# which stays on _ROUND13_WINDOW until CORRECTNESS_r13 lands): after
+# round 13 the stale cohort is EXACTLY the 50 names whose last driver
+# green is round 9 — recomputed from the CORRECTNESS_r01..r12 union
+# (latest greens: r8:44 = the r13 window tail, r9:50, r10:50, r11:50,
+# r12:50), so the round-14 additions budget is ZERO — listed in
+# CORRECTNESS_r09.json key order per the freshness SLO. Round-14 open:
+# confirm CORRECTNESS_r13 is 50/50 over _ROUND13_WINDOW (every name
+# below must be ABSENT from it), then flip _DRIVER_WINDOW below.
+_ROUND14_WINDOW = [
+    "url_normalize", "url_dedup", "domain_caps", "domain_blocklist",
+    "dedup_max_spans", "diversity_kcenter_64", "domain_quality",
+    "html_extract", "hard_negatives", "text_self_dedup", "customer_rfm",
+    "events_hour_spine", "text_fingerprint", "text_token_stats",
+    "text_split", "ann_lsh_mp", "multimodal_features",
+    "users_click_not_purchase", "window_first_last",
+    "events_running_distinct", "text_chunks", "train_shards",
+    "orders_merge_upsert", "events_approx_percentiles",
+    "text_heavy_hitters", "lang_top_tokens", "dedup_edit_distance",
+    "embedding_standardize", "orders_quartiles", "events_json_variant",
+    "orders_yoy_growth", "ann_ivf_det", "ann_lsh", "ann_topk",
+    "decontaminate", "dedup_clusters", "dedup_embedding", "dedup_exact",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_winnow", "doc_cosine_cjk", "multimodal_meta", "pack_bins",
+    "pii_redact", "pipeline_curate", "sample_stratified", "text_lang_id",
+    "text_line_dedup",
+]
+
+#: the list the driver-facing queries() order follows — flip to
+#: _ROUND14_WINDOW at round-14 open (see the staging note above).
+_DRIVER_WINDOW = _ROUND13_WINDOW
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
@@ -6521,10 +6553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "window_top_orders": q_window_top_orders,
     }
-    assert len(_ROUND13_WINDOW) == 50
-    missing = [n for n in _ROUND13_WINDOW if n not in base]
-    assert not missing, f"window names absent from registry: {missing}"
-    out = {n: base[n] for n in _ROUND13_WINDOW}
+    for win in (_ROUND13_WINDOW, _ROUND14_WINDOW):
+        assert len(win) == 50
+        missing = [n for n in win if n not in base]
+        assert not missing, f"window names absent from registry: {missing}"
+    out = {n: base[n] for n in _DRIVER_WINDOW}
     out.update((n, f) for n, f in base.items() if n not in out)
     return out
 
