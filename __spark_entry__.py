@@ -3532,10 +3532,17 @@ sig AS (
          {mins}
   FROM sh GROUP BY doc),
 bands AS ({bands_sql}),
-mh_cand AS (
+mh_cand AS MATERIALIZED (
   SELECT DISTINCT a.doc AS doc0, b.doc AS doc1
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc > b.doc)"""
+  # ^ MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, so a
+  # recursive walk whose recursive term touches (a CTE derived from)
+  # mh_cand re-ran the whole tokenize->shingle->minhash->band pipeline
+  # EVERY iteration — measured 26.8 s -> 0.8 s on the dedup_clusters
+  # twin at sf0.1 with identical results. Non-recursive consumers that
+  # reference mh_cand more than once (dedup_triangles' triple join)
+  # benefit the same way.
 
 
 def _minhash_oracle() -> str:
@@ -4455,7 +4462,7 @@ def _clusters_oracle() -> str:
     scale because closure size is bounded by the per-component size^2."""
     return f"""
 WITH RECURSIVE {_minhash_cte()},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc0 AS src, doc1 AS dst FROM mh_cand
   UNION ALL
   SELECT doc1, doc0 FROM mh_cand),
@@ -4472,7 +4479,7 @@ def _keep_best_oracle() -> str:
     per-cluster ranking by (n_tokens desc, doc_id) — rank 1 is kept."""
     return f"""
 WITH RECURSIVE {_minhash_cte()},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc0 AS src, doc1 AS dst FROM mh_cand
   UNION ALL
   SELECT doc1, doc0 FROM mh_cand),
@@ -7198,7 +7205,7 @@ JOIN mh_cand e2 ON e2.doc0 = e1.doc1
 JOIN mh_cand e3 ON e3.doc0 = e1.doc0 AND e3.doc1 = e2.doc1""",
         "split_leakage_safe": f"""
 WITH RECURSIVE {_minhash_cte()},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc0 AS src, doc1 AS dst FROM mh_cand
   UNION ALL
   SELECT doc1, doc0 FROM mh_cand),
@@ -9694,7 +9701,7 @@ dmin AS (SELECT reg_domain, MIN(doc_id) mdoc, COUNT(*) c
 dedges AS (SELECT u.doc_id AS doc0, m.mdoc AS doc1
            FROM u JOIN dmin m USING (reg_domain)
            WHERE m.c >= 2 AND u.doc_id > m.mdoc),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc0 AS src, doc1 AS dst FROM mh_cand
   UNION SELECT doc1, doc0 FROM mh_cand
   UNION SELECT doc0, doc1 FROM dedges
@@ -9748,7 +9755,7 @@ firsts AS (
 lstat AS (SELECT doc, COUNT(*) n_total,
                  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) n_kept
           FROM firsts GROUP BY doc),
-edges AS (SELECT doc0 AS src, doc1 AS dst FROM mh_cand
+edges AS MATERIALIZED (SELECT doc0 AS src, doc1 AS dst FROM mh_cand
           UNION ALL SELECT doc1, doc0 FROM mh_cand),
 walk(node, label) AS (
   SELECT DISTINCT src, src FROM edges
@@ -9974,7 +9981,7 @@ FROM ws GROUP BY b ORDER BY b"""
     # combinatorics stay integer (// halves) until the final division
     out["dedup_cluster_ari"] = f"""
 WITH RECURSIVE {_minhash_cte()},
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc0 AS src, doc1 AS dst FROM mh_cand
   UNION ALL
   SELECT doc1, doc0 FROM mh_cand),
