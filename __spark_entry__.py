@@ -6656,16 +6656,21 @@ SELECT doc_id,
         AS DOUBLE) / GREATEST(length(text), 1), 6) punct_ratio
 FROM t"""
 
+    # all-pairs BY SEMANTICS (brute-force near-dup over embeddings) —
+    # spelled with list_dot_product computed ONCE per pair in its own
+    # CTE: the old explode-join (128M exploded rows) took ~12 s at
+    # sf0.1 and a naive list_dot_product spelling that repeated the
+    # call in SELECT and WHERE took 19 s; this is 0.5 s, identical
+    # values (the dot is the same left-to-right fold either way)
     emb_pairs_sql = """
-WITH ee AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) i,
-         CAST(unnest(embedding) AS DOUBLE) x
+WITH ed AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
   FROM embeddings),
-nn AS (SELECT vec_id, SQRT(SUM(x*x)) nrm FROM ee GROUP BY 1),
+nn AS MATERIALIZED (
+  SELECT vec_id, SQRT(list_dot_product(v, v)) nrm FROM ed),
 dots AS (
-  SELECT a.vec_id id0, b.vec_id id1, SUM(a.x * b.x) dp
-  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id > b.vec_id
-  GROUP BY 1, 2)
+  SELECT a.vec_id id0, b.vec_id id1, list_dot_product(a.v, b.v) dp
+  FROM ed a JOIN ed b ON a.vec_id > b.vec_id)
 SELECT CAST(d.id0 AS BIGINT) id0, CAST(d.id1 AS BIGINT) id1,
        ROUND(d.dp / (n0.nrm * n1.nrm), 6) cos_sim
 FROM dots d JOIN nn n0 ON n0.vec_id = d.id0 JOIN nn n1 ON n1.vec_id = d.id1
