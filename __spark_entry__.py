@@ -7834,7 +7834,7 @@ r AS (SELECT s, LEAST(1.0,
          / SUM(POW(CAST(n AS DOUBLE), 0.5)) OVER ()) * 200.0 / n) rate
       FROM counts)
 SELECT CAST(d.doc_id AS BIGINT) doc_id, d.lang, d.source
-FROM documents d JOIN r ON d.lang = r.s
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.s
 WHERE ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
         AS BIGINT) >> 30) / 1073741824.0) < r.rate""",
         "budget_select": f"""

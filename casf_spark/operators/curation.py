@@ -309,9 +309,11 @@ def curation_funnel(df: DataFrame,
     for name, cond in stages:
         acc = acc & cond
         conds.append((name, acc))
+    # coalesce: SUM over an EMPTY corpus is NULL — report 0 survivors
     row = df.agg(
         F.count(F.lit(1)).alias("_total"),
-        *[F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_s{i}")
+        *[F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+          .cast("long").alias(f"_s{i}")
           for i, (_, c) in enumerate(conds)])
     arr = F.array(*[
         F.struct(F.lit(i + 1).cast("int").alias("stage_idx"),
@@ -322,7 +324,11 @@ def curation_funnel(df: DataFrame,
             .select(F.col("s.stage_idx").alias("stage_idx"),
                     F.col("s.stage").alias("stage"),
                     F.col("s.n_pass").alias("n_pass"),
-                    F.round(F.col("s.n_pass") / F.col("_total"), 6)
+                    # greatest guard: an empty corpus has _total = 0,
+                    # which is DIVIDE_BY_ZERO under ANSI mode — report
+                    # pass_rate 0.0 instead (the c4_line_filter guard)
+                    F.round(F.col("s.n_pass")
+                            / F.greatest(F.col("_total"), F.lit(1)), 6)
                     .alias("pass_rate")))
 
 
@@ -389,8 +395,12 @@ def temperature_resample(df: DataFrame, key: Column | str, strata_col: str,
                      F.least(F.lit(1.0),
                              F.col("_share") * F.lit(float(total_rows))
                              / F.col("_n")).alias("_rate")))
+    # eqNullSafe: a NULL stratum is a real stratum (the group_quantile
+    # convention in this file) — a plain equality join would DROP every
+    # NULL-stratum row while their count still deflated the other
+    # strata's shares through the _pw normalizer
     out = (df.join(F.broadcast(rates),
-                   df[strata_col] == rates["_stratum"])
+                   df[strata_col].eqNullSafe(rates["_stratum"]))
            .where(hash_fraction(key) < F.col("_rate")))
     return out.drop("_stratum", "_rate")
 
@@ -1075,7 +1085,10 @@ def mixture_plan(df: DataFrame, strata_col: str, text_col: str,
     return (per.crossJoin(F.broadcast(total))
             .select(
                 "stratum", "n_docs", "n_tokens",
-                F.round(F.col("n_tokens") / F.col("total"), 6)
+                # greatest guard (the epochs column two lines down has
+                # it already): an all-empty-text corpus has total = 0
+                F.round(F.col("n_tokens")
+                        / F.greatest(F.col("total"), F.lit(1.0)), 6)
                 .alias("natural_share"),
                 w.alias("target_weight"),
                 tgt.alias("target_tokens"),
@@ -1444,9 +1457,12 @@ def filter_agreement_kappa(df: DataFrame, flag_a: Column,
                  cnt(a & ~b).alias("n10"),
                  cnt(~a & b).alias("n01"),
                  cnt(~a & ~b).alias("n00"))
-    po = (F.col("n11") + F.col("n00")) / F.col("n")
-    pa = (F.col("n11") + F.col("n10")) / F.col("n")
-    pb = (F.col("n11") + F.col("n01")) / F.col("n")
+    # greatest guard: empty input -> n = 0 -> ANSI DIVIDE_BY_ZERO;
+    # guarded, po = 0 and pe = 1 so kappa falls to its documented NULL
+    nz = F.greatest(F.col("n"), F.lit(1))
+    po = (F.col("n11") + F.col("n00")) / nz
+    pa = (F.col("n11") + F.col("n10")) / nz
+    pb = (F.col("n11") + F.col("n01")) / nz
     pe = pa * pb + (1 - pa) * (1 - pb)
     kappa = F.when(pe == 1.0, F.lit(None).cast("double")) \
         .otherwise(F.round((po - pe) / (1 - pe), 6))
@@ -1482,8 +1498,13 @@ def boilerplate_lines(lines: DataFrame, group_col: str, doc_col: str,
                 .alias("line_docs")))
     gdocs = (lines.groupBy(group_col)
              .agg(F.count_distinct(F.col(doc_col)).cast("long")
-                  .alias("grp_docs")))
-    return (per.join(F.broadcast(gdocs), group_col)
+                  .alias("grp_docs"))
+             .withColumnRenamed(group_col, "__bp_grp"))
+    # eqNullSafe: a NULL group (doc without a domain) is a real group
+    # — this file's documented convention (group_quantile_flag) — and
+    # a plain name join would exempt its lines from detection entirely
+    return (per.join(F.broadcast(gdocs),
+                     per[group_col].eqNullSafe(F.col("__bp_grp")))
             .where((F.col("line_docs")
                     >= F.ceil(F.col("grp_docs") * F.lit(float(min_frac))))
                    & (F.col("line_docs") >= F.lit(int(min_docs))))
@@ -1500,8 +1521,17 @@ def boilerplate_strip(lines: DataFrame, group_col: str, doc_col: str,
     corpus-side stream never shuffles in the strip itself."""
     bp = boilerplate_lines(lines, group_col, doc_col, line_col,
                            min_frac=min_frac, min_docs=min_docs)
-    return lines.join(F.broadcast(bp.select(group_col, line_col)),
-                      [group_col, line_col], "left_anti")
+    # null-safe anti-join condition: lines of a NULL group must be
+    # strippable too (their detection rows exist — see the eqNullSafe
+    # note in boilerplate_lines); the line itself is never NULL after
+    # detection, but the same null-safe spelling keeps the pair exact
+    bpk = bp.select(F.col(group_col).alias("__bp_grp"),
+                    F.col(line_col).alias("__bp_line"))
+    return (lines.join(
+        F.broadcast(bpk),
+        F.col(group_col).eqNullSafe(F.col("__bp_grp"))
+        & F.col(line_col).eqNullSafe(F.col("__bp_line")),
+        "left_anti"))
 
 
 def contamination_flags_bloom(docs: DataFrame, benchmark: DataFrame,

@@ -450,10 +450,14 @@ def hard_negative_mine(corpus: DataFrame, queries: DataFrame,
     nn = _sim.brute_force_topk(corpus, queries, k=k_pool,
                                id_col=id_col, vec_col=vec_col,
                                method=method)
+    # labels compare AS-IS: a cast("long") here turned non-numeric
+    # labels ('en'/'fr' — accepted by knn_classify in this module)
+    # into NULLs, making q_label != n_label NULL everywhere and the
+    # output silently empty
     lab = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
-                        F.col(label_col).cast("long").alias("n_label"))
+                        F.col(label_col).alias("n_label"))
     qlab = queries.select(F.col(id_col).cast("long").alias("query_id"),
-                          F.col(label_col).cast("long").alias("q_label"))
+                          F.col(label_col).alias("q_label"))
     pool = nn.join(lab, "neighbor_id").join(F.broadcast(qlab), "query_id")
     pos = (pool.where(F.col("q_label") == F.col("n_label"))
            .groupBy("query_id")
@@ -745,7 +749,11 @@ def keyness_terms(docs: DataFrame, group_col: str, id_col: str,
     e2 = d * (a + b) / (c + d)
     g2 = 2.0 * (a * F.log(a / e1)
                 + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0)))
-    scored = (j.where((a / c) > (b / d))
+    # try_divide: a single-group corpus has d = 0 (no "rest") — the
+    # NULL comparison filters every row, so the report is empty by
+    # documented degradation (the vocab_jsd convention) instead of an
+    # ANSI DIVIDE_BY_ZERO crash
+    scored = (j.where((a / c) > F.try_divide(b, d))
               .select("grp", "word", F.col("a").alias("a_cnt"),
                       (F.col("t_tot") - F.col("a")).alias("b_cnt"),
                       F.round(g2, 6).alias("g2")))
@@ -818,8 +826,12 @@ def heldout_interpolated_logprob(train: DataFrame, score: DataFrame,
     salts the count-table joins (:func:`_lm_score_joins` — values
     identical, exchanges rebalanced).
     """
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    # lam = 1.0 is excluded: a transition unseen in train (bc NULL)
+    # with a seen prefix would score p = lam*0 + 0*p_uni = 0, and
+    # -ln(0) overflows the nano-unit long fold — the add-one unigram
+    # leg only keeps every token finite while it has weight
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     tt = tokenize(train, id_col, text_col, pattern) \
         .select(F.col("doc").cast("long").alias("doc"), "pos", "word")
     nxt = tt.select("doc", (F.col("pos") + 1).alias("pos"),

@@ -38,7 +38,15 @@ def deterministic_sample(df: DataFrame, key: Column | str,
     every engine, any partitioning. A narrow filter: pushes to the scan."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.where(hash_fraction(key) < fraction)
+    frac = hash_fraction(key)
+    # a NULL key hashes to a NULL fraction and would be silently
+    # DROPPED (even at fraction=1.0) — raise per-row instead; the
+    # filter still evaluates inside the scan stage (the md5 predicate
+    # was never parquet-pushable, so the guard costs nothing)
+    return df.where(
+        F.when(frac.isNull(),
+               F.raise_error(F.lit("deterministic_sample: NULL key")))
+        .otherwise(frac < fraction))
 
 
 def assign_splits(df: DataFrame, key: Column | str,
@@ -56,17 +64,18 @@ def assign_splits(df: DataFrame, key: Column | str,
     if abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0, got {sum(weights)}")
     frac = hash_fraction(key)
-    expr: Column | None = None
+    # a NULL key hashes to a NULL fraction, which fails every WHEN and
+    # would silently land in the LAST split — typically 'test', so the
+    # 1% eval split would absorb 100% of NULL-key docs (eval
+    # contamination). Raise per-row instead.
+    expr = F.when(frac.isNull(),
+                  F.raise_error(F.lit("assign_splits: NULL split key")))
     cumulative = 0.0
     # build WHEN frac < cum ordered by range; last split is the ELSE branch
     for name, w in splits[:-1]:
         cumulative += w
-        cond = frac < F.lit(cumulative)
-        expr = F.when(cond, F.lit(name)) if expr is None else \
-            expr.when(cond, F.lit(name))
-    last = F.lit(splits[-1][0])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, expr)
+        expr = expr.when(frac < F.lit(cumulative), F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(splits[-1][0])))
 
 
 def sample_per_group(df: DataFrame, key: Column | str, group_col: str,
@@ -135,6 +144,12 @@ def dsir_logweights(df: DataFrame, id_col: str, text_col: str,
     """
     from casf_spark.functions.text import tokens as _tokens
 
+    if n_buckets < 1:
+        # n_buckets=0 would raise modulo-by-zero under ANSI mode, and
+        # a negative value would silently empty the output through the
+        # empty bucket spine's inner join — refuse loudly
+        raise ValueError(
+            f"dsir_logweights: n_buckets must be >= 1, got {n_buckets}")
     tok = _tokens(text_col)
     bigrams = F.zip_with(
         F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),

@@ -1137,3 +1137,62 @@ def test_quantile_match_maps_onto_reference(spark):
     assert got[99] == (None, None)
     with pytest.raises(ValueError, match="k must be > 1"):
         quantile_match(df, ref, "src", "doc", "score", k=1)
+
+
+def test_temperature_resample_null_stratum_is_real(spark):
+    """A NULL stratum used to be silently DROPPED by the equality join
+    while its count still deflated the other strata's shares through
+    the power-weight normalizer; eqNullSafe keeps it as a real group
+    (the file's group_quantile convention)."""
+    from casf_spark.operators.curation import temperature_resample
+
+    rows = [(i, "en" if i < 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, F.col("doc_id").cast("string"),
+                               "lang", alpha=1.0, total_rows=100)
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # alpha=1, total=100 => rate 1.0 for both strata: ALL rows survive,
+    # including every NULL-stratum row
+    assert by == {"en": 50, None: 50}
+
+
+def test_boilerplate_null_group_detected_and_stripped(spark):
+    """Documents without a domain (NULL group) form a real boilerplate
+    group: their shared chrome is detected and stripped, instead of
+    being exempted by a null-dropping equality join."""
+    from casf_spark.operators.curation import (boilerplate_lines,
+                                               boilerplate_strip)
+
+    rows = ([(None, d, "COOKIE BANNER") for d in range(4)]
+            + [(None, d, f"body {d}") for d in range(4)]
+            + [("a.com", d, f"text {d}") for d in range(3)])
+    lines = spark.createDataFrame(rows, "dom string, doc long, line string")
+    det = boilerplate_lines(lines, "dom", "doc", "line",
+                            min_frac=0.5, min_docs=2).collect()
+    assert [(r.dom, r.line) for r in det] == [(None, "COOKIE BANNER")]
+    kept = boilerplate_strip(lines, "dom", "doc", "line",
+                             min_frac=0.5, min_docs=2)
+    assert kept.where("line = 'COOKIE BANNER'").count() == 0
+    assert kept.count() == 7  # all non-chrome lines survive
+
+
+def test_empty_corpus_reports_do_not_crash_under_ansi(spark):
+    """curation_funnel, filter_agreement_kappa and mixture_plan used to
+    divide by a zero total on empty/all-empty input — DIVIDE_BY_ZERO
+    under Spark 4 ANSI mode; all three now degrade with guards."""
+    from casf_spark.operators.curation import (curation_funnel,
+                                               filter_agreement_kappa,
+                                               mixture_plan)
+
+    empty = spark.createDataFrame([], "doc_id long, text string, f1 boolean, f2 boolean")
+    fr = curation_funnel(empty, [("f1", F.col("f1")),
+                                 ("f2", F.col("f1") & F.col("f2"))]).collect()
+    assert [r.pass_rate for r in fr] == [0.0, 0.0]
+    kr = filter_agreement_kappa(empty, F.col("f1"), F.col("f2")).collect()
+    assert kr[0].n == 0 and kr[0].kappa is None
+    mp = mixture_plan(
+        spark.createDataFrame([(1, " ", "s0")],
+                              "doc_id long, text string, source string"),
+        "source", "text", {"s0": 1.0}, 100).collect()
+    assert mp[0].natural_share == 0.0  # zero tokens, guarded

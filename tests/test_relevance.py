@@ -747,3 +747,42 @@ def test_heldout_lm_salted_joins_are_value_identical(spark, sf_dir):
     with pytest.raises(ValueError):
         RV.heldout_interpolated_logprob(train, held, "doc_id", "text",
                                         n_salt=-1)
+
+
+def test_keyness_single_group_degrades_empty(spark):
+    """A single-group corpus has no 'rest' (d = 0): the report is empty
+    by documented degradation (the vocab_jsd convention) instead of an
+    ANSI DIVIDE_BY_ZERO crash."""
+    from casf_spark.operators.relevance import keyness_terms
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "alpha beta gamma") for i in range(4)],
+        "doc_id long, source string, text string")
+    assert keyness_terms(docs, "source", "doc_id", "text").count() == 0
+
+
+def test_heldout_jm_rejects_lam_one(spark):
+    """lam=1.0 would score an unseen transition with a seen prefix as
+    p=0 (-ln overflows the nano-unit fold) — rejected up front."""
+    import pytest
+    from casf_spark.operators.relevance import heldout_interpolated_logprob
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="lam"):
+        heldout_interpolated_logprob(docs, docs, "doc_id", "text", lam=1.0)
+
+
+def test_hard_negative_mine_string_labels(spark):
+    """Labels compare AS-IS: string labels ('en'/'fr') used to be cast
+    to long -> all NULL -> silently empty output."""
+    from casf_spark.operators.relevance import hard_negative_mine
+
+    rows = [(0, "en", [1.0, 0.0]), (1, "en", [0.9, 0.1]),
+            (2, "fr", [0.8, 0.2]), (3, "fr", [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    out = hard_negative_mine(emb, emb.where("vec_id = 0"),
+                             k_pool=4, k_neg=2, margin=0.5).collect()
+    assert len(out) > 0
+    assert all(r.anchor_label == "en" and r.negative_id in (2, 3)
+               for r in out)

@@ -202,3 +202,26 @@ def test_weighted_sample_excludes_nonpositive_and_validates(spark):
     assert [r.key_val for r in rows] == ["1"]
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_wor(df, F.col("id"), "wt", k=0)
+
+
+def test_null_keys_raise_not_silently_misroute(spark):
+    """A NULL key used to be silently DROPPED by deterministic_sample
+    (even at fraction=1.0) and silently routed to the LAST split by
+    assign_splits (the 1% test split absorbing 100% of null-id docs —
+    eval contamination); both now raise per-row. n_buckets < 1 in
+    dsir_logweights used to be modulo-by-zero / a silently empty
+    result; it raises up front."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, "a"), (2, None)],
+                               "id long, key string")
+    with pytest.raises(Exception, match="NULL key"):
+        SP.deterministic_sample(df, "key", 1.0).collect()
+    with pytest.raises(Exception, match="NULL split key"):
+        SP.assign_splits(df, "key").collect()
+    # non-NULL rows are unaffected
+    ok = df.where("key IS NOT NULL")
+    assert SP.deterministic_sample(ok, "key", 1.0).count() == 1
+    assert SP.assign_splits(ok, "key").count() == 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        SP.dsir_logweights(df, "id", "key", F.lit(True), n_buckets=0)
