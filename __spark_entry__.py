@@ -7306,13 +7306,18 @@ g AS (
   FROM t),
 dg AS (SELECT doc, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) gh
        FROM g),
-fst AS (SELECT gh, MIN(doc) first_doc FROM dg GROUP BY 1)
-SELECT dg.doc, CAST(COUNT(*) AS BIGINT) n_grams,
-       CAST(SUM(CASE WHEN fst.first_doc = dg.doc THEN 1 ELSE 0 END)
-            AS BIGINT) novel,
-       ROUND(CAST(SUM(CASE WHEN fst.first_doc = dg.doc THEN 1 ELSE 0 END)
-             AS DOUBLE) / COUNT(*), 6) novelty_frac
-FROM dg JOIN fst USING (gh) GROUP BY 1""",
+fst AS (SELECT gh, MIN(doc) first_doc FROM dg GROUP BY 1),
+per AS (
+  SELECT dg.doc, CAST(COUNT(*) AS BIGINT) n_grams,
+         CAST(SUM(CASE WHEN fst.first_doc = dg.doc THEN 1 ELSE 0 END)
+              AS BIGINT) novel
+  FROM dg JOIN fst USING (gh) GROUP BY 1)
+SELECT t.doc, CAST(COALESCE(per.n_grams, 0) AS BIGINT) n_grams,
+       CAST(COALESCE(per.novel, 0) AS BIGINT) novel,
+       CASE WHEN COALESCE(per.n_grams, 0) > 0
+            THEN ROUND(CAST(per.novel AS DOUBLE) / per.n_grams, 6)
+       END novelty_frac
+FROM t LEFT JOIN per USING (doc)""",
         "orders_yoy_growth": """
 WITH yearly AS (
   SELECT EXTRACT(year FROM o_orderdate) yr, o_orderpriority,
@@ -8456,10 +8461,10 @@ tc AS (SELECT cl, t term, CAST(COUNT(*) AS BIGINT) cnt
 rk AS (SELECT cl, term, cnt,
               row_number() OVER (PARTITION BY cl
                                  ORDER BY cnt DESC, term) rank
-       FROM tc)
-SELECT CAST(rk.cl AS BIGINT) AS "cluster", nd.n_docs,
+       FROM tc WHERE TRUE QUALIFY rank <= 5)
+SELECT CAST(nd.cl AS BIGINT) AS "cluster", nd.n_docs,
        CAST(rank AS BIGINT) rank, term, cnt
-FROM rk JOIN nd ON rk.cl = nd.cl WHERE rank <= 5""",
+FROM nd LEFT JOIN rk ON rk.cl = nd.cl""",
         "doc_quality_source_quantile": """
 WITH w AS (
   SELECT CAST(doc_id AS BIGINT) doc_id, source,
@@ -8626,7 +8631,7 @@ FROM sp JOIN toklist t ON t.doc = sp.doc
 ORDER BY sp.doc, span_start""",
         "dedup_remove_spans": f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) doc, {_TOKS} a FROM documents),
-p AS (SELECT doc, a, len(a) nn FROM t WHERE len(a) > 0),
+p AS (SELECT doc, a, len(a) nn FROM t),
 occ AS (
   SELECT doc, i pos,
          CAST('0x' || substr(md5(array_to_string(a[i + 1:i + 4], ' ')),
@@ -8641,7 +8646,7 @@ dr AS (SELECT DISTINCT o.doc, o.pos + u.x tp
 drops AS (SELECT doc, list(tp) dp FROM dr GROUP BY doc)
 SELECT p.doc, CAST(nn AS BIGINT) n_tokens,
        CAST(COALESCE(len(dp), 0) AS BIGINT) n_removed,
-       ROUND(COALESCE(len(dp), 0) * 1.0 / nn, 6) removed_frac,
+       ROUND(COALESCE(len(dp), 0) * 1.0 / GREATEST(nn, 1), 6) removed_frac,
        COALESCE(array_to_string(
          list_transform(
            list_filter(range(nn),

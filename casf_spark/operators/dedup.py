@@ -37,7 +37,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     out = (
         df.select(F.col(id_col).cast("long").alias("doc_id"),
-                  TX.fingerprint(text_col).alias("fingerprint"))
+                  _fp_or_unique(id_col, text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"),
              F.count(F.lit(1)).alias("n_dups"))
@@ -46,11 +46,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return schemas.conform(out, schemas.DUP_GROUP)
 
 
+def _fp_or_unique(id_col: str, text_col: str):
+    """Content fingerprint with NULL text mapped to a per-doc unique
+    sentinel: NULL fingerprints connect NOTHING (the group_star_edges
+    convention) — without this, a corrupt load where many docs have
+    text=NULL would silently collapse them all into ONE 'duplicate'
+    group and dedup would keep a single survivor."""
+    return F.coalesce(
+        TX.fingerprint(text_col),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
+
+
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Content-exact dedup: keep the min-id representative per fingerprint."""
+    """Content-exact dedup: keep the min-id representative per
+    fingerprint. A NULL-text document is its own singleton group (kept,
+    never someone's duplicate) — see :func:`_fp_or_unique`."""
     ranked = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        TX.fingerprint(text_col).alias("fingerprint"))
+        _fp_or_unique(id_col, text_col).alias("fingerprint"))
     keep = ranked.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     return schemas.conform(keep, schemas.DEDUP_KEEP)
 
@@ -203,6 +216,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         *[F.min(e).alias(f"mh_{i}") for i, e in enumerate(remixes)])
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """Banding misconfigurations fail SILENTLY without this: bands >
+    num_hashes makes rows_per_band 0, so every bucket is the empty
+    concat and every doc collides with every other doc — the candidate
+    set degenerates to ALL PAIRS; a non-divisible split silently
+    discards the trailing signature components, changing the S-curve
+    the caller thinks they configured."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"need 1 <= bands <= num_hashes, got bands={bands}, "
+            f"num_hashes={num_hashes}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly, got bands={bands}, "
+            f"num_hashes={num_hashes}")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 2, num_hashes: int = 12, bands: int = 4,
                       seed: int = 42) -> DataFrame:
@@ -241,6 +271,7 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     >=2 bucket == docs in >=1 candidate pair). Output (doc0, doc1),
     doc0 > doc1.
     """
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     banded = sig.select(
@@ -523,6 +554,7 @@ def _band_buckets(df: DataFrame, id_col: str, text_col: str,
                   seed: int) -> DataFrame:
     """(doc, band, bucket) MinHash band buckets — the banding half of
     :func:`minhash_lsh_pairs`, shared with :func:`incremental_dedup`."""
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     return sig.select(
@@ -848,6 +880,18 @@ def connected_components(pairs: DataFrame, id0: str = "doc0",
                 break
         else:
             labels = jumped
+    else:
+        # the for ran out with the last probe still seeing changes: the
+        # labeling is NOT a fixpoint, and returning it would silently
+        # split real components into several cluster_ids (so
+        # keep-representatives would keep several copies of one dup
+        # group). Same loud-failure contract as kcore's cap check.
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iter} "
+                f"pointer-jumping rounds (the last probe still saw "
+                f"label changes) — raise max_iter; diameter shrinks "
+                f"~2x per round, so log2(diameter) rounds suffice")
     out = labels.select(F.col("node").alias("doc_id"),
                         F.col("label").alias("cluster_id"))
     return schemas.conform(out, schemas.CLUSTER_MEMBER)
@@ -928,13 +972,26 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
                         .alias("gram"))
           .select("doc", md5_long("gram").alias("gh")))
     first = dg.groupBy("gh").agg(F.min("doc").alias("first_doc"))
-    return (dg.join(first, "gh")
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
-                 F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
-                 .cast("long").alias("novel"))
+    per = (dg.join(first, "gh")
+           .groupBy("doc")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+                .cast("long").alias("novel")))
+    # left join back onto the full doc spine: docs shorter than n
+    # tokens have zero grams and used to VANISH from the report (the
+    # explode drops them), silently overstating corpus-level novelty —
+    # the cross_doc_spans convention keeps them, novelty_frac NULL
+    # (no gram evidence), n_grams = novel = 0
+    return (tok_df.select("doc").join(per, "doc", "left")
+            .select("doc",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("novel", F.lit(0)).cast("long")
+                    .alias("novel"))
             .withColumn("novelty_frac",
-                        F.round(F.col("novel") / F.col("n_grams"), 6)))
+                        F.when(F.col("n_grams") > 0,
+                               F.round(F.col("novel")
+                                       / F.col("n_grams"), 6))))
 
 
 #: hard ceiling on the deterministic-quantizer centroid count: the
@@ -1027,6 +1084,12 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
                          F.col(vec_col).alias("cemb"),
                          md5_long(F.col(id_col).cast("string")).alias("ck"))
                .orderBy("ck", "cid").limit(n_clusters).toPandas())
+        if cpd.empty:
+            # an empty corpus used to surface as an undiagnostic numpy
+            # AxisError on (S*S).sum(axis=1); refuse loudly (the
+            # kcenter/cluster_silhouette convention)
+            raise ValueError(
+                "_nearest_det_centroids: corpus is empty — no centroids")
         sup = cpd.sort_values(["ck", "cid"]).head(s).sort_values("cid")
         sids = sup["cid"].to_numpy()
         S = np.array([np.asarray(x, dtype=np.float64) for x in sup["cemb"]])
@@ -1101,6 +1164,11 @@ def _nearest_det_centroids(df: DataFrame, id_col: str, vec_col: str,
         import pandas as pd
 
         cpd = cent.orderBy("cid").toPandas()  # k rows — bounded side input
+        if cpd.empty:
+            # same loud refusal as the two_level path: the numpy
+            # AxisError an empty centroid table produced said nothing
+            raise ValueError(
+                "_nearest_det_centroids: corpus is empty — no centroids")
         cids = cpd["cid"].to_numpy()
         C = np.array([np.asarray(x, dtype=np.float64)
                       for x in cpd["cemb"]])
@@ -1332,18 +1400,27 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                  F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tp"))
              .groupBy("doc")
              .agg(F.collect_set("tp").alias("drop_pos")))
-    keep = F.array_except(
-        F.sequence(F.lit(0), F.size("toks") - 1),
-        F.coalesce("drop_pos", F.array().cast("array<int>")))
+    # zero-token docs (empty/punctuation-only/CJK-only text under the
+    # default tokenizer) PASS THROUGH with n_tokens=0, removed_frac=0,
+    # cleaned_text='' — the contract is one output row per input row;
+    # the old `where(size > 0)` silently DELETED them. The when-guards
+    # keep sequence() off a (0, -1) range and the division off zero.
+    keep = F.when(
+        F.size("toks") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            F.coalesce("drop_pos", F.array().cast("array<int>")))
+    ).otherwise(F.array().cast("array<int>"))
     cleaned = F.transform(keep, lambda i: F.element_at("toks", i + 1))
-    return (tok_df.where(F.size("toks") > 0)
+    return (tok_df
             .join(drops, "doc", "left")
             .select("doc",
                     F.size("toks").cast("long").alias("n_tokens"),
                     F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long")
                     .alias("n_removed"),
                     F.round(F.coalesce(F.size("drop_pos"), F.lit(0))
-                            / F.size("toks"), 6).alias("removed_frac"),
+                            / F.greatest(F.size("toks"), F.lit(1)), 6)
+                    .alias("removed_frac"),
                     F.array_join(cleaned, " ").alias("cleaned_text")))
 
 

@@ -83,6 +83,12 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
         raise AssertionError(
             f"gram_matrix: {len(parts)} partials reached the driver "
             f"(fan_in={fan_in})")
+    if not parts:
+        # with dim passed explicitly the dim-probe empty check is
+        # skipped, and a zero Gram would flow on silently —
+        # power_iteration would return an all-zero 'eigenvector' with
+        # no error. Same loud contract as the dim=None probe.
+        raise ValueError("gram_matrix: empty input")
     g = np.zeros((d, d), dtype=np.float64)
     for r in parts:
         g += np.array(r["g"], dtype=np.float64).reshape(d, d)

@@ -124,9 +124,15 @@ def cluster_term_profile(docs: DataFrame, emb: DataFrame,
               .groupBy("cluster", "term")
               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("term"))
-    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= top_k)
-            .join(F.broadcast(ndocs), "cluster")
+    ranked = (counts.withColumn("rank",
+                                F.row_number().over(w).cast("long"))
+              .where(F.col("rank") <= top_k))
+    # left join FROM the cluster spine: a cluster whose docs are all
+    # stopwords/empty has no counts rows and used to VANISH from the
+    # report entirely — it now shows one row with n_docs and NULL
+    # term/rank/cnt ("a bucket exists but has no labelable terms"),
+    # instead of reading as if the quantizer made fewer clusters
+    return (ndocs.join(ranked, "cluster", "left")
             .select(F.col("cluster").cast("long").alias("cluster"),
                     "n_docs", "rank", "term", "cnt"))
 
@@ -228,7 +234,10 @@ def clustering_agreement(labels: DataFrame, a_col: str,
     tot = comb2(F.col("n")).cast("double")
     sa = F.col("sum_comb_a").cast("double")
     sb = F.col("sum_comb_b").cast("double")
-    e = sa * sb / tot
+    # try_divide: a single-item labeling has tot = C(1,2) = 0, which
+    # is DIVIDE_BY_ZERO under ANSI mode — NULL e makes den NULL, so
+    # ari falls to its documented NULL instead of crashing
+    e = F.try_divide(sa * sb, tot)
     num = F.col("sum_comb_cells").cast("double") - e
     den = (sa + sb) / F.lit(2.0) - e
     return row.select(
@@ -286,8 +295,13 @@ def bootstrap_means(df: DataFrame, key_col, value_col,
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     xu = F.floor(val.cast("double") * 1e6 + F.lit(0.5)).cast("long")
-    base = df.select(key.cast("string").alias("__bs_k"),
-                     xu.alias("__bs_xu"))
+    # NULL values are EXCLUDED (the psi_report convention): without
+    # this filter a NULL row's Poisson weight still counted in n_eff
+    # while its value vanished from the weighted sum — every replicate
+    # mean silently deflated toward zero
+    base = (df.where(val.isNotNull())
+            .select(key.cast("string").alias("__bs_k"),
+                    xu.alias("__bs_xu")))
     rep = base.select(
         "__bs_k", "__bs_xu",
         F.explode(F.array(*[F.lit(b) for b in range(n_boot)]))

@@ -536,3 +536,62 @@ def test_kcore_cap_exhaustion_raises(spark):
         kcore(path, k=2, max_iter=1)
     # enough rounds: the 2-core of a path is empty, returned cleanly
     assert kcore(path, k=2, max_iter=10).count() == 0
+
+
+def test_banding_misconfig_raises(spark):
+    """bands > num_hashes used to make every bucket the empty concat
+    (ALL docs collide -> silent all-pairs); a non-divisible split
+    silently discarded trailing signature components. Both raise."""
+    import pytest
+    from casf_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=12, bands=16)
+    with pytest.raises(ValueError, match="evenly"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=12, bands=5)
+
+
+def test_exact_dedup_null_text_is_singleton(spark):
+    """NULL-text docs used to share one NULL fingerprint: dedup kept a
+    single survivor of a corrupt load. Each is now its own group."""
+    from casf_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 2, 3]  # both NULL docs kept; 4 dups 3
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert [(g.keep_id, g.n_dups) for g in groups] == [(3, 2)]
+
+
+def test_remove_spans_zero_token_doc_passes_through(spark):
+    """Docs that tokenize to nothing used to VANISH from the output;
+    the contract is one row per input doc."""
+    from casf_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "!!! ???")],
+        "doc_id long, text string")
+    out = {r.doc: r for r in
+           remove_duplicated_spans(df, "doc_id", "text", n=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_tokens == 0 and out[2].removed_frac == 0.0
+    assert out[2].cleaned_text == ""
+
+
+def test_ngram_novelty_short_docs_kept(spark):
+    """Docs shorter than n tokens used to be absent from the novelty
+    report (overstating corpus novelty); they now appear with zero
+    grams and NULL novelty_frac (the cross_doc_spans convention)."""
+    from casf_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a1 b2 c3 d4 e5"), (2, "tiny doc")],
+        "doc_id long, text string")
+    out = {r.doc: r for r in ngram_novelty(df, "doc_id", "text", n=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_grams == 0 and out[2].novel == 0
+    assert out[2].novelty_frac is None
+    assert out[1].novelty_frac == 1.0

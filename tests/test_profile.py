@@ -325,3 +325,28 @@ def test_vocab_jsd_two_groups_symmetric_and_exact(spark):
                                  "doc_id long, source string, text string")
     assert vocab_jsd(solo, "source", "doc_id", "text") \
         .collect()[0].jsd is None
+
+
+def test_clustering_agreement_single_item_null_ari(spark):
+    """One labeled item: C(1,2)=0 denominator — ari must be the
+    documented NULL, not an ANSI DIVIDE_BY_ZERO crash."""
+    from casf_spark.operators.profile import clustering_agreement
+
+    one = spark.createDataFrame([(1, 10, 20)], "id long, a int, b int")
+    row = clustering_agreement(one, "a", "b").collect()[0]
+    assert row.n == 1 and row.ari is None
+
+
+def test_bootstrap_means_excludes_null_values(spark):
+    """NULL metric rows used to count their Poisson weight into n_eff
+    while contributing nothing to the sum — deflating every replicate
+    mean. They are excluded up front (the psi_report convention)."""
+    from casf_spark.operators.profile import bootstrap_means
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i < 10 else None) for i in range(20)],
+        "id long, v double")
+    reps = bootstrap_means(df, "id", "v", n_boot=8).collect()
+    for r in reps:
+        if r.n_eff > 0:
+            assert r.mean == 100.0  # never deflated by NULL rows
