@@ -9351,11 +9351,15 @@ sc AS (SELECT h.doc, h.y,
        CROSS JOIN prior p),
 grid(ga, gb) AS (VALUES {_PLATT_GRID_SQL}),
 terms AS (
+  -- LEAST/GREATEST clamp mirrors platt_grid_fit's saturation guard:
+  -- identical operands for unsaturated p, bounded ln at the edges
   SELECT g.ga, g.gb,
-         CAST(FLOOR(-(s.y * ln(1.0 / (1.0
-                        + exp(-(g.ga * s.lo + g.gb))))
-                      + (1 - s.y) * ln(1.0 - 1.0 / (1.0
-                        + exp(-(g.ga * s.lo + g.gb)))))
+         CAST(FLOOR(-(s.y * ln(LEAST(GREATEST(1.0 / (1.0
+                        + exp(-(g.ga * s.lo + g.gb))), 1e-12),
+                        1.0 - 1e-12))
+                      + (1 - s.y) * ln(1.0 - LEAST(GREATEST(1.0 / (1.0
+                        + exp(-(g.ga * s.lo + g.gb))), 1e-12),
+                        1.0 - 1e-12)))
                     * 1000000.0 + 0.5) AS BIGINT) term_u
   FROM sc s CROSS JOIN grid g),
 loss AS (SELECT ga, gb, CAST(SUM(term_u) AS BIGINT) loss_u

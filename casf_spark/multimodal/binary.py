@@ -56,7 +56,11 @@ def extract_features(df: DataFrame, real_decoder: bool = False) -> DataFrame:
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
         for pdf in it:
-            payloads = pdf["payload"]
+            # a NULL payload maps to the empty-bytes features instead of
+            # len(None) TypeError'ing the whole batch (one NULL row used
+            # to kill a full corpus feature pass)
+            payloads = pdf["payload"].map(lambda b: b if b is not None
+                                          else b"")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
@@ -134,6 +138,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    b = b""  # NULL payload -> k empty frames, not a crash
                 step = max(1, len(b) // k)
                 for i in range(k):
                     # real decoder seam: ffmpeg -ss <t_i> frame grab

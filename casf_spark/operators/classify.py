@@ -101,11 +101,22 @@ def nb_train(docs: DataFrame, id_col: str, text_col: str,
                      - F.log((F.col("c_neg") + 1.0)
                              / (F.col("t_neg") + F.col("v")))
                  ).alias("lr_u")))
+    # a single-class (or empty) training set has no defined prior —
+    # F.log(0) is NULL, which would silently NULL every downstream
+    # score/pred; raise at model materialization instead
     prior = (lab.agg(F.sum("y").cast("double").alias("n_pos"),
                      F.sum(1 - F.col("y")).cast("double").alias("n_neg"))
              .select(F.lit(PRIOR_TERM).alias("term"),
-                     _round_half_up_u(F.log(F.col("n_pos"))
-                                      - F.log(F.col("n_neg")))
+                     F.when(
+                         (F.coalesce("n_pos", F.lit(0.0)) <= 0.0)
+                         | (F.coalesce("n_neg", F.lit(0.0)) <= 0.0),
+                         F.raise_error(F.lit(
+                             "nb_train: training set needs BOTH classes "
+                             "(single-class or empty input)"))
+                         .cast("long"))
+                     .otherwise(
+                         _round_half_up_u(F.log(F.col("n_pos"))
+                                          - F.log(F.col("n_neg"))))
                      .alias("lr_u")))
     return terms.unionByName(prior)
 
@@ -255,7 +266,15 @@ def platt_grid_fit(scored: DataFrame, label_col: str = "y",
     # halfway points, where two engines' ROUND can split; observed as
     # 1-micro-unit loss flips before this was removed)
     z = F.col("a") * F.col("log_odds") + F.col("b")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # clamp (the sklearn log-loss convention): NB integer-sum scores
+    # routinely exceed |z| ~ 37, where the sigmoid saturates to exactly
+    # 1.0/0.0 in float64 and log(0) would NULL the term — F.sum then
+    # silently SKIPS those rows, understating that combo's loss and
+    # corrupting the argmin. The clamp expression is mirrored verbatim
+    # in the DuckDB twin; unsaturated values are untouched.
+    p = F.least(F.greatest(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
+                           F.lit(1e-12)),
+                F.lit(1.0) - F.lit(1e-12))
     y = F.col(label_col).cast("int")
     term = -(y * F.log(p) + (1 - y) * F.log(F.lit(1.0) - p))
     loss = (scored
@@ -362,7 +381,11 @@ def nb_score_multi(docs: DataFrame, model: DataFrame, id_col: str,
                      toks["word"] == terms["term"])
            .groupBy("doc", "label")
            .agg(F.sum("ll_u").cast("long").alias("sum_u")))
+    # distinct (the nb_score guard): duplicate doc ids would duplicate
+    # every (doc, label) row, making the sorted list's runner-up a copy
+    # of the winner — margin_u silently 0 for those docs
     base = (docs.select(F.col(id_col).cast("string").alias("doc"))
+            .distinct()
             .crossJoin(F.broadcast(priors)))
     sc = (base.join(hit, ["doc", "label"], "left")
           .select("doc", "label",
@@ -424,7 +447,12 @@ def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
     if n_folds < 2:
         raise ValueError(f"nb_cv_folds: n_folds must be >= 2, "
                          f"got {n_folds}")
-    fold = F.pmod(F.col(id_col), F.lit(n_folds)).cast("int")
+    # a NULL id would pmod to a NULL fold and silently vanish from the
+    # output through the fold joins, breaking the partition invariant
+    fold = F.when(F.col(id_col).isNull(),
+                  F.raise_error(F.lit("nb_cv_folds: NULL doc id"))
+                  .cast("int")) \
+        .otherwise(F.pmod(F.col(id_col), F.lit(n_folds)).cast("int"))
     base = docs.select(F.col(id_col).cast("string").alias("doc"),
                        fold.alias("fold"),
                        F.when(F.col(label_col).isNull(), F.lit(None))
@@ -478,16 +506,26 @@ def nb_cv_folds(docs: DataFrame, id_col: str, text_col: str,
     # naive per-fold loop trains on); building the prior from labc
     # alone would inner-join such a fold's documents out of the output
     # entirely, silently breaking the partition invariant.
+    # raise when a fold's TRAINING set lacks a class (that fold holds
+    # every positive, or every negative): F.log(0) would silently NULL
+    # the fold's prior, predictions, and accuracy — and the naive
+    # nb_train loop now raises on exactly this input too
+    tr_pos = (F.coalesce("ap", F.lit(0))
+              - F.coalesce("fp", F.lit(0))).cast("double")
+    tr_neg = (F.coalesce("an", F.lit(0))
+              - F.coalesce("fn", F.lit(0))).cast("double")
     prior = (folds_df.crossJoin(F.broadcast(ltot))
              .join(F.broadcast(labc), "fold", "left")
              .select("fold",
-                     _round_half_up_u(
-                         F.log((F.col("ap")
-                                - F.coalesce("fp", F.lit(0)))
-                               .cast("double"))
-                         - F.log((F.col("an")
-                                  - F.coalesce("fn", F.lit(0)))
-                                 .cast("double"))).alias("prior_u")))
+                     F.when((tr_pos <= 0.0) | (tr_neg <= 0.0),
+                            F.raise_error(F.lit(
+                                "nb_cv_folds: a fold's training set "
+                                "lacks a class — use fewer folds or "
+                                "rebalance"))
+                            .cast("long"))
+                     .otherwise(
+                         _round_half_up_u(F.log(tr_pos) - F.log(tr_neg)))
+                     .alias("prior_u")))
     # pass 2: score every doc against its own fold's model
     fm = base.select("doc", "fold",
                      F.coalesce("y", F.lit(0)).alias("y0"))

@@ -29,6 +29,20 @@ _PLANE_MOD = 2001
 _PLANE_SHIFT = 1000
 
 
+def _probe_dims(df: DataFrame, vec_col: str, caller: str) -> int:
+    """Sample one row to learn the vector width — with LOUD failures:
+    first() on an empty corpus returns None, and the old bare
+    ``len(first()[0])`` surfaced that as an undiagnostic TypeError."""
+    row = df.select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"{caller}: corpus is empty — cannot infer dims (pass dims=)")
+    if row[0] is None:
+        raise ValueError(
+            f"{caller}: first {vec_col} is NULL — cannot infer dims")
+    return len(row[0])
+
+
 def _normalized_matrix(pdf, vec_col: str):
     """numpy float64 row-normalized matrix from a pandas batch; zero-norm
     rows stay zero (cosine-with-zero-vector = 0 semantics)."""
@@ -83,6 +97,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     qpdf = queries.select(F.col(id_col).cast("long").alias("id"),
                           vec_col).toPandas()
+    if qpdf.empty:
+        # top-k of an empty query set is empty — the expr path yields
+        # that naturally; the gemm path used to crash every executor
+        # with a (0,0) matmul core-dimension mismatch
+        empty = corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, "
+                "rank long")
+        return schemas.conform(empty, schemas.ANN_TOPK)
     q_ids = qpdf["id"].to_numpy()
     q_mat = _normalized_matrix(qpdf, vec_col)
     sc = corpus.sparkSession.sparkContext
@@ -304,7 +326,7 @@ def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str,
     # sample one row (a tiny driver action, but one Spark job per call —
     # callers building many signature tables should pass it).
     if dims is None:
-        dims = len(df.select(vec_col).first()[0])
+        dims = _probe_dims(df, vec_col, "hyperplane_signature")
     bucket = None
     for p in range(num_planes):
         bit = F.when(plane_dot(p, dims) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -354,7 +376,7 @@ def lsh_candidates_multiprobe(df: DataFrame, id_col: str = "vec_id",
     """
     if dims is None:
         # one probe job for the whole family instead of one per seed table
-        dims = len(df.select(vec_col).first()[0])
+        dims = _probe_dims(df, vec_col, "lsh_candidates_multiprobe")
     out = None
     for s in seeds:
         c = lsh_candidates(df, id_col, vec_col, num_planes, s, dims=dims)
@@ -540,6 +562,14 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .orderBy("o", "id").limit(n_centroids + ksub).toPandas())
     smat = np.array([np.asarray(v, dtype=np.float64)
                      for v in sample[vec_col]])
+    if len(smat) < n_centroids + ksub:
+        # an undersized corpus used to surface as an empty-codebook
+        # argmin ValueError in every executor (or an IndexError on the
+        # driver for an empty corpus) — refuse loudly up front
+        raise ValueError(
+            f"ivf_pq_topk: corpus has only {len(smat)} vectors; needs "
+            f">= n_centroids + ksub = {n_centroids + ksub} to seed the "
+            f"coarse centroids and PQ codebooks")
     coarse = smat[:n_centroids]                      # (C, D)
     dim = smat.shape[1]
     if dim % m != 0:

@@ -230,8 +230,21 @@ def write_stream_upsert(stream_df: DataFrame, path: str, checkpoint: str,
         spark = batch_df.sparkSession
         cur = os.path.join(path, "current")
         batch = batch_df.dropDuplicates(key_cols)
-        if os.path.exists(cur):
-            existing = spark.read.parquet(cur)
+        base = cur
+        if not os.path.exists(cur):
+            # crash recovery: a death BETWEEN the two renames below
+            # leaves no 'current' but a _retired_<id> dir holding the
+            # entire pre-crash history. The old code rebuilt from the
+            # replayed batch alone and then rmtree'd that dir — every
+            # key not in the batch was silently and permanently lost.
+            retired = sorted(
+                (d for d in os.listdir(path)
+                 if d.startswith("_retired_")),
+                key=lambda d: int(d.rsplit("_", 1)[1])
+            ) if os.path.isdir(path) else []
+            base = os.path.join(path, retired[-1]) if retired else None
+        if base is not None and os.path.exists(base):
+            existing = spark.read.parquet(base)
             keep = existing.join(batch.select(*key_cols).distinct(),
                                  key_cols, "left_anti")
             merged = keep.unionByName(batch)
@@ -243,8 +256,11 @@ def write_stream_upsert(stream_df: DataFrame, path: str, checkpoint: str,
         if os.path.exists(cur):
             os.rename(cur, old)
         os.rename(tmp, cur)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        # only AFTER the new current is in place: clear every retired
+        # snapshot (including any left by a recovered crash)
+        for d in os.listdir(path):
+            if d.startswith("_retired_"):
+                shutil.rmtree(os.path.join(path, d))
 
     q = (stream_df.writeStream.foreachBatch(sink)
          .outputMode("update")

@@ -47,7 +47,10 @@ def track_sessions(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         else:
             last_ts, n_sessions, n_events = None, 0, 0
         for pdf in pdfs:
-            ts = pdf["ts"].sort_values()
+            # dropna (the stateful.py value-fold convention): one NULL
+            # event timestamp becomes NaT, and NaT.timestamp() raises —
+            # killing the whole streaming query for one bad row
+            ts = pdf["ts"].dropna().sort_values()
             for t in ts:
                 epoch = t.timestamp()
                 if last_ts is None or epoch - last_ts > gap_sec:

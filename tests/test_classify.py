@@ -275,3 +275,61 @@ def test_nb_cv_folds_covers_unlabeled_and_negative_folds(spark):
                        n_folds=3, vocab_size=8).collect()
     assert [r.fold for r in out2] == [0, 1, 2]
     assert sum(r.n_heldout for r in out2) == 12
+
+
+def test_nb_single_class_training_raises(spark):
+    """A training set with only one class has no defined prior: F.log(0)
+    used to NULL every downstream score/pred silently — both the naive
+    trainer and the fused CV now raise at materialization."""
+    import pytest
+    from casf_spark.operators.classify import nb_cv_folds, nb_train
+
+    docs = spark.createDataFrame(
+        [(i, "en", "the cat sat") for i in range(8)],
+        "doc_id long, lang string, text string")
+    with pytest.raises(Exception, match="BOTH classes"):
+        nb_train(docs, "doc_id", "text", "lang", "en").collect()
+    # CV edge: folds 0/1 split an 'all-en' corpus — every fold's
+    # training set lacks the negative class
+    with pytest.raises(Exception, match="lacks a class"):
+        nb_cv_folds(docs, "doc_id", "text", "lang", "en",
+                    n_folds=2, vocab_size=4).collect()
+
+
+def test_platt_saturated_scores_keep_all_docs(spark):
+    """log_odds large enough to saturate the sigmoid used to make
+    log(0) -> NULL terms that F.sum silently dropped, understating a
+    combo's loss; the clamp keeps every doc in every combo's loss."""
+    from casf_spark.operators.classify import platt_grid_fit
+
+    scored = spark.createDataFrame(
+        [(1, 50.0, 1), (2, -50.0, 0), (3, 50.0, 0), (4, 0.5, 1)],
+        "doc long, log_odds double, y int")
+    out = platt_grid_fit(scored, "y", a_grid=(0.25, 2.0), b_grid=(0.0,))
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.loss is not None and r.loss > 0 for r in rows)
+    # at a=2.0 doc 3's sigmoid saturates to exactly 1.0 in float64
+    # (z = 100): pre-fix its log(0) term was NULL and silently dropped
+    # from the sum; clamped, it contributes -ln(1e-12) ~ 27.6
+    steep = [r for r in rows if r.a == 2.0][0]
+    assert steep.loss > 27.0
+
+
+def test_nb_score_multi_duplicate_ids_margin(spark):
+    """Duplicate doc ids used to duplicate every (doc, label) row, so
+    the runner-up was a copy of the winner and margin_u was 0."""
+    from casf_spark.operators.classify import (nb_score_multi,
+                                               nb_train_multi)
+
+    train = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat"),
+         (2, "fr", "le chat dort sur le tapis")],
+        "doc_id long, lang string, text string")
+    model = nb_train_multi(train, "doc_id", "text", "lang", vocab_size=12)
+    dup = spark.createDataFrame(
+        [(9, "the cat sat"), (9, "the cat sat")],
+        "doc_id long, text string")
+    out = nb_score_multi(dup, model, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0].margin_u > 0

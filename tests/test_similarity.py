@@ -330,3 +330,25 @@ def test_facility_location_lazy_matches_classic(spark, sf_dir):
         assert classic == lazy and len(classic) == k
     with pytest.raises(ValueError):
         facility_location_select_lazy(emb, k=9, n_candidates=8)
+
+
+def test_similarity_empty_and_undersized_inputs_are_loud(spark):
+    """Empty corpora used to crash with bare TypeError (first()[0]),
+    numpy shape mismatches (empty query matmul), or empty-codebook
+    argmin errors deep inside executors — all are now loud ValueErrors
+    or clean empty results."""
+    import pytest
+    from casf_spark.operators.similarity import (brute_force_topk,
+                                                 ivf_pq_topk,
+                                                 lsh_candidates)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        lsh_candidates(empty)
+    few = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    # empty QUERY set: a clean empty top-k, matching the expr path
+    assert brute_force_topk(few, empty, k=3).count() == 0
+    with pytest.raises(ValueError, match="corpus has only 5"):
+        ivf_pq_topk(few, few, n_centroids=8, ksub=16, m=2)
