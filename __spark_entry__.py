@@ -7938,7 +7938,10 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2""",
         "dedup_exact": """
 SELECT CAST(MIN(doc_id) AS BIGINT) doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint
+       -- NULL text -> per-doc sentinel (each NULL doc its own
+       -- singleton group), mirroring dedup._fp_or_unique
+       COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                chr(0) || 'null:' || CAST(doc_id AS VARCHAR)) fingerprint
 FROM documents
 GROUP BY 2""",
         "dedup_ngram_jaccard": jaccard_sql,
