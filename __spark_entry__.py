@@ -5877,6 +5877,17 @@ def q_dedup_edit_distance(spark, sf):
     docs = load_table(spark, sf, "documents")
     cand = DD.minhash_lsh_pairs(docs, "doc_id", "text",
                                 n=2, num_hashes=12, bands=4)
+    # r13 optimization (guide §2.5/§2.6 — compute-heavy, byte-light
+    # stage): the candidate table is a few KB, so AQE coalesces the
+    # post-distinct stage to ONE partition and every O(len^2)
+    # levenshtein then runs serially in a single task (measured 6.2 s;
+    # the candidate build alone is 1.2 s). Pinning the repartition to
+    # defaultParallelism (scale-adaptive: follows the core count, not a
+    # constant) spreads the rescoring — 6.2 -> 1.8 s at sf0.1. AQE
+    # cannot see per-row CPU cost, only bytes, so this is exactly the
+    # case where the caller must size the stage.
+    cand = cand.repartition(spark.sparkContext.defaultParallelism,
+                            "doc0", "doc1")
     t0 = docs.select(F.col("doc_id").cast("long").alias("doc0"),
                      F.col("text").alias("t0"))
     t1 = docs.select(F.col("doc_id").cast("long").alias("doc1"),

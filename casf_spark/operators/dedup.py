@@ -572,6 +572,35 @@ def _band_buckets(df: DataFrame, id_col: str, text_col: str,
              F.col("bb.bucket").alias("bucket"))
 
 
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the span family: (tok_df, occ) where tok_df =
+    (doc, toks) and occ = (doc, pos, g) hashed word-n-gram occurrences.
+
+    BOTH are materialized once (localCheckpoint — r13 optimization,
+    guide §2.4/§5): every consumer reads occ twice (once to find
+    duplicated grams, once to join occurrences against them) and tok_df
+    again for lengths/text rebuild, so without materialization the
+    tokenize -> gram-explode -> md5 pipeline runs 2-3x per query
+    (measured at sf0.1: cross_doc_spans 2.96 -> 1.90 s checkpointed).
+    At 100 TB the trade is one write of the narrow (doc, pos, g) table
+    + token arrays vs two more full tokenize passes over the corpus.
+    """
+    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
+                       TX.tokens(text_col).alias("toks"))
+    tok_df = tok_df.localCheckpoint()
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
+           .select("doc", "pos", md5_long("gram").alias("g")))
+    return tok_df, occ.localCheckpoint()
+
+
 def cross_doc_spans(df: DataFrame, id_col: str, text_col: str,
                     n: int = 4) -> DataFrame:
     """Cross-document duplicated-span coverage ->
@@ -592,19 +621,10 @@ def cross_doc_spans(df: DataFrame, id_col: str, text_col: str,
     grams are typically a small fraction — AQE broadcasts the set when it
     fits), then a position explode proportional to DUPLICATED occurrences
     only, reduced per doc. Nothing is quadratic; nothing materializes
-    positions for unique grams.
+    positions for unique grams. The tokenized corpus and the hashed
+    occurrences are materialized once (:func:`_gram_occurrences`).
     """
-    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
-                       TX.tokens(text_col).alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
-           .select("doc", "pos", md5_long("gram").alias("g")))
+    tok_df, occ = _gram_occurrences(df, id_col, text_col, n)
     dup = (occ.groupBy("g")
            .agg(F.countDistinct("doc").alias("nd"))
            .where(F.col("nd") >= 2)
@@ -649,19 +669,10 @@ def maximal_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     only), then a lag/cumsum window PARTITIONED BY DOC (per-partition
     sort bounded by doc length) and a (doc, span) aggregation; the
     token arrays join back once on doc for the span text. Nothing
-    quadratic, nothing driver-side.
+    quadratic, nothing driver-side. The tokenized corpus and the hashed
+    occurrences are materialized once (:func:`_gram_occurrences`).
     """
-    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
-                       TX.tokens(text_col).alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
-           .select("doc", "pos", md5_long("gram").alias("g")))
+    tok_df, occ = _gram_occurrences(df, id_col, text_col, n)
     dup = (occ.groupBy("g")
            .agg(F.countDistinct("doc").alias("nd"))
            .where(F.col("nd") >= 2)
@@ -926,6 +937,10 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from casf_spark.functions.text import winnow_fingerprints
 
+    # NOT materialized: the self-join's two sides are the identical
+    # subtree, so AQE shuffle-stage reuse already computes it once —
+    # measured at sf0.1 r13, a localCheckpoint here is exactly neutral
+    # (1.43 vs 1.44 s) and would only add a materialization at scale
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
     a = fp.select(F.col("doc").alias("doc0"), "fp")
     b = fp.select(F.col("doc").alias("doc1"), "fp")
@@ -971,6 +986,10 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
     dg = (tok_df.select("doc", F.explode(F.array_distinct(grams))
                         .alias("gram"))
           .select("doc", md5_long("gram").alias("gh")))
+    # materialized once: the first-occurrence aggregation AND the join
+    # side both consume dg — without this the tokenize -> distinct-gram
+    # explode -> md5 pipeline runs twice (r13 optimization, guide §2.4)
+    dg = dg.localCheckpoint()
     first = dg.groupBy("gh").agg(F.min("doc").alias("first_doc"))
     per = (dg.join(first, "gh")
            .groupBy("doc")
@@ -1376,19 +1395,10 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     positions (bounded by its own length), then a map-only rebuild:
     ``array_except`` over the position sequence is linear per doc (hash
     set under the hood), and ``element_at`` is O(1) per kept token.
-    Nothing quadratic, nothing driver-side.
+    Nothing quadratic, nothing driver-side. The tokenized corpus and the
+    hashed occurrences are materialized once (:func:`_gram_occurrences`).
     """
-    tok_df = df.select(F.col(id_col).cast("long").alias("doc"),
-                       TX.tokens(text_col).alias("toks"))
-    grams = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - n),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = (tok_df.select("doc", F.posexplode(grams).alias("pos", "gram"))
-           .select("doc", "pos", md5_long("gram").alias("g")))
+    tok_df, occ = _gram_occurrences(df, id_col, text_col, n)
     dup = (occ.groupBy("g")
            .agg(F.countDistinct("doc").alias("nd"),
                 F.min("doc").alias("first_doc"))
@@ -1704,24 +1714,30 @@ def label_propagation_converged(pairs: DataFrame, seeds: DataFrame,
         inflow = (edges.join(scores, edges.src == scores.doc_id)
                   .groupBy("dst")
                   .agg(F.sum("score_u").cast("long").alias("sum_u")))
-        new_scores = (nodes.join(inflow, nodes.doc_id == inflow.dst,
-                                 "left")
-                      .select(
-                          "doc_id",
-                          F.when(F.col("label_u").isNotNull(),
-                                 F.col("label_u"))
-                          .otherwise(
-                              F.floor(F.coalesce("sum_u", F.lit(0))
-                                      / F.col("degree") + 0.5)
-                              .cast("long"))
-                          .alias("score_u")))
+        # carry the PREVIOUS score through the update join so the
+        # convergence check needs no second join: the per-node delta is
+        # computed inside the same checkpointed pass and d_max is a bare
+        # integer MAX over the already-materialized table (r13
+        # optimization — one keyed join job per iteration instead of
+        # two; the delta arithmetic is the identical BIGINT difference,
+        # so the stopping decision is bit-for-bit the old one).
+        new_u = (F.when(F.col("label_u").isNotNull(), F.col("label_u"))
+                 .otherwise(
+                     F.floor(F.coalesce("sum_u", F.lit(0))
+                             / F.col("degree") + 0.5)
+                     .cast("long")))
+        new_scores = (nodes.join(scores.select(
+                          F.col("doc_id"), F.col("score_u").alias("prev_u")),
+                          "doc_id")
+                      .join(inflow, nodes.doc_id == inflow.dst, "left")
+                      .select("doc_id",
+                              new_u.alias("score_u"),
+                              F.abs(new_u - F.col("prev_u"))
+                              .alias("delta_u")))
         new_scores = new_scores.localCheckpoint()
-        d_max = (new_scores.alias("a")
-                 .join(scores.alias("b"), "doc_id")
-                 .agg(F.max(F.abs(F.col("a.score_u")
-                                  - F.col("b.score_u"))).alias("d"))
+        d_max = (new_scores.agg(F.max("delta_u").alias("d"))
                  .collect()[0].d)
-        scores = new_scores
+        scores = new_scores.select("doc_id", "score_u")
         if d_max is None or d_max < tol_u:
             n_iters = i
             break

@@ -7,6 +7,7 @@ dimensions broadcast.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
@@ -124,7 +125,20 @@ def test_q17_single_fact_scan_reused(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+@pytest.fixture()
+def no_spread(monkeypatch):
+    """Pin the 100-TB plan shape: the small-input scan spread
+    (sources.tables._spread_unsplittable_scan) repartitions tiny
+    single-row-group test files so local runs reach core-count
+    parallelism, but it is size-guarded OFF at scale — these plan
+    assertions are about the production (large-input) plan, so they
+    assert the no-spread shape. The spread itself is covered by
+    test_sources.test_scan_spread_*."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
+    yield
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir, no_spread):
     """The benchmark gram set broadcasts and the corpus side reaches the
     join with NO exchange — every shuffle in the plan is over the
     benchmark grams or the post-join contaminated residue, never the
@@ -159,14 +173,14 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
         "hashpartitioning(ck" in plan, plan
 
 
-def test_pii_scrub_single_projection_no_shuffle(spark, sf_dir):
+def test_pii_scrub_single_projection_no_shuffle(spark, sf_dir, no_spread):
     """PII audit is scan -> project: no exchange anywhere."""
     df = E.q_pii_redact(spark, sf_dir)
     plan = explain_str(df)
     assert "Exchange" not in plan, plan
 
 
-def test_stratified_sample_filter_reaches_scan(spark, sf_dir):
+def test_stratified_sample_filter_reaches_scan(spark, sf_dir, no_spread):
     """The md5-rate filter is a narrow predicate: no exchange, single
     scan."""
     df = E.q_sample_stratified(spark, sf_dir)
@@ -194,7 +208,7 @@ def test_tfidf_no_window_grouped_topk(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
-def test_curation_funnel_single_pass(spark, sf_dir):
+def test_curation_funnel_single_pass(spark, sf_dir, no_spread):
     """N funnel stages = one scan + one global aggregate: exactly one
     exchange (the 1-row final agg), one parquet scan."""
     df = E.q_curation_funnel(spark, sf_dir)

@@ -296,3 +296,47 @@ def test_csv_round_trip_with_schema(spark, sf_dir, tmp_path):
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, src.collect()))
+
+
+def test_scan_spread_fires_on_small_single_rowgroup_input(spark, sf_dir,
+                                                          monkeypatch):
+    """r13 optimization seam (sources.tables._spread_unsplittable_scan):
+    the test corpus' documents.parquet is ONE file with ONE row group —
+    parquet row groups are split-atomic, so the bare scan yields a
+    single non-empty task and every downstream map stage runs on one
+    core. load_table must repartition such inputs to defaultParallelism
+    (round-robin — rows unchanged), and must NOT when the kill switch
+    is set."""
+    from casf_spark.sources.tables import load_table
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_SPREAD", raising=False)
+    spread = load_table(spark, sf_dir, "documents")
+    assert spread.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
+    bare = load_table(spark, sf_dir, "documents")
+    assert bare.rdd.getNumPartitions() < \
+        spark.sparkContext.defaultParallelism
+
+    # rows identical either way (round-robin only moves rows)
+    assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in bare.select("doc_id").collect())
+
+
+def test_scan_spread_noop_when_scan_already_parallel(spark, tmp_path,
+                                                     monkeypatch):
+    """The spread is scale-adaptive: an input whose scan already reaches
+    core-count splits (here: >= cores parquet row groups via many files)
+    is left alone — at 100 TB the function is a no-op by the size guard
+    or, below it, by the row-group probe."""
+    from casf_spark.sources.tables import _spread_unsplittable_scan
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_SPREAD", raising=False)
+    cores = spark.sparkContext.defaultParallelism
+    out = str(tmp_path / "many_files.parquet")
+    (spark.range(cores * 10).repartition(cores)
+     .write.mode("overwrite").parquet(out))
+    df = spark.read.parquet(out)
+    spread = _spread_unsplittable_scan(spark, df, out)
+    assert spread is df  # returned untouched: no repartition node added
