@@ -5587,6 +5587,14 @@ def q_adversarial_contract(spark, sf):
         "doc_id", "n_words", "alpha_word_frac", "n_required_stopwords")
     flagged = CU.group_quantile_flag(corpus.join(g, "doc_id"), "lang",
                                      "n_words", q=0.25, flag_col="below_q")
+    # materialized once (r13 optimization, guide §2.4): the per-row leg
+    # (filter doc_id < 0) and the whole-corpus checksum aggregation both
+    # consume flagged, whose pipeline (tokenize-heavy gopher metrics +
+    # the per-group quantile window) would otherwise run twice — and the
+    # two consumers' subtrees differ (filter vs agg), so exchange reuse
+    # cannot share them. Narrow doc-grain table; one write vs a second
+    # full tokenize pass.
+    flagged = flagged.localCheckpoint()
     doc_rows = (flagged.filter(F.col("doc_id") < 0)
                 .select(F.col("doc_id").alias("item_id"),
                         F.explode(F.array(

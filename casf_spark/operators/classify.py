@@ -132,6 +132,12 @@ def nb_score(docs: DataFrame, model: DataFrame, id_col: str,
     back to 6dp; ``pred_pos = score_u >= 0``. Documents with no
     vocabulary tokens (including NULL/empty text) score the bare prior.
     """
+    # materialize the bounded model ONCE (r13 optimization, guide §2.4):
+    # the term rows and the prior row feed two separate broadcast
+    # builds, and a freshly-trained lazy model would otherwise run its
+    # whole train pipeline (train-corpus tokenize + count agg + top-k)
+    # once per broadcast. vocab_size + 1 rows by contract.
+    model = model.localCheckpoint()
     term_rows = model.where(F.col("term") != F.lit(PRIOR_TERM))
     prior = (model.where(F.col("term") == F.lit(PRIOR_TERM))
              .select(F.col("lr_u").alias("prior_u")))
@@ -372,6 +378,10 @@ def nb_score_multi(docs: DataFrame, model: DataFrame, id_col: str,
     label-join of the bounded prior table -> per-doc fold over
     n_labels rows (collect_list bounded by the label count).
     """
+    # materialize the bounded model ONCE (r13 optimization — same
+    # double-broadcast-build reason as nb_score): labels x (vocab+1)
+    # rows by contract.
+    model = model.localCheckpoint()
     terms = model.where(F.col("term") != PRIOR_TERM) \
         .select("label", "term", "ll_u")
     priors = model.where(F.col("term") == PRIOR_TERM) \

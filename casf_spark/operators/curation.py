@@ -804,34 +804,34 @@ def learn_bpe_merges(df: DataFrame, id_col: str, text_col: str,
             .otherwise(F.array().cast(
                 "array<struct<lsym:string,rsym:string>>"))).alias("p"))
             .select("p.lsym", "p.rsym"))
-        best = (pairs.groupBy("lsym", "rsym")
-                .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
-                .orderBy(F.desc("pair_count"), "lsym", "rsym")
-                .limit(1)
-                .localCheckpoint())
-        if best.isEmpty():
-            # pairs exhausted before n_merges steps (tiny corpus): the
-            # argmax is empty, so fusing would crossJoin the corpus with
-            # zero rows and wipe it — stop the loop instead. The DuckDB
+        # the 1-row argmax is a DRIVER-side side input (r13 optimization):
+        # collect it once instead of localCheckpoint + isEmpty + broadcast
+        # crossJoin — three driver round-trips and a broadcast build per
+        # step for one bounded row. The TakeOrdered argmax is
+        # deterministic (count desc, lexicographic), so the collected row
+        # is the identical merge the joined spelling picked.
+        best_rows = (pairs.groupBy("lsym", "rsym")
+                     .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+                     .orderBy(F.desc("pair_count"), "lsym", "rsym")
+                     .limit(1)
+                     .collect())
+        if not best_rows:
+            # pairs exhausted before n_merges steps (tiny corpus): stop
+            # the loop instead of fusing with an empty argmax. The DuckDB
             # twin mirrors this with LEFT JOIN ON TRUE + COALESCE (its
             # later m{i} CTEs stay empty, contributing no merge rows).
             break
-        merges.append(best.select(F.lit(step).cast("long").alias("step"),
-                                  "lsym", "rsym", "pair_count"))
-        pat = F.concat(F.lit("<"), F.col("lsym"), F.lit("><"),
-                       F.col("rsym"), F.lit(">"))
-        rep = F.concat(F.lit("<"), F.col("lsym"), F.lit("+"),
-                       F.col("rsym"), F.lit(">"))
+        r = best_rows[0]
+        merges.append((step, r["lsym"], r["rsym"], r["pair_count"]))
         if step < n_merges:
-            s = (s.crossJoin(F.broadcast(best))
-                 .select("doc", F.replace("s", pat, rep).alias("s"))
+            s = (s.select("doc",
+                          F.replace(
+                              "s",
+                              F.lit(f"<{r['lsym']}><{r['rsym']}>"),
+                              F.lit(f"<{r['lsym']}+{r['rsym']}>"))
+                          .alias("s"))
                  .localCheckpoint())
-    if not merges:
-        return df.sparkSession.createDataFrame([], empty_schema)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return df.sparkSession.createDataFrame(merges, empty_schema)
 
 
 def bpe_encode(df: DataFrame, id_col: str, text_col: str,
@@ -1296,6 +1296,14 @@ def unigram_lm_em_round(df: DataFrame, id_col: str, text_col: str,
     pieces = unigram_lm_pieces(df, id_col, text_col,
                                max_piece_len=max_piece_len,
                                vocab_size=vocab_size)
+    # materialize the learned vocabulary ONCE (r13 optimization, guide
+    # §2.4): unigram_lm_segment collects pieces_df for its side-input
+    # model, and the `old` join side below would otherwise re-run the
+    # whole substring-explode + count + top-k pipeline a second time —
+    # one extra full corpus pass for a 64-row table. The collected rows
+    # are bounded (vocab_size) by the same contract segment relies on.
+    pieces = df.sparkSession.createDataFrame(pieces.collect(),
+                                             pieces.schema)
     seg = unigram_lm_segment(df, id_col, text_col, pieces)
     used = (seg.select(F.explode(F.split("pieces_str", " ")).alias("piece"))
             .where(F.col("piece") != ""))

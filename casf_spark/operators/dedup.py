@@ -245,10 +245,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Output: (doc0, doc1) canonical, distinct.
     """
     banded = _band_buckets(df, id_col, text_col, n, num_hashes, bands, seed)
-    a = banded.select(F.col("doc").alias("doc0"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    keys = _band_keys(num_hashes, bands)
+    a = banded.select(F.col("doc").alias("doc0"), *keys)
+    b = banded.select(F.col("doc").alias("doc1"), *keys)
     out = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, keys)
         .where(F.col("doc0") > F.col("doc1"))
         .select("doc0", "doc1")
         .distinct()
@@ -271,27 +272,13 @@ def minhash_lsh_star_edges(df: DataFrame, id_col: str, text_col: str,
     >=2 bucket == docs in >=1 candidate pair). Output (doc0, doc1),
     doc0 > doc1.
     """
-    _check_banding(num_hashes, bands)
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    banded = sig.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ]).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
-    mins = (banded.groupBy("band", "bucket")
+    banded = _band_buckets(df, id_col, text_col, n, num_hashes, bands, seed)
+    keys = _band_keys(num_hashes, bands)
+    mins = (banded.groupBy(*keys)
             .agg(F.min("doc").alias("mdoc"),
                  F.count(F.lit(1)).alias("sz"))
             .where(F.col("sz") >= 2))
-    out = (banded.join(mins, ["band", "bucket"])
+    out = (banded.join(mins, keys)
            .where(F.col("doc") > F.col("mdoc"))
            .select(F.col("doc").alias("doc0"), F.col("mdoc").alias("doc1"))
            .distinct())
@@ -529,14 +516,14 @@ def incremental_dedup(new: DataFrame, history: DataFrame,
     hit_fp = (hf.join(F.broadcast(nf.select("fp").distinct()), "fp")
               .select("fp").distinct())
 
+    keys = _band_keys(num_hashes, bands)
     nb = _band_buckets(new, id_col, text_col, n, num_hashes, bands, seed)
     hb = (_band_buckets(history, id_col, text_col, n, num_hashes, bands,
                         seed)
-          .select("band", "bucket"))
-    hit_bb = (hb.join(F.broadcast(nb.select("band", "bucket").distinct()),
-                      ["band", "bucket"])
-              .select("band", "bucket").distinct())
-    near_docs = (nb.join(F.broadcast(hit_bb), ["band", "bucket"])
+          .select(*keys))
+    hit_bb = (hb.join(F.broadcast(nb.select(*keys).distinct()), keys)
+              .select(*keys).distinct())
+    near_docs = (nb.join(F.broadcast(hit_bb), keys)
                  .select("doc").distinct()
                  .withColumn("_near", F.lit(True)))
 
@@ -549,11 +536,25 @@ def incremental_dedup(new: DataFrame, history: DataFrame,
                      .otherwise(F.lit("new")).alias("status")))
 
 
+def _band_keys(num_hashes: int, bands: int) -> list[str]:
+    """Join/group key column names of a :func:`_band_buckets` table."""
+    return ["band"] + [f"k{r}" for r in range(num_hashes // bands)]
+
+
 def _band_buckets(df: DataFrame, id_col: str, text_col: str,
                   n: int, num_hashes: int, bands: int,
                   seed: int) -> DataFrame:
-    """(doc, band, bucket) MinHash band buckets — the banding half of
-    :func:`minhash_lsh_pairs`, shared with :func:`incremental_dedup`."""
+    """(doc, band, k0..k{r-1}) MinHash band buckets — the banding half
+    of :func:`minhash_lsh_pairs`, shared with :func:`incremental_dedup`
+    and the streaming near-dedup index.
+
+    The bucket key is the band's RAW signature longs side by side (r13
+    optimization, guide §2.3 narrower keys): joining/grouping on
+    fixed-width longs beats building and hashing a ~25-char concat_ws
+    string per (doc, band) — measured 2.18 -> 1.14 s best-of-4 for the
+    sf0.1 candidate-pair build, identical pairs (longs cannot contain a
+    separator, so string equality was exactly componentwise equality).
+    """
     _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
@@ -562,14 +563,13 @@ def _band_buckets(df: DataFrame, id_col: str, text_col: str,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ]).alias("bucket"))
+                *[F.col(f"mh_{b * rows_per_band + r}").alias(f"k{r}")
+                  for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
+             *[F.col(f"bb.k{r}").alias(f"k{r}")
+               for r in range(rows_per_band)])
 
 
 def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,

@@ -40,7 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("props", F.to_json("props"))
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    # documents ONLY: its consumers are CPU-bound JVM expression
+    # pipelines (tokenize -> shingle -> hash) that scale with cores.
+    # embeddings was measured and excluded — its heavy consumers are
+    # Arrow-batched mapInPandas GEMM kernels whose per-task
+    # (Arrow transfer + BLAS init) overhead dominates when a small
+    # corpus splinters into core-count batches: standalone best-of-3
+    # at sf0.1, spread vs not, ann_ivf 4.55 vs 2.51 s, ann_ivf_pq
+    # 2.58 vs 1.30 s, embedding_pca2 1.42 vs 1.25 s.
+    if name == "documents":
         df = _spread_unsplittable_scan(spark, df, f"{sf_dir}/{name}.parquet")
     return df
 

@@ -122,8 +122,9 @@ def near_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
     against the current batch's bucket set, and the per-batch loop is
     over MICRO-BATCHES (a bounded, small count), not data.
     """
-    from casf_spark.operators.dedup import _band_buckets
+    from casf_spark.operators.dedup import _band_buckets, _band_keys
 
+    keys = _band_keys(num_hashes, bands)
     index: DataFrame | None = None
     outs: list[DataFrame] = []
     for batch_id, batch_df in sorted(batches, key=lambda p: p[0]):
@@ -140,12 +141,12 @@ def near_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
         drop = None
         if index is not None:
             hit = (index.join(
-                F.broadcast(nb.select("band", "bucket").distinct()),
-                ["band", "bucket"]).select("band", "bucket").distinct())
-            drop = (nb.join(F.broadcast(hit), ["band", "bucket"])
+                F.broadcast(nb.select(*keys).distinct()),
+                keys).select(*keys).distinct())
+            drop = (nb.join(F.broadcast(hit), keys)
                     .select("doc").distinct())
-        bmin = nb.groupBy("band", "bucket").agg(F.min("doc").alias("mn"))
-        intra = (nb.join(bmin, ["band", "bucket"])
+        bmin = nb.groupBy(*keys).agg(F.min("doc").alias("mn"))
+        intra = (nb.join(bmin, keys)
                  .where(F.col("doc") > F.col("mn"))
                  .select("doc").distinct())
         drop = intra if drop is None else drop.unionByName(intra).distinct()
@@ -154,7 +155,7 @@ def near_dedup_replay_batches(batches: list[tuple[int, DataFrame]],
         outs.append(keep.select(
             "doc", F.lit(batch_id).cast("long").alias("batch_id"), "fp"))
         kept_buckets = (nb.join(F.broadcast(keep.select("doc")), "doc")
-                        .select("band", "bucket"))
+                        .select(*keys))
         index = (kept_buckets if index is None
                  else index.unionByName(kept_buckets))
     out = outs[0]
@@ -188,7 +189,9 @@ def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
     replay safety: batch-id partitions + dynamic overwrite, index read
     excludes the current batch id.
     """
-    from casf_spark.operators.dedup import _band_buckets
+    from casf_spark.operators.dedup import _band_buckets, _band_keys
+
+    keys = _band_keys(num_hashes, bands)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -207,16 +210,16 @@ def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
         if _index_nonempty(index_dir):
             seen = (spark.read.parquet(index_dir)
                     .where(F.col("_batch_id") != batch_id)
-                    .select("band", "bucket"))
+                    .select(*keys))
             hit = (seen.join(
-                F.broadcast(nb.select("band", "bucket").distinct()),
-                ["band", "bucket"]).select("band", "bucket").distinct())
-            drop = (nb.join(F.broadcast(hit), ["band", "bucket"])
+                F.broadcast(nb.select(*keys).distinct()),
+                keys).select(*keys).distinct())
+            drop = (nb.join(F.broadcast(hit), keys)
                     .select("doc").distinct())
         # within-batch star rule: drop docs sharing a bucket with a
         # smaller surviving doc
-        bmin = nb.groupBy("band", "bucket").agg(F.min("doc").alias("mn"))
-        intra = (nb.join(bmin, ["band", "bucket"])
+        bmin = nb.groupBy(*keys).agg(F.min("doc").alias("mn"))
+        intra = (nb.join(bmin, keys)
                  .where(F.col("doc") > F.col("mn"))
                  .select("doc").distinct())
         drop = intra if drop is None else drop.unionByName(intra).distinct()
@@ -228,7 +231,7 @@ def near_dedup_stream_against_index(docs_stream: DataFrame, index_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(out_dir))
         (nb.join(F.broadcast(keep.select("doc")), "doc")
-         .select("band", "bucket")
+         .select(*keys)
          .withColumn("_batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
