@@ -3229,6 +3229,12 @@ def q_dedup_waterfall(spark, sf):
     ).otherwise(F.array().cast("array<string>"))
     lines = tok_df.select("doc", F.posexplode(chunk_arr)
                           .alias("pos", "line"))
+    # materialized once (r13 optimization, guide §2.4): line_dedup_keep
+    # windows by LINE CONTENT while the total count aggregates by DOC —
+    # differently-keyed consumers, so the tokenize -> 10-token chunk
+    # explode would otherwise run twice (A/B best-of-4 at sf0.1 on this
+    # sub-pipeline: 2.82 -> 1.91 s).
+    lines = lines.localCheckpoint()
     kept_lines = DD.line_dedup_keep(lines)
     lstat = (lines.groupBy("doc")
              .agg(F.count(F.lit(1)).alias("n_total"))
@@ -5418,7 +5424,14 @@ def q_cdc_chunk_reuse(spark, sf):
     base = docs.where(n > 0).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text",
         edited.alias("etext"))
-    v1 = CU.content_defined_chunks(base, "doc_id", "text", divisor=16)
+    # v1 materialized once (r13 optimization, guide §2.4): its two
+    # consumers (the per-doc distinct hash set and the v1 rollup) are
+    # keyed differently, so exchange reuse cannot share the chunker
+    # pipeline — A/B best-of-3 at sf0.1: 2.56 -> 2.36 s, and much
+    # steadier samples (the base recomputes the gear-hash chunker per
+    # consumer). v2 has one consumer and stays a pure expression plan.
+    v1 = CU.content_defined_chunks(base, "doc_id", "text", divisor=16) \
+        .localCheckpoint()
     v2 = CU.content_defined_chunks(
         base.select("doc_id", F.col("etext").alias("text")),
         "doc_id", "text", divisor=16)
