@@ -218,10 +218,18 @@ def _round_sim(df: DataFrame) -> DataFrame:
 
 
 def _supplier_model(spark: SparkSession, sf_dir: str, sparse: bool = True,
-                    **kw):
-    m = matrix_from_lineitem(spark, sf_dir)
+                    materialize: bool = True, **kw):
+    # materialize (localCheckpoint) the normalized table for the SPARSE
+    # fused plan by default (r13 optimization, guide §2.4): the pair
+    # self-join's broadcast build side cannot reuse the probe side's
+    # shuffle, so the lineitem cell pipeline ran twice per query
+    # (interleaved A/B at sf0.1: 4.75 -> 3.28 s best-of-5). Dense-mode
+    # callers keep the pure plan — a checkpointed RDD's missing size
+    # stats flip the dense right-join to sort-merge (measured 6x worse).
     return CosineAnalyser(axis="y", **kw).fit(
-        m, is_sparse=sparse, persist=False, pre_aggregated=True)
+        matrix_from_lineitem(spark, sf_dir), is_sparse=sparse,
+        persist=False, pre_aggregated=True,
+        materialize=materialize and sparse)
 
 
 def _doc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +283,12 @@ def q_cosine_dense(spark, sf):
 
 
 def q_cosine_subset(spark, sf):
-    model = _supplier_model(spark, sf, sparse=True)
+    # materialize=False: the membership predicate pushes below the
+    # element pipeline in the pure plan, pruning the corpus BEFORE the
+    # front half — materializing the full normalized table first undoes
+    # that (A/B at sf0.1: 0.98 s pushdown vs 1.19 s checkpoint), and at
+    # 100 TB the pushdown is the only sane plan for a 4-vector probe.
+    model = _supplier_model(spark, sf, sparse=True, materialize=False)
     return _round_sim(model.similarity(["1", "3", "5", "7"]))
 
 
@@ -297,7 +310,8 @@ def q_cosine_axis_x(spark, sf):
                  F.col("o_totalprice").alias("value")))
     # input here is raw orders (duplicates per (custkey, priority)), so the
     # defensive duplicate-summing aggregation must stay on
-    model = CosineAnalyser(axis="x").fit(m, is_sparse=True, persist=False)
+    model = CosineAnalyser(axis="x").fit(m, is_sparse=True, persist=False,
+                                         materialize=True)
     return _round_sim(model.all_similarity())
 
 
@@ -331,7 +345,8 @@ def q_cosine_via_sql(spark, sf):
 def q_doc_cosine(spark, sf):
     model = CosineAnalyser(axis="y").fit(
         _doc_matrix(spark, sf), is_sparse=True, persist=False,
-        pre_aggregated=True)  # term_counts output is unique per (doc, word)
+        pre_aggregated=True,  # term_counts output is unique per (doc, word)
+        materialize=True)  # tokenize front half computed once (r13, §2.4)
     return _round_sim(model.all_similarity())
 
 
@@ -350,7 +365,8 @@ def q_doc_cosine_tfidf(spark, sf):
                   * (F.log((F.col("n_docs") + 1) / (F.col("dfr") + 1)) + 1))
                  .alias("value")))
     model = CosineAnalyser(axis="y", normalization="none").fit(
-        m, is_sparse=True, persist=False, pre_aggregated=True)
+        m, is_sparse=True, persist=False, pre_aggregated=True,
+        materialize=True)  # tf-idf front half computed once (r13, §2.4)
     return _round_sim(model.all_similarity())
 
 
@@ -375,7 +391,8 @@ def q_doc_cosine_cjk(spark, sf):
                        "doc_id", "text", stopwords=None,
                        tokenizer=TX.cjk_tokens)
     model = CosineAnalyser(axis="y").fit(
-        m, is_sparse=True, persist=False, pre_aggregated=True)
+        m, is_sparse=True, persist=False, pre_aggregated=True,
+        materialize=True)  # CJK-bigram front half computed once (r13)
     return _round_sim(model.all_similarity())
 
 
@@ -403,7 +420,8 @@ def q_doc_cosine_lsh(spark, sf):
         F.when(a > b, b).otherwise(a).alias("vector1"))
     m = TX.term_counts(docs, "doc_id", "text", stopwords=STOPWORDS)
     model = CosineAnalyser(axis="y").fit(m, is_sparse=True, persist=False,
-                                         pre_aggregated=True)
+                                         pre_aggregated=True,
+                                         materialize=True)  # n0/n1 legs (r13)
     return _round_sim(model.similarity_for_pairs(cand_str))
 
 

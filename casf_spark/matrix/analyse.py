@@ -213,8 +213,10 @@ class CosineAnalyser:
     # ------------------------------------------------------------------ #
 
     def fit(self, matrix_element: DataFrame, is_sparse: bool = True,
-            persist: bool = True, pre_aggregated: bool = False) -> CosineModel:
-        """Build a CosineModel. Lazy — no Spark job runs here.
+            persist: bool = True, pre_aggregated: bool = False,
+            materialize: bool = False) -> CosineModel:
+        """Build a CosineModel. Lazy unless ``materialize`` — no Spark job
+        runs here.
 
         Parity: simpleFit (MCA:218-242). ``is_sparse`` selects the norm
         semantics (MCA:218-231): sparse = norms over shared coordinates only;
@@ -222,10 +224,24 @@ class CosineAnalyser:
         emitted (zero-similarity pairs included, MM:63-69).
         ``pre_aggregated``: input is already unique per (y, x) — skips the
         defensive duplicate-summing shuffle.
+        ``materialize`` localCheckpoints the normalized table (r13
+        optimization, guide §2.4): the pair self-join's build side is a
+        BroadcastExchange, which cannot reuse the probe side's shuffle
+        subtree, so without it the element pipeline (scan -> cell agg ->
+        max-normalize join) runs once PER CONSUMER — 2x in the sparse
+        fused plan (interleaved A/B at sf0.1: best 4.75 -> 3.28 s, every
+        sample lower). Opt-in because a checkpointed RDD loses size
+        statistics, which flips the DENSE plan's downstream broadcast
+        joins to sort-merge (measured 6x worse) — dense-mode callers and
+        the bucketed zero-exchange plan must keep the pure expression
+        tree. Mutually exclusive with ``persist`` (the checkpoint IS the
+        materialization).
         """
         elements = self._canonical_elements(matrix_element, pre_aggregated)
         normalized = self._normalized(elements)
-        if persist:
+        if materialize:
+            normalized = normalized.localCheckpoint()
+        elif persist:
             # Cache only the narrow multi-consumer dataset (normalized feeds
             # both sides of the pair self-join, dense vector mods, and
             # predict_missing's contribution join). factor_pairs is NOT

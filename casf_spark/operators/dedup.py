@@ -175,6 +175,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # shingles, and a collision only perturbs one intersection count by 1.
     sh = _shingles(df, id_col, text_col, n).select(
         "doc", md5_long("shingle").alias("sh"))
+    # materialized ONCE (r13 optimization, guide §2.4): sh feeds the
+    # doc-keyed size aggregation AND the sh-keyed intersection self-join
+    # — differently-keyed consumers, so the tokenize -> shingle -> hash
+    # front half would otherwise run twice. Narrow (doc, long) rows.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc0"), "sh")
     b = sh.select(F.col("doc").alias("doc1"), "sh")
@@ -354,6 +359,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     seg_count = max_hamming + 1
     seg_bits = bits // seg_count
     sig = simhash_signatures(df, id_col, text_col, bits)
+    # materialized ONCE (r13 optimization, guide §2.4): both sides of the
+    # segment equi-join consume the signature table, and the planner
+    # BROADCASTS one side — a BroadcastExchange cannot reuse the other
+    # side's shuffle subtree, so the tokenize -> weighted-bit-vote
+    # signature pipeline ran twice per query (captured before-plan).
+    # One narrow (doc, long) row per document.
+    sig = sig.localCheckpoint()
     segs = sig.select(
         "doc", "simhash",
         F.explode(F.array(*[
@@ -1249,7 +1261,15 @@ def _semdedup_rollup(assigned: DataFrame, threshold: float) -> DataFrame:
     ONCE there, so each pair evaluates only the O(d) dot product, not
     two redundant norm reductions (measured ~2x on the bench corpus);
     the guarded dot/(n0*n1) is the same expression V.cosine evaluates,
-    so the 6dp-rounded values are bit-identical to the oracle's."""
+    so the 6dp-rounded values are bit-identical to the oracle's.
+
+    ``assigned`` is materialized ONCE here (r13 optimization, guide
+    §2.4): it feeds three consumers — both sides of the within-cluster
+    pair join (keyed cluster) and the final per-id left join (keyed id)
+    — so the quantizer assignment (centroid argmin over the whole
+    corpus, or the Arrow GEMM pass) would otherwise run 2-3x per query;
+    the differently-keyed consumers rule out exchange reuse."""
+    assigned = assigned.localCheckpoint()
     a = assigned.select("cluster", F.col("id").alias("id0"),
                         F.col("v").alias("v0"), F.col("nrm").alias("n0"),
                         F.col("cent_sim").alias("cs0"))
@@ -1484,6 +1504,10 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sh = _shingles(df, id_col, text_col, n).select(
         "doc", md5_long("shingle").alias("sh"))
+    # materialized ONCE (r13 optimization, guide §2.4): same
+    # differently-keyed consumers as ngram_jaccard_pairs — the size agg
+    # (doc) vs the intersection self-join (sh).
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("src_doc"), "sh")
     b = sh.select(F.col("doc").alias("dst_doc"), "sh")

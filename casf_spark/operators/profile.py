@@ -221,6 +221,14 @@ def clustering_agreement(labels: DataFrame, a_col: str,
     cont = (labels.groupBy(F.col(a_col).alias("a"),
                            F.col(b_col).alias("b"))
             .agg(F.count(F.lit(1)).cast("long").alias("nij")))
+    # materialized ONCE (r13 optimization, guide §2.4): cont feeds three
+    # consumers (cells agg, a-marginal, b-marginal) whose downstream keys
+    # all differ, so the full ``labels`` pipeline — in dedup_cluster_ari
+    # a tokenize + collision-key pass AND a connected-components labeling
+    # — would otherwise be recomputed per consumer (the captured before-
+    # plan shows the subtree three times). The table is bounded by the
+    # cluster-pair cardinality, not items.
+    cont = cont.localCheckpoint()
     cells = cont.agg(F.sum(comb2(F.col("nij"))).alias("sum_comb_cells"),
                      F.sum("nij").alias("n"))
     ai = (cont.groupBy("a").agg(F.sum("nij").alias("ai"))
