@@ -69,7 +69,45 @@ elem AS (
 """
 
 
+#: normalized-element half of :func:`sparse_cosine_sql` — the part below
+#: runs once per CONSUMER when left as an inline CTE (Spark inlines WITH
+#: bodies; the pair self-join's broadcast build side cannot reuse the
+#: probe side's shuffle), so :func:`supplier_cosine` materializes it.
+NORM_SQL = """
+WITH {elem},
+mx AS (SELECT vector, MAX(val) mv FROM elem GROUP BY vector)
+SELECT e.vector, e.coord, e.val / m.mv AS nv
+FROM elem e JOIN mx m USING (vector)"""
+
+#: pair-join + fused aggregation half over a registered ``norm`` view
+PAIR_AGG_SQL = """
+WITH pairs AS (
+  SELECT a.vector v0, b.vector v1, a.coord, a.nv nv0, b.nv nv1
+  FROM {norm} a JOIN {norm} b ON a.coord = b.coord AND a.vector > b.vector),
+agg AS (
+  SELECT v0, v1, SQRT(SUM(nv0*nv0)) m0, SQRT(SUM(nv1*nv1)) m1,
+         SUM(nv0*nv1) num
+  FROM pairs GROUP BY v0, v1)
+SELECT v0 AS vector0, v1 AS vector1,
+       ROUND(num / (m0 * m1), {round_to}) AS similarity_value
+FROM agg"""
+
+
 def supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship sparse cosine query via the SQL interface."""
+    """The flagship sparse cosine query via the SQL interface.
+
+    Both halves are SQL text compiled by Catalyst; between them the
+    normalized-element table is materialized once (r13 optimization,
+    guide §2.4) — Spark inlines CTE bodies, so the single-statement
+    spelling (:func:`sparse_cosine_sql`, still exported for one-shot
+    use) recomputes the lineitem cell pipeline once per ``norm``
+    consumer: 4 lineitem scans in the captured plan, 2x the front-half
+    work. Result rows are identical — the split is between, not inside,
+    the aggregations.
+    """
     register_tables(spark, sf_dir, ["lineitem"])
-    return spark.sql(sparse_cosine_sql(SUPPLIER_ELEM_SQL))
+    norm = spark.sql(NORM_SQL.format(elem=SUPPLIER_ELEM_SQL)) \
+        .localCheckpoint()
+    norm.createOrReplaceTempView("supplier_norm_elem")
+    return spark.sql(PAIR_AGG_SQL.format(norm="supplier_norm_elem",
+                                         round_to=6))
