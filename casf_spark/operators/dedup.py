@@ -568,8 +568,19 @@ def _band_buckets(df: DataFrame, id_col: str, text_col: str,
     separator, so string equality was exactly componentwise equality).
     """
     _check_banding(num_hashes, bands)
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    return _band_buckets_from_sig(sig, num_hashes, bands)
+
+
+def _band_buckets_from_sig(sig: DataFrame, num_hashes: int,
+                           bands: int) -> DataFrame:
+    """Banding explode over an already-built signature table — split out
+    (r13 optimization, guide §2.4) so callers that ALSO need the raw
+    signatures (:func:`minhash_pair_weights`) can compute the
+    tokenize -> shingle -> minhash front half once and feed both the
+    banding and the per-doc signature joins from it."""
+    _check_banding(num_hashes, bands)
+    rows_per_band = num_hashes // bands
     return sig.select(
         "doc",
         F.explode(F.array(*[
@@ -1787,13 +1798,22 @@ def minhash_pair_weights(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: the banding join is :func:`minhash_lsh_pairs`
     unchanged; the weight costs two signature joins keyed by doc at
-    CANDIDATE grain (the wide signature table is one shuffle, reused
-    for both sides).
+    CANDIDATE grain. The tokenize -> shingle -> minhash front half is
+    computed ONCE (r13 optimization, guide §2.4): the checkpointed
+    signature table feeds the banding explode AND both per-doc weight
+    joins — it previously ran twice (once inside the banding pipeline,
+    once for the weights).
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes,
-                              bands, seed)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    sig = sig.localCheckpoint()  # one signature pass feeds both joins
+    sig = sig.localCheckpoint()  # one signature pass feeds all consumers
+    banded = _band_buckets_from_sig(sig, num_hashes, bands)
+    keys = _band_keys(num_hashes, bands)
+    a = banded.select(F.col("doc").alias("doc0"), *keys)
+    b = banded.select(F.col("doc").alias("doc1"), *keys)
+    pairs = (a.join(b, keys)
+             .where(F.col("doc0") > F.col("doc1"))
+             .select("doc0", "doc1")
+             .distinct())
     s0 = sig.select(F.col("doc").alias("doc0"),
                     *[F.col(f"mh_{i}").alias(f"a_{i}")
                       for i in range(num_hashes)])

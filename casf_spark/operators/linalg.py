@@ -287,12 +287,20 @@ def random_projection(df: DataFrame, id_col: str = "vec_id",
                      .cast("long"))
     cells = df.select(F.col(id_col), xu.alias("__jl_u"))
     scale = 1e6 * math.sqrt(float(out_dim))
+    # each output dim folds as ONE higher-order aggregate over the
+    # plan-literal sign column (r13 optimization, guide §1.2 per-task
+    # work): the earlier spelling unrolled an in_dim-deep left-leaning
+    # Add chain per output dim (out_dim x in_dim element_at nodes),
+    # which Catalyst re-analyzes on every invocation — planning time
+    # dwarfed the map-only execution (A/B at sf0.1: 2.82 -> 1.86 s).
+    # The BIGINT sum is order-independent, so the loop spelling is
+    # value-identical to the unrolled chain.
     outs = []
     for j in range(out_dim):
-        acc = None
-        for i in range(in_dim):
-            term = F.element_at("__jl_u", i + 1) if signs[i][j] == 1 \
-                else -F.element_at("__jl_u", i + 1)
-            acc = term if acc is None else acc + term
+        sgn = F.array(*[F.lit(signs[i][j]).cast("long")
+                        for i in range(in_dim)])
+        acc = F.aggregate(
+            F.zip_with(F.col("__jl_u"), sgn, lambda x, s: x * s),
+            F.lit(0).cast("long"), lambda a, x: a + x)
         outs.append(F.round(acc.cast("double") / F.lit(scale), 6))
     return cells.select(id_col, F.array(*outs).alias("proj"))
