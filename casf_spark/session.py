@@ -63,7 +63,18 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
                 "-XX:-DontCompileHugeMethods")
-        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # 20000 (r13): the full 250-query suite generates well over 1000
+        # distinct codegen units (~10 WholeStageCodegen/expression classes
+        # per query, x AQE runtime variants, x two SFs in the bench's
+        # warm+timed phases), so the previous 1000-entry cache evicted hot
+        # entries MID-SUITE; a re-generated class runs interpreted until
+        # C2 recompiles it, which measured as 2-7x inflation bursts on
+        # whichever queries ran during the storm (dedup_pagerank 22.7 s
+        # in-suite vs 2.7 s standalone, JIT-time 44.9 s on a 9.9 s run).
+        # Class memory stays bounded by the 1g code cache + flushing; a
+        # long-running production session with hundreds of distinct plans
+        # wants the same headroom.
+        .config("spark.sql.codegen.cache.maxEntries", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
