@@ -1501,12 +1501,27 @@ def boilerplate_lines(lines: DataFrame, group_col: str, doc_col: str,
     if not 0.0 < min_frac <= 1.0:
         raise ValueError(f"boilerplate_lines: min_frac must be in "
                          f"(0, 1], got {min_frac}")
-    per = (lines.groupBy(group_col, line_col)
-           .agg(F.count_distinct(F.col(doc_col)).cast("long")
-                .alias("line_docs")))
-    gdocs = (lines.groupBy(group_col)
-             .agg(F.count_distinct(F.col(doc_col)).cast("long")
-                  .alias("grp_docs"))
+    # ONE pass over the line stream (r14, guide §2.4): the (group, line)
+    # doc-frequency agg and the group doc-count agg are two consumers
+    # with DIFFERENT keys, so exchange reuse cannot share them and the
+    # caller's full line pipeline (tokenize -> chunk -> explode -> join)
+    # ran twice. Both counts are counts over DISTINCT tuples, so dedup
+    # once, materialize the deduped table (far smaller than the raw
+    # stream), and derive each agg from it:
+    #   count_distinct(doc) BY (group, line)  == count(doc) over distinct
+    #     (group, line, doc) rows grouped by (group, line);
+    #   count_distinct(doc) BY group          == count(doc) over distinct
+    #     (group, doc) rows grouped by group.
+    # count(doc_col), NOT count(*): count_distinct ignores NULL docs, and
+    # distinct collapses them to one row that count(doc_col) also
+    # ignores — bit-exact including all-NULL-doc groups.
+    d3 = (lines.select(group_col, line_col, doc_col).distinct()
+          .localCheckpoint())
+    per = (d3.groupBy(group_col, line_col)
+           .agg(F.count(F.col(doc_col)).cast("long").alias("line_docs")))
+    gdocs = (d3.select(group_col, doc_col).distinct()
+             .groupBy(group_col)
+             .agg(F.count(F.col(doc_col)).cast("long").alias("grp_docs"))
              .withColumnRenamed(group_col, "__bp_grp"))
     # eqNullSafe: a NULL group (doc without a domain) is a real group
     # — this file's documented convention (group_quantile_flag) — and

@@ -1079,12 +1079,10 @@ def kcenter_select(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     return out
 
 
-def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
-             vec_col: str, caller: str):
-    """Shared facility-location setup: validate, pick the bounded
-    md5-smallest candidate pool, and materialize the corpus x
-    candidates micro-unit similarity table plus the zeroed coverage
-    table (both localCheckpointed — they anchor every greedy round)."""
+def _fl_candidates(emb: DataFrame, k: int, n_candidates: int, id_col: str,
+                   vec_col: str, caller: str) -> DataFrame:
+    """Validate and pick the bounded md5-smallest candidate pool
+    (localCheckpointed, <= n_candidates rows)."""
     if k < 1 or n_candidates < k:
         raise ValueError(
             f"{caller}: need 1 <= k <= n_candidates, "
@@ -1097,7 +1095,7 @@ def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
             .orderBy("ck", "cid").limit(n_candidates)
             .select("cid", "cv")
             # materialized once (<= n_candidates rows): the count below
-            # and the broadcast cross-join both read the checkpoint, so
+            # and every downstream read hit the checkpoint, so
             # validation costs no extra corpus scan
             .localCheckpoint())
     # the ACTUAL pool can be smaller than n_candidates (tiny corpus);
@@ -1109,6 +1107,16 @@ def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
         raise ValueError(
             f"{caller}: corpus yields only {n_pool} candidate "
             f"vectors (< k={k}) — reduce k or supply more rows")
+    return cand
+
+
+def _fl_pool(emb: DataFrame, k: int, n_candidates: int, id_col: str,
+             vec_col: str, caller: str):
+    """Shared facility-location setup: validate, pick the bounded
+    md5-smallest candidate pool, and materialize the corpus x
+    candidates micro-unit similarity table plus the zeroed coverage
+    table (both localCheckpointed — they anchor every greedy round)."""
+    cand = _fl_candidates(emb, k, n_candidates, id_col, vec_col, caller)
     corp = emb.select(F.col(id_col).cast("long").alias("id"),
                       V.l2_normalize(vec_col).alias("v"))
     simu = F.greatest(
@@ -1153,32 +1161,47 @@ def facility_location_select(emb: DataFrame, k: int = 4,
     sel_id, gain, coverage) — gain is the round's marginal coverage,
     coverage the cumulative objective, both micro-exact 6dp.
     """
-    sims, cov = _fl_pool(emb, k, n_candidates, id_col, vec_col,
-                         "facility_location_select")
+    # r14 rewrite (guide §2.4 "remove shuffles outright" + §5 driver
+    # rules): the candidate dimension is BOUNDED (<= n_candidates), so
+    # the per-round cid-grain gain aggregation needs no N x C row table,
+    # no id-keyed join against a running coverage table, and no per-round
+    # coverage checkpoint. Collect the pool (<= n_candidates unit vectors
+    # — a bounded side input, the BPE-argmax rule), lay the per-candidate
+    # similarities out as COLUMNS of one materialized corpus-grain table,
+    # and each greedy round becomes ONE map-only scalar aggregation whose
+    # coverage term is greatest() over the already-selected columns.
+    # Every su value is computed by the identical expression as the old
+    # cross-join (same l2_normalize/dot/round/floor operand order), the
+    # gains are the same BIGINT sums, and the argmax keeps the
+    # (gain desc, cid asc) tie-break — output-identical (pinned by
+    # test_similarity classic==lazy and the oracle twin).
+    cand = _fl_candidates(emb, k, n_candidates, id_col, vec_col,
+                          "facility_location_select")
+    pool = sorted((int(r.cid), list(r.cv)) for r in cand.collect())
+
+    def su_col(cv: list) -> Column:
+        lit_v = F.array(*[F.lit(float(x)) for x in cv])
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.round(V.dot(F.col("v"), lit_v), 6) * F.lit(1e6)
+                    + F.lit(0.5)).cast("long"))
+
+    wide = (emb.select(V.l2_normalize(vec_col).alias("v"))
+            .select(*[su_col(cv).alias(f"su_{cid}") for cid, cv in pool])
+            .localCheckpoint())
     rows, selected, total = [], [], 0
     for r in range(1, k + 1):
-        gains = (sims.where(~F.col("cid").isin(selected))
-                 if selected else sims)
-        g = (gains.join(cov, "id")
-             .groupBy("cid")
-             .agg(F.sum(F.greatest(F.col("su"), F.col("cu"))
-                        - F.col("cu")).alias("gu"))
-             .orderBy(F.desc("gu"), F.asc("cid")).limit(1)
-             .collect()[0])          # 1-row bounded argmax (BPE rule)
-        sel, gain_u = int(g.cid), int(g.gu)
+        cu = (F.greatest(*[F.col(f"su_{s}") for s in selected],
+                         F.lit(0).cast("long"))
+              if selected else F.lit(0).cast("long"))
+        rem = [cid for cid, _ in pool if cid not in selected]
+        g = wide.agg(*[F.sum(F.greatest(F.col(f"su_{c}"), cu) - cu)
+                       .alias(f"g_{c}") for c in rem]).collect()[0]
+        sel = max(rem, key=lambda c: (int(g[f"g_{c}"]), -c))
+        gain_u = int(g[f"g_{sel}"])
         selected.append(sel)
         total += gain_u
         rows.append((r, sel, gain_u / 1e6, total / 1e6))
-        if r == k:
-            break
-        upd = sims.where(F.col("cid") == sel).select(
-            "id", F.col("su").alias("__fl_su"))
-        cov = (cov.join(upd, "id", "left")
-               .select("id", F.greatest(
-                   F.col("cu"), F.coalesce(F.col("__fl_su"),
-                                           F.lit(0).cast("long")))
-                   .alias("cu"))
-               .localCheckpoint())
     return emb.sparkSession.createDataFrame(
         rows, "sel_rank long, sel_id long, gain double, coverage double")
 

@@ -299,6 +299,14 @@ def cms_estimate(queries: DataFrame, item_col: str, cms: DataFrame,
             raise ValueError(f"cms_estimate: input column {c!r} collides "
                              f"with internal __cms_ names")
     h = hashing.md5_long(F.col(item_col))
+    # materialize the sketch ONCE (r14, guide §2.4): the ``depth``
+    # broadcast build sides below are separate jobs that each recompute
+    # the full sketch pipeline (for cms_replay_batches that is the whole
+    # per-batch tokenize+build+merge, 4x — measured 2.4 s of the 2.4 s
+    # query). The table is bounded by depth*width non-zero cells BY
+    # CONSTRUCTION, so the checkpoint is a KB-scale write at any corpus
+    # size.
+    cms = cms.localCheckpoint()
     probe = queries
     cnt_cols = []
     for r, pos in enumerate(hashing.position_exprs(h, depth, width,

@@ -71,9 +71,13 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
         # C2 recompiles it, which measured as 2-7x inflation bursts on
         # whichever queries ran during the storm (dedup_pagerank 22.7 s
         # in-suite vs 2.7 s standalone, JIT-time 44.9 s on a 9.9 s run).
-        # Class memory stays bounded by the 1g code cache + flushing; a
-        # long-running production session with hundreds of distinct plans
-        # wants the same headroom.
+        # Memory cost: JIT-compiled native code is bounded by the 1g
+        # ReservedCodeCacheSize + flushing above, but the generated
+        # CLASSES live in Metaspace, which is unbounded by default —
+        # ~20k Janino classes measured well under 1 GiB here; add
+        # -XX:MaxMetaspaceSize to extraJavaOptions if a hard bound is
+        # required. A long-running production session with hundreds of
+        # distinct plans wants the same headroom.
         .config("spark.sql.codegen.cache.maxEntries", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -92,14 +96,24 @@ def get_spark(app_name: str = "casf_spark", master: str | None = None,
     # pessimistic.
     applied = spark.sparkContext.getConf().get(
         "spark.driver.extraJavaOptions", "")
-    if "ReservedCodeCacheSize" not in applied:
+    # spark.sql.codegen.cache.maxEntries is a STATIC SQL conf: on session
+    # reuse the requested 20000 is silently ignored and the old (default
+    # 100) cache keeps evicting hot classes mid-suite. Static confs
+    # report their launch-time value, so reading it back detects reuse
+    # the session conf cannot (ADVICE r13).
+    try:
+        applied_cache = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    except Exception:  # noqa: BLE001 — conf absent on exotic builds
+        applied_cache = "20000"
+    if "ReservedCodeCacheSize" not in applied or applied_cache != "20000":
         import warnings
 
         warnings.warn(
             "get_spark: this SparkSession's JVM was not launched with the "
             "requested code-cache/JIT driver options (an existing session "
-            "was reused); heavy fused plans may run interpreted (see "
-            "session.py).",
+            f"was reused; effective codegen.cache.maxEntries="
+            f"{applied_cache}); heavy fused plans may run interpreted or "
+            "thrash the codegen cache (see session.py).",
             RuntimeWarning, stacklevel=2)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -101,13 +101,31 @@ def _spread_unsplittable_scan(spark: SparkSession, df: DataFrame,
     try:
         import pyarrow.parquet as pq
 
-        row_groups = sum(pq.ParquetFile(f).metadata.num_row_groups
-                         for f in files)
+        metas = [pq.ParquetFile(f).metadata for f in files]
+        row_groups = sum(m.num_row_groups for m in metas)
+        n_rows = sum(m.num_rows for m in metas)
     except Exception:  # noqa: BLE001 — no footer access -> leave as is
         return df
     if row_groups >= cores:
         return df  # splittable enough already
-    return df.repartition(cores)
+    # WORK-PROPORTIONAL target (r14; guide §2.5): spreading a tiny corpus
+    # to full core count taxes every light map-only consumer with a
+    # RoundRobin exchange + per-task overhead that exceeds the work (r13
+    # driver bench: ~10 cheap documents queries 1.5-4x slower at
+    # local[32], while the SAME code at 8 cores beat the unspread 32-core
+    # numbers). Size the spread to the rows instead of the cores: one
+    # task per SPREAD_ROWS_PER_TASK rows, capped at core count. Measured
+    # at sf0.1 (5000 docs, A/B grid in OPTIMIZATION_r14.md): the heavy
+    # tokenize pipelines keep their r13 wins at ~10 partitions while the
+    # light queries shed most of the spread tax. At scale the byte guard
+    # above makes this whole function a no-op, and larger corpora hit
+    # the cores cap long before the guard admits them.
+    rows_per_task = int(os.environ.get("SPARK_GRAFT_SPREAD_ROWS_PER_TASK",
+                                       "512"))
+    target = max(1, min(cores, n_rows // max(1, rows_per_task)))
+    if target <= row_groups:
+        return df  # splittable enough for the work it carries
+    return df.repartition(target)
 
 
 def normalize_ts(dtype, col: str = "ts"):

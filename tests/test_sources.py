@@ -298,30 +298,51 @@ def test_csv_round_trip_with_schema(spark, sf_dir, tmp_path):
         sorted(map(tuple, src.collect()))
 
 
-def test_scan_spread_fires_on_small_single_rowgroup_input(spark, sf_dir,
+def test_scan_spread_fires_on_small_single_rowgroup_input(spark, tmp_path,
                                                           monkeypatch):
-    """r13 optimization seam (sources.tables._spread_unsplittable_scan):
-    the test corpus' documents.parquet is ONE file with ONE row group —
-    parquet row groups are split-atomic, so the bare scan yields a
-    single non-empty task and every downstream map stage runs on one
-    core. load_table must repartition such inputs to defaultParallelism
-    (round-robin — rows unchanged), and must NOT when the kill switch
-    is set."""
-    from casf_spark.sources.tables import load_table
+    """Optimization seam (sources.tables._spread_unsplittable_scan):
+    parquet row groups are split-atomic, so a single-row-group file
+    yields a single non-empty scan task and every downstream map stage
+    runs on one core. The spread must repartition such inputs
+    WORK-PROPORTIONALLY (r14): one task per SPREAD_ROWS_PER_TASK rows,
+    capped at defaultParallelism — spreading a tiny corpus to full core
+    count taxed every light consumer with more per-task overhead than
+    work (r13 driver bench). Rows unchanged; kill switch honored; a
+    corpus below one task's worth of rows is left alone."""
+    from casf_spark.sources.tables import _spread_unsplittable_scan
 
     monkeypatch.delenv("SPARK_GRAFT_NO_SPREAD", raising=False)
-    spread = load_table(spark, sf_dir, "documents")
-    assert spread.rdd.getNumPartitions() == \
-        spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    out = str(tmp_path / "one_rowgroup.parquet")
+    n_rows = 512 * (cores + 2)  # wants cores+2 tasks -> capped at cores
+    (spark.range(n_rows).coalesce(1)
+     .write.mode("overwrite").parquet(out))
+    df = spark.read.parquet(out)
+    assert df.rdd.getNumPartitions() < cores  # premise: unsplittable
+    spread = _spread_unsplittable_scan(spark, df, out)
+    assert spread.rdd.getNumPartitions() == cores  # rows/512 capped
+
+    # work-proportional: half a core-count's worth of rows -> half the
+    # tasks, not core count
+    small = str(tmp_path / "small.parquet")
+    (spark.range(512 * max(2, cores // 2)).coalesce(1)
+     .write.mode("overwrite").parquet(small))
+    sdf = spark.read.parquet(small)
+    sspread = _spread_unsplittable_scan(spark, sdf, small)
+    assert sspread.rdd.getNumPartitions() == max(2, cores // 2)
+
+    # below one task's worth of rows: left alone entirely
+    tiny = str(tmp_path / "tiny.parquet")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(tiny)
+    tdf = spark.read.parquet(tiny)
+    assert _spread_unsplittable_scan(spark, tdf, tiny) is tdf
 
     monkeypatch.setenv("SPARK_GRAFT_NO_SPREAD", "1")
-    bare = load_table(spark, sf_dir, "documents")
-    assert bare.rdd.getNumPartitions() < \
-        spark.sparkContext.defaultParallelism
+    assert _spread_unsplittable_scan(spark, df, out) is df
 
-    # rows identical either way (round-robin only moves rows)
-    assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == \
-        sorted(r.doc_id for r in bare.select("doc_id").collect())
+    # rows identical (round-robin only moves rows)
+    monkeypatch.delenv("SPARK_GRAFT_NO_SPREAD", raising=False)
+    assert sorted(r.id for r in spread.collect()) == list(range(n_rows))
 
 
 def test_scan_spread_noop_when_scan_already_parallel(spark, tmp_path,
